@@ -1,13 +1,229 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphRef
+import graft.sources.TpchGraph
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2 (or a
+  * §2.7 / north-star extension) expressed as a DataFrame plan over the
+  * TESTDATA parquet; [[oracleSql]] holds the DuckDB twin the driver
+  * hash-compares against. All result columns are lower-case and use
+  * bigint/double/string types so the two engines agree bit-for-bit
+  * (aggregated doubles are rounded; raw doubles pass through exactly).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * S1 node scan + W2 adjacency over the canonical property graph. */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = graph(spark, "/root/testdata/sf0.001")
+    g.adjacency().select(col("TYPE"), col("START_ID"), col("degree"))
+  }
+
+  def graph(spark: SparkSession, sfDir: String): GraphRef =
+    GraphRef(TpchGraph.nodes(spark, sfDir), TpchGraph.rels(spark, sfDir))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreGraphQueries ++ QueriesRelational.queries ++ QueriesPipeline.queries
+
+  def oracleSql: Map[String, String] =
+    coreGraphOracles ++ QueriesRelational.oracles ++ QueriesPipeline.oracles
+
+  /** SURVEY.md §2.1/§2.2/§2.3/§2.5 — the reference's own operator surface. */
+  private def coreGraphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: full node scan (ID, LABELS, all props) — project to oracle-stable shape
+    "node_scan" -> ((s, dir) => graph(s, dir).nodeScan()
+      .select(col("ID").as("id"), element_at(col("LABELS"), 1).as("label"),
+        col("name"))),
+    // S1+P1+P3: label filter + property projection
+    "node_filter_label" -> ((s, dir) => graph(s, dir)
+      .nodeScan(props = Seq("name", "acctbal", "mktsegment"),
+        labels = Seq("Customer"))
+      .select(col("ID").as("id"), col("name"), col("acctbal"),
+        col("mktsegment"))),
+    // P5: node-id remap to a user-chosen property
+    "node_id_remap" -> ((s, dir) => graph(s, dir)
+      .nodeScan(props = Seq("retailprice"), labels = Seq("Part"),
+        nodeId = Some("name"))
+      .select(col("ID").as("id"), col("retailprice"))),
+    // S2: long-form relationship stream (row per rel per property)
+    "rel_scan" -> ((s, dir) => graph(s, dir).relScan()
+      .select(col("START_ID").as("start_id"), col("END_ID").as("end_id"),
+        col("TYPE").as("type"), col("property"), col("value"))),
+    // S2+P2+P4: type filter + single-property projection
+    "rel_filter_type" -> ((s, dir) => graph(s, dir)
+      .relScan(props = Seq("quantity"), types = Seq("CONTAINS"))
+      .select(col("START_ID").as("start_id"), col("END_ID").as("end_id"),
+        col("value"))),
+    // W2: adjacency (CSR) build — sorted target list per (type, source)
+    "adjacency" -> ((s, dir) => graph(s, dir).adjacency()
+      .select(col("TYPE").as("type"), col("START_ID").as("start_id"),
+        col("degree"),
+        concat_ws(",", transform(col("targets"), _.cast("string")))
+          .as("targets"))),
+    // W2: in/out degrees
+    "degrees" -> ((s, dir) => graph(s, dir).degrees()
+      .select(col("ID").as("id"), col("out_degree"), col("in_degree"))),
+    // KHop step 1: degree histogram (supernode detection)
+    "degree_histogram" -> ((s, dir) => graph(s, dir).degreeHistogram()
+      .select(col("bucket"), col("n_nodes"))),
+    // §2.3: 2-hop subgraph per origin (aggregated to count + checksum —
+    // streams are unordered, MANIFESTO.md:230-235, so the check is set-wise)
+    "khop_2" -> ((s, dir) => graph(s, dir)
+      .khop(types = Seq("FROM_NATION", "IN_REGION"))
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
+    // S3: "cypher.read" analog — arbitrary query delegated to the SQL engine
+    // (the reference delegates to Neo4j, TransactionApiJob.java:56-85; we
+    // delegate to Catalyst). TPC-H Q1 shape.
+    "sql_q1" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ1)
+    })
+  )
+
+  private val SqlQ1: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** DuckDB CTE reconstructing the canonical node table (lower-case, single
+    * label string — same content as TpchGraph.nodes). */
+  val NodesCte: String =
+    """nodes AS (
+      |  SELECT 1000000000 + c_custkey AS id, 'Customer' AS label,
+      |         c_name AS name, c_acctbal AS acctbal,
+      |         c_mktsegment AS mktsegment, CAST(NULL AS DOUBLE) AS retailprice,
+      |         CAST(NULL AS DOUBLE) AS totalprice, CAST(NULL AS VARCHAR) AS orderstatus
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 2000000000 + s_suppkey, 'Supplier', s_name, s_acctbal,
+      |         NULL, NULL, NULL, NULL FROM supplier
+      |  UNION ALL
+      |  SELECT 3000000000 + p_partkey, 'Part', p_name, NULL, NULL,
+      |         p_retailprice, NULL, NULL FROM part
+      |  UNION ALL
+      |  SELECT 4000000000 + o_orderkey, 'Order', NULL, NULL, NULL, NULL,
+      |         o_totalprice, o_orderstatus FROM orders
+      |  UNION ALL
+      |  SELECT 5000000000 + n_nationkey, 'Nation', n_name, NULL, NULL,
+      |         NULL, NULL, NULL FROM nation
+      |  UNION ALL
+      |  SELECT 6000000000 + r_regionkey, 'Region', r_name, NULL, NULL,
+      |         NULL, NULL, NULL FROM region
+      |)""".stripMargin
+
+  /** DuckDB CTE reconstructing the canonical relationship table. */
+  val RelsCte: String =
+    """rels AS (
+      |  SELECT 1000000000 + o_custkey AS start_id,
+      |         4000000000 + o_orderkey AS end_id, 'PLACED' AS type,
+      |         CAST(NULL AS DOUBLE) AS quantity,
+      |         CAST(NULL AS DOUBLE) AS extendedprice
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 4000000000 + l_orderkey, 3000000000 + l_partkey, 'CONTAINS',
+      |         l_quantity, l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT 3000000000 + l_partkey, 2000000000 + l_suppkey, 'SUPPLIED_BY',
+      |         NULL, l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT 1000000000 + c_custkey, 5000000000 + c_nationkey,
+      |         'FROM_NATION', NULL, NULL FROM customer
+      |  UNION ALL
+      |  SELECT 2000000000 + s_suppkey, 5000000000 + s_nationkey,
+      |         'FROM_NATION', NULL, NULL FROM supplier
+      |  UNION ALL
+      |  SELECT 5000000000 + n_nationkey, 6000000000 + n_regionkey,
+      |         'IN_REGION', NULL, NULL FROM nation
+      |)""".stripMargin
+
+  private def coreGraphOracles: Map[String, String] = Map(
+    "node_scan" ->
+      s"WITH $NodesCte SELECT id, label, name FROM nodes",
+    "node_filter_label" ->
+      s"""WITH $NodesCte
+         |SELECT id, name, acctbal, mktsegment FROM nodes
+         |WHERE label = 'Customer'""".stripMargin,
+    "node_id_remap" ->
+      "SELECT p_name AS id, p_retailprice AS retailprice FROM part",
+    "rel_scan" ->
+      s"""WITH $RelsCte
+         |SELECT start_id, end_id, type, 'quantity' AS property,
+         |       quantity AS value
+         |FROM rels WHERE quantity IS NOT NULL
+         |UNION ALL
+         |SELECT start_id, end_id, type, 'extendedprice', extendedprice
+         |FROM rels WHERE extendedprice IS NOT NULL
+         |UNION ALL
+         |SELECT start_id, end_id, type, CAST(NULL AS VARCHAR),
+         |       CAST(NULL AS DOUBLE)
+         |FROM rels WHERE quantity IS NULL AND extendedprice IS NULL""".stripMargin,
+    "rel_filter_type" ->
+      s"""WITH $RelsCte
+         |SELECT start_id, end_id, quantity AS value FROM rels
+         |WHERE type = 'CONTAINS' AND quantity IS NOT NULL""".stripMargin,
+    "adjacency" ->
+      s"""WITH $RelsCte
+         |SELECT type, start_id, count(*) AS degree,
+         |       string_agg(CAST(end_id AS VARCHAR), ',' ORDER BY end_id)
+         |         AS targets
+         |FROM rels GROUP BY type, start_id""".stripMargin,
+    "degrees" ->
+      s"""WITH $RelsCte,
+         |o AS (SELECT start_id AS id, count(*) AS out_degree
+         |      FROM rels GROUP BY 1),
+         |i AS (SELECT end_id AS id, count(*) AS in_degree
+         |      FROM rels GROUP BY 1)
+         |SELECT COALESCE(o.id, i.id) AS id,
+         |       COALESCE(out_degree, 0) AS out_degree,
+         |       COALESCE(in_degree, 0) AS in_degree
+         |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin,
+    "degree_histogram" ->
+      s"""WITH $RelsCte,
+         |o AS (SELECT start_id AS id, count(*) AS out_degree
+         |      FROM rels GROUP BY 1),
+         |i AS (SELECT end_id AS id, count(*) AS in_degree
+         |      FROM rels GROUP BY 1),
+         |d AS (SELECT COALESCE(o.id, i.id) AS id,
+         |             COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS deg
+         |      FROM o FULL OUTER JOIN i ON o.id = i.id)
+         |SELECT CAST(length(CAST(deg AS VARCHAR)) AS BIGINT) AS bucket,
+         |       count(*) AS n_nodes
+         |FROM d GROUP BY 1""".stripMargin,
+    "khop_2" ->
+      s"""WITH $RelsCte,
+         |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+         |nb AS (SELECT src AS origin, dst AS n FROM e
+         |       UNION
+         |       SELECT dst, src FROM e),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT nb.origin, e.src, e.dst FROM nb JOIN e ON e.src = nb.n
+         |        UNION ALL
+         |        SELECT nb.origin, e.src, e.dst FROM nb JOIN e ON e.dst = nb.n
+         |      ) AS u)
+         |SELECT origin, count(*) AS n_edges,
+         |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
+         |FROM k GROUP BY origin""".stripMargin,
+    "sql_q1" -> SqlQ1
+  )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's read/write-side graph operators re-expressed Spark-first
+  * (SURVEY.md §2.1-§2.5). A graph is the pair of canonical DataFrames
+  * `nodes(ID, LABELS, props…)` / `rels(START_ID, END_ID, TYPE, props…)`;
+  * every operator below is a declarative plan on those, so Catalyst performs
+  * the projection/filter pushdown the reference hand-codes
+  * (GdsReadJob.java:384-389, 363-368).
+  */
+final case class GraphRef(nodes: DataFrame, rels: DataFrame) {
+
+  /** S1 + P1 + P3 + P5 — node scan with property projection, label filter
+    * and optional node-id remap (the reference's most-benchmarked path,
+    * speed/26-aug-2021/README.md:73-88).
+    *
+    * @param props  property columns to keep (empty = all, the reference's
+    *               ANY_PROPERTIES — GdsMessage.java:59-69)
+    * @param labels keep nodes having at least one of these labels
+    *               (GdsReadJob.java:363-368)
+    * @param nodeId optional property replacing ID (GdsReadJob.java:388-394)
+    */
+  def nodeScan(props: Seq[String] = Nil, labels: Seq[String] = Nil,
+               nodeId: Option[String] = None): DataFrame = {
+    val available = nodes.columns.filterNot(c => c == "ID" || c == "LABELS")
+    val wanted = if (props.isEmpty) available.toSeq else {
+      val missing = props.filterNot(available.contains)
+      require(missing.isEmpty,
+        s"unknown node properties: ${missing.mkString(",")}") // P2-style NOT_FOUND
+      props
+    }
+    val filtered =
+      if (labels.isEmpty) nodes
+      else nodes.where(arrays_overlap(col("LABELS"),
+        array(labels.map(lit): _*)))
+    val id: Column = nodeId.map(col).getOrElse(col("ID")).as("ID")
+    filtered.select(id +: col("LABELS") +: wanted.map(col): _*)
+  }
+
+  /** S2 + P2 + P4 — relationship scan in the reference's long form: one row
+    * per relationship per property (`START_ID, END_ID, TYPE, property,
+    * value`), mimicking gds.graph.streamRelationshipProperties
+    * (GdsReadJob.java:235-360). Types with none of the requested properties
+    * emit a single row with null property/value (the rel itself is still
+    * streamed). Implemented as a codegen'd `stack`-style melt — no shuffle.
+    */
+  def relScan(props: Seq[String] = Nil, types: Seq[String] = Nil): DataFrame = {
+    val available = rels.columns.filterNot(c =>
+      c == "START_ID" || c == "END_ID" || c == "TYPE")
+    val wanted = if (props.isEmpty) available.toSeq else {
+      val missing = props.filterNot(available.contains)
+      require(missing.isEmpty,
+        s"unknown relationship properties: ${missing.mkString(",")}")
+      props
+    }
+    val filtered =
+      if (types.isEmpty) rels else rels.where(col("TYPE").isin(types: _*))
+    // melt: array of (property, value) structs for non-null values; empty →
+    // single null-property row.
+    val pairs = array(wanted.map(p =>
+      struct(lit(p).as("property"), col(p).cast("double").as("value"))): _*)
+    val present = filter(pairs, s => s.getField("value").isNotNull)
+    val withFallback = when(size(present) > 0, present).otherwise(
+      array(struct(lit(null.asInstanceOf[String]).as("property"),
+        lit(null).cast("double").as("value"))))
+    filtered
+      .select(col("START_ID"), col("END_ID"), col("TYPE"),
+        explode(withFallback).as("pv"))
+      .select(col("START_ID"), col("END_ID"), col("TYPE"),
+        col("pv.property").as("property"), col("pv.value").as("value"))
+  }
+
+  /** W2 — adjacency (CSR-like) build: per (TYPE, source) sorted target list
+    * + out-degree (GdsWriteJob.java:483-537). One shuffle on the group key;
+    * `sort_array(collect_list(…))` is the reference's per-source sort
+    * (GdsWriteJob.java:529-537) without its single-JVM ConcurrentHashMap
+    * bottleneck.
+    */
+  def adjacency(types: Seq[String] = Nil): DataFrame = {
+    val filtered =
+      if (types.isEmpty) rels else rels.where(col("TYPE").isin(types: _*))
+    filtered.groupBy(col("TYPE"), col("START_ID"))
+      .agg(count(lit(1)).as("degree"),
+        sort_array(collect_list(col("END_ID"))).as("targets"))
+  }
+
+  /** W2 degrees — out/in degree per node over the (optionally type-filtered)
+    * edge set (GdsWriteJob.java:498-514). Two partial-aggregated counts +
+    * one outer join on the node id; nodes without edges are absent (same as
+    * the reference, which only tracks ids seen in the rel stream). */
+  def degrees(types: Seq[String] = Nil): DataFrame = {
+    val filtered =
+      if (types.isEmpty) rels else rels.where(col("TYPE").isin(types: _*))
+    val out = filtered.groupBy(col("START_ID").as("ID"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = filtered.groupBy(col("END_ID").as("ID"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("ID"), "full_outer")
+      .select(col("ID"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** KHop step-1 analog — degree histogram for supernode detection
+    * (KHop.java:24-57). The reference buckets by log10(degree); we bucket by
+    * decimal digit count (identical partition of the integers, but exact —
+    * no float boundary error at powers of ten). */
+  def degreeHistogram(types: Seq[String] = Nil): DataFrame =
+    degrees(types)
+      .select((length((col("out_degree") + col("in_degree"))
+        .cast("string"))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_nodes"))
+
+  /** §2.3 — k=2 hop subgraph per origin; see [[KHop]]. */
+  def khop(types: Seq[String] = Nil): DataFrame = {
+    val filtered =
+      if (types.isEmpty) rels else rels.where(col("TYPE").isin(types: _*))
+    KHop.twoHopEdges(filtered)
+  }
+
+  /** §2.3 chunked list output (ARROW_MAX_LIST_SIZE contract,
+    * Config.java:73-75): rows of (ID, START_ID list, END_ID list) with at
+    * most `maxListSize` edges per row. */
+  def khopChunked(types: Seq[String] = Nil, maxListSize: Int = 2048): DataFrame =
+    KHop.chunk(khop(types), maxListSize)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's one nontrivial query operator (SURVEY.md §2.3,
+  * plugin/.../gds/KHop.java:21-163, KHOP.md): for every origin node O, the
+  * de-duplicated, orientation-normalized edge set of O's 2-hop
+  * neighborhood. Golden semantics (verified against KHOP.md:105-124): with E
+  * the natural directed edge set and N(O) the undirected neighbor set of O,
+  *
+  *   khop2(O) = { distinct (s, d) ∈ E : s ∈ N(O) or d ∈ N(O) }
+  *
+  * The reference realizes this imperatively (per-origin bitsets, packed
+  * 60-bit edges, supernode adjacency cache, semaphore throttling —
+  * KHop.java, Edge.java, NodeHistory.java, SuperNodeCache.java). Spark-first,
+  * the same set is two shuffled equi-joins + a distinct:
+  *
+  *  - neighbor pairs are |E|·2 rows, deduped by (origin, n) — a partial
+  *    (map-side) aggregate before one shuffle;
+  *  - the OR-predicate join is decomposed into two equi-joins (on n = src
+  *    and n = dst) so both stay hash joins rather than a nested loop;
+  *  - skew (the reference's "supernode" problem — KHOP.md:159-185) is
+  *    handled by AQE skew-join splitting, since the join keys are node ids
+  *    whose adjacency fan-out is exactly the skewed quantity. At cluster
+  *    scale enable spark.sql.adaptive.skewJoin (on by default with AQE).
+  */
+object KHop {
+
+  /** Long-form 2-hop: one row per (origin, src, dst). */
+  def twoHopEdges(rels: DataFrame): DataFrame = {
+    val e = rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))
+    // undirected neighbor map: origin -> n (deduped; parallel/reciprocal
+    // edges collapse here, matching NodeHistory's first-seen semantics)
+    val nb = e.select(col("src").as("origin"), col("dst").as("n"))
+      .union(e.select(col("dst").as("origin"), col("src").as("n")))
+      .distinct()
+    val bySrc = nb.join(e, nb("n") === e("src"))
+      .select(col("origin"), col("src"), col("dst"))
+    val byDst = nb.join(e, nb("n") === e("dst"))
+      .select(col("origin"), col("src"), col("dst"))
+    // distinct: an edge can qualify via both endpoints; the reference's
+    // NodeHistory bitset dedup (KHop.java:151-154) is this set semantics.
+    bySrc.union(byDst).distinct()
+  }
+
+  /** Chunk long-form (origin, src, dst) into the reference's list output
+    * (SubGraphRecord.java:12-31): ≤ maxListSize edges per row, columns
+    * ID, START_ID (list), END_ID (list). Chunk assignment uses a windowed
+    * row_number per origin — one shuffle on origin; at scale the window and
+    * the subsequent groupBy share the same hash partitioning so Catalyst
+    * plans a single exchange. */
+  def chunk(edges: DataFrame, maxListSize: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("origin")).orderBy(col("src"), col("dst"))
+    edges
+      .withColumn("chunk",
+        ((row_number().over(w) - 1) / maxListSize).cast("long"))
+      .groupBy(col("origin").as("ID"), col("chunk"))
+      .agg(collect_list(col("src")).as("START_ID"),
+        collect_list(col("END_ID")).as("END_ID"))
+      .drop("chunk")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders that derive the canonical property graph (the reference's data
+  * model — nodes with labels + typed properties, directed typed
+  * relationships; canonical column names from
+  * plugin/src/main/java/org/neo4j/arrow/Neo4jDefaults.java:8-20) from the
+  * driver-provided TPC-H-ish parquet tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Scale notes: every builder below is a pure narrow transformation
+  * (scan + project + unionByName) — no shuffle, no collect. At 100 TB the
+  * union preserves input parquet partitioning; Catalyst prunes unreferenced
+  * branches/columns when a downstream query filters on LABELS/TYPE (each
+  * branch's `label`/`type` is a literal, so `WHERE type = ...` constant-folds
+  * non-matching branches to empty scans).
+  */
+object TpchGraph {
+
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Id-space offsets keeping each entity family disjoint in one long id
+    * space (the reference maps GDS dense ids back to "original" 64-bit ids —
+    * GdsReadJob.java:388-394; we use stable arithmetic ids instead). */
+  val CustomerBase = 1000000000L
+  val SupplierBase = 2000000000L
+  val PartBase     = 3000000000L
+  val OrderBase    = 4000000000L
+  val NationBase   = 5000000000L
+  val RegionBase   = 6000000000L
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads via
+    // spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench/tests).
+    // Convert to micros TimestampType with integer division (exact — the
+    // raw int64 ns exceeds a double's 2^53 mantissa, so no float division).
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register all raw tables as temp views (for the Spark-SQL "cypher.read"
+    * analog — SURVEY.md §2.1 S3: arbitrary query delegated to the SQL
+    * engine, here Catalyst). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    TableNames.foreach { n =>
+      table(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+
+  /** Canonical node table: ID, LABELS, plus the union of per-label property
+    * columns (absent properties are null — mirrors the reference's per-label
+    * property schema, GdsWriteJob.java:194-199). */
+  def nodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer").select(
+      (lit(CustomerBase) + col("c_custkey")).as("ID"),
+      array(lit("Customer")).as("LABELS"),
+      col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+    val s = table(spark, sfDir, "supplier").select(
+      (lit(SupplierBase) + col("s_suppkey")).as("ID"),
+      array(lit("Supplier")).as("LABELS"),
+      col("s_name").as("name"),
+      col("s_acctbal").as("acctbal"))
+    val p = table(spark, sfDir, "part").select(
+      (lit(PartBase) + col("p_partkey")).as("ID"),
+      array(lit("Part")).as("LABELS"),
+      col("p_name").as("name"),
+      col("p_retailprice").as("retailprice"))
+    val o = table(spark, sfDir, "orders").select(
+      (lit(OrderBase) + col("o_orderkey")).as("ID"),
+      array(lit("Order")).as("LABELS"),
+      col("o_totalprice").as("totalprice"),
+      col("o_orderstatus").as("orderstatus"))
+    val n = table(spark, sfDir, "nation").select(
+      (lit(NationBase) + col("n_nationkey")).as("ID"),
+      array(lit("Nation")).as("LABELS"),
+      col("n_name").as("name"))
+    val r = table(spark, sfDir, "region").select(
+      (lit(RegionBase) + col("r_regionkey")).as("ID"),
+      array(lit("Region")).as("LABELS"),
+      col("r_name").as("name"))
+    Seq(c, s, p, o, n, r).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Canonical relationship table: START_ID, END_ID, TYPE plus double-typed
+    * property columns (all GDS rel properties are doubles —
+    * GdsReadJob.java:285-288; null where a type has no such property). */
+  def rels(spark: SparkSession, sfDir: String): DataFrame = {
+    val placed = table(spark, sfDir, "orders").select(
+      (lit(CustomerBase) + col("o_custkey")).as("START_ID"),
+      (lit(OrderBase) + col("o_orderkey")).as("END_ID"),
+      lit("PLACED").as("TYPE"))
+    val li = table(spark, sfDir, "lineitem")
+    val contains = li.select(
+      (lit(OrderBase) + col("l_orderkey")).as("START_ID"),
+      (lit(PartBase) + col("l_partkey")).as("END_ID"),
+      lit("CONTAINS").as("TYPE"),
+      col("l_quantity").as("quantity"),
+      col("l_extendedprice").as("extendedprice"))
+    val suppliedBy = li.select(
+      (lit(PartBase) + col("l_partkey")).as("START_ID"),
+      (lit(SupplierBase) + col("l_suppkey")).as("END_ID"),
+      lit("SUPPLIED_BY").as("TYPE"),
+      col("l_extendedprice").as("extendedprice"))
+    val custNation = table(spark, sfDir, "customer").select(
+      (lit(CustomerBase) + col("c_custkey")).as("START_ID"),
+      (lit(NationBase) + col("c_nationkey")).as("END_ID"),
+      lit("FROM_NATION").as("TYPE"))
+    val suppNation = table(spark, sfDir, "supplier").select(
+      (lit(SupplierBase) + col("s_suppkey")).as("START_ID"),
+      (lit(NationBase) + col("s_nationkey")).as("END_ID"),
+      lit("FROM_NATION").as("TYPE"))
+    val inRegion = table(spark, sfDir, "nation").select(
+      (lit(NationBase) + col("n_nationkey")).as("START_ID"),
+      (lit(RegionBase) + col("n_regionkey")).as("END_ID"),
+      lit("IN_REGION").as("TYPE"))
+    Seq(placed, contains, suppliedBy, custNation, suppNation, inRegion)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The double-typed property columns present on the canonical rel table
+    * (order matters: it is the long-form melt order of S2). */
+  val RelPropColumns: Seq[String] = Seq("quantity", "extendedprice")
+}

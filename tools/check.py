@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: for each query result
+parquet under OUTDIR, run the matching oracle SQL from oracle_sql.json in
+DuckDB over the raw testdata parquet, sort columns by name + rows, and
+compare row counts, schemas (loosely) and value hashes.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints -> int64 (nullable), floats -> float64
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        na_position="last").reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files \
+            else pd.DataFrame()
+        if name not in oracle:
+            results[name] = f"NO-ORACLE rows={len(got)}"
+            continue
+        try:
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR {e}"
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            results[name] = f"COLS got={list(g.columns)} want={list(w.columns)}"
+            continue
+        if len(g) != len(w):
+            results[name] = f"ROWS got={len(g)} want={len(w)}"
+            continue
+        mismatches = []
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                aa = a.astype("float64").to_numpy()
+                bb = b.astype("float64").to_numpy()
+                ok = np.allclose(aa, bb, rtol=0, atol=0, equal_nan=True)
+                exact = np.array_equal(aa, bb, equal_nan=True)
+                if not ok:
+                    mismatches.append(c)
+                elif not exact:
+                    mismatches.append(c + "(float-inexact)")
+            else:
+                if not a.astype(str).equals(b.astype(str)):
+                    mismatches.append(c)
+        results[name] = "OK" if not mismatches else f"VALUES {mismatches}"
+    bad = 0
+    for k, v in sorted(results.items()):
+        flag = "PASS" if v == "OK" or v.startswith("NO-ORACLE") else "FAIL"
+        if flag == "FAIL":
+            bad += 1
+        print(f"{flag:4} {k}: {v}")
+    print(f"\n{len(results) - bad}/{len(results)} pass")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
