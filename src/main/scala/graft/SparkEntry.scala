@@ -80,6 +80,25 @@ object SparkEntry {
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
+    // S8 + W1: bulk import — write the graph as label/type-partitioned
+    // parquet (partition pruning = the reference's filtered graph views),
+    // read it back, count per label: proves the lossless round-trip the
+    // reference lacks (write-ack race, README.md:196-200).
+    "graph_write_roundtrip" -> ((s, dir) => {
+      val g = graph(s, dir)
+      val db = s"/tmp/graft_db_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val back = operators.GraphCatalog.bulkImport(g.nodes, g.rels, db)
+      back.nodes
+        .groupBy(element_at(col("LABELS"), 1).as("label"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .join(
+          back.rels.groupBy(col("TYPE").as("label2"))
+            .agg(count(lit(1)).as("n")),
+          col("label") === col("label2"), "full_outer")
+        .select(coalesce(col("label"), col("label2")).as("name"),
+          coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+          coalesce(col("n"), lit(0L)).as("n_rels"))
+    }),
     // S3: "cypher.read" analog — arbitrary query delegated to the SQL engine
     // (the reference delegates to Neo4j, TransactionApiJob.java:56-85; we
     // delegate to Catalyst). TPC-H Q1 shape.
@@ -224,6 +243,14 @@ object SparkEntry {
          |SELECT origin, count(*) AS n_edges,
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
-    "sql_q1" -> SqlQ1
+    "sql_q1" -> SqlQ1,
+    "graph_write_roundtrip" ->
+      s"""WITH $NodesCte, $RelsCte,
+         |nn AS (SELECT label, count(*) AS n_nodes FROM nodes GROUP BY 1),
+         |rr AS (SELECT type, count(*) AS n_rels FROM rels GROUP BY 1)
+         |SELECT COALESCE(label, type) AS name,
+         |       COALESCE(n_nodes, 0) AS n_nodes,
+         |       COALESCE(n_rels, 0) AS n_rels
+         |FROM nn FULL OUTER JOIN rr ON label = type""".stripMargin
   )
 }

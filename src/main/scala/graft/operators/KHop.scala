@@ -58,7 +58,7 @@ object KHop {
         ((row_number().over(w) - 1) / maxListSize).cast("long"))
       .groupBy(col("origin").as("ID"), col("chunk"))
       .agg(collect_list(col("src")).as("START_ID"),
-        collect_list(col("END_ID")).as("END_ID"))
+        collect_list(col("dst")).as("END_ID"))
       .drop("chunk")
   }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphCatalog, GraphRef, Jobs}
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def nodes = Seq(
+    (1L, Seq("User"), "ann", 2.5),
+    (2L, Seq("User"), "bob", 1.0),
+    (3L, Seq("Bot", "User"), "eve", 0.0)
+  ).toDF("ID", "LABELS", "name", "score")
+
+  private def rels = Seq(
+    (1L, 2L, "FOLLOWS", Some(0.9), None: Option[Double]),
+    (2L, 3L, "FOLLOWS", Some(0.1), Some(4.0)),
+    (1L, 3L, "BLOCKS", None, None)
+  ).toDF("START_ID", "END_ID", "TYPE", "weight", "cost")
+
+  private def g = GraphRef(nodes, rels)
+
+  test("node scan: projection, label filter, id remap") {
+    val all = g.nodeScan()
+    assert(all.columns.toSeq == Seq("ID", "LABELS", "name", "score"))
+    val bots = g.nodeScan(labels = Seq("Bot")).select("ID").as[Long].collect()
+    assert(bots.toSeq == Seq(3L))
+    val remapped = g.nodeScan(props = Seq("score"), nodeId = Some("name"))
+      .select("ID").as[String].collect().toSet
+    assert(remapped == Set("ann", "bob", "eve"))
+    assertThrows[IllegalArgumentException](g.nodeScan(props = Seq("nope")))
+  }
+
+  test("rel scan long form: one row per rel per present property") {
+    val rows = g.relScan()
+      .select("START_ID", "END_ID", "property")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(rows == Set(
+      (1L, 2L, Some("weight")),
+      (2L, 3L, Some("weight")), (2L, 3L, Some("cost")),
+      (1L, 3L, None)))                  // prop-less rel still streamed
+    val typed = g.relScan(types = Seq("BLOCKS")).count()
+    assert(typed == 1L)
+  }
+
+  test("adjacency: sorted targets and degrees") {
+    val bigger = GraphRef(nodes, rels.unionByName(
+      Seq((1L, 9L, "FOLLOWS", None: Option[Double], None: Option[Double]))
+        .toDF("START_ID", "END_ID", "TYPE", "weight", "cost")))
+    val row1 = bigger.adjacency(types = Seq("FOLLOWS"))
+      .where(col("START_ID") === 1L)
+      .select("degree", "targets").as[(Long, Seq[Long])].head()
+    assert(row1 == ((2L, Seq(2L, 9L))))
+  }
+
+  test("degrees full-outer over sources and targets") {
+    val d = g.degrees().select("ID", "out_degree", "in_degree")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d == Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+
+  test("catalog register/lookup/drop and canonical-column validation") {
+    val cat = new GraphCatalog(spark)
+    cat.register("g1", nodes, rels)
+    assert(cat.list() == Seq("g1"))
+    assert(cat.graph("g1").nodes.count() == 3)
+    assertThrows[NoSuchElementException](cat.graph("nope"))
+    assert(cat.drop("g1") && cat.list().isEmpty)
+    assertThrows[IllegalArgumentException](
+      cat.register("bad", nodes.drop("LABELS"), rels))
+  }
+
+  test("dense id map is a bijection") {
+    val m = GraphCatalog.denseIdMap(nodes)
+    assert(m.count() == 3)
+    assert(m.select("dense_id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    assert(m.select("ID").distinct().count() == 3)
+  }
+
+  test("bulk import round-trips the graph through partitioned parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db").toString
+    val back = GraphCatalog.bulkImport(nodes, rels, dir)
+    assert(back.nodes.count() == 3 && back.rels.count() == 3)
+    // partition pruning on TYPE: reading one type touches one partition dir
+    val pruned = back.rels.where(col("TYPE") === "BLOCKS")
+    assert(pruned.count() == 1)
+    val labels = back.nodes.select(explode(col("LABELS"))).as[String]
+      .collect().toSet
+    assert(labels == Set("User", "Bot"))
+  }
+
+  test("job lifecycle reaches COMPLETE with a ticket") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val h = Jobs.submit(nodes)
+    val n = h.await()
+    assert(n == 3L)
+    // status flips asynchronously after the future completes
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (h.status != Jobs.Complete && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    assert(h.status == Jobs.Complete)
+    assert(Jobs.status(h.ticket).contains(Jobs.Complete))
+    assert(Jobs.list().contains(h.ticket))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.0f, 1.0f), 0),
+    (2L, Array(1.0f, 1.0f), 0),
+    (3L, Array(-1.0f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine matches hand-computed values") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b")))
+      .as[Double].head()
+    assert(math.abs(c - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("cosine of a zero vector is null, not NaN") {
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b")))
+      .as[Option[Double]].head()
+    assert(c.isEmpty)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val top = Similarity.bruteTopK(emb, emb.where(col("vec_id") === 0), k = 3)
+      .select("nid", "rn").as[(Long, Long)].collect().sortBy(_._2)
+    // query [1,0]: sims are 2 -> 0.707107, 1 -> 0, 3 -> -1
+    assert(top.map(_._1).toSeq == Seq(2L, 1L, 3L))
+  }
+
+  test("ivf with every vector a centroid reduces to exact search") {
+    val top = Similarity.ivfTopK(emb, emb.where(col("vec_id") === 0), k = 3,
+        centroidMod = 1, nprobe = 4)
+      .select("nid", "rn").as[(Long, Long)].collect().sortBy(_._2)
+    assert(top.map(_._1).toSeq == Seq(2L, 1L, 3L))
+  }
+}

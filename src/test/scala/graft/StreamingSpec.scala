@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+case class StreamEv(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L -
+    (1700000000000L % 3600000L) + min * 60000L)  // aligned to an hour start
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StreamEv]
+    val q = EventStreams.dedup(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamEv(1, ts(0), 1, "click", 1.0),
+        StreamEv(1, ts(0), 1, "click", 1.0),   // exact duplicate
+        StreamEv(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(StreamEv(1, ts(2), 1, "click", 1.0))  // dup, later ts
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("hourly windows emit after the watermark passes") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StreamEv]
+    val q = EventStreams.hourlyCounts(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamEv(1, ts(5), 1, "click", 1.5),
+        StreamEv(2, ts(10), 2, "click", 2.5),
+        StreamEv(3, ts(20), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the first hour's window
+      in.addData(StreamEv(9, ts(200), 1, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select("event_type", "n", "total")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("click", 2L, 4.0)))
+      assert(rows.contains(("view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("session windows close on the inactivity gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StreamEv]
+    val q = EventStreams.sessions(in.toDF(), gap = "30 minutes",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamEv(1, ts(0), 1, "click", 1.0),
+        StreamEv(2, ts(10), 1, "view", 1.0),   // same session (gap 10m)
+        StreamEv(3, ts(60), 1, "click", 1.0))  // new session (gap 50m)
+      q.processAllAvailable()
+      in.addData(StreamEv(9, ts(400), 2, "click", 0.0))  // advance watermark
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out")
+        .where($"user_id" === 1).select("n_events")
+        .as[Long].collect().sorted
+      assert(sessions.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
