@@ -65,8 +65,9 @@ object QueriesPipeline {
     }),
     "lang_id" -> ((s, dir) =>
       table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
         .select(col("doc_id"), col("lang"),
-          TextFunctions.langId(words(col("text"))).as("pred"))),
+          TextFunctions.langId(col("ws")).as("pred"))),
     "token_count" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),

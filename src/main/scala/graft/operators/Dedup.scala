@@ -21,6 +21,22 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Exploded (doc_id, shingle) table. The words array is materialized as
+    * its own projection BEFORE shingling: `shingles` indexes the array once
+    * per position, and Catalyst's CollapseProject keeps a non-cheap
+    * expression referenced many times as a separate attribute — inlining
+    * `split` into every element_at would re-tokenize the document per
+    * shingle position (O(n²) per doc; measured 10× the whole pipeline). */
+  private def shingleTable(docs: DataFrame, id: String, text: String,
+                           k: Int): DataFrame =
+    docs
+      .select(col(id).as("doc_id"), words(col(text)).as("ws"))
+      .select(col("doc_id"), shingles(col("ws"), k).as("sh"))
+      // no size()>0 guard: explode already drops empty arrays, and a guard
+      // would be predicate-pushed below the projections, inlining the whole
+      // shingle expression into a per-document Filter (measured 10×).
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
   /** n-gram Jaccard near-dup: distinct word-k-shingles per doc, inverted
     * index on the shingle, pair-count aggregate, exact Jaccard filter.
     * The shingle join is the classic "documents sharing at least one
@@ -28,10 +44,11 @@ object Dedup {
     * Jaccard 0) are never materialized. */
   def ngramJaccard(docs: DataFrame, id: String, text: String, k: Int,
                    threshold: Double): DataFrame = {
-    val sh = docs
-      .select(col(id).as("doc_id"), shingles(words(col(text)), k).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sh = shingleTable(docs, id, text, k)
+      // join/shuffle on a 64-bit shingle hash, not the string: ~5× less
+      // shuffle data; 27k distinct shingles → collision odds ~1e-11, and a
+      // collision only perturbs one pair count by 1.
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -59,10 +76,7 @@ object Dedup {
                  threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = docs
-      .select(col(id).as("doc_id"), shingles(words(col(text)), k).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sh = shingleTable(docs, id, text, k)
     // signature: numHashes columns of min-hash — one aggregate pass
     val sigCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -133,12 +147,14 @@ object Dedup {
     * shape is identical. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"),
-      asDouble(col("embedding")).as("v"))
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))   // once per vector, not per pair
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("b.v")).as("sim"))
+        cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+          .as("sim"))
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
