@@ -32,6 +32,16 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(norm2(a))
 
+  /** Fused single-pass codegen cosine (graft.plans.CosineSimilarity): the
+    * preferred form for pairwise hot paths — dot and both norms in one
+    * whole-stage-codegen loop. Semantics identical to [[cosine]] /
+    * [[cosineWithNorms]] (null for zero-norm inputs). */
+  def cosineFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CosineSimilarity(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a.cast("array<double>")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b.cast("array<double>"))))
+
   /** Cosine given pre-materialized norms. Use this in pairwise joins:
     * materialize `norm(v)` as its own column on each side BELOW the join so
     * every pair costs a single array pass (the dot) plus scalar math —

@@ -147,14 +147,12 @@ object Dedup {
     * shape is identical. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"),
-        asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))   // once per vector, not per pair
+      asDouble(col("embedding")).as("v"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
-          .as("sim"))
+        cosineFast(col("a.v"), col("b.v")).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }

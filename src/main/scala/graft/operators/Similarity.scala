@@ -30,15 +30,12 @@ object Similarity {
     * across engines; ties break by ascending candidate id. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
-      asDouble(col("embedding")).as("qe"))
-      .withColumn("qnrm", norm(col("qe"))))
+      asDouble(col("embedding")).as("qe")))
     val c = corpus.select(col("vec_id").as("nid"),
-        asDouble(col("embedding")).as("ce"))
-      .withColumn("cnrm", norm(col("ce")))   // once per row, not per pair
+      asDouble(col("embedding")).as("ce"))
     val scored = c.join(q, col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(cosineWithNorms(col("qe"), col("ce"), col("qnrm"),
-          col("cnrm")), 6).as("sim"))
+        round(cosineFast(col("qe"), col("ce")), 6).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -54,33 +51,28 @@ object Similarity {
               centroidMod: Int = 97, nprobe: Int = 2): DataFrame = {
     val cent = broadcast(
       corpus.where(col("vec_id") % centroidMod === 0)
-        .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
-        .withColumn("cvnrm", norm(col("cv"))))
+        .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv")))
 
     def nearestCells(df: DataFrame, id: String, v: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(id))
-        .orderBy(round(cosineWithNorms(col(v), col("cv"),
-          col(s"${v}nrm"), col("cvnrm")), 6).desc, col("cid"))
+        .orderBy(round(cosineFast(col(v), col("cv")), 6).desc, col("cid"))
       df.join(cent, lit(true))
         .withColumn("crn", row_number().over(w))
         .where(col("crn") <= n)
-        .drop("cv", "cvnrm", "crn")
+        .drop("cv", "crn")
     }
 
     val corp = corpus.select(col("vec_id").as("nid"),
-        asDouble(col("embedding")).as("ce"))
-      .withColumn("cenrm", norm(col("ce")))
+      asDouble(col("embedding")).as("ce"))
     val assigned = nearestCells(corp, "nid", "ce", 1)
     val q = queries.select(col("vec_id").as("qid"),
-        asDouble(col("embedding")).as("qe"))
-      .withColumn("qenrm", norm(col("qe")))
+      asDouble(col("embedding")).as("qe"))
     val probed = nearestCells(q, "qid", "qe", nprobe)
 
     val scored = probed.join(assigned, Seq("cid"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(cosineWithNorms(col("qe"), col("ce"), col("qenrm"),
-          col("cenrm")), 6).as("sim"))
+        round(cosineFast(col("qe"), col("ce")), 6).as("sim"))
       // a candidate can sit in several probed cells only if duplicated —
       // cells partition the corpus, so no dedup needed
     val w = Window.partitionBy(col("qid"))

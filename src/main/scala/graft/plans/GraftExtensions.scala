@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point — registers graft's native
+  * expressions for SQL use. Enable with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on a live session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineDescriptor)
+}
+
+object GraftExtensions {
+
+  private val cosineDescriptor = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "cosine_similarity takes 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    })
+
+  /** Runtime registration for sessions created without the extension. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "built-in")
+}

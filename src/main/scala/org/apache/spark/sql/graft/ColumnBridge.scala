@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column expression-agnostic; converting between a Column and
+  * a Catalyst Expression goes through `private[sql]` ExpressionUtils. This
+  * bridge lives in the org.apache.spark.sql namespace purely to re-export
+  * those two conversions for graft's custom expressions — the standard
+  * pattern for Spark extension libraries. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.plans.GraftExtensions
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fused codegen cosine agrees with the HOF formulation") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Array.fill(16)(rnd.nextDouble() - 0.5),
+      Array.fill(16)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      VectorFunctions.cosineFast(col("a"), col("b")).as("fast"),
+      VectorFunctions.cosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (f, h) => assert(math.abs(f - h) < 1e-12) }
+  }
+
+  test("zero-norm input yields null (not NaN) in the native expression") {
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosineFast(col("a"), col("b")))
+      .as[Option[Double]].head()
+    assert(r.isEmpty)
+  }
+
+  test("null array elements are treated as zero") {
+    val df = Seq((Seq(Some(3.0), None), Seq(Some(1.0), Some(5.0))))
+      .toDF("a", "b")
+    val r = df.select(VectorFunctions.cosineFast(col("a"), col("b")))
+      .as[Double].head()
+    assert(math.abs(r - 3.0 / (3.0 * math.sqrt(26.0))) < 1e-12)
+  }
+
+  test("registered SQL function works end-to-end") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 1.0d)) AS c")
+      .as[Double].head()
+    assert(math.abs(r - math.sqrt(0.5)) < 1e-12)
+  }
+}
