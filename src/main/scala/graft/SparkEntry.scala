@@ -80,6 +80,15 @@ object SparkEntry {
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
+    // §2.3 chunked-list contract (ARROW_MAX_LIST_SIZE, Config.java:73-75):
+    // per origin, edges split into rows of ≤ 100 entries; checked via
+    // chunk count + total edges per origin.
+    "khop_chunks" -> ((s, dir) => graft.operators.KHop.chunk(
+        graph(s, dir).khop(types = Seq("FROM_NATION", "IN_REGION")),
+        maxListSize = 100)
+      .groupBy(col("ID").as("origin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(size(col("START_ID"))).as("n_edges"))),
     // S8 + W1: bulk import — write the graph as label/type-partitioned
     // parquet (partition pruning = the reference's filtered graph views),
     // read it back, count per label: proves the lossless round-trip the
@@ -244,6 +253,21 @@ object SparkEntry {
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     "sql_q1" -> SqlQ1,
+    "khop_chunks" ->
+      s"""WITH $RelsCte,
+         |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+         |nb AS (SELECT src AS origin, dst AS n FROM e
+         |       UNION
+         |       SELECT dst, src FROM e),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT nb.origin, e.src, e.dst FROM nb JOIN e ON e.src = nb.n
+         |        UNION ALL
+         |        SELECT nb.origin, e.src, e.dst FROM nb JOIN e ON e.dst = nb.n
+         |      ) AS u)
+         |SELECT origin, CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_chunks,
+         |       count(*) AS n_edges
+         |FROM k GROUP BY origin""".stripMargin,
     "graph_write_roundtrip" ->
       s"""WITH $NodesCte, $RelsCte,
          |nn AS (SELECT label, count(*) AS n_nodes FROM nodes GROUP BY 1),
