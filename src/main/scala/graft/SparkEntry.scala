@@ -80,6 +80,18 @@ object SparkEntry {
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
+    // P6: write-path null/NaN property skip (NodeInputIterator.java:97,
+    // 135-142 skips null cells and non-finite floats). NaN/null injected
+    // deterministically, filtered, aggregated to prove the skip.
+    "write_null_skip" -> ((s, dir) =>
+      graft.sources.TpchGraph.table(s, dir, "lineitem")
+        .withColumn("v",
+          when(col("l_linenumber") % 7 === 0, lit(Double.NaN))
+            .when(col("l_linenumber") % 11 === 0, lit(null).cast("double"))
+            .otherwise(col("l_quantity")))
+        .where(col("v").isNotNull && !isnan(col("v")))
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("sum_v"))),
     // §2.3 chunked-list contract (ARROW_MAX_LIST_SIZE, Config.java:73-75):
     // per origin, edges split into rows of ≤ 100 entries; checked via
     // chunk count + total edges per origin.
@@ -253,6 +265,17 @@ object SparkEntry {
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     "sql_q1" -> SqlQ1,
+    "write_null_skip" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         CASE WHEN l_linenumber % 7 = 0 THEN 'NaN'::DOUBLE
+        |              WHEN l_linenumber % 11 = 0 THEN NULL
+        |              ELSE l_quantity END AS v
+        |  FROM lineitem)
+        |SELECT l_returnflag AS returnflag, count(*) AS n,
+        |       round(sum(v), 2) AS sum_v
+        |FROM t WHERE v IS NOT NULL AND NOT isnan(v)
+        |GROUP BY l_returnflag""".stripMargin,
     "khop_chunks" ->
       s"""WITH $RelsCte,
          |e AS (SELECT start_id AS src, end_id AS dst FROM rels
