@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize, TopK}
 import graft.sources.TpchGraph.table
 
 /** SURVEY.md §2.7 coverage — every checklist category the reference lacks,
@@ -78,6 +78,18 @@ object QueriesRelational {
         .select(col("event_id"), col("user_id"), col("signup_id"))
     }),
 
+    // Range join: per error event, clicks by the same user in the
+    // preceding 10 minutes (bucketed equi-join, not an inequality join).
+    "join_range" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      RangeJoin.countPriorWithin(
+        left = e.where(col("event_type") === "error"),
+        right = e.where(col("event_type") === "click"),
+        key = "user_id", ts = "ts", leftId = "event_id",
+        windowMicros = 600L * 1000000L)
+        .select(col("event_id"), col("n").as("n_clicks"))
+    }),
+
     // ---- aggregations ----------------------------------------------------
     "agg_rollup" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -107,6 +119,17 @@ object QueriesRelational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       o.withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 3)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          col("o_totalprice").as("totalprice"), col("rn"))
+    }),
+    // Same top-3-per-customer result as window_topk, computed by the typed
+    // Aggregator (map-side partial top-k — k·|keys| over the shuffle
+    // instead of |rows|; the 100 TB formulation).
+    "window_topk_agg" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      TopK.perKey(o, key = "o_custkey", ord = "o_totalprice",
+        tiebreak = "o_orderkey", payload = "o_orderkey", k = 3)
         .select(col("o_custkey").as("custkey"),
           col("o_orderkey").as("orderkey"),
           col("o_totalprice").as("totalprice"), col("rn"))
@@ -206,6 +229,24 @@ object QueriesRelational {
         |   AND s.ts < e.ts
         |)
         |SELECT event_id, user_id, signup_id FROM j WHERE rn = 1""".stripMargin,
+    "join_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, epoch_us(ts) AS tus
+        |      FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, CAST(count(c.tus) AS BIGINT) AS n_clicks
+        |FROM e LEFT JOIN c
+        |  ON c.user_id = e.user_id AND c.tus < e.tus
+        | AND c.tus >= e.tus - 600000000
+        |GROUP BY e.event_id""".stripMargin,
+    "window_topk_agg" ->
+      """SELECT custkey, orderkey, totalprice, rn FROM (
+        |  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |         o_totalprice AS totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
