@@ -94,8 +94,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("sum_v"))),
     // §2.3 chunked-list contract (ARROW_MAX_LIST_SIZE, Config.java:73-75):
     // per origin, edges split into rows of ≤ 100 entries; checked via
-    // chunk count + total edges per origin.
-    "khop_chunks" -> ((s, dir) => graft.operators.KHop.chunk(
+    // chunk count + total edges per origin. Runs through the custom
+    // ChunkedCollect LogicalPlan/SparkStrategy/SparkPlan, so the physical
+    // operator itself sits in the correctness gate.
+    "khop_chunks" -> ((s, dir) => graft.operators.KHop.chunkNative(
         graph(s, dir).khop(types = Seq("FROM_NATION", "IN_REGION")),
         maxListSize = 100)
       .groupBy(col("ID").as("origin"))

@@ -51,6 +51,17 @@ object KHop {
     * row_number per origin — one shuffle on origin; at scale the window and
     * the subsequent groupBy share the same hash partitioning so Catalyst
     * plans a single exchange. */
+  /** Chunked output via the custom physical operator
+    * (graft.plans.ChunkedCollect): ONE exchange + in-partition sort, then a
+    * streaming chunk emitter with constant memory per group — versus
+    * [[chunk]]'s window + groupBy (two wide stages, whole groups buffered
+    * in the hash aggregate). Identical chunk multiset; preferred at scale. */
+  def chunkNative(edges: DataFrame, maxListSize: Int = 2048): DataFrame =
+    graft.plans.ChunkedCollect(
+      edges.select(col("origin").as("ID"), col("src").as("START_ID"),
+        col("dst").as("END_ID")),
+      group = "ID", values = Seq("START_ID", "END_ID"), maxSize = maxListSize)
+
   def chunk(edges: DataFrame, maxListSize: Int = 2048): DataFrame = {
     val w = Window.partitionBy(col("origin")).orderBy(col("src"), col("dst"))
     edges

@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `spark.sql.extensions=graft.plans.GraftExtensions`, or call
   * [[GraftExtensions.register]] on a live session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectPlannerStrategy(_ => ChunkedCollectStrategy)
+  }
 }
 
 object GraftExtensions {
