@@ -76,6 +76,18 @@ object QueriesPipeline {
     "doc_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+    // Winnowing (k=3 word shingles, window w=4): each stage materialized
+    // as its own column so nothing re-evaluates inline.
+    "doc_winnow" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .where(size(col("ws")) >= 6)   // need >= 4 shingle hashes
+        .select(col("doc_id"), positionalShingles(col("ws"), 3).as("shs"))
+        .select(col("doc_id"), transform(col("shs"), polyHash _).as("hs"))
+        .select(col("doc_id"), winnowFingerprints(col("hs"), 4).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          aggregate(col("fps"), lit(0L), _ + _).as("checksum"))),
 
     // ---- multimodal ------------------------------------------------------
     "multimodal_meta" -> ((s, dir) =>
@@ -133,6 +145,30 @@ object QueriesPipeline {
         |        PARTITION BY qid ORDER BY sim DESC, nid) AS rn
         |      FROM s)
         |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5""".stripMargin,
+    "sim_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+        |asg AS (SELECT nid, ce, cid FROM (
+        |    SELECT e.vec_id AS nid, e.v AS ce, cent.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6)
+        |                      DESC, cent.cid) AS crn
+        |    FROM e, cent) t WHERE crn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 10),
+        |probed AS (SELECT qid, qe, cid FROM (
+        |    SELECT q.qid, q.qe, cent.cid,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qe, cent.cv), 6)
+        |                      DESC, cent.cid) AS crn
+        |    FROM q, cent) t WHERE crn <= 2),
+        |s AS (SELECT p.qid, a.nid,
+        |        round(list_cosine_similarity(p.qe, a.ce), 6) AS sim
+        |      FROM probed p JOIN asg a USING (cid)
+        |      WHERE a.nid != p.qid)
+        |SELECT qid, nid, sim, rn FROM (
+        |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, nid) AS rn FROM s) t
+        |WHERE rn <= 5""".stripMargin,
     "text_quality" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents)
@@ -178,6 +214,27 @@ object QueriesPipeline {
         |                     c -> CAST(ascii(c) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+    "doc_winnow" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 6),
+        |sh AS (SELECT doc_id,
+        |         list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shs
+        |       FROM w),
+        |h AS (SELECT doc_id,
+        |        list_transform(shs, s ->
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(s, ''),
+        |                             c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, c) -> (a * 31 + c) % 1000000007)) AS hs
+        |      FROM sh),
+        |f AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(hs) - 2),
+        |          j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+        |      FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |       CAST(list_aggregate(fps, 'sum') AS BIGINT) AS checksum
+        |FROM f""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -122,6 +122,19 @@ object SparkEntry {
           coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
           coalesce(col("n"), lit(0L)).as("n_rels"))
     }),
+    // S9 + S5: Arrow IPC egress → ingest round-trip inside the oracle gate
+    // (per-partition streams, reference type envelope; counts per label
+    // must survive the columnar hop losslessly).
+    "arrow_roundtrip" -> ((s, dir) => {
+      val nodes = graph(s, dir).nodeScan()
+        .select(col("ID").as("id"), element_at(col("LABELS"), 1).as("label"),
+          col("name"))
+      val back = graft.sources.ArrowIpc.fromIpcStreams(
+        graft.sources.ArrowIpc.toIpcStreams(nodes.repartition(4)),
+        nodes.schema)
+      back.groupBy(col("label")).agg(count(lit(1)).as("n"),
+        count(col("name")).as("n_named"))
+    }),
     // S3: "cypher.read" analog — arbitrary query delegated to the SQL engine
     // (the reference delegates to Neo4j, TransactionApiJob.java:56-85; we
     // delegate to Catalyst). TPC-H Q1 shape.
@@ -267,6 +280,10 @@ object SparkEntry {
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     "sql_q1" -> SqlQ1,
+    "arrow_roundtrip" ->
+      s"""WITH $NodesCte
+         |SELECT label, count(*) AS n, count(name) AS n_named
+         |FROM nodes GROUP BY label""".stripMargin,
     "write_null_skip" ->
       """WITH t AS (
         |  SELECT l_returnflag,

@@ -54,6 +54,29 @@ object TextFunctions {
     }
   }
 
+  /** Positional (non-deduplicated) k-shingles — winnowing needs the
+    * k-gram sequence, not the set. */
+  def positionalShingles(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** The [[fingerprint]] polynomial hash as a lambda-friendly builder. */
+  def polyHash(s: Column): Column =
+    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Winnowing (local minima) document fingerprints: hash every positional
+    * k-shingle, slide a window of `w` hashes, keep each window's minimum,
+    * dedup. The standard MOSS-style selection — guarantees any shared run
+    * of ≥ w+k-1 words yields a shared fingerprint. `hs` must be a
+    * materialized column of shingle hashes (see [[shingles]] re: inline
+    * re-evaluation). */
+  def winnowFingerprints(hs: Column, w: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+      j => array_min(slice(hs, j, lit(w)))))
+
   /** BPE-ish regex token count: letter runs, single digits, single
     * punctuation marks. Same RE2-compatible pattern in the DuckDB twin. */
   val BpeTokenPattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
