@@ -80,6 +80,13 @@ object SparkEntry {
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
+    // §2.3 generalized: k=3 (reach = distance ≤ 2) — beyond the
+    // reference's fixed 2-hop, same aggregate check shape.
+    "khop_3" -> ((s, dir) => graph(s, dir)
+      .khop(types = Seq("FROM_NATION", "IN_REGION"), k = 3)
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
     // P6: write-path null/NaN property skip (NodeInputIterator.java:97,
     // 135-142 skips null cells and non-finite floats). NaN/null injected
     // deterministically, filtered, aggregated to prove the skip.
@@ -280,6 +287,27 @@ object SparkEntry {
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     "sql_q1" -> SqlQ1,
+    "khop_3" ->
+      s"""WITH $RelsCte,
+         |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+         |u AS (SELECT src AS a, dst AS b FROM e
+         |      UNION SELECT dst, src FROM e),
+         |r1 AS (SELECT a AS origin, b AS node FROM u),
+         |reach AS (
+         |  SELECT DISTINCT a AS origin, a AS node FROM u
+         |  UNION SELECT origin, node FROM r1
+         |  UNION SELECT DISTINCT r1.origin, u.b
+         |        FROM r1 JOIN u ON u.a = r1.node),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT reach.origin, e.src, e.dst
+         |        FROM reach JOIN e ON e.src = reach.node
+         |        UNION ALL
+         |        SELECT reach.origin, e.src, e.dst
+         |        FROM reach JOIN e ON e.dst = reach.node) AS x)
+         |SELECT origin, count(*) AS n_edges,
+         |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
+         |FROM k GROUP BY origin""".stripMargin,
     "arrow_roundtrip" ->
       s"""WITH $NodesCte
          |SELECT label, count(*) AS n, count(name) AS n_named

@@ -113,11 +113,12 @@ final case class GraphRef(nodes: DataFrame, rels: DataFrame) {
         .cast("string"))).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_nodes"))
 
-  /** §2.3 — k=2 hop subgraph per origin; see [[KHop]]. */
-  def khop(types: Seq[String] = Nil): DataFrame = {
+  /** §2.3 — k-hop subgraph per origin (k=2 = the reference's operator,
+    * golden-tested; general k via frontier iteration); see [[KHop]]. */
+  def khop(types: Seq[String] = Nil, k: Int = 2): DataFrame = {
     val filtered =
       if (types.isEmpty) rels else rels.where(col("TYPE").isin(types: _*))
-    KHop.twoHopEdges(filtered)
+    if (k == 2) KHop.twoHopEdges(filtered) else KHop.kHopEdges(filtered, k)
   }
 
   /** §2.3 chunked list output (ARROW_MAX_LIST_SIZE contract,

@@ -50,6 +50,49 @@ class KHopSpec extends AnyFunSuite {
     assert(rebuilt == direct)
   }
 
+  test("generalized kHopEdges(2) equals the golden 2-hop plan") {
+    val a = KHop.kHopEdges(rels, 2).as[(Long, Long, Long)].collect().toSet
+    val b = KHop.twoHopEdges(rels).as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("k=1 yields exactly the edges incident to each origin") {
+    val got = KHop.kHopEdges(rels, 1)
+      .where($"origin" === 0L).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L)))
+  }
+
+  test("k=3 matches BFS brute-force on random graphs") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 8) {
+      val n = 3 + rnd.nextInt(7)
+      val es = Seq.fill(1 + rnd.nextInt(12))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .distinct.filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        val undirected = es.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        def reach(o: Long, d: Int): Set[Long] = {
+          var cur = Set(o)
+          for (_ <- 1 to d)
+            cur = cur ++ cur.flatMap(x => undirected.getOrElse(x, Set.empty))
+          cur
+        }
+        val expected = (0L until n.toLong)
+          .filter(undirected.contains).flatMap { o =>
+            val r = reach(o, 2)
+            es.filter { case (s, d) => r(s) || r(d) }
+              .map { case (s, d) => (o, s, d) }
+          }.toSet
+        val got = KHop.kHopEdges(
+          es.toDF("START_ID", "END_ID").withColumn("TYPE", lit("E")), 3)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == expected, s"edges=$es")
+      }
+    }
+  }
+
   test("declarative plan matches brute-force on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 15) {

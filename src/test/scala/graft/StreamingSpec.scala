@@ -60,6 +60,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-stream hourly counts on real events match the batch twin") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_stream_src")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      src.resolve("events.parquet"))
+    val batch = graft.sources.TpchGraph.table(spark,
+      "/root/testdata/sf0.001", "events")
+    val raw = spark.read.parquet(src.toString)   // ts as nanos long
+    val stream = spark.readStream.schema(raw.schema).parquet(src.toString)
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_hourly")
+        .select("hour", "event_type", "n", "total")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val want = batch
+        .groupBy(org.apache.spark.sql.functions
+          .window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum($"value"), 2).as("total"))
+        .select($"w.start", $"event_type", $"n", $"total")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows close on the inactivity gap") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[StreamEv]
