@@ -81,9 +81,13 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
     // §2.3 generalized: k=3 (reach = distance ≤ 2) — beyond the
-    // reference's fixed 2-hop, same aggregate check shape.
-    "khop_3" -> ((s, dir) => graph(s, dir)
-      .khop(types = Seq("FROM_NATION", "IN_REGION"), k = 3)
+    // reference's fixed 2-hop, same aggregate check shape. Origins bounded
+    // to suppliers: exercises the full reach pipeline at 1/16 the output.
+    "khop_3" -> ((s, dir) => graft.operators.KHop.kHopEdges(
+        graph(s, dir).rels
+          .where(col("TYPE").isin("FROM_NATION", "IN_REGION")),
+        k = 3,
+        originPred = Some(col("origin").between(2000000000L, 2999999999L)))
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
@@ -293,9 +297,11 @@ object SparkEntry {
          |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
          |u AS (SELECT src AS a, dst AS b FROM e
          |      UNION SELECT dst, src FROM e),
-         |r1 AS (SELECT a AS origin, b AS node FROM u),
+         |r1 AS (SELECT a AS origin, b AS node FROM u
+         |       WHERE a BETWEEN 2000000000 AND 2999999999),
          |reach AS (
          |  SELECT DISTINCT a AS origin, a AS node FROM u
+         |  WHERE a BETWEEN 2000000000 AND 2999999999
          |  UNION SELECT origin, node FROM r1
          |  UNION SELECT DISTINCT r1.origin, u.b
          |        FROM r1 JOIN u ON u.a = r1.node),

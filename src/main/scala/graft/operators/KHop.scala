@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,12 +40,17 @@ object KHop {
     * distinct as the 2-hop plan. Frontier growth is the inherent output
     * complexity of the operator — AQE skew handling covers hub nodes.
     */
-  def kHopEdges(rels: DataFrame, k: Int): DataFrame = {
+  def kHopEdges(rels: DataFrame, k: Int,
+                originPred: Option[Column] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val e = rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))
     val adj = e.union(e.select(col("dst"), col("src"))).distinct()
       .toDF("a", "b")
-    val origins = adj.select(col("a").as("origin")).distinct()
+    // optional origin restriction, applied at the root of the reach build
+    // so every downstream join shrinks proportionally (the reference
+    // streams all origins; a bounded origin set is the practical form)
+    val allOrigins = adj.select(col("a").as("origin")).distinct()
+    val origins = originPred.fold(allOrigins)(p => allOrigins.where(p))
     var reach = origins.select(col("origin"), col("origin").as("node"))
     for (_ <- 1 until k) {
       reach = reach

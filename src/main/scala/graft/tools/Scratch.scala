@@ -1,10 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-
-import graft.functions.VectorFunctions
-import graft.operators.Dedup
 
 /** Throwaway plan-dissection harness (not part of the library surface). */
 object Scratch {
@@ -14,31 +10,26 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.codegen.fallback", "false")   // fail loud, no fallback
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
 
-    def time(label: String)(f: => Any): Unit = {
+    def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  -> $n")
+      println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val v = e.select(col("vec_id"), col("label"),
-      col("embedding").cast("array<double>").as("v"))
-    val pairs = v.as("a").join(v.as("b"),
-      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-
-    time("warmup")(pairs.count())
-    time("pairwise cosine HOF")(pairs
-      .select(VectorFunctions.cosine(col("a.v"), col("b.v")).as("s"))
-      .agg(sum(col("s"))).collect()(0))
-    time("pairwise cosine fused")(pairs
-      .select(VectorFunctions.cosineFast(col("a.v"), col("b.v")).as("s"))
-      .agg(sum(col("s"))).collect()(0))
-    time("nearDup end-to-end")(Dedup.embeddingNearDup(e, 0.4).count())
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val g = graft.SparkEntry.graph(spark, dir)
+    val edges = g.khop(types = Seq("FROM_NATION", "IN_REGION"))
+    time("twoHopEdges count")(edges.count())
+    time("khop_2 agg")(graft.SparkEntry.queries("khop_2")(spark, dir).count())
+    time("chunk declarative")(
+      graft.operators.KHop.chunk(edges, 100).count())
+    time("chunk native")(
+      graft.operators.KHop.chunkNative(edges, 100).count())
     spark.stop()
   }
 }
