@@ -33,6 +33,43 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream join with bounded state: each click joined to the same
+    * user's purchases within `[click.ts, click.ts + horizon]`. Both sides
+    * watermarked, and the time-range condition lets Spark evict join state
+    * past the horizon — the canonical bounded stream-stream join. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                          horizon: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
+  /** Streaming twin of the put-stream → bulk-store write path (S5/S8):
+    * every micro-batch appended to a type-partitioned parquet database via
+    * foreachBatch — the exactly-once batch commit replaces the reference's
+    * racy write acks (README.md:196-200). Caller owns the returned query's
+    * lifecycle. */
+  def ingestToBulkStore(events: DataFrame, dbDir: String,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("event_type").parquet(dbDir)
+      }
+      .start()
+
   /** Session windows with a 30-minute inactivity gap per user — the
     * streaming twin of operators.Sessionize. */
   def sessions(events: DataFrame, gap: String = "30 minutes",

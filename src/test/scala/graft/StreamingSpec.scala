@@ -60,6 +60,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases within the horizon") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[StreamEv]
+    val purchases = MemoryStream[StreamEv]
+    val q = EventStreams.purchaseAttribution(
+        clicks.toDF(), purchases.toDF(), horizon = "1 hour")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(StreamEv(1, ts(0), 1, "click", 0),
+        StreamEv(2, ts(10), 2, "click", 0))
+      purchases.addData(
+        StreamEv(10, ts(30), 1, "purchase", 9.99),   // within 1h of click 1
+        StreamEv(11, ts(30), 3, "purchase", 1.0),    // other user
+        StreamEv(12, ts(200), 2, "purchase", 2.0))   // past the horizon
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch ingest appends micro-batches to the bulk store") {
+    import java.nio.file.Files
+    implicit val sql = spark.sqlContext
+    val db = Files.createTempDirectory("graft_bulk").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val in = MemoryStream[StreamEv]
+    val q = EventStreams.ingestToBulkStore(in.toDF(), db, ckpt)
+    try {
+      in.addData(StreamEv(1, ts(0), 1, "click", 1.0),
+        StreamEv(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(StreamEv(3, ts(2), 2, "click", 3.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(db)
+      assert(back.count() == 3)
+      assert(back.select("batch_id").distinct().count() == 2)  // two commits
+      // type partitioning on disk -> partition pruning on read
+      val dirs = new java.io.File(db).listFiles().map(_.getName)
+        .filter(_.startsWith("event_type=")).toSet
+      assert(dirs == Set("event_type=click", "event_type=view"))
+    } finally q.stop()
+  }
+
   test("file-stream hourly counts on real events match the batch twin") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_stream_src")
