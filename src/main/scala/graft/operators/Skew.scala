@@ -28,7 +28,8 @@ object Skew {
                  salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
     val p = probe.withColumn("_salt",
-      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(salt.toLong)))
+      pmod(xxhash64(struct(probe.columns.toIndexedSeq.map(col): _*)),
+        lit(salt.toLong)))
     val b = build.withColumn("_salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     p.join(b, Seq(key, "_salt")).drop("_salt")
