@@ -53,21 +53,33 @@ object Similarity {
       corpus.where(col("vec_id") % centroidMod === 0)
         .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv")))
 
-    def nearestCells(df: DataFrame, id: String, v: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(round(cosineFast(col(v), col("cv")), 6).desc, col("cid"))
-      df.join(cent, lit(true))
-        .withColumn("crn", row_number().over(w))
-        .where(col("crn") <= n)
-        .drop("cv", "crn")
-    }
-
+    // corpus→cell assignment: broadcast cross + argmax as max(struct(sim,
+    // -cid)) under groupBy. After a broadcast join all rows of one nid stay
+    // in one partition, so the map-side partial aggregate collapses N×C
+    // candidate rows to N before the shuffle — a window(row_number) here
+    // would shuffle and sort the full N×C cross product.
     val corp = corpus.select(col("vec_id").as("nid"),
       asDouble(col("embedding")).as("ce"))
-    val assigned = nearestCells(corp, "nid", "ce", 1)
+    val assigned = corp.join(cent, lit(true))
+      .groupBy(col("nid"))
+      .agg(
+        max(struct(round(cosineFast(col("ce"), col("cv")), 6).as("sim"),
+          (-col("cid")).as("negcid"))).as("best"),
+        first(col("ce")).as("ce"))
+      .select(col("nid"), col("ce"), (-col("best.negcid")).as("cid"))
+
+    // query→probed cells: queries are few and broadcast anyway; the
+    // window top-n over |q|×C rows is negligible
     val q = queries.select(col("vec_id").as("qid"),
       asDouble(col("embedding")).as("qe"))
-    val probed = nearestCells(q, "qid", "qe", nprobe)
+    val probed = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(cosineFast(col("qe"), col("cv")), 6).desc, col("cid"))
+      q.join(cent, lit(true))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= nprobe)
+        .drop("cv", "crn")
+    }
 
     val scored = probed.join(assigned, Seq("cid"))
       .where(col("nid") =!= col("qid"))

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.ArrowIpc
+
+/** Throughput benchmark mirroring the reference's headline workload
+  * (speed/26-aug-2021/README.md:92-112): stream 1,892,751 rows of
+  * (long nodeId, float[256] embedding) — their PaySim+FastRP shape — as
+  * Arrow record batches. The reference measured 1,031,461 rows/s
+  * (avg best-3) over Flight between two GCP VMs; here the same payload is
+  * serialized to Arrow IPC per partition on local[32]. The synthetic
+  * payload replicates their synthetic benchmark (deterministic, not part
+  * of the oracle gate). Prints one JSON line per run.
+  */
+object ArrowBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rows = 1892751L
+    val dim = 256
+    val df = spark.range(rows).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => ((col("id") + i) % 997).cast("float") / 997.0f).as("embedding"))
+
+    // warm-up then best-of-3, the reference's methodology
+    // (speed/26-aug-2021/README.md:44-71)
+    def run(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val nStreams = ArrowIpc.toIpcStreams(df).count()
+      ((System.nanoTime() - t0) / 1e9, nStreams)
+    }
+    run()
+    val runs = (1 to 3).map(_ => run())
+    val best = runs.map(_._1).min
+    println(f"""{"metric":"arrow-egress","rows":$rows,"dim":$dim,""" +
+      f""""best_sec":$best%.2f,"rows_per_sec":${(rows / best).toLong},""" +
+      f""""runs_sec":[${runs.map(r => f"${r._1}%.2f").mkString(",")}]}""")
+    spark.stop()
+  }
+}
