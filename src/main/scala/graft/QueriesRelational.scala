@@ -98,6 +98,13 @@ object QueriesRelational {
           count(lit(1)).as("n"))
         .select(col("l_returnflag").as("returnflag"),
           col("l_linestatus").as("linestatus"), col("sum_qty"), col("n"))),
+    "agg_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag").as("returnflag"),
+          col("l_linestatus").as("linestatus"), col("sum_price"), col("n"))),
     "agg_pivot" -> ((s, dir) => {
       val e = table(s, dir, "events")
       val p = e.groupBy(col("user_id")).pivot("event_type", EventTypes).count()
@@ -252,6 +259,11 @@ object QueriesRelational {
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "agg_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
