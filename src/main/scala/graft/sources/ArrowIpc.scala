@@ -159,6 +159,24 @@ object ArrowIpc {
     }
   }
 
+  /** Persist each partition's IPC stream as one `.arrow` file under `dir`
+    * — the on-disk layout [[ArrowIpcSource]] reads back with one input
+    * partition per file. */
+  def writeIpcFiles(df: DataFrame, dir: String,
+                    batchSize: Int = DefaultBatchSize): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    toIpcStreams(df, batchSize).rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.zipWithIndex.foreach { case (bytes, i) =>
+        val p = new Path(s"$dir/part-$pid-$i.arrow")
+        val fs = FileSystem.get(p.toUri, new Configuration())
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+      }
+      Iterator.empty[Int]
+    }.count()
+  }
+
   /** S5 — ingest Arrow IPC streams (one blob per element) back into rows.
     * The expected Spark schema must match the streams' Arrow schema (the
     * reference carries the schema in the put-stream itself,

@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, FieldVector, Float4Vector, Float8Vector, IntVector, VarCharVector}
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for Arrow IPC stream files — the "custom
+  * DataSource" form of the reference's Arrow data plane:
+  * `spark.read.format("graft.sources.ArrowIpcSource").load(dir)` turns a
+  * directory of IPC streams (e.g. written by [[ArrowIpc.toIpcStreams]])
+  * into a DataFrame. One input partition per file, so a directory written
+  * by N partitions reads back with N-way parallelism and no driver-side
+  * materialization.
+  *
+  * Schema is inferred from the FIRST stream's header — the exact contract
+  * the reference uses (schema derived from the first record / carried in
+  * the put-stream: CypherActionHandler.java:72-149, BulkImportJob.java:
+  * 49-51); every other file is validated against it at read time. Type
+  * envelope as §1.2: int32/int64/float32/float64/utf8 and lists of
+  * int64/float32/float64/utf8.
+  */
+class ArrowIpcSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = ArrowIpcSource.listFiles(options.get("path"))
+    require(files.nonEmpty, s"no Arrow IPC files under ${options.get("path")}")
+    ArrowIpcSource.sparkSchema(ArrowIpcSource.readArrowSchema(files.head))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ArrowIpcTable(schema, properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object ArrowIpcSource {
+
+  private[sources] def listFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else if (fs.getFileStatus(p).isFile) Seq(dir)
+    else fs.listStatus(p).toSeq.filter(_.isFile)
+      .map(_.getPath.toString).filterNot(_.contains("_SUCCESS")).sorted
+  }
+
+  private[sources] def readArrowSchema(file: String)
+      : org.apache.arrow.vector.types.pojo.Schema = {
+    val p = new Path(file)
+    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val allocator = new RootAllocator(Long.MaxValue)
+    try {
+      val reader = new ArrowStreamReader(in, allocator)
+      val s = reader.getVectorSchemaRoot.getSchema
+      reader.close()
+      s
+    } finally {
+      allocator.close()
+      in.close()
+    }
+  }
+
+  private[sources] def sparkField(f: Field): StructField = {
+    def scalar(t: ArrowType): DataType = t match {
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case _: ArrowType.Utf8 => StringType
+      case other => throw new IllegalArgumentException(
+        s"unsupported Arrow type: $other")
+    }
+    f.getType match {
+      case _: ArrowType.List =>
+        val child = f.getChildren.get(0)
+        StructField(f.getName, ArrayType(scalar(child.getType)),
+          nullable = true)
+      case t => StructField(f.getName, scalar(t), nullable = true)
+    }
+  }
+
+  private[sources] def sparkSchema(
+      s: org.apache.arrow.vector.types.pojo.Schema): StructType =
+    StructType(s.getFields.asScala.map(sparkField).toSeq)
+}
+
+final class ArrowIpcTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"arrow-ipc `$path`"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ArrowIpcScan(schema, path)
+}
+
+final class ArrowIpcScan(schema: StructType, path: String) extends Scan
+    with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    ArrowIpcSource.listFiles(path).map(ArrowIpcFilePartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowIpcReaderFactory(schema)
+}
+
+final case class ArrowIpcFilePartition(file: String) extends InputPartition
+
+final class ArrowIpcReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new ArrowIpcPartitionReader(
+      partition.asInstanceOf[ArrowIpcFilePartition].file, schema)
+}
+
+/** Streams one IPC file batch-by-batch into InternalRows. */
+final class ArrowIpcPartitionReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val allocator = new RootAllocator(Long.MaxValue)
+  private val in = {
+    val p = new Path(file)
+    FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration()).open(p)
+  }
+  private val reader = new ArrowStreamReader(in, allocator)
+  private val root = {
+    val r = reader.getVectorSchemaRoot
+    require(ArrowIpcSource.sparkSchema(r.getSchema) == schema,
+      s"stream schema of $file does not match the inferred table schema")
+    r
+  }
+  private var rowInBatch = 0
+  private var batchRows = 0
+
+  override def next(): Boolean = {
+    if (rowInBatch < batchRows) true
+    else if (reader.loadNextBatch()) {
+      batchRows = root.getRowCount
+      rowInBatch = 0
+      batchRows > 0 || next()
+    } else false
+  }
+
+  override def get(): InternalRow = {
+    val vectors = root.getFieldVectors
+    val values = new Array[Any](vectors.size())
+    var c = 0
+    while (c < vectors.size()) {
+      values(c) = readCatalyst(vectors.get(c), rowInBatch)
+      c += 1
+    }
+    rowInBatch += 1
+    new GenericInternalRow(values)
+  }
+
+  private def readCatalyst(v: FieldVector, i: Int): Any = {
+    if (v.isNull(i)) null
+    else v match {
+      case iv: IntVector => iv.get(i)
+      case bv: BigIntVector => bv.get(i)
+      case fv: Float4Vector => fv.get(i)
+      case dv: Float8Vector => dv.get(i)
+      case sv: VarCharVector => UTF8String.fromBytes(sv.get(i))
+      case lv: ListVector =>
+        val child = lv.getDataVector.asInstanceOf[FieldVector]
+        new GenericArrayData(
+          (lv.getElementStartIndex(i) until lv.getElementEndIndex(i))
+            .map(j => readCatalyst(child, j)).toArray)
+      case other => throw new IllegalStateException(s"vector $other")
+    }
+  }
+
+  override def close(): Unit = {
+    reader.close()
+    allocator.close()
+    in.close()
+  }
+}
