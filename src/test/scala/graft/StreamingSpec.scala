@@ -60,6 +60,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions: in-stream gap split + timeout flush") {
+    import graft.streaming.{StatefulSessions, UserEvent}
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StatefulSessions.sessions(in.toDS(), gapMs = 30 * 60000L,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(UserEvent(1, ts(0)), UserEvent(1, ts(10)))
+      q.processAllAvailable()
+      // gap of 50min inside the stream -> first session emitted eagerly
+      in.addData(UserEvent(1, ts(60)))
+      q.processAllAvailable()
+      val eager = spark.table("state_sessions")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      assert(eager.toSeq == Seq((1L, ts(0), ts(10), 2L)))
+      // advance the watermark far past last+gap -> dangling session
+      // flushed by event-time timeout
+      in.addData(UserEvent(2, ts(600)))
+      q.processAllAvailable()
+      in.addData(UserEvent(2, ts(601)))
+      q.processAllAvailable()
+      val all = spark.table("state_sessions")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      assert(all.contains((1L, ts(60), ts(60), 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases within the horizon") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[StreamEv]
