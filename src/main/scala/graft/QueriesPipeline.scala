@@ -31,6 +31,10 @@ object QueriesPipeline {
       Dedup.minhashLsh(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))),
+    "dedup_minhash_portable" -> ((s, dir) =>
+      Dedup.minhashLshPortable(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_embedding" -> ((s, dir) =>
@@ -124,6 +128,48 @@ object QueriesPipeline {
         |      JOIN cnt cb ON cb.doc_id = doc_b)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
         |FROM j WHERE jac >= 0.3""".stripMargin,
+    "dedup_minhash_portable" -> {
+      val p = "1000000007"
+      val sigExprs = graft.operators.Dedup.MinhashSeeds.take(16).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"list_min(list_transform(hs, x -> (x * $a + $b) % $p)) AS m$i"
+        }.mkString(",\n         ")
+      val bandExprs = (0 until 4).map { bnd =>
+        val ms = (0 until 4).map(r => s"m${bnd * 4 + r}").mkString(", ")
+        s"concat_ws(',', $ms) AS band$bnd"
+      }.mkString(",\n         ")
+      val matchSum = (0 until 16)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val bandJoins = (0 until 4).map { bnd =>
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       ($matchSum) * 1.0 / 16 AS est_jaccard
+           |FROM banded a JOIN banded b
+           |  ON a.band$bnd = b.band$bnd AND a.doc_id < b.doc_id""".stripMargin
+      }.mkString("\nUNION\n")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |shs AS (SELECT doc_id,
+         |          list_distinct(list_transform(range(1, len(ws) - 1),
+         |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+         |        FROM w WHERE len(ws) >= 3),
+         |h AS (SELECT doc_id,
+         |        list_transform(sh, s ->
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(string_split(s, ''),
+         |                             c -> CAST(ascii(c) AS BIGINT))),
+         |            (a, c) -> (a * 31 + c) % $p)) AS hs
+         |      FROM shs),
+         |sig AS (SELECT doc_id,
+         |         $sigExprs
+         |        FROM h),
+         |banded AS (SELECT *,
+         |         $bandExprs
+         |        FROM sig)
+         |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard FROM (
+         |$bandJoins
+         |) t WHERE est_jaccard >= 0.5""".stripMargin
+    },
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |           FROM embeddings)

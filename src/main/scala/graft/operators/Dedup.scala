@@ -106,6 +106,53 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash + LSH with a DuckDB-replicable hash family: base hash =
+    * the polynomial character hash (TextFunctions.fingerprint), seeds via
+    * the universal family h_i(x) = (a_i·x + b_i) mod p. Same banding and
+    * estimate as [[minhashLsh]], but every step has an exact SQL twin, so
+    * this variant sits in the exact oracle gate (xxhash64-based
+    * [[minhashLsh]] remains the production-fast path). Everything up to
+    * the band self-join is a narrow per-document computation on arrays —
+    * no explode, no shuffle. */
+  def minhashLshPortable(docs: DataFrame, id: String, text: String,
+                         k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs
+      .select(col(id).as("doc_id"), words(col(text)).as("ws"))
+      .select(col("doc_id"), shingles(col("ws"), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), transform(col("sh"), polyHash _).as("hs"))
+      .select(col("doc_id") +: MinhashSeeds.take(numHashes).zipWithIndex.map {
+        case ((a, b), i) =>
+          array_min(transform(col("hs"),
+            h => (h * a + b) % 1000000007L)).as(s"m$i")
+      }: _*)
+    val banded = sig.select(
+      (col("doc_id") +: (0 until numHashes).map(i => col(s"m$i"))) ++
+        (0 until bands).map { bnd =>
+          concat_ws(",", (0 until rows).map(r =>
+            col(s"m${bnd * rows + r}")): _*).as(s"band$bnd")
+        }: _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val perBand = (0 until bands).map { bnd =>
+      banded.as("a").join(banded.as("b"),
+          col(s"a.band$bnd") === col(s"b.band$bnd") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (matches.cast("double") / numHashes).as("est_jaccard"))
+    }
+    perBand.reduce(_.unionByName(_)).distinct()
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Fixed (a_i, b_i) universal-hash seeds shared with the SQL oracle. */
+  val MinhashSeeds: Seq[(Long, Long)] =
+    (0 until 32).map(i => (33L + 2 * i, 7919L * i))
+
   /** SimHash near-dup: 64-bit signature from per-word hash bits weighted
     * ±1, candidates via 16-bit band blocking (a pair within Hamming
     * distance d < 4 bands must collide in ≥1 band), verified with

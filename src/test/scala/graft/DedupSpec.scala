@@ -43,6 +43,15 @@ class DedupSpec extends AnyFunSuite {
     assert(!byPair.contains((0L, 3L)))       // unrelated docs never collide
   }
 
+  test("portable minhash agrees with the xxhash variant on planted dups") {
+    val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "est_jaccard").as[(Long, Long, Double)]
+      .collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((0L, 1L)) == 1.0)
+    assert(!byPair.contains((0L, 3L)))
+  }
+
   test("simhash: identical docs at hamming 0, disjoint docs filtered") {
     val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)]
