@@ -152,6 +152,14 @@ object SparkEntry {
     "sql_q1" -> ((s, dir) => {
       TpchGraph.registerViews(s, dir)
       s.sql(SqlQ1)
+    }),
+    "sql_q5" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ5)
+    }),
+    "sql_q10" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ10)
     })
   )
 
@@ -168,6 +176,37 @@ object SparkEntry {
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q5 shape over the synthetic date range (min orderdate is
+    * 1995-01-01). Dialect-neutral SQL: the same text runs on Catalyst and
+    * DuckDB — the point of the "arbitrary query → engine" contract. */
+  private val SqlQ5: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, deterministic
+    * top-20. */
+  private val SqlQ10: String =
+    """SELECT c_custkey, c_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -291,6 +330,8 @@ object SparkEntry {
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     "sql_q1" -> SqlQ1,
+    "sql_q5" -> SqlQ5,
+    "sql_q10" -> SqlQ10,
     "khop_3" ->
       s"""WITH $RelsCte,
          |e AS (SELECT start_id AS src, end_id AS dst FROM rels
