@@ -184,6 +184,15 @@ object QueriesRelational {
           count(lit(1)).as("n_events"))
     }),
 
+    // ---- scalar functions (dates) ----------------------------------------
+    "date_functions" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
     // ---- scalar functions (JSON) -----------------------------------------
     "events_json" -> ((s, dir) =>
       table(s, dir, "events")
@@ -318,6 +327,13 @@ object QueriesRelational {
         |SELECT user_id, CAST(sum(newflag) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM f GROUP BY user_id""".stripMargin,
+    "date_functions" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
