@@ -26,7 +26,7 @@ object QueriesPipeline {
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
-        k = 3, threshold = 0.3)),
+        k = 3, threshold = 0.3, maxDf = 50)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"),
@@ -39,6 +39,8 @@ object QueriesPipeline {
       Dedup.simhash(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(table(s, dir, "embeddings"), threshold = 0.4)),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(table(s, dir, "embeddings"), threshold = 0.4)),
 
     // ---- similarity search ----------------------------------------------
     "sim_topk" -> ((s, dir) => {
@@ -118,8 +120,11 @@ object QueriesPipeline {
         |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
         |       FROM w WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
+        |        WHERE df > 50),
+        |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |          FROM sh a JOIN sh b
+        |          FROM shp a JOIN shp b
         |            ON a.s = b.s AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2),
         |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
@@ -129,14 +134,19 @@ object QueriesPipeline {
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
         |FROM j WHERE jac >= 0.3""".stripMargin,
     "dedup_minhash_portable" -> {
+      // mirrors Dedup.minhashLshPortable exactly: word-level polyHash,
+      // rolling shingle combine, numeric band-key folds
       val p = "1000000007"
+      val cc = "1000003"
       val sigExprs = graft.operators.Dedup.MinhashSeeds.take(16).zipWithIndex
         .map { case ((a, b), i) =>
           s"list_min(list_transform(hs, x -> (x * $a + $b) % $p)) AS m$i"
         }.mkString(",\n         ")
-      val bandExprs = (0 until 4).map { bnd =>
-        val ms = (0 until 4).map(r => s"m${bnd * 4 + r}").mkString(", ")
-        s"concat_ws(',', $ms) AS band$bnd"
+      val keyExprs = (0 until 4).map { bnd =>
+        val fold = (0 until 4).foldLeft(s"CAST($bnd AS BIGINT)") { (acc, r) =>
+          s"(($acc) * $cc + m${bnd * 4 + r}) % $p"
+        }
+        s"$fold AS k$bnd"
       }.mkString(",\n         ")
       val matchSum = (0 until 16)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
@@ -145,26 +155,27 @@ object QueriesPipeline {
         s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |       ($matchSum) * 1.0 / 16 AS est_jaccard
            |FROM banded a JOIN banded b
-           |  ON a.band$bnd = b.band$bnd AND a.doc_id < b.doc_id""".stripMargin
+           |  ON a.k$bnd = b.k$bnd AND a.doc_id < b.doc_id""".stripMargin
       }.mkString("\nUNION\n")
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
          |           FROM documents),
-         |shs AS (SELECT doc_id,
-         |          list_distinct(list_transform(range(1, len(ws) - 1),
-         |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-         |        FROM w WHERE len(ws) >= 3),
+         |wh AS (SELECT doc_id,
+         |         list_transform(ws, s ->
+         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(string_split(s, ''),
+         |                              c -> CAST(ascii(c) AS BIGINT))),
+         |             (a, c) -> (a * 31 + c) % $p)) AS wh
+         |       FROM w WHERE len(ws) >= 3),
          |h AS (SELECT doc_id,
-         |        list_transform(sh, s ->
-         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |              list_transform(string_split(s, ''),
-         |                             c -> CAST(ascii(c) AS BIGINT))),
-         |            (a, c) -> (a * 31 + c) % $p)) AS hs
-         |      FROM shs),
+         |        list_distinct(list_transform(range(1, len(wh) - 1),
+         |          i -> ((wh[i] * $cc + wh[i+1]) % $p * $cc + wh[i+2]) % $p))
+         |          AS hs
+         |      FROM wh),
          |sig AS (SELECT doc_id,
          |         $sigExprs
          |        FROM h),
          |banded AS (SELECT *,
-         |         $bandExprs
+         |         $keyExprs
          |        FROM sig)
          |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard FROM (
          |$bandJoins
@@ -179,6 +190,47 @@ object QueriesPipeline {
         |  FROM e a JOIN e b
         |    ON a.label = b.label AND a.vec_id < b.vec_id) t
         |WHERE sim >= 0.4""".stripMargin,
+    "dedup_embedding_lsh" -> {
+      // mirrors Dedup.embeddingNearDupLsh: integer-quantized embeddings
+      // dotted against the same literal hyperplanes (exact int64 → sign
+      // bits identical), 12 bands × 2 bits, exact cosine verify
+      val hp = graft.operators.Dedup.hyperplanes(24, 64)
+      val bitExprs = hp.zipWithIndex.map { case (row, i) =>
+        val l = row.mkString("[", ", ", "]")
+        s"""CASE WHEN list_sum(list_transform(range(1, 65),
+           |       j -> q[j] * ($l::BIGINT[])[j])) >= 0
+           |     THEN 1 ELSE 0 END AS bit$i""".stripMargin
+      }.mkString(",\n  ")
+      val keyExprs = (0 until 12).map { b =>
+        val terms = (0 until 2).map(t => s"bit${b * 2 + t} * ${1L << t}")
+          .mkString(" + ")
+        s"($terms) AS k$b"
+      }.mkString(",\n  ")
+      val bandJoins = (0 until 12).map { b =>
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |FROM keys a JOIN keys b
+           |  ON a.k$b = b.k$b AND a.vec_id < b.vec_id""".stripMargin
+      }.mkString("\nUNION\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+         |      FROM e),
+         |bits AS (SELECT vec_id,
+         |  $bitExprs
+         |  FROM q),
+         |keys AS (SELECT vec_id,
+         |  $keyExprs
+         |  FROM bits),
+         |cand AS (
+         |$bandJoins
+         |),
+         |s AS (SELECT vec_a, vec_b,
+         |        round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+         |      FROM cand
+         |      JOIN e ea ON ea.vec_id = vec_a
+         |      JOIN e eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.4""".stripMargin
+    },
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -21,13 +21,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failed query must be LOUD: record it in a marker file so the gate
+    // (tools/check.py and the driver) can distinguish "query crashed" from
+    // "query absent" — a silently missing result dir would shrink the N/M
+    // pass denominator instead of failing.
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name
       }
     }
+    if (failures.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/_FAILED.txt"),
+        failures.mkString("\n") + "\n")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

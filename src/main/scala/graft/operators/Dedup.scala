@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -43,14 +43,27 @@ object Dedup {
     * shingle" candidate generator — pairs never sharing a shingle (i.e.
     * Jaccard 0) are never materialized. */
   def ngramJaccard(docs: DataFrame, id: String, text: String, k: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = shingleTable(docs, id, text, k)
       // join/shuffle on a 64-bit shingle hash, not the string: ~5× less
       // shuffle data; 27k distinct shingles → collision odds ~1e-11, and a
       // collision only perturbs one pair count by 1.
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    // DF cap: a stop-shingle shared by a million documents would make the
+    // inverted-index join quadratic in that shingle's posting list. Hot
+    // keys are by definition few → broadcast anti-join. Jaccard denominators
+    // (na, nb) stay pre-prune, so scores remain exact for every pair that
+    // shares at least one sub-cap shingle; pairs similar ONLY through
+    // ultra-common shingles are deliberately dropped (standard practice —
+    // record the cap when publishing results).
+    val pruned = if (maxDf == Long.MaxValue) sh else {
+      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select(col("s"))
+      sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    val pairs = pruned.as("a").join(pruned.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -106,46 +119,73 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** MinHash + LSH with a DuckDB-replicable hash family: base hash =
-    * the polynomial character hash (TextFunctions.fingerprint), seeds via
-    * the universal family h_i(x) = (a_i·x + b_i) mod p. Same banding and
+  /** Rolling-combine modulus shared with the SQL oracle: shingle hash =
+    * fold of word hashes h := (h·C + wh) mod p, band key = the same fold
+    * over a band's minhash values. Exact int64 arithmetic in both engines
+    * (p·C ≈ 1e15 < 2^63). */
+  val PortableP = 1000000007L
+  val PortableC = 1000003L
+
+  /** MinHash + LSH with a DuckDB-replicable hash family. Same banding and
     * estimate as [[minhashLsh]], but every step has an exact SQL twin, so
     * this variant sits in the exact oracle gate (xxhash64-based
-    * [[minhashLsh]] remains the production-fast path). Everything up to
-    * the band self-join is a narrow per-document computation on arrays —
-    * no explode, no shuffle. */
+    * [[minhashLsh]] remains the production-fast path).
+    *
+    * Structure (round-2 rewrite — the round-1 form cost 43% of the whole
+    * bench): each WORD is character-hashed once (polyHash, O(chars/doc)
+    * total) and shingle hashes derive from word hashes by a rolling
+    * combine — the round-1 form re-split every k-word shingle into
+    * characters, O(k·chars/doc). Banding is ONE explode-band self-join on
+    * a numeric fold key carrying only (doc_id, band, key) — the round-1
+    * form ran `bands` separate self-joins on concat_ws STRING keys, each
+    * dragging all `numHashes` signature columns through the shuffle. The
+    * signature verify joins back against the narrow sig table, mirroring
+    * [[minhashLsh]]. */
   def minhashLshPortable(docs: DataFrame, id: String, text: String,
                          k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    val p = PortableP
+    val c = PortableC
+    // per-doc signature: words → word hashes (materialized — see
+    // shingleTable re: inline re-evaluation) → distinct rolling shingle
+    // hashes → numHashes minima. All narrow, no explode, no shuffle.
     val sig = docs
       .select(col(id).as("doc_id"), words(col(text)).as("ws"))
-      .select(col("doc_id"), shingles(col("ws"), k).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), transform(col("sh"), polyHash _).as("hs"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), transform(col("ws"), polyHash _).as("wh"))
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("wh")) - (k - 1)), i =>
+          (0 until k).foldLeft(lit(0L): Column) { (acc, j) =>
+            (acc * c + element_at(col("wh"), i + j)) % p
+          })).as("hs"))
       .select(col("doc_id") +: MinhashSeeds.take(numHashes).zipWithIndex.map {
         case ((a, b), i) =>
           array_min(transform(col("hs"),
-            h => (h * a + b) % 1000000007L)).as(s"m$i")
+            h => (h * a + b) % p)).as(s"m$i")
       }: _*)
-    val banded = sig.select(
-      (col("doc_id") +: (0 until numHashes).map(i => col(s"m$i"))) ++
-        (0 until bands).map { bnd =>
-          concat_ws(",", (0 until rows).map(r =>
-            col(s"m${bnd * rows + r}")): _*).as(s"band$bnd")
-        }: _*)
+    // single explode-band join on a numeric fold key (narrow shuffle rows)
+    val buckets = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { bnd =>
+        val key = (0 until rows).foldLeft(lit(bnd.toLong): Column) {
+          (acc, r) => (acc * c + col(s"m${bnd * rows + r}")) % p
+        }
+        struct(lit(bnd).as("band"), key.as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val matches = (0 until numHashes)
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val perBand = (0 until bands).map { bnd =>
-      banded.as("a").join(banded.as("b"),
-          col(s"a.band$bnd") === col(s"b.band$bnd") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          (matches.cast("double") / numHashes).as("est_jaccard"))
-    }
-    perBand.reduce(_.unionByName(_)).distinct()
+    cand.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -189,9 +229,10 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup: label-blocked pair generation (the corpus'
-    * natural cluster key) + exact cosine filter. At scale, swap the label
-    * block for an LSH bucket (random-hyperplane sign bits) — the join
-    * shape is identical. */
+    * natural cluster key) + exact cosine filter. Demonstration variant —
+    * block size is keyed to data cardinality, so a popular label goes
+    * quadratic; [[embeddingNearDupLsh]] is the scale path (bounded
+    * hyperplane buckets, same equi-join shape). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("v"))
@@ -202,5 +243,65 @@ object Dedup {
         cosineFast(col("a.v"), col("b.v")).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Fixed seeded integer hyperplanes for [[embeddingNearDupLsh]] — small
+    * pseudo-random components in [-128, 128), exact int64 arithmetic, so
+    * the identical literals embed in the DuckDB oracle. */
+  def hyperplanes(nbits: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until nbits).map { i =>
+      val a = 33L + 2 * i
+      val b = 7919L * i
+      (0 until dim).map(j =>
+        (((j + 1) * a + b) * 1103515245L + 12345L) % 1000003L % 257L - 128L)
+    }
+
+  /** Embedding near-dup at scale: random-hyperplane LSH candidate
+    * generation + exact cosine verify. Embeddings are quantized to
+    * integers (round(x·1000)) and dotted against [[hyperplanes]] in exact
+    * int64, so the sign bits — and therefore the buckets — are
+    * bit-identical across engines (a float dot product's last-ulp
+    * variation could flip a sign near zero). Each band's bucket key packs
+    * `nbits/bands` sign bits; candidates are pairs colliding in ≥1 band
+    * (standard banded LSH: P[bit agree] = 1 − θ/π, so recall is tuned by
+    * (bits, bands) — the 24/12 default finds every ≥0.4-cosine pair in
+    * the test fixture). Bucket population is bounded by the bit split,
+    * never by a data-dependent label, and the verify join touches only
+    * candidate pairs — the label-blocked [[embeddingNearDup]]'s quadratic
+    * hot block cannot occur. */
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double,
+                          nbits: Int = 24, bands: Int = 12,
+                          dim: Int = 64): DataFrame = {
+    require(nbits % bands == 0, "bands must divide nbits")
+    val rb = nbits / bands
+    val hp = hyperplanes(nbits, dim)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val quant = e.select(col("vec_id"),
+      transform(col("v"), x => round(x * 1000).cast("long")).as("q"))
+    val bitCols = (0 until nbits).map { i =>
+      val dot = aggregate(
+        zip_with(col("q"), typedlit(hp(i)), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      when(dot >= 0, 1L).otherwise(0L).as(s"bit$i")
+    }
+    val bits = quant.select(col("vec_id") +: bitCols: _*)
+    val buckets = bits.select(col("vec_id"),
+      explode(array((0 until bands).map { b =>
+        val key = (0 until rb).map(t => col(s"bit${b * rb + t}") * (1L << t))
+          .reduce(_ + _)
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineFast(col("va"), col("vb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
   }
 }

@@ -27,7 +27,16 @@ object Similarity {
   /** Exact top-k: for each row of `queries`, the k most-cosine-similar
     * rows of `corpus` (excluding the query itself). Similarities are
     * rounded to 6 decimals before ranking so results are reproducible
-    * across engines; ties break by ascending candidate id. */
+    * across engines; ties break by ascending candidate id.
+    *
+    * Ranking goes through [[TopK.perKey]] — a bounded partial aggregate
+    * that keeps k rows per query per partition map-side and ships k·|q|
+    * rows total across the shuffle. The window formulation
+    * (`row_number().over(partitionBy(qid))`) would send every query's
+    * ENTIRE scored corpus to one partition — the one plan shape that
+    * cannot survive a large corpus. Null sims (zero-norm vectors) are
+    * dropped: a zero vector is similar to nothing, and the typed
+    * aggregator buffers primitive doubles. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       asDouble(col("embedding")).as("qe")))
@@ -36,10 +45,10 @@ object Similarity {
     val scored = c.join(q, col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(cosineFast(col("qe"), col("ce")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= k)
+      .where(col("sim").isNotNull)
+    TopK.perKey(scored, key = "qid", ord = "sim", tiebreak = "nid",
+        payload = "nid", k = k)
+      .select(col("qid"), col("nid"), col("sim"), col("rn"))
   }
 
   /** IVF: centroids = deterministic corpus subset (`vec_id % centroidMod
@@ -85,11 +94,13 @@ object Similarity {
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(cosineFast(col("qe"), col("ce")), 6).as("sim"))
+      .where(col("sim").isNotNull)
       // a candidate can sit in several probed cells only if duplicated —
       // cells partition the corpus, so no dedup needed
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= k)
+    // final ranking: same bounded partial top-k as [[bruteTopK]] — the
+    // probed subset is nprobe/|C| of the corpus but still grows with N
+    TopK.perKey(scored, key = "qid", ord = "sim", tiebreak = "nid",
+        payload = "nid", k = k)
+      .select(col("qid"), col("nid"), col("sim"), col("rn"))
   }
 }

@@ -61,6 +61,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!byPair.contains((0L, 3L)))
   }
 
+  test("ngram DF cap prunes a hot shingle's quadratic candidate pairs") {
+    // 10 docs share one stop-shingle run but are otherwise disjoint:
+    // uncapped, the inverted index generates all 45 pairs from the hot
+    // postings; with maxDf=5 the hot shingles are dropped before the pair
+    // join and no candidate survives.
+    val hot = Seq.tabulate(10)(i =>
+      (i.toLong, s"the end of it w${i}a w${i}b w${i}c w${i}d")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(hot, "doc_id", "text", k = 3,
+      threshold = 0.0).count()
+    val capped = Dedup.ngramJaccard(hot, "doc_id", "text", k = 3,
+      threshold = 0.0, maxDf = 5).count()
+    assert(uncapped == 45L && capped == 0L)
+  }
+
+  test("ngram DF cap keeps sub-cap pair scores exact") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3,
+        threshold = 0.3, maxDf = 50)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(pairs.contains((0L, 1L, 1.0)) && pairs.contains((0L, 2L, 0.8)))
+  }
+
   test("embedding near-dup respects the threshold within label blocks") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 1),
@@ -71,5 +93,31 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.embeddingNearDup(e, threshold = 0.9)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("hyperplane-LSH near-dup finds near-identical vectors across labels") {
+    // near-identical vectors land in the same sign-bit bucket in every
+    // band; orthogonal ones differ. No label involvement at all.
+    val base = Array.tabulate(64)(j => math.sin(j + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val ortho = Array.tabulate(64)(j => (if (j % 2 == 0) base(j + 1) else -base(j - 1)))
+    val e = Seq((0L, base, 1), (1L, near, 2), (2L, ortho, 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupLsh(e, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("hyperplane-LSH matches label-blocked near-dup on same-label pairs") {
+    // the LSH variant is a superset of the label-blocked gate when recall
+    // holds: every label-blocked pair must also be found by the buckets
+    val spark2 = spark
+    val docs = spark2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val blocked = Dedup.embeddingNearDup(docs, threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(docs, threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(lsh),
+      s"label-blocked pairs missed by LSH: ${blocked.diff(lsh)}")
   }
 }

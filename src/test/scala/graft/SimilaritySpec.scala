@@ -38,6 +38,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.map(_._1).toSeq == Seq(2L, 1L, 3L))
   }
 
+  test("brute-force top-k plan has no window over the scored set") {
+    // VERDICT r1 #1: ranking must be the bounded TopK partial aggregate,
+    // never a row_number window that ships the whole corpus per query
+    val df = Similarity.bruteTopK(emb, emb.where(col("vec_id") === 0), k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window found in plan:\n$plan")
+    assert(plan.contains("Aggregate"), s"no aggregate in plan:\n$plan")
+  }
+
+  test("brute-force top-k drops zero-norm candidates instead of NPEing") {
+    val withZero = emb.union(
+      Seq((9L, Array(0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val top = Similarity.bruteTopK(withZero,
+        withZero.where(col("vec_id") === 0), k = 5)
+      .select("nid").as[Long].collect().toSet
+    assert(!top.contains(9L) && top == Set(1L, 2L, 3L))
+  }
+
   test("ivf with every vector a centroid reduces to exact search") {
     val top = Similarity.ivfTopK(emb, emb.where(col("vec_id") === 0), k = 3,
         centroidMod = 1, nprobe = 4)

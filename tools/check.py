@@ -36,9 +36,14 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
-    for name in sorted(os.listdir(out_dir)):
+    # iterate oracle keys UNION result dirs: a query that crashed in Verify
+    # (no result dir) must count as FAIL, not silently shrink the total
+    result_dirs = {n for n in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(result_dirs | set(oracle.keys())):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        if name not in result_dirs:
+            results[name] = "MISSING (query failed or absent in Verify)"
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files \
