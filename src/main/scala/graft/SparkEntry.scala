@@ -91,6 +91,39 @@ object SparkEntry {
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
+    // §2.3 on the DENSE subgraph — part/supplier hubs, the reference's
+    // actual supernode scenario (KHOP.md:159-185, SuperNodeCache.java:11-44).
+    // Origins = all suppliers (the raw-degree hubs, ≈|lineitem|/|supplier|
+    // neighbors each); their qualifying-origin fan-ins stay under the 256
+    // threshold, so every edge takes the bounded-array CSR path — the ~20M
+    // per-hub output rows dedup locally, no global distinct. Checksum uses
+    // mod-100003 terms so per-origin sums of ~40k hub edges stay well
+    // inside int64 in both engines.
+    "khop_dense" -> ((s, dir) => graft.operators.KHop.twoHopEdgesSkew(
+        graph(s, dir).rels
+          .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
+        hotThreshold = 256,
+        originPred = Some(col("origin").between(2000000000L, 2999999999L)))
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
+          .as("checksum"))),
+    // same dense subgraph with hotThreshold=0: every node with a
+    // qualifying origin classifies hot, so the whole query runs the flat
+    // supernode fallback (broadcast hot set → two equi-joins → distinct)
+    // end-to-end against the same oracle semantics. Origin set thinned to
+    // 1/20 of the suppliers to keep the flat path's global distinct
+    // proportionate in the bench.
+    "khop_dense_hot" -> ((s, dir) => graft.operators.KHop.twoHopEdgesSkew(
+        graph(s, dir).rels
+          .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
+        hotThreshold = 0,
+        originPred = Some(col("origin").between(2000000000L, 2999999999L) &&
+          col("origin") % 20 === 0))
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
+          .as("checksum"))),
     // P6: write-path null/NaN property skip (NodeInputIterator.java:97,
     // 135-142 skips null cells and non-finite floats). NaN/null injected
     // deterministically, filtered, aggregated to prove the skip.
@@ -354,6 +387,44 @@ object SparkEntry {
          |        FROM reach JOIN e ON e.dst = reach.node) AS x)
          |SELECT origin, count(*) AS n_edges,
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
+         |FROM k GROUP BY origin""".stripMargin,
+    "khop_dense_hot" ->
+      s"""WITH $RelsCte,
+         |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type IN ('CONTAINS', 'SUPPLIED_BY')),
+         |nb AS (SELECT src AS node, dst AS n FROM e
+         |       UNION
+         |       SELECT dst, src FROM e),
+         |nbo AS (SELECT node, n AS origin FROM nb
+         |        WHERE n BETWEEN 2000000000 AND 2999999999 AND n % 20 = 0),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT nbo.origin, e.src, e.dst
+         |        FROM nbo JOIN e ON e.src = nbo.node
+         |        UNION ALL
+         |        SELECT nbo.origin, e.src, e.dst
+         |        FROM nbo JOIN e ON e.dst = nbo.node) u)
+         |SELECT origin, count(*) AS n_edges,
+         |       CAST(sum((src % 100003) * 100003 + (dst % 100003)) AS BIGINT)
+         |         AS checksum
+         |FROM k GROUP BY origin""".stripMargin,
+    "khop_dense" ->
+      s"""WITH $RelsCte,
+         |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type IN ('CONTAINS', 'SUPPLIED_BY')),
+         |nb AS (SELECT src AS node, dst AS n FROM e
+         |       UNION
+         |       SELECT dst, src FROM e),
+         |nbo AS (SELECT node, n AS origin FROM nb
+         |        WHERE n BETWEEN 2000000000 AND 2999999999),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT nbo.origin, e.src, e.dst
+         |        FROM nbo JOIN e ON e.src = nbo.node
+         |        UNION ALL
+         |        SELECT nbo.origin, e.src, e.dst
+         |        FROM nbo JOIN e ON e.dst = nbo.node) u)
+         |SELECT origin, count(*) AS n_edges,
+         |       CAST(sum((src % 100003) * 100003 + (dst % 100003)) AS BIGINT)
+         |         AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     "arrow_roundtrip" ->
       s"""WITH $NodesCte

@@ -88,6 +88,104 @@ object KHop {
       .select(col("origin"), col("src"), col("dst"))
   }
 
+  /** Skew-aware 2-hop: same result set as [[twoHopEdges]], with the
+    * reference's supernode split (SuperNodeCache.java:11-44,
+    * KHop.java:59-81) made Spark-shaped. [[twoHopEdgesCsr]] buffers each
+    * node's full neighbor set in one `collect_set` row — on a supernode
+    * graph one hub row is the hub's entire adjacency (100 TB: an OOM).
+    * Here hubness is measured first (a degree count — the data statistic
+    * Catalyst cannot know in advance), then:
+    *
+    *  - the hot-node SET (small by definition) is broadcast and every edge
+    *    is classified by a broadcast join — no shuffle to split;
+    *  - edges with both endpoints cold take the CSR path with arrays
+    *    bounded by `hotThreshold` (local per-edge dedup, no global
+    *    distinct);
+    *  - edges incident to a hot node fall back to the flat two-equi-join
+    *    plan (neighbor rows, never arrays) + distinct — the join keys are
+    *    skewed by exactly the hub fan-out, which is the output's inherent
+    *    size; AQE skew-join splitting handles the partition imbalance at
+    *    cluster scale.
+    *
+    * Hubness is the node's QUALIFYING-origin count — its neighbor count
+    * after `originPred` — because that is precisely what the CSR path
+    * buffers per node. A raw-degree hub whose qualifying origin set is
+    * small has a small array and belongs on the CSR path; classifying on
+    * raw degree would needlessly push its edges through the flat join,
+    * whose global distinct costs a full extra shuffle of the (large)
+    * output (measured: the distinct was 24 s of a 27 s dense-graph run
+    * while deduplicating 0.05% of rows).
+    *
+    * The two edge classes partition the edge set, so the union needs no
+    * cross-class dedup.
+    *
+    * @param originPred optional predicate over `origin` applied to the
+    *   neighbor side BEFORE the per-edge join, so a bounded origin set
+    *   shrinks every downstream operator (not just the output).
+    */
+  def twoHopEdgesSkew(rels: DataFrame, hotThreshold: Long,
+                      originPred: Option[Column] = None): DataFrame = {
+    // e and the neighbor table are each consumed by 4-5 downstream
+    // branches (classification, cold arrays, two hot joins). Persist them
+    // — the GraphX idiom for exactly this shape — or every branch re-runs
+    // the source scan + dedup shuffle (measured: 78 parquet scans in the
+    // unpersisted plan, ~3× the runtime). MEMORY_AND_DISK: the deduped
+    // edge list is the operator's working set and spills rather than OOMs.
+    val e = rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbFlat = e.select(col("src").as("node"), col("dst").as("n"))
+      .union(e.select(col("dst"), col("src")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the neighbor side becomes the origin: restrict it up front
+    val nbOrig = nbFlat.select(col("node"), col("n").as("origin"))
+    val nbo = originPred.fold(nbOrig)(p => nbOrig.where(p))
+    // hotness = qualifying-origin fan-in (post-restriction): exactly the
+    // per-node buffer the CSR path would collect
+    val hot = nbo.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") > hotThreshold)
+      .select(col("node"))
+    // classify edges by hot endpoints — two broadcast joins, zero shuffle
+    val hotMark = broadcast(hot.withColumn("_hot", lit(true)))
+    val flagged = e
+      .join(hotMark.select(col("node").as("src"), col("_hot").as("hs")),
+        Seq("src"), "left")
+      .join(hotMark.select(col("node").as("dst"), col("_hot").as("hd")),
+        Seq("dst"), "left")
+    val eCold = flagged.where(col("hs").isNull && col("hd").isNull)
+      .select(col("src"), col("dst"))
+    val eHot = flagged.where(col("hs").isNotNull || col("hd").isNotNull)
+      .select(col("src"), col("dst"))
+    // cold CSR: arrays bounded by hotThreshold. Left joins + empty-array
+    // coalesce: with an origin restriction an endpoint can have zero
+    // qualifying origins yet its edge may still qualify via the OTHER
+    // endpoint (an inner join would drop it).
+    val emptyArr = array().cast("array<bigint>")
+    val nbArrCold = nbo.join(broadcast(hot), Seq("node"), "left_anti")
+      .groupBy(col("node")).agg(collect_set(col("origin")).as("nb"))
+    val coldPart = eCold
+      .join(nbArrCold.select(col("node").as("src"), col("nb").as("nb_s")),
+        Seq("src"), "left")
+      .join(nbArrCold.select(col("node").as("dst"), col("nb").as("nb_d")),
+        Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        explode(array_union(coalesce(col("nb_s"), emptyArr),
+          coalesce(col("nb_d"), emptyArr))).as("origin"))
+      .select(col("origin"), col("src"), col("dst"))
+    // hot fallback: flat joins (neighbor ROWS — a hub never materializes
+    // its adjacency in one buffer), dedup with distinct. Only hot-incident
+    // edges pay this exchange.
+    val bySrc = eHot.join(nbo.select(col("node").as("src"), col("origin")),
+      "src")
+    val byDst = eHot.join(nbo.select(col("node").as("dst"), col("origin")),
+      "dst")
+    val hotPart = bySrc.select(col("origin"), col("src"), col("dst"))
+      .union(byDst.select(col("origin"), col("src"), col("dst")))
+      .distinct()
+    coldPart.unionByName(hotPart)
+  }
+
   /** Long-form 2-hop: one row per (origin, src, dst). */
   def twoHopEdges(rels: DataFrame): DataFrame = {
     val e = rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))

@@ -50,6 +50,35 @@ class KHopSpec extends AnyFunSuite {
     assert(rebuilt == direct)
   }
 
+  test("skew-split 2-hop equals the golden semantics at every threshold") {
+    val want = KHop.twoHopEdges(rels).as[(Long, Long, Long)].collect().toSet
+    // threshold 0: every node hot → pure flat-join fallback;
+    // threshold 100: every node cold → pure CSR path;
+    // threshold 2: node 0 and 1 (degree 4) hot, rest cold → genuine split
+    for (t <- Seq(0L, 2L, 100L)) {
+      val got = KHop.twoHopEdgesSkew(rels, hotThreshold = t)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"threshold $t")
+    }
+  }
+
+  test("skew-split honors the origin restriction in every path") {
+    val pred = Some(col("origin") <= 1L)
+    val want = KHop.twoHopEdges(rels).where(col("origin") <= 1)
+      .as[(Long, Long, Long)].collect().toSet
+    for (t <- Seq(0L, 2L, 100L)) {
+      val got = KHop.twoHopEdgesSkew(rels, hotThreshold = t, originPred = pred)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"threshold $t")
+    }
+  }
+
+  test("skew-split classifies edges via a broadcast of the hot-key set") {
+    val plan = KHop.twoHopEdgesSkew(rels, hotThreshold = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+  }
+
   test("CSR-plan 2-hop equals the golden plan (incl. multi-edges)") {
     val withDup = rels.union(rels.limit(2))   // duplicate physical edges
     val a = KHop.twoHopEdgesCsr(withDup)
