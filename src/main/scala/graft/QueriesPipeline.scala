@@ -100,7 +100,22 @@ object QueriesPipeline {
       Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), length(col("content")).cast("long")
           .as("n_bytes"), col("format"))),
+    // real header parse under the gate: documents become byte-valid
+    // PNG/JPEG containers whose IHDR/SOF headers carry formula-derived
+    // dimensions; the kernel must recover them from the raw bytes while
+    // the oracle recomputes the formulas — if the parser misreads a single
+    // header byte the hashes diverge
     "multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.asSyntheticImages(table(s, dir, "documents"),
+          "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))),
+    // pseudo-decode fallback surface (opaque binary + fake format): the
+    // deterministic stub path for payloads no header parser recognizes
+    "multimodal_pseudo" -> ((s, dir) =>
       Multimodal.decodeFeatures(
         Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text"))
         .toDF()
@@ -340,6 +355,16 @@ object QueriesPipeline {
         |    AS format
         |FROM documents""".stripMargin,
     "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  n + 33 AS n_bytes,
+        |  n % 640 + 1 AS width,
+        |  n % 480 + 1 AS height
+        |FROM m""".stripMargin,
+    "multimodal_pseudo" ->
       """WITH m AS (
         |  SELECT doc_id,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -183,6 +183,42 @@ object QueriesRelational {
         .agg(max(col("session_id")).as("n_sessions"),
           count(lit(1)).as("n_events"))
     }),
+    // the STREAMING stateful path under the oracle gate: events flow
+    // through a real file stream into flatMapGroupsWithState
+    // (StatefulSessions), one AvailableNow pass into a memory sink. A
+    // per-user sentinel event 2×gap past the global max timestamp closes
+    // every real session via the in-stream gap path (the sentinel's own
+    // session is dangling and never emitted), so the emitted set equals
+    // the batch sessionization exactly — no dependence on timeout timing.
+    // The oracle recomputes sessions relationally; session-boundary
+    // micros land in the checksum, so a single mis-bucketed event fails
+    // the gate.
+    "sessionize_stream" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val gapMs = 1800L * 1000L
+      val e = table(s, dir, "events").select(col("user_id"), col("ts"))
+      val maxUs = e.agg(max(unix_micros(col("ts")))).as[Long].head()
+      val sentinelUs = maxUs + 2 * gapMs * 1000L
+      val aug = e.unionByName(e.select(col("user_id")).distinct()
+        .withColumn("ts", timestamp_micros(lit(sentinelUs))))
+      val tmp = s"/tmp/graft_stream_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      aug.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(aug.schema).parquet(tmp)
+      val sessions = graft.streaming.StatefulSessions.sessions(
+        stream.as[graft.streaming.UserEvent], gapMs = gapMs,
+        watermark = "0 seconds")
+      val qname = s"graft_sessionize_stream_${System.nanoTime()}"
+      val q = sessions.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          sum(unix_micros(col("session_start")) +
+            unix_micros(col("session_end"))).as("checksum"))
+    }),
 
     // ---- scalar functions (dates) ----------------------------------------
     "date_functions" -> ((s, dir) =>
@@ -327,6 +363,25 @@ object QueriesRelational {
         |SELECT user_id, CAST(sum(newflag) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM f GROUP BY user_id""".stripMargin,
+    "sessionize_stream" ->
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, tus,
+        |         sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |             THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |           ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l),
+        |sess AS (
+        |  SELECT user_id, sid, min(tus) AS s, max(tus) AS e, count(*) AS n
+        |  FROM f GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(s + e) AS BIGINT) AS checksum
+        |FROM sess GROUP BY user_id""".stripMargin,
     "date_functions" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |       CAST(quarter(o_orderdate) AS BIGINT) AS q,

@@ -74,8 +74,10 @@ object TextFunctions {
     * materialized column of shingle hashes (see [[shingles]] re: inline
     * re-evaluation). */
   def winnowFingerprints(hs: Column, w: Int): Column =
-    array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
-      j => array_min(slice(hs, j, lit(w)))))
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+        j => array_min(slice(hs, j, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** BPE-ish regex token count: letter runs, single digits, single
     * punctuation marks. Same RE2-compatible pattern in the DuckDB twin. */

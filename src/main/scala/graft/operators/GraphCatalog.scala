@@ -73,13 +73,16 @@ object GraphCatalog {
     * 363-368). Returns the re-read graph, proving the round-trip. */
   def bulkImport(nodes: DataFrame, rels: DataFrame, dbDir: String): GraphRef = {
     val spark = nodes.sparkSession
+    // partition directories key on the FIRST label (pruning for label
+    // filters); the full LABELS array is stored in the row data, so
+    // multi-label nodes round-trip losslessly — on read-back only the
+    // derived partition column is dropped, never LABELS
     nodes
       .withColumn("label", element_at(col("LABELS"), 1))
       .write.mode("overwrite").partitionBy("label")
       .parquet(s"$dbDir/nodes")
     rels.write.mode("overwrite").partitionBy("TYPE").parquet(s"$dbDir/rels")
-    val n = spark.read.parquet(s"$dbDir/nodes")
-      .withColumn("LABELS", array(col("label"))).drop("label")
+    val n = spark.read.parquet(s"$dbDir/nodes").drop("label")
     val r = spark.read.parquet(s"$dbDir/rels")
     GraphRef(n, r)
   }

@@ -53,13 +53,19 @@ object Jobs {
       }
     }
     sc.addSparkListener(listener)
+    // register the handle BEFORE the Future can start: onJobStart fires on
+    // the listener bus as soon as the job launches, and a fast job would
+    // otherwise find registry.get(ticket) == null and permanently lose the
+    // Pending → Producing transition
+    val promise = scala.concurrent.Promise[Long]()
+    val handle = new JobHandle(ticket, df, promise.future)
+    registry.put(ticket, handle)
     val fut = Future {
       sc.setJobGroup(ticket, s"graft job $ticket", interruptOnCancel = true)
       try df.count()
       finally sc.clearJobGroup()
     }
-    val handle = new JobHandle(ticket, df, fut)
-    registry.put(ticket, handle)
+    promise.completeWith(fut)
     fut.onComplete { r =>
       handle.state = r.fold(Error(_), _ => Complete)
       sc.removeSparkListener(listener)

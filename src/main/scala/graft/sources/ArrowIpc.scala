@@ -1,15 +1,16 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, OutputStream}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.{BigIntVector, FieldVector, Float4Vector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
-import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.complex.{FixedSizeListVector, ListVector}
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.types._
 
@@ -26,14 +27,21 @@ import org.apache.spark.sql.types._
   *
   * Type envelope mirrors the reference's (§1.2, GdsActionHandler.java:
   * 165-245): int32/int64/float32/float64/utf8 scalars and lists of
-  * int64/float32/float64. Default batch size 1024 rows = the reference's
-  * ARROW_BATCH_SIZE (Config.java:58-61).
+  * int32/int64/float32/float64/utf8. With `fixedSizeArrays=true`, array
+  * columns freeze to `FixedSizeList(n)` from each stream's FIRST record
+  * and every later record is validated against n — the reference's
+  * embedding contract (GdsActionHandler.java:193-220 fixes the list width
+  * from the first row; SURVEY §7.4-4's fail-fast ragged check). Default
+  * batch size 1024 rows = the reference's ARROW_BATCH_SIZE
+  * (Config.java:58-61).
   */
 object ArrowIpc {
 
   val DefaultBatchSize = 1024
 
-  private[sources] def toArrowField(f: StructField): Field = {
+  /** `dims`: array columns to freeze as FixedSizeList(n); absent → List. */
+  private[sources] def toArrowField(f: StructField,
+                                    dims: Map[String, Int] = Map.empty): Field = {
     def leaf(name: String, t: ArrowType): Field =
       new Field(name, FieldType.nullable(t), null)
     f.dataType match {
@@ -46,43 +54,62 @@ object ArrowIpc {
       case StringType  => leaf(f.name, ArrowType.Utf8.INSTANCE)
       case ArrayType(et, _) =>
         val child = et match {
-          case LongType   => leaf("int64", new ArrowType.Int(64, true))
-          case FloatType  =>
+          case IntegerType => leaf("int32", new ArrowType.Int(32, true))
+          case LongType    => leaf("int64", new ArrowType.Int(64, true))
+          case FloatType   =>
             leaf("float32", new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
-          case DoubleType =>
+          case DoubleType  =>
             leaf("float64", new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
-          case StringType => leaf("utf8", ArrowType.Utf8.INSTANCE)
+          case StringType  => leaf("utf8", ArrowType.Utf8.INSTANCE)
           case other => throw new IllegalArgumentException(
             s"unsupported Arrow list element type: $other")
         }
-        new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
-          Seq(child).asJava)
+        dims.get(f.name) match {
+          case Some(n) =>
+            new Field(f.name,
+              FieldType.nullable(new ArrowType.FixedSizeList(n)),
+              Seq(child).asJava)
+          case None =>
+            new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+              Seq(child).asJava)
+        }
       case other => throw new IllegalArgumentException(
         s"unsupported Arrow egress type: $other (reference envelope is " +
           "int/long/float/double/string and lists thereof)")
     }
   }
 
-  def arrowSchema(schema: StructType): Schema =
-    new Schema(schema.fields.map(toArrowField).toSeq.asJava)
+  def arrowSchema(schema: StructType,
+                  dims: Map[String, Int] = Map.empty): Schema =
+    new Schema(schema.fields.map(toArrowField(_, dims)).toSeq.asJava)
 
-  /** S9 — serialize each partition as one Arrow IPC stream (byte blob).
-    * The row→vector transposition is the Spark analog of the reference's
-    * WorkBuffer.convert (WorkBuffer.java:88-201), but lossless: no
-    * backpressure drops (Producer.java:202-230 documents the reference
-    * dropping rows under pressure; a mapPartitions kernel cannot lose
-    * rows). */
-  def toIpcStreams(df: DataFrame,
-                   batchSize: Int = DefaultBatchSize): Dataset[Array[Byte]] = {
-    val sparkSchema = df.schema
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.mapPartitions { rows =>
-      if (rows.isEmpty) Iterator.empty
+  /** Shared egress kernel: stream `rows` as one Arrow IPC stream into
+    * `out`, batch by batch — at no point is more than one record batch
+    * held in memory, so the sink (heap blob or filesystem) decides the
+    * footprint. With `fixedSizeArrays`, list widths freeze from the first
+    * record (null arrays in the first record cannot size the list →
+    * fail fast, matching the reference's first-record contract). */
+  private def writeStream(rows: Iterator[Row], sparkSchema: StructType,
+                          batchSize: Int, fixedSizeArrays: Boolean,
+                          out: OutputStream): Unit = {
+    val it = rows.buffered
+    val dims: Map[String, Int] =
+      if (!fixedSizeArrays) Map.empty
       else {
-        val allocator = new RootAllocator(Long.MaxValue)
-        val root = VectorSchemaRoot.create(arrowSchema(sparkSchema), allocator)
-        val out = new ByteArrayOutputStream()
+        val first = it.head
+        sparkSchema.fields.zipWithIndex.collect {
+          case (f, i) if f.dataType.isInstanceOf[ArrayType] =>
+            require(!first.isNullAt(i),
+              s"cannot freeze FixedSizeList width of '${f.name}': first " +
+                "record is null")
+            f.name -> first.getSeq[Any](i).length
+        }.toMap
+      }
+    val allocator = new RootAllocator(Long.MaxValue)
+    try {
+      val root = VectorSchemaRoot.create(arrowSchema(sparkSchema, dims),
+        allocator)
+      try {
         val writer = new ArrowStreamWriter(root, null, out)
         writer.start()
         val vectors = root.getFieldVectors.asScala.toArray
@@ -93,7 +120,7 @@ object ArrowIpc {
           root.allocateNew()
           n = 0
         }
-        rows.foreach { row =>
+        it.foreach { row =>
           var c = 0
           while (c < vectors.length) {
             appendCell(vectors(c), n, row, c, sparkSchema.fields(c).dataType)
@@ -104,8 +131,28 @@ object ArrowIpc {
         }
         flush()
         writer.end()
-        root.close()
-        allocator.close()
+      } finally root.close()
+    } finally allocator.close()
+  }
+
+  /** S9 — serialize each partition as one Arrow IPC stream (byte blob).
+    * The row→vector transposition is the Spark analog of the reference's
+    * WorkBuffer.convert (WorkBuffer.java:88-201), but lossless: no
+    * backpressure drops (Producer.java:202-230 documents the reference
+    * dropping rows under pressure; a mapPartitions kernel cannot lose
+    * rows). For large partitions prefer [[writeIpcFiles]], which streams
+    * batches straight to the filesystem instead of blobbing the whole
+    * partition on-heap. */
+  def toIpcStreams(df: DataFrame, batchSize: Int = DefaultBatchSize,
+                   fixedSizeArrays: Boolean = false): Dataset[Array[Byte]] = {
+    val sparkSchema = df.schema
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val out = new ByteArrayOutputStream()
+        writeStream(rows, sparkSchema, batchSize, fixedSizeArrays, out)
         Iterator(out.toByteArray)
       }
     }
@@ -116,6 +163,7 @@ object ArrowIpc {
     if (row.isNullAt(col)) {
       v match {
         case lv: ListVector => lv.setNull(idx)
+        case flv: FixedSizeListVector => flv.setNull(idx)
         case iv: IntVector => iv.setNull(idx)
         case bv: BigIntVector => bv.setNull(idx)
         case fv: Float4Vector => fv.setNull(idx)
@@ -137,41 +185,66 @@ object ArrowIpc {
       case (lv: ListVector, ArrayType(et, _)) =>
         val seq = row.getSeq[Any](col)
         val start = lv.startNewValue(idx)
-        val child = lv.getDataVector
-        var i = 0
-        seq.foreach { e =>
-          (child, et) match {
-            case (cb: BigIntVector, LongType) =>
-              cb.setSafe(start + i, e.asInstanceOf[Long])
-            case (cf: Float4Vector, FloatType) =>
-              cf.setSafe(start + i, e.asInstanceOf[Float])
-            case (cd: Float8Vector, DoubleType) =>
-              cd.setSafe(start + i, e.asInstanceOf[Double])
-            case (cs: VarCharVector, StringType) =>
-              cs.setSafe(start + i, e.asInstanceOf[String].getBytes("UTF-8"))
-            case (c, t) => throw new IllegalStateException(s"list $c / $t")
-          }
-          i += 1
-        }
+        appendElements(lv.getDataVector.asInstanceOf[FieldVector], start,
+          seq, et)
         lv.endValue(idx, seq.length)
+      case (flv: FixedSizeListVector, ArrayType(et, _)) =>
+        val seq = row.getSeq[Any](col)
+        val n = flv.getListSize
+        // SURVEY §7.4-4: ragged rows fail fast instead of silently
+        // widening the frozen envelope (reference behavior:
+        // GdsActionHandler.java:193-220)
+        if (seq.length != n) throw new IllegalArgumentException(
+          s"ragged array for FixedSizeList($n) column: got ${seq.length} " +
+            s"elements at row $idx")
+        flv.setNotNull(idx)
+        appendElements(flv.getDataVector.asInstanceOf[FieldVector],
+          idx * n, seq, et)
       case (vec, t) =>
         throw new IllegalStateException(s"cell $vec / $t")
     }
   }
 
+  private def appendElements(child: FieldVector, start: Int, seq: Seq[Any],
+                             et: DataType): Unit = {
+    var i = 0
+    seq.foreach { e =>
+      (child, et) match {
+        case (ci: IntVector, IntegerType) =>
+          ci.setSafe(start + i, e.asInstanceOf[Int])
+        case (cb: BigIntVector, LongType) =>
+          cb.setSafe(start + i, e.asInstanceOf[Long])
+        case (cf: Float4Vector, FloatType) =>
+          cf.setSafe(start + i, e.asInstanceOf[Float])
+        case (cd: Float8Vector, DoubleType) =>
+          cd.setSafe(start + i, e.asInstanceOf[Double])
+        case (cs: VarCharVector, StringType) =>
+          cs.setSafe(start + i, e.asInstanceOf[String].getBytes("UTF-8"))
+        case (c, t) => throw new IllegalStateException(s"list $c / $t")
+      }
+      i += 1
+    }
+  }
+
   /** Persist each partition's IPC stream as one `.arrow` file under `dir`
     * — the on-disk layout [[ArrowIpcSource]] reads back with one input
-    * partition per file. */
+    * partition per file. Batches stream straight to the
+    * `FSDataOutputStream`: a partition of any size writes in O(batchSize)
+    * heap, never as a whole-partition byte array (the 2 GiB array
+    * ceiling / heap blowup a fat partition would otherwise hit). */
   def writeIpcFiles(df: DataFrame, dir: String,
-                    batchSize: Int = DefaultBatchSize): Unit = {
+                    batchSize: Int = DefaultBatchSize,
+                    fixedSizeArrays: Boolean = false): Unit = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.{FileSystem, Path}
-    toIpcStreams(df, batchSize).rdd.mapPartitionsWithIndex { (pid, it) =>
-      it.zipWithIndex.foreach { case (bytes, i) =>
-        val p = new Path(s"$dir/part-$pid-$i.arrow")
+    val sparkSchema = df.schema
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.nonEmpty) {
+        val p = new Path(s"$dir/part-$pid.arrow")
         val fs = FileSystem.get(p.toUri, new Configuration())
         val out = fs.create(p, true)
-        try out.write(bytes) finally out.close()
+        try writeStream(rows, sparkSchema, batchSize, fixedSizeArrays, out)
+        finally out.close()
       }
       Iterator.empty[Int]
     }.count()
@@ -181,35 +254,61 @@ object ArrowIpc {
     * The expected Spark schema must match the streams' Arrow schema (the
     * reference carries the schema in the put-stream itself,
     * BulkImportJob.java:49-51; here the caller states it and we validate
-    * per stream). */
+    * per stream). Validation is at the Spark-type level, so a
+    * FixedSizeList stream loads into the same `array<…>` column a List
+    * stream does. Reader/allocator are closed via a task-completion
+    * listener as well as at end-of-stream, so a downstream `limit` (early
+    * termination) or a schema mismatch cannot leak direct memory. */
   def fromIpcStreams(blobs: Dataset[Array[Byte]],
                      schema: StructType): DataFrame = {
     val spark = blobs.sparkSession
-    val expected = arrowSchema(schema).toJson
+    val expected = comparableSchema(schema)
     val rows = blobs.rdd.flatMap { bytes =>
       val allocator = new RootAllocator(Long.MaxValue)
       val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes),
         allocator)
-      val root = reader.getVectorSchemaRoot
-      require(root.getSchema.toJson == expected,
-        s"stream schema ${root.getSchema} != expected")
-      val out = Iterator.unfold(()) { _ =>
-        if (reader.loadNextBatch()) {
-          val fields = root.getFieldVectors.asScala.toSeq
-          val batch = (0 until root.getRowCount).map { i =>
-            Row.fromSeq(fields.map(readCell(_, i)))
-          }
-          Some((batch, ()))
-        } else {
-          reader.close()
-          allocator.close()
-          None
-        }
+      var closed = false
+      def closeAll(): Unit = if (!closed) {
+        closed = true
+        reader.close()
+        allocator.close()
       }
-      out.flatten
+      Option(TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+      try {
+        val root = reader.getVectorSchemaRoot
+        val got = ArrowIpcSource.sparkSchema(root.getSchema)
+        require(comparableSchema(got) == expected,
+          s"stream schema ${root.getSchema} != expected $schema")
+        Iterator.unfold(()) { _ =>
+          if (reader.loadNextBatch()) {
+            val fields = root.getFieldVectors.asScala.toSeq
+            val batch = (0 until root.getRowCount).map { i =>
+              Row.fromSeq(fields.map(readCell(_, i)))
+            }
+            Some((batch, ()))
+          } else {
+            closeAll()
+            None
+          }
+        }.flatten
+      } catch {
+        case e: Throwable => closeAll(); throw e
+      }
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** (name, type) pairs with nullability erased — the comparison contract
+    * for stream-vs-expected schemas. */
+  private def comparableSchema(s: StructType): Seq[(String, DataType)] =
+    s.fields.toSeq.map { f =>
+      val dt = f.dataType match {
+        case ArrayType(et, _) => ArrayType(et, containsNull = true)
+        case t => t
+      }
+      (f.name, dt)
+    }
 
   private def readCell(v: FieldVector, i: Int): Any = {
     if (v.isNull(i)) null
@@ -222,6 +321,10 @@ object ArrowIpc {
       case lv: ListVector =>
         val child = lv.getDataVector
         (lv.getElementStartIndex(i) until lv.getElementEndIndex(i))
+          .map(j => readCell(child.asInstanceOf[FieldVector], j))
+      case flv: FixedSizeListVector =>
+        val child = flv.getDataVector
+        (flv.getElementStartIndex(i) until flv.getElementEndIndex(i))
           .map(j => readCell(child.asInstanceOf[FieldVector], j))
       case other => throw new IllegalStateException(s"vector $other")
     }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.{BigIntVector, FieldVector, Float4Vector, Float8Vector, IntVector, VarCharVector}
-import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.complex.{FixedSizeListVector, ListVector}
 import org.apache.arrow.vector.ipc.ArrowStreamReader
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
@@ -93,6 +93,12 @@ object ArrowIpcSource {
     }
     f.getType match {
       case _: ArrowType.List =>
+        val child = f.getChildren.get(0)
+        StructField(f.getName, ArrayType(scalar(child.getType)),
+          nullable = true)
+      case _: ArrowType.FixedSizeList =>
+        // the reference's frozen embedding envelope
+        // (GdsActionHandler.java:193-220) — loads as a plain array column
         val child = f.getChildren.get(0)
         StructField(f.getName, ArrayType(scalar(child.getType)),
           nullable = true)
@@ -187,6 +193,11 @@ final class ArrowIpcPartitionReader(file: String, schema: StructType)
         val child = lv.getDataVector.asInstanceOf[FieldVector]
         new GenericArrayData(
           (lv.getElementStartIndex(i) until lv.getElementEndIndex(i))
+            .map(j => readCatalyst(child, j)).toArray)
+      case flv: FixedSizeListVector =>
+        val child = flv.getDataVector.asInstanceOf[FieldVector]
+        new GenericArrayData(
+          (flv.getElementStartIndex(i) until flv.getElementEndIndex(i))
             .map(j => readCatalyst(child, j)).toArray)
       case other => throw new IllegalStateException(s"vector $other")
     }

@@ -18,16 +18,32 @@ case class SessionSummary(user_id: Long, session_start: Timestamp,
   * moment a gap is observed in-stream, and flush dangling sessions by
   * event-time timeout when the watermark passes last+gap). State per user
   * is a constant-size [[SessionBuf]]; eviction is driven by the watermark,
-  * so a 100 TB/day stream holds one tiny buffer per active user. */
+  * so a 100 TB/day stream holds one tiny buffer per active user.
+  *
+  * All gap arithmetic is exact MICROSECONDS ([[SessionBuf]] stores epoch
+  * micros): `Timestamp.getTime` truncates to milliseconds, and a gap
+  * straddling the threshold inside one millisecond would silently split
+  * sessions differently from the micros-exact batch twin
+  * (operators.Sessionize / the DuckDB oracle). */
 object StatefulSessions {
 
   def sessions(events: Dataset[UserEvent], gapMs: Long,
                watermark: String = "2 hours"): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
 
+    // local defs: the stateful closure must capture only serializable
+    // locals, never the enclosing module
+    def micros(t: Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    def tsOf(us: Long): Timestamp =
+      Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000))
     def summary(user: Long, b: SessionBuf): SessionSummary =
-      SessionSummary(user, new Timestamp(b.start), new Timestamp(b.last), b.n)
+      SessionSummary(user, tsOf(b.start), tsOf(b.last), b.n)
 
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -39,12 +55,12 @@ object StatefulSessions {
             state.remove()
             Iterator(summary(user, b))
           } else {
-            val times = evs.map(_.ts.getTime).toSeq.sorted
+            val times = evs.map(e => micros(e.ts)).toSeq.sorted
             val out = ArrayBuffer.empty[SessionSummary]
             var buf = state.getOption
             times.foreach { t =>
               buf = buf match {
-                case Some(b) if t - b.last > gapMs =>
+                case Some(b) if t - b.last > gapUs =>
                   out += summary(user, b)
                   Some(SessionBuf(t, t, 1))
                 case Some(b) =>
@@ -54,7 +70,9 @@ object StatefulSessions {
             }
             buf.foreach { b =>
               state.update(b)
-              state.setTimeoutTimestamp(b.last + gapMs)
+              // timeout API is millisecond-granular: round UP so the flush
+              // never fires a microsecond early
+              state.setTimeoutTimestamp(Math.floorDiv(b.last + gapUs, 1000L) + 1)
             }
             out.iterator
           }

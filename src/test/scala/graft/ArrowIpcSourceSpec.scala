@@ -42,6 +42,40 @@ class ArrowIpcSourceSpec extends AnyFunSuite {
     assert(got == want && got > 0)
   }
 
+  test("fixed-size-list files read back via DSv2 as plain array columns") {
+    val dir = Files.createTempDirectory("graft_ipc_fsl").toString
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("id", "embedding").repartition(2)
+    ArrowIpc.writeIpcFiles(df, dir, fixedSizeArrays = true)
+    val back = spark.read.format(format).load(dir)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("multi-batch file streams to the filesystem and reads back whole") {
+    // 2500 rows / batchSize 512 -> 5 record batches in ONE file, written
+    // batch-by-batch (never a whole-partition blob on heap)
+    val dir = Files.createTempDirectory("graft_ipc_multi").toString
+    val df = spark.range(2500)
+      .select(col("id"), array(col("id").cast("int")).as("xs")).coalesce(1)
+    ArrowIpc.writeIpcFiles(df, dir, batchSize = 512)
+    val back = spark.read.format(format).load(dir)
+    assert(back.count() == 2500)
+    assert(back.agg(sum("id")).as[Long].head() ==
+      2500L * 2499 / 2)
+  }
+
+  test("early termination (limit) does not wedge the ingest path") {
+    // exercises the task-completion close path in fromIpcStreams: the
+    // unfold never reaches end-of-stream, so cleanup must come from the
+    // completion listener
+    val df = spark.range(5000)
+      .select(col("id"), concat(lit("r"), col("id")).as("name")).coalesce(1)
+    val blobs = ArrowIpc.toIpcStreams(df, batchSize = 256)
+    val few = ArrowIpc.fromIpcStreams(blobs, df.schema).limit(3).collect()
+    assert(few.length == 3)
+  }
+
   test("empty directory fails fast at schema inference") {
     val dir = Files.createTempDirectory("graft_ipc_empty").toString
     val ex = intercept[IllegalArgumentException](

@@ -56,6 +56,45 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(messages.contains("unsupported"))
   }
 
+  test("fixedSizeArrays freezes the embedding column as FixedSizeList(n)") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("id", "embedding").coalesce(1)
+    val blob = ArrowIpc.toIpcStreams(df, fixedSizeArrays = true)
+      .collect().head
+    val allocator = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(blob), allocator)
+    val arrowType = reader.getVectorSchemaRoot.getSchema
+      .findField("embedding").getType
+    reader.close(); allocator.close()
+    assert(arrowType ==
+      new org.apache.arrow.vector.types.pojo.ArrowType.FixedSizeList(3),
+      s"got $arrowType")
+    // and it loads back into the same array column
+    val back = ArrowIpc.fromIpcStreams(
+      ArrowIpc.toIpcStreams(df, fixedSizeArrays = true), df.schema)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("fixedSizeArrays fails fast on a ragged row") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f)))
+      .toDF("id", "embedding").coalesce(1)
+    val ex = intercept[Throwable](
+      ArrowIpc.toIpcStreams(df, fixedSizeArrays = true).count())
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("ragged"), messages)
+  }
+
+  test("array<int> round-trips (int32 list elements)") {
+    val df = Seq((1L, Seq(1, 2, 3)), (2L, Seq.empty[Int]))
+      .toDF("id", "xs").coalesce(1)
+    val back = ArrowIpc.fromIpcStreams(ArrowIpc.toIpcStreams(df), df.schema)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("canonical graph node table exports losslessly") {
     val nodes = Seq(
       (1L, Seq("User"), "ann"), (2L, Seq("User", "Admin"), "bob"))

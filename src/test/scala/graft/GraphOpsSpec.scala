@@ -90,6 +90,21 @@ class GraphOpsSpec extends AnyFunSuite {
     val labels = back.nodes.select(explode(col("LABELS"))).as[String]
       .collect().toSet
     assert(labels == Set("User", "Bot"))
+    // multi-label nodes keep their FULL label array through the round-trip
+    // (the partition dir keys on the first label only)
+    val eve = back.nodes.where(col("ID") === 3L)
+      .select(col("LABELS")).as[Seq[String]].head()
+    assert(eve == Seq("Bot", "User"))
+  }
+
+  test("submitted job is visible in the registry before it can start") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // regression: the handle must be registered before the Future launches,
+    // or a fast job's onJobStart finds no handle and Pending→Producing is
+    // lost; status(ticket) must never be None for a just-submitted job
+    val h = Jobs.submit(nodes)
+    assert(Jobs.status(h.ticket).isDefined)
+    h.await()
   }
 
   test("job lifecycle reaches COMPLETE with a ticket") {
