@@ -193,6 +193,26 @@ object SparkEntry {
     "sql_q10" -> ((s, dir) => {
       TpchGraph.registerViews(s, dir)
       s.sql(SqlQ10)
+    }),
+    "sql_q4" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ4)
+    }),
+    "sql_q6" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ6)
+    }),
+    "sql_q12" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ12)
+    }),
+    "sql_q14" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ14)
+    }),
+    "sql_q19" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ19)
     })
   )
 
@@ -240,6 +260,69 @@ object SparkEntry {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q4 analog — correlated EXISTS (late-shipped orders per
+    * priority; the synthetic lineitem has no commitdate/receiptdate, so
+    * lateness = shipped after the order date). */
+  private val SqlQ4: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q6 — forecast revenue change (selective scan, no join). */
+  private val SqlQ6: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q12 analog — shipping-priority conditional counts (the
+    * synthetic schema has no shipmode; grouping by returnflag keeps the
+    * CASE-aggregation shape). */
+  private val SqlQ12: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** TPC-H Q14 — promo revenue share (conditional ratio aggregate). */
+  private val SqlQ14: String =
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+      |  count(*) AS n
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q19 — disjunctive brand/size/quantity predicate (OR-of-ANDs
+    * pushdown shape). */
+  private val SqlQ19: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity >= 1 AND l_quantity <= 11)
+      |    OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+      |        AND l_quantity >= 10 AND l_quantity <= 20)
+      |    OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 5
+      |        AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -365,6 +448,11 @@ object SparkEntry {
     "sql_q1" -> SqlQ1,
     "sql_q5" -> SqlQ5,
     "sql_q10" -> SqlQ10,
+    "sql_q4" -> SqlQ4,
+    "sql_q6" -> SqlQ6,
+    "sql_q12" -> SqlQ12,
+    "sql_q14" -> SqlQ14,
+    "sql_q19" -> SqlQ19,
     "khop_3" ->
       s"""WITH $RelsCte,
          |e AS (SELECT start_id AS src, end_id AS dst FROM rels
