@@ -18,6 +18,30 @@ object QueriesRelational {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Shared oracle for both streaming sessionization gates (the old and
+    * new stateful APIs must produce the identical session set): full batch
+    * sessionization per user with session-boundary micros in the
+    * checksum. */
+  private val SessionStreamOracle: String =
+    """WITH l AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, tus,
+      |         sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |             THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |           ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM l),
+      |sess AS (
+      |  SELECT user_id, sid, min(tus) AS s, max(tus) AS e, count(*) AS n
+      |  FROM f GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       CAST(sum(n) AS BIGINT) AS n_events,
+      |       CAST(sum(s + e) AS BIGINT) AS checksum
+      |FROM sess GROUP BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- joins -----------------------------------------------------------
@@ -220,6 +244,44 @@ object QueriesRelational {
             unix_micros(col("session_end"))).as("checksum"))
     }),
 
+    // same contract through Spark 4's transformWithState (typed named
+    // state + event-time timers on RocksDB column families) — the
+    // successor API to flatMapGroupsWithState, under the same oracle
+    "sessionize_tws" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val gapMs = 1800L * 1000L
+      val e = table(s, dir, "events").select(col("user_id"), col("ts"))
+      val maxUs = e.agg(max(unix_micros(col("ts")))).as[Long].head()
+      val aug = e.unionByName(e.select(col("user_id")).distinct()
+        .withColumn("ts", timestamp_micros(lit(maxUs + 2 * gapMs * 1000L))))
+      val tmp = s"/tmp/graft_tws_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      aug.write.mode("overwrite").parquet(tmp)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema(aug.schema).parquet(tmp)
+        val sessions = graft.streaming.StatefulSessionsTws.sessions(
+          stream.as[graft.streaming.UserEvent], gapMs = gapMs,
+          watermark = "0 seconds")
+        val qname = s"graft_sessionize_tws_${System.nanoTime()}"
+        val q = sessions.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qname)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            sum(unix_micros(col("session_start")) +
+              unix_micros(col("session_end"))).as("checksum"))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // ---- scalar functions (dates) ----------------------------------------
     "date_functions" -> ((s, dir) =>
       table(s, dir, "orders")
@@ -363,25 +425,8 @@ object QueriesRelational {
         |SELECT user_id, CAST(sum(newflag) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM f GROUP BY user_id""".stripMargin,
-    "sessionize_stream" ->
-      """WITH l AS (
-        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
-        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
-        |           ORDER BY epoch_us(ts), event_id) AS prev
-        |  FROM events),
-        |f AS (
-        |  SELECT user_id, tus,
-        |         sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
-        |             THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
-        |           ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM l),
-        |sess AS (
-        |  SELECT user_id, sid, min(tus) AS s, max(tus) AS e, count(*) AS n
-        |  FROM f GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_sessions,
-        |       CAST(sum(n) AS BIGINT) AS n_events,
-        |       CAST(sum(s + e) AS BIGINT) AS checksum
-        |FROM sess GROUP BY user_id""".stripMargin,
+    "sessionize_stream" -> SessionStreamOracle,
+    "sessionize_tws" -> SessionStreamOracle,
     "date_functions" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |       CAST(quarter(o_orderdate) AS BIGINT) AS q,

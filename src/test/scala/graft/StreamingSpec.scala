@@ -90,6 +90,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessions: gap split + event-time timer flush") {
+    import graft.streaming.{StatefulSessionsTws, UserEvent}
+    implicit val sql = spark.sqlContext
+    // transformWithState needs multi-column-family state → RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[UserEvent]
+    val q = StatefulSessionsTws.sessions(in.toDS(), gapMs = 30 * 60000L,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("tws_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(UserEvent(1, ts(0)), UserEvent(1, ts(10)))
+      q.processAllAvailable()
+      // gap of 50min inside the stream -> first session emitted eagerly
+      in.addData(UserEvent(1, ts(60)))
+      q.processAllAvailable()
+      val eager = spark.table("tws_sessions")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      assert(eager.toSeq == Seq((1L, ts(0), ts(10), 2L)))
+      // watermark far past last+gap -> dangling session flushed by TIMER
+      in.addData(UserEvent(2, ts(600)))
+      q.processAllAvailable()
+      in.addData(UserEvent(2, ts(601)))
+      q.processAllAvailable()
+      val all = spark.table("tws_sessions")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      assert(all.contains((1L, ts(60), ts(60), 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream join attributes purchases within the horizon") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[StreamEv]
