@@ -12,7 +12,9 @@ import graft.sources.ArrowIpc
   * (avg best-3) over Flight between two GCP VMs; here the same payload is
   * serialized to Arrow IPC per partition on local[32]. The synthetic
   * payload replicates their synthetic benchmark (deterministic, not part
-  * of the oracle gate). Prints one JSON line per run.
+  * of the oracle gate). Prints one JSON line per run; the second line is
+  * the same payload frozen as FixedSizeList(256) — the reference's actual
+  * embedding envelope (GdsActionHandler.java:193-220).
   */
 object ArrowBench {
   def main(args: Array[String]): Unit = {
@@ -30,17 +32,21 @@ object ArrowBench {
 
     // warm-up then best-of-3, the reference's methodology
     // (speed/26-aug-2021/README.md:44-71)
-    def run(): (Double, Long) = {
+    def run(fixed: Boolean): (Double, Long) = {
       val t0 = System.nanoTime()
-      val nStreams = ArrowIpc.toIpcStreams(df).count()
+      val nStreams = ArrowIpc.toIpcStreams(df, fixedSizeArrays = fixed).count()
       ((System.nanoTime() - t0) / 1e9, nStreams)
     }
-    run()
-    val runs = (1 to 3).map(_ => run())
-    val best = runs.map(_._1).min
-    println(f"""{"metric":"arrow-egress","rows":$rows,"dim":$dim,""" +
-      f""""best_sec":$best%.2f,"rows_per_sec":${(rows / best).toLong},""" +
-      f""""runs_sec":[${runs.map(r => f"${r._1}%.2f").mkString(",")}]}""")
+    for (fixed <- Seq(false, true)) {
+      run(fixed)
+      val runs = (1 to 3).map(_ => run(fixed))
+      val best = runs.map(_._1).min
+      val env = if (fixed) "fixedsizelist" else "list"
+      println(f"""{"metric":"arrow-egress","envelope":"$env","rows":$rows,""" +
+        f""""dim":$dim,"best_sec":$best%.2f,""" +
+        f""""rows_per_sec":${(rows / best).toLong},""" +
+        f""""runs_sec":[${runs.map(r => f"${r._1}%.2f").mkString(",")}]}""")
+    }
     spark.stop()
   }
 }
