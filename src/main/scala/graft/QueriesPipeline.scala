@@ -53,6 +53,14 @@ object QueriesPipeline {
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     }),
+    // trained variant: 2 Lloyd iterations of integer-quantized k-means
+    // (exact in both engines), then the probe+rank pipeline
+    "sim_ivf_trained" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTrainedTopK(e, e.where(col("vec_id") < 10), k = 5,
+          iters = 2)
+        .select(col("qid"), col("nid"), col("sim"), col("rn"))
+    }),
 
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
@@ -282,6 +290,58 @@ object QueriesPipeline {
         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
         |    ORDER BY sim DESC, nid) AS rn FROM s) t
         |WHERE rn <= 5""".stripMargin,
+    "sim_ivf_trained" -> {
+      // mirrors Similarity.ivfTrainedTopK exactly: integer-quantized
+      // k-means (2 Lloyd iterations unrolled), integer-distance probe,
+      // exact cosine ranking. Every training step is int64-exact so the
+      // engines cannot diverge.
+      val dim = 64
+      val dimP1 = dim + 1
+      def qd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, $dimP1), " +
+          s"j -> ($a.qv[j] - $b.qc[j]) * ($a.qv[j] - $b.qc[j])))"
+      def assign(out: String, centTbl: String) =
+        s"""$out AS (SELECT vec_id, qv, cid FROM (
+           |  SELECT q.vec_id, q.qv, c.cid,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${qd("q", "c")}, c.cid) AS rn
+           |  FROM q, $centTbl c) t WHERE rn = 1)""".stripMargin
+      def update(aTbl: String, uOut: String, cOut: String) =
+        s"""$uOut AS (SELECT cid, j,
+           |  CAST(floor(CAST(sum(qv[j]) AS DOUBLE) / count(*)) AS BIGINT)
+           |    AS cj
+           |  FROM $aTbl, range(1, $dimP1) t(j) GROUP BY cid, j),
+           |$cOut AS (SELECT cid, list(cj ORDER BY j) AS qc
+           |          FROM $uOut GROUP BY cid)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |          AS qv
+         |      FROM e),
+         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id % 97 = 0),
+         |${assign("a1", "c0")},
+         |${update("a1", "u1", "c1")},
+         |${assign("a2", "c1")},
+         |${update("a2", "u2", "c2")},
+         |${assign("af", "c2")},
+         |qq AS (SELECT q.vec_id AS qid, q.qv, e.v AS qe
+         |       FROM q JOIN e USING (vec_id) WHERE q.vec_id < 10),
+         |probe AS (SELECT qid, qe, cid FROM (
+         |  SELECT qq.qid, qq.qe, c.cid,
+         |    row_number() OVER (PARTITION BY qq.qid
+         |      ORDER BY ${qd("qq", "c")}, c.cid) AS crn
+         |  FROM qq, c2 c) t WHERE crn <= 2),
+         |s AS (SELECT p.qid, a.vec_id AS nid,
+         |        round(list_cosine_similarity(p.qe, e2.v), 6) AS sim
+         |      FROM probe p
+         |      JOIN af a USING (cid)
+         |      JOIN e e2 ON e2.vec_id = a.vec_id
+         |      WHERE a.vec_id != p.qid)
+         |SELECT qid, nid, sim, rn FROM (
+         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, nid) AS rn FROM s) t
+         |WHERE rn <= 5""".stripMargin
+    },
     "text_quality" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents)

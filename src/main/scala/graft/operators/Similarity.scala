@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,6 +99,101 @@ object Similarity {
       // cells partition the corpus, so no dedup needed
     // final ranking: same bounded partial top-k as [[bruteTopK]] — the
     // probed subset is nprobe/|C| of the corpus but still grows with N
+    TopK.perKey(scored, key = "qid", ord = "sim", tiebreak = "nid",
+        payload = "nid", k = k)
+      .select(col("qid"), col("nid"), col("sim"), col("rn"))
+  }
+
+  /** Integer quantization shared by the trained-IVF path (and by
+    * `Dedup.embeddingNearDupLsh`): round(x·1000) per component. All
+    * downstream k-means arithmetic stays in exact int64, which is what
+    * lets the WHOLE training loop sit under an exact cross-engine
+    * oracle — float centroid means would differ in the last ulp between
+    * engines (summation order) and flip assignments. */
+  private def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1000).cast("long")).as("qv"))
+
+  /** Exact integer squared L2 distance between quantized vectors. */
+  private def qdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Nearest-centroid assignment over quantized vectors: broadcast the
+    * (small) centroid table, map-side argmin via min(struct(dist, cid))
+    * — rows of one vec_id never cross a partition after a broadcast
+    * join, so the partial aggregate collapses N×C to N pre-shuffle. */
+  private def assignQuantized(q: DataFrame, cent: DataFrame): DataFrame =
+    q.join(broadcast(cent), lit(true))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(qdist(col("qv"), col("qc")).as("d"),
+        col("cid").as("cid"))).as("best"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"), col("best.cid").as("cid"))
+
+  /** Lloyd k-means over integer-quantized embeddings. Deterministic init
+    * (vec_id % initMod == 0); each iteration is one broadcast-assign +
+    * one per-dimension integer mean (floor of the correctly-rounded
+    * double quotient — exact and identical cross-engine at these
+    * magnitudes). Cells that lose all members drop out (k may shrink;
+    * deterministic, since assignments are exact). Returns (cid, qc).
+    *
+    * Scale shape: the centroid table is k rows (broadcast); assignment
+    * is a narrow map over the corpus; the update is one shuffle keyed by
+    * (cid, dim) with map-side partial sums — the standard distributed
+    * Lloyd step. */
+  def kmeansQuantized(corpus: DataFrame, iters: Int,
+                      initMod: Int = 97): DataFrame = {
+    val q = quantized(corpus)
+    var cent = q.where(col("vec_id") % initMod === 0)
+      .select(col("vec_id").as("cid"), col("qv").as("qc"))
+    for (_ <- 1 to iters) {
+      val assigned = assignQuantized(q, cent)
+      cent = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+          .cast("long").as("c"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("qc"))
+    }
+    cent
+  }
+
+  /** IVF with TRAINED centroids: quantized k-means (exact, see
+    * [[kmeansQuantized]]), corpus assigned to trained cells by integer
+    * distance, queries probe the `nprobe` nearest cells by the same
+    * integer distance (deterministic probe selection — no float
+    * tie ambiguity), exact cosine ranking within the probed cells via
+    * the bounded [[TopK.perKey]] aggregate. */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     iters: Int = 2, initMod: Int = 97,
+                     nprobe: Int = 2): DataFrame = {
+    val cent = kmeansQuantized(corpus, iters, initMod)
+    val assigned = assignQuantized(quantized(corpus), cent)
+      .select(col("vec_id").as("nid"), col("cid"))
+      .join(corpus.select(col("vec_id").as("nid"),
+        asDouble(col("embedding")).as("ce")), "nid")
+    val qq = quantized(queries)
+      .join(queries.select(col("vec_id"),
+        asDouble(col("embedding")).as("qe")), "vec_id")
+      .select(col("vec_id").as("qid"), col("qv"), col("qe"))
+    val probed = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(qdist(col("qv"), col("qc")), col("cid"))
+      qq.join(broadcast(cent), lit(true))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= nprobe)
+        .select(col("qid"), col("qe"), col("cid"))
+    }
+    val scored = probed.join(assigned, Seq("cid"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosineFast(col("qe"), col("ce")), 6).as("sim"))
+      .where(col("sim").isNotNull)
     TopK.perKey(scored, key = "qid", ord = "sim", tiebreak = "nid",
         payload = "nid", k = k)
       .select(col("qid"), col("nid"), col("sim"), col("rn"))

@@ -56,6 +56,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!top.contains(9L) && top == Set(1L, 2L, 3L))
   }
 
+  test("quantized k-means separates two blobs with exact integer centroids") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    // seeds: vec 0 and vec 3 (ids % 3 == 0) — one per blob
+    val cents = Similarity.kmeansQuantized(e, iters = 2, initMod = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(cents.keySet == Set(0L, 3L))
+    // blob means in quantized space: floor(2850/3)=950, floor(150/3)=50
+    assert(cents(0L) == Seq(950L, 50L))
+    assert(cents(3L) == Seq(50L, 950L))
+  }
+
+  test("trained ivf with all-centroid init and full probe reduces to exact") {
+    val top = Similarity.ivfTrainedTopK(emb,
+        emb.where(col("vec_id") === 0), k = 3,
+        iters = 1, initMod = 1, nprobe = 4)
+      .select("nid", "rn").as[(Long, Long)].collect().sortBy(_._2)
+    assert(top.map(_._1).toSeq == Seq(2L, 1L, 3L))
+  }
+
   test("ivf with every vector a centroid reduces to exact search") {
     val top = Similarity.ivfTopK(emb, emb.where(col("vec_id") === 0), k = 3,
         centroidMod = 1, nprobe = 4)
