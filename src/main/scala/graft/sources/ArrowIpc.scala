@@ -207,22 +207,45 @@ object ArrowIpc {
 
   private def appendElements(child: FieldVector, start: Int, seq: Seq[Any],
                              et: DataType): Unit = {
-    var i = 0
-    seq.foreach { e =>
-      (child, et) match {
-        case (ci: IntVector, IntegerType) =>
-          ci.setSafe(start + i, e.asInstanceOf[Int])
-        case (cb: BigIntVector, LongType) =>
-          cb.setSafe(start + i, e.asInstanceOf[Long])
-        case (cf: Float4Vector, FloatType) =>
-          cf.setSafe(start + i, e.asInstanceOf[Float])
-        case (cd: Float8Vector, DoubleType) =>
-          cd.setSafe(start + i, e.asInstanceOf[Double])
-        case (cs: VarCharVector, StringType) =>
-          cs.setSafe(start + i, e.asInstanceOf[String].getBytes("UTF-8"))
-        case (c, t) => throw new IllegalStateException(s"list $c / $t")
-      }
-      i += 1
+    import scala.collection.immutable.ArraySeq
+    // fast paths: Catalyst hands primitive arrays back as ArraySeq.ofX —
+    // write straight from the backing array, no per-element boxing or
+    // type dispatch (the hot loop of the float[256] embedding workload)
+    (child, seq) match {
+      case (cf: Float4Vector, ws: ArraySeq.ofFloat) =>
+        val a = ws.unsafeArray
+        var i = 0
+        while (i < a.length) { cf.setSafe(start + i, a(i)); i += 1 }
+      case (cd: Float8Vector, ws: ArraySeq.ofDouble) =>
+        val a = ws.unsafeArray
+        var i = 0
+        while (i < a.length) { cd.setSafe(start + i, a(i)); i += 1 }
+      case (cb: BigIntVector, ws: ArraySeq.ofLong) =>
+        val a = ws.unsafeArray
+        var i = 0
+        while (i < a.length) { cb.setSafe(start + i, a(i)); i += 1 }
+      case (ci: IntVector, ws: ArraySeq.ofInt) =>
+        val a = ws.unsafeArray
+        var i = 0
+        while (i < a.length) { ci.setSafe(start + i, a(i)); i += 1 }
+      case _ =>
+        var i = 0
+        seq.foreach { e =>
+          (child, et) match {
+            case (ci: IntVector, IntegerType) =>
+              ci.setSafe(start + i, e.asInstanceOf[Int])
+            case (cb: BigIntVector, LongType) =>
+              cb.setSafe(start + i, e.asInstanceOf[Long])
+            case (cf: Float4Vector, FloatType) =>
+              cf.setSafe(start + i, e.asInstanceOf[Float])
+            case (cd: Float8Vector, DoubleType) =>
+              cd.setSafe(start + i, e.asInstanceOf[Double])
+            case (cs: VarCharVector, StringType) =>
+              cs.setSafe(start + i, e.asInstanceOf[String].getBytes("UTF-8"))
+            case (c, t) => throw new IllegalStateException(s"list $c / $t")
+          }
+          i += 1
+        }
     }
   }
 

@@ -26,9 +26,14 @@ object ArrowBench {
 
     val rows = 1892751L
     val dim = 256
+    // cache the payload: the reference's measurement is transport-only
+    // (data pre-materialized in GDS memory) — without the cache, the
+    // interpreted array generation dominates and hides serialization
     val df = spark.range(rows).select(col("id"),
       transform(sequence(lit(0), lit(dim - 1)),
         i => ((col("id") + i) % 997).cast("float") / 997.0f).as("embedding"))
+      .persist()
+    df.count()
 
     // warm-up then best-of-3, the reference's methodology
     // (speed/26-aug-2021/README.md:44-71)
