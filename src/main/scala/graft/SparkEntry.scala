@@ -179,6 +179,27 @@ object SparkEntry {
       back.groupBy(col("label")).agg(count(lit(1)).as("n"),
         count(col("name")).as("n_named"))
     }),
+    // S11: neo4j-admin CSV dialect round-trip under the gate — export
+    // customers with `name:type(idspace)` headers, re-import through the
+    // header parser, checksum against the raw table (id sums + double
+    // round-trip through CSV text)
+    "csv_import" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      TpchGraph.table(s, dir, "customer")
+        .select(col("c_custkey").as("id:ID(Customer)"),
+          lit("Customer").as(":LABEL"),
+          col("c_name").as("name:string"),
+          col("c_acctbal").as("acctbal:double"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      graft.sources.CsvGraphImport.readNodes(s, tmp)
+        .select(col("ID"), element_at(col("LABELS"), 1).as("label"),
+          col("acctbal"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("acctbal")), 2).as("sum_acctbal"),
+          sum(col("ID")).as("id_sum"))
+    }),
     // S3: "cypher.read" analog — arbitrary query delegated to the SQL engine
     // (the reference delegates to Neo4j, TransactionApiJob.java:56-85; we
     // delegate to Catalyst). TPC-H Q1 shape.
@@ -213,6 +234,14 @@ object SparkEntry {
     "sql_q19" -> ((s, dir) => {
       TpchGraph.registerViews(s, dir)
       s.sql(SqlQ19)
+    }),
+    "sql_q7" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ7)
+    }),
+    "sql_q17" -> ((s, dir) => {
+      TpchGraph.registerViews(s, dir)
+      s.sql(SqlQ17)
     })
   )
 
@@ -323,6 +352,37 @@ object SparkEntry {
       |        AND l_quantity >= 10 AND l_quantity <= 20)
       |    OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 5
       |        AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
+
+  /** TPC-H Q7 — volume shipping between two nation pairs (self-joined
+    * dimension, OR of symmetric pairs, per-year rollup). */
+  private val SqlQ7: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  round(sum(volume), 2) AS revenue, count(*) AS n
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |             l_extendedprice * (1 - l_discount) AS volume
+      |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |        AND c_nationkey = n2.n_nationkey
+      |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') t
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q17 analog — small-quantity revenue with a CORRELATED scalar
+    * subquery (per-part average threshold). l_quantity is integer-valued,
+    * so the avg is an exact sum/count in both engines — the correlated
+    * comparison cannot diverge in the last ulp. */
+  private val SqlQ17: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      |  count(*) AS n
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+      |  AND p_size = 10
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -453,6 +513,8 @@ object SparkEntry {
     "sql_q12" -> SqlQ12,
     "sql_q14" -> SqlQ14,
     "sql_q19" -> SqlQ19,
+    "sql_q7" -> SqlQ7,
+    "sql_q17" -> SqlQ17,
     "khop_3" ->
       s"""WITH $RelsCte,
          |e AS (SELECT start_id AS src, end_id AS dst FROM rels
@@ -476,6 +538,11 @@ object SparkEntry {
          |SELECT origin, count(*) AS n_edges,
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
+    "csv_import" ->
+      """SELECT 'Customer' AS label, count(*) AS n,
+        |       round(sum(c_acctbal), 2) AS sum_acctbal,
+        |       CAST(sum(c_custkey) AS BIGINT) AS id_sum
+        |FROM customer""".stripMargin,
     "khop_dense_hot" ->
       s"""WITH $RelsCte,
          |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels
