@@ -18,6 +18,49 @@ object QueriesRelational {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Watermark delay for the streaming sessionization gates: wider than
+    * the whole event-time range, so correctness does NOT depend on the
+    * file source packing everything into one microbatch — if the sentinel
+    * files happened to process first, a short watermark would advance
+    * past every real event and drop it as late. Sessions close via the
+    * in-stream sentinel gap, never via the watermark, so the huge delay
+    * costs nothing. */
+  private val SessionStreamWatermark = "87600 hours"
+
+  /** Shared harness for the streaming sessionization gates: per-user
+    * sentinel 2×gap past the global max ts (closes every real session
+    * in-stream; the sentinel's own session is never emitted), one
+    * AvailableNow file-stream pass through `sessionsFn` into a memory
+    * sink, aggregated to the oracle's (user_id, n_sessions, n_events,
+    * checksum) shape. */
+  private def sessionizeStreamGate(s: SparkSession, dir: String, tag: String)(
+      sessionsFn: (org.apache.spark.sql.Dataset[graft.streaming.UserEvent],
+        Long) => org.apache.spark.sql.Dataset[graft.streaming.SessionSummary])
+      : DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val gapMs = 1800L * 1000L
+    val e = table(s, dir, "events").select(col("user_id"), col("ts"))
+    val maxUs = e.agg(max(unix_micros(col("ts")))).as[Long].head()
+    val aug = e.unionByName(e.select(col("user_id")).distinct()
+      .withColumn("ts", timestamp_micros(lit(maxUs + 2 * gapMs * 1000L))))
+    val tmp = s"/tmp/graft_${tag}_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    aug.write.mode("overwrite").parquet(tmp)
+    val stream = s.readStream.schema(aug.schema).parquet(tmp)
+    val sessions = sessionsFn(
+      stream.as[graft.streaming.UserEvent], gapMs)
+    val qname = s"graft_sessionize_${tag}_${System.nanoTime()}"
+    val q = sessions.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qname)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(unix_micros(col("session_start")) +
+          unix_micros(col("session_end"))).as("checksum"))
+  }
+
   /** Shared oracle for both streaming sessionization gates (the old and
     * new stateful APIs must produce the identical session set): full batch
     * sessionization per user with session-boundary micros in the
@@ -217,66 +260,23 @@ object QueriesRelational {
     // The oracle recomputes sessions relationally; session-boundary
     // micros land in the checksum, so a single mis-bucketed event fails
     // the gate.
-    "sessionize_stream" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.streaming.Trigger
-      val gapMs = 1800L * 1000L
-      val e = table(s, dir, "events").select(col("user_id"), col("ts"))
-      val maxUs = e.agg(max(unix_micros(col("ts")))).as[Long].head()
-      val sentinelUs = maxUs + 2 * gapMs * 1000L
-      val aug = e.unionByName(e.select(col("user_id")).distinct()
-        .withColumn("ts", timestamp_micros(lit(sentinelUs))))
-      val tmp = s"/tmp/graft_stream_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      aug.write.mode("overwrite").parquet(tmp)
-      val stream = s.readStream.schema(aug.schema).parquet(tmp)
-      val sessions = graft.streaming.StatefulSessions.sessions(
-        stream.as[graft.streaming.UserEvent], gapMs = gapMs,
-        watermark = "0 seconds")
-      val qname = s"graft_sessionize_stream_${System.nanoTime()}"
-      val q = sessions.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qname)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(col("n_events")).as("n_events"),
-          sum(unix_micros(col("session_start")) +
-            unix_micros(col("session_end"))).as("checksum"))
-    }),
+    "sessionize_stream" -> ((s, dir) =>
+      sessionizeStreamGate(s, dir, "stream")(
+        (ds, gapMs) => graft.streaming.StatefulSessions.sessions(
+          ds, gapMs = gapMs, watermark = SessionStreamWatermark))),
 
     // same contract through Spark 4's transformWithState (typed named
     // state + event-time timers on RocksDB column families) — the
     // successor API to flatMapGroupsWithState, under the same oracle
     "sessionize_tws" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.streaming.Trigger
-      val gapMs = 1800L * 1000L
-      val e = table(s, dir, "events").select(col("user_id"), col("ts"))
-      val maxUs = e.agg(max(unix_micros(col("ts")))).as[Long].head()
-      val aug = e.unionByName(e.select(col("user_id")).distinct()
-        .withColumn("ts", timestamp_micros(lit(maxUs + 2 * gapMs * 1000L))))
-      val tmp = s"/tmp/graft_tws_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      aug.write.mode("overwrite").parquet(tmp)
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
-      try {
-        val stream = s.readStream.schema(aug.schema).parquet(tmp)
-        val sessions = graft.streaming.StatefulSessionsTws.sessions(
-          stream.as[graft.streaming.UserEvent], gapMs = gapMs,
-          watermark = "0 seconds")
-        val qname = s"graft_sessionize_tws_${System.nanoTime()}"
-        val q = sessions.writeStream.format("memory").queryName(qname)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        s.table(qname)
-          .groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_sessions"),
-            sum(col("n_events")).as("n_events"),
-            sum(unix_micros(col("session_start")) +
-              unix_micros(col("session_end"))).as("checksum"))
-      } finally prev match {
+      try sessionizeStreamGate(s, dir, "tws")(
+        (ds, gapMs) => graft.streaming.StatefulSessionsTws.sessions(
+          ds, gapMs = gapMs, watermark = SessionStreamWatermark))
+      finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }

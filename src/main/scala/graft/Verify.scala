@@ -21,16 +21,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // a failed query must be LOUD: record it in a marker file so the gate
-    // (tools/check.py and the driver) can distinguish "query crashed" from
-    // "query absent" — a silently missing result dir would shrink the N/M
-    // pass denominator instead of failing.
+    // a failed query must be LOUD: delete its (possibly stale) result dir
+    // so the gate reports it MISSING → FAIL, and record it in a marker
+    // file. Without the delete, a previous run's matching parquet would
+    // mask the crash as PASS; without clearing the marker, a fixed run
+    // would still read as failed.
+    Files.deleteIfExists(Paths.get(s"$outDir/_FAILED.txt"))
     val failures = scala.collection.mutable.ListBuffer.empty[String]
+    def deleteRecursively(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(deleteRecursively))
+      p.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
         failures += name
       }
     }

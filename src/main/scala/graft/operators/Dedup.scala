@@ -276,8 +276,18 @@ object Dedup {
     val rb = nbits / bands
     val hp = hyperplanes(nbits, dim)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // fail fast on a dimension mismatch: zip_with null-pads the shorter
+    // side, which would silently null every dot product, zero every sign
+    // bit, and collapse ALL vectors into one bucket — the exact quadratic
+    // blowup this operator exists to prevent. The check is fused into the
+    // consumed expression (a separate dropped column would be pruned away
+    // by Catalyst before it could fire).
     val quant = e.select(col("vec_id"),
-      transform(col("v"), x => round(x * 1000).cast("long")).as("q"))
+      when(size(col("v")) === dim,
+        transform(col("v"), x => round(x * 1000).cast("long")))
+        .otherwise(raise_error(concat(
+          lit(s"embedding dim != $dim for vec_id "),
+          col("vec_id").cast("string")))).as("q"))
     val bitCols = (0 until nbits).map { i =>
       val dot = aggregate(
         zip_with(col("q"), typedlit(hp(i)), (x, y) => x * y),

@@ -124,20 +124,29 @@ object KHop {
     *   shrinks every downstream operator (not just the output).
     */
   def twoHopEdgesSkew(rels: DataFrame, hotThreshold: Long,
-                      originPred: Option[Column] = None): DataFrame = {
+                      originPred: Option[Column] = None,
+                      persist: Boolean = true): DataFrame = {
     // e and the neighbor table are each consumed by 4-5 downstream
     // branches (classification, cold arrays, two hot joins). Persist them
     // — the GraphX idiom for exactly this shape — or every branch re-runs
     // the source scan + dedup shuffle (measured: 78 parquet scans in the
     // unpersisted plan, ~3× the runtime). MEMORY_AND_DISK: the deduped
     // edge list is the operator's working set and spills rather than OOMs.
-    val e = rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nbFlat = e.select(col("src").as("node"), col("dst").as("n"))
-      .union(e.select(col("dst"), col("src")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // OWNERSHIP: the cached tables live until the session evicts them (the
+    // returned plan is lazy, so this function cannot unpersist). Callers
+    // invoking this repeatedly in one long-lived session should pass
+    // persist=false or clear the tables via spark.catalog.clearCache().
+    def maybePersist(df: DataFrame): DataFrame =
+      if (persist)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val e = maybePersist(
+      rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))
+        .distinct())
+    val nbFlat = maybePersist(
+      e.select(col("src").as("node"), col("dst").as("n"))
+        .union(e.select(col("dst"), col("src")))
+        .distinct())
     // the neighbor side becomes the origin: restrict it up front
     val nbOrig = nbFlat.select(col("node"), col("n").as("origin"))
     val nbo = originPred.fold(nbOrig)(p => nbOrig.where(p))

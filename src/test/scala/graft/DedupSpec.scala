@@ -108,6 +108,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("hyperplane-LSH fails fast on an embedding dimension mismatch") {
+    // silently null-padded dot products would zero every sign bit and
+    // collapse all vectors into one quadratic bucket — must throw instead
+    val e = Seq((0L, Array.fill(32)(0.1f), 1), (1L, Array.fill(32)(0.2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[Throwable](
+      Dedup.embeddingNearDupLsh(e, threshold = 0.5).count())
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("dim"), msgs)
+  }
+
   test("hyperplane-LSH matches label-blocked near-dup on same-label pairs") {
     // the LSH variant is a superset of the label-blocked gate when recall
     // holds: every label-blocked pair must also be found by the buckets
