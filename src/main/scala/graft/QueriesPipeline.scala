@@ -37,6 +37,13 @@ object QueriesPipeline {
           round(col("est_jaccard"), 6).as("est_jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(table(s, dir, "documents"), "doc_id", "text")),
+    // pairwise matches → dedup groups: connected components over the
+    // ngram near-dup pairs (iterative min-label propagation; oracle = the
+    // same fixpoint as a recursive CTE)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.3, maxDf = 50))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(table(s, dir, "embeddings"), threshold = 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -156,6 +163,35 @@ object QueriesPipeline {
         |      JOIN cnt cb ON cb.doc_id = doc_b)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
         |FROM j WHERE jac >= 0.3""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
+        |        WHERE df > 50),
+        |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM shp a JOIN shp b
+        |            ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
+        |      FROM pairs
+        |      JOIN cnt ca ON ca.doc_id = doc_a
+        |      JOIN cnt cb ON cb.doc_id = doc_b),
+        |p2 AS (SELECT doc_a AS x, doc_b AS y FROM j WHERE jac >= 0.3),
+        |edges AS (SELECT x AS a, y AS b FROM p2 UNION SELECT y, x FROM p2),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        |)
+        |SELECT node AS doc_id, min(lbl) AS rep
+        |FROM reach GROUP BY node""".stripMargin,
     "dedup_minhash_portable" -> {
       // mirrors Dedup.minhashLshPortable exactly: word-level polyHash,
       // rolling shingle combine, numeric band-key folds

@@ -245,6 +245,47 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Connected components over a near-dup pair list — the clustering step
+    * that turns pairwise matches into dedup groups (keep one
+    * representative per component). Iterative min-label propagation to a
+    * fixpoint: each round every node adopts the smallest label among
+    * itself and its neighbors; at convergence every node carries its
+    * component's minimum doc id. Rounds = graph diameter — near-dup
+    * components are short chains in practice; for adversarially long
+    * chains swap in the large-star/small-star contraction (same driver
+    * loop, O(log n) rounds). The driver-side convergence check is the
+    * standard iterative-algorithm pattern (GraphX Pregel does the same);
+    * per-round results are persisted and lineage-truncated so round k
+    * does not re-execute rounds 1..k-1.
+    *
+    * Returns (doc_id, rep) for every node appearing in `pairs`. */
+  def clusters(pairs: DataFrame, a: String = "doc_a",
+               b: String = "doc_b"): DataFrame = {
+    val e = pairs.select(col(a).cast("long").as("x"),
+      col(b).cast("long").as("y"))
+    val edges = e.union(e.select(col("y"), col("x")))
+      .toDF("src", "dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = lbl.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = lbl.unionByName(prop)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true) // truncate lineage: round k must not
+                               // re-execute rounds 1..k-1
+      changed = next.as("n")
+        .join(lbl.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.lbl") =!= col("o.lbl")).count()
+      lbl = next
+    }
+    edges.unpersist()
+    lbl.select(col("node").as("doc_id"), col("lbl").as("rep"))
+  }
+
   /** Fixed seeded integer hyperplanes for [[embeddingNearDupLsh]] — small
     * pseudo-random components in [-128, 128), exact int64 arithmetic, so
     * the identical literals embed in the DuckDB oracle. */

@@ -83,6 +83,17 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L, 1.0)) && pairs.contains((0L, 2L, 0.8)))
   }
 
+  test("clusters: min-label propagation finds components across chains") {
+    // chain 5-6-7-8 (diameter 3 → needs several propagation rounds),
+    // pair 1-2, and 3-4; representatives are each component's min id
+    val pairs = Seq((5L, 6L), (6L, 7L), (7L, 8L), (1L, 2L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L,
+      1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("embedding near-dup respects the threshold within label blocks") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 1),
