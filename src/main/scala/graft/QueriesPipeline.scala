@@ -37,6 +37,8 @@ object QueriesPipeline {
           round(col("est_jaccard"), 6).as("est_jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_simhash_portable" -> ((s, dir) =>
+      Dedup.simhashPortable(table(s, dir, "documents"), "doc_id", "text")),
     // pairwise matches → dedup groups: connected components over the
     // ngram near-dup pairs (iterative min-label propagation; oracle = the
     // same fixpoint as a recursive CTE)
@@ -239,6 +241,47 @@ object QueriesPipeline {
          |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard FROM (
          |$bandJoins
          |) t WHERE est_jaccard >= 0.5""".stripMargin
+    },
+    "dedup_simhash_portable" -> {
+      // mirrors Dedup.simhashPortable exactly: polyHash word base, 64
+      // universal-hash parity bits, 4 × 16-bit band keys, popcount verify
+      val p = "1000000007"
+      val voteExprs = (0 until 64).map { i =>
+        val (a, b) = graft.operators.Dedup.MinhashSeeds(i)
+        s"sum(CASE WHEN (h * $a + $b) % $p % 2 = 1 THEN 1 ELSE -1 END) AS v$i"
+      }.mkString(",\n  ")
+      val keyExprs = (0 until 4).map { bnd =>
+        val terms = (0 until 16).map(t =>
+          s"CASE WHEN v${bnd * 16 + t} > 0 THEN ${1L << t} ELSE 0 END")
+          .mkString(" + ")
+        s"($terms) AS k$bnd"
+      }.mkString(",\n  ")
+      val hamming = (0 until 4)
+        .map(bnd => s"bit_count(xor(a.k$bnd, b.k$bnd))").mkString(" + ")
+      val bandJoins = (0 until 4).map { bnd =>
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST($hamming AS BIGINT) AS hamming
+           |FROM sig a JOIN sig b
+           |  ON a.k$bnd = b.k$bnd AND a.doc_id < b.doc_id""".stripMargin
+      }.mkString("\nUNION\n")
+      s"""WITH w AS (SELECT doc_id,
+         |             unnest(list_distinct(string_split(text, ' '))) AS w
+         |           FROM documents),
+         |h AS (SELECT doc_id,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(string_split(w, ''),
+         |                           c -> CAST(ascii(c) AS BIGINT))),
+         |          (a, c) -> (a * 31 + c) % $p) AS h
+         |      FROM w),
+         |votes AS (SELECT doc_id,
+         |  $voteExprs
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id,
+         |  $keyExprs
+         |  FROM votes)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |$bandJoins
+         |) t WHERE hamming <= 3""".stripMargin
     },
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

@@ -189,9 +189,55 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** Fixed (a_i, b_i) universal-hash seeds shared with the SQL oracle. */
+  /** Fixed (a_i, b_i) universal-hash seeds shared with the SQL oracle
+    * (64: enough for a full SimHash bit family). */
   val MinhashSeeds: Seq[(Long, Long)] =
-    (0 until 32).map(i => (33L + 2 * i, 7919L * i))
+    (0 until 64).map(i => (33L + 2 * i, 7919L * i))
+
+  /** SimHash with a DuckDB-replicable bit family: word base hash =
+    * polyHash (mod p), bit i of a word = parity of the universal hash
+    * (a_i·wh + b_i) mod p. Per-document signature = sign of the ±1 vote
+    * sum per bit, packed as four 16-bit band keys (never a full 64-bit
+    * pack — bit 63 shifts would need signed-overflow agreement across
+    * engines; four positive shorts need none). Candidates = pairs
+    * colliding in ≥1 band (Hamming < 4 ⇒ some band identical);
+    * verify = popcount of the band-key XORs. Exact int64 throughout →
+    * exact SQL twin ([[simhash]] with xxhash64 remains the fast path). */
+  def simhashPortable(docs: DataFrame, id: String, text: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val p = PortableP
+    val w = docs
+      .select(col(id).as("doc_id"),
+        explode(array_distinct(words(col(text)))).as("w"))
+      .select(col("doc_id"), polyHash(col("w")).as("h"))
+    val voteCols = (0 until 64).map { i =>
+      val (a, b) = MinhashSeeds(i)
+      sum(when((col("h") * a + b) % p % 2 === 1, 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    val votes = w.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val sig = votes.select(col("doc_id") +: (0 until 4).map { bnd =>
+      (0 until 16).map(t =>
+        when(col(s"v${bnd * 16 + t}") > 0, lit(1L << t)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"k$bnd")
+    }: _*)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"), col(s"k$bnd").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val hamming = (0 until 4).map(bnd =>
+      bit_count(col(s"a.k$bnd").bitwiseXOR(col(s"b.k$bnd"))))
+      .reduce(_ + _).cast("long")
+    cand.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 
   /** SimHash near-dup: 64-bit signature from per-word hash bits weighted
     * ±1, candidates via 16-bit band blocking (a pair within Hamming

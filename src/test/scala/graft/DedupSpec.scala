@@ -83,6 +83,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L, 1.0)) && pairs.contains((0L, 2L, 0.8)))
   }
 
+  test("portable simhash: identical docs at hamming 0, disjoint filtered") {
+    val pairs = Dedup.simhashPortable(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)]
+      .collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((0L, 1L)) == 0L)
+    assert(!byPair.contains((0L, 3L)))
+  }
+
   test("clusters: min-label propagation finds components across chains") {
     // chain 5-6-7-8 (diameter 3 → needs several propagation rounds),
     // pair 1-2, and 3-4; representatives are each component's min id
