@@ -185,6 +185,19 @@ object QueriesRelational {
           count(lit(1)).as("n"))
         .select(col("l_returnflag").as("returnflag"), col("n_parts"),
           col("n_supps"), col("n"))),
+    // exact interpolated quantiles: selections over the sorted values
+    // (not accumulations), so both engines agree to the last bit before
+    // rounding — Spark percentile ≡ DuckDB quantile_cont
+    "agg_percentiles" -> ((s, dir) =>
+      table(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(percentile(col("l_quantity"), lit(0.5)), 6)
+          .as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 6)
+            .as("p90_price"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 6)
+            .as("p99_price"))
+        .select(col("l_returnflag").as("returnflag"), col("med_qty"),
+          col("p90_price"), col("p99_price"))),
 
     // ---- window functions ------------------------------------------------
     "window_topk" -> ((s, dir) => {
@@ -384,6 +397,12 @@ object QueriesRelational {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag AS returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "window_topk" ->
       """SELECT custkey, orderkey, totalprice, rn FROM (
