@@ -278,6 +278,26 @@ object QueriesRelational {
         (ds, gapMs) => graft.streaming.StatefulSessions.sessions(
           ds, gapMs = gapMs, watermark = SessionStreamWatermark))),
 
+    // streaming exact-dedup under the gate: +10% injected duplicate
+    // event_ids flow through a file stream into
+    // dropDuplicatesWithinWatermark; the oracle is the duplicate-free
+    // per-type count (the injected copies must all collapse)
+    "stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val aug = e.unionByName(e.where(col("event_id") % 10 === 0))
+      val tmp = s"/tmp/graft_dedup_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      aug.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(aug.schema).parquet(tmp)
+      val qname = s"graft_stream_dedup_${System.nanoTime()}"
+      val q = graft.streaming.EventStreams.dedup(stream, watermark = "87600 hours")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+    }),
     // same contract through Spark 4's transformWithState (typed named
     // state + event-time timers on RocksDB column families) — the
     // successor API to flatMapGroupsWithState, under the same oracle
@@ -444,6 +464,10 @@ object QueriesRelational {
         |SELECT user_id, CAST(sum(newflag) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM f GROUP BY user_id""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY event_type""".stripMargin,
     "sessionize_stream" -> SessionStreamOracle,
     "sessionize_tws" -> SessionStreamOracle,
     "date_functions" ->
