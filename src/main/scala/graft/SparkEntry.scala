@@ -179,6 +179,18 @@ object SparkEntry {
       back.groupBy(col("label")).agg(count(lit(1)).as("n"),
         count(col("name")).as("n_named"))
     }),
+    // W1: dense id map under the gate. Which original id gets which dense
+    // offset depends on partition order (unordered-stream contract), so
+    // the gate checks the deterministic bijection invariants: n dense ids,
+    // all distinct, contiguous [0, n), one per distinct original id.
+    "dense_id_map" -> ((s, dir) => {
+      val m = operators.GraphCatalog.denseIdMap(graph(s, dir).nodes)
+      m.agg(count(lit(1)).as("n"),
+        countDistinct(col("dense_id")).as("n_dense"),
+        countDistinct(col("ID")).as("n_orig"),
+        min(col("dense_id")).as("min_dense"),
+        max(col("dense_id")).as("max_dense"))
+    }),
     // S11: neo4j-admin CSV dialect round-trip under the gate — export
     // customers with `name:type(idspace)` headers, re-import through the
     // header parser, checksum against the raw table (id sums + double
@@ -538,6 +550,12 @@ object SparkEntry {
          |SELECT origin, count(*) AS n_edges,
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
+    "dense_id_map" ->
+      s"""WITH $NodesCte
+         |SELECT count(*) AS n, count(*) AS n_dense, count(*) AS n_orig,
+         |       CAST(0 AS BIGINT) AS min_dense,
+         |       count(*) - 1 AS max_dense
+         |FROM nodes""".stripMargin,
     "csv_import" ->
       """SELECT 'Customer' AS label, count(*) AS n,
         |       round(sum(c_acctbal), 2) AS sum_acctbal,
