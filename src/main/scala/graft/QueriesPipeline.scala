@@ -51,6 +51,31 @@ object QueriesPipeline {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(table(s, dir, "embeddings"), threshold = 0.4)),
 
+    // ---- the full pipeline, end-to-end ----------------------------------
+    // quality filter → exact dedup (keep min id per content hash) →
+    // near-dup clustering (ngram pairs @0.5 + connected components, keep
+    // each cluster's representative) → per-language corpus stats. One
+    // oracle-checked query proving the stages compose: the SQL twin
+    // replays every stage including the clustering fixpoint.
+    "pipeline_corpus" -> ((s, dir) => {
+      val q = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          words(col("text")).as("ws"))
+        .where(size(col("ws")) >= 5)
+      val keepExact = q.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val kept = q.join(keepExact.select(col("doc_id")), "doc_id")
+      val pairs = Dedup.ngramJaccard(kept, "doc_id", "text",
+        k = 3, threshold = 0.5, maxDf = 50)
+      val nonReps = Dedup.clusters(pairs)
+        .where(col("doc_id") =!= col("rep")).select(col("doc_id"))
+      val surv = kept.join(nonReps, Seq("doc_id"), "left_anti")
+      surv.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(bpeTokenCount(col("text"))).as("n_tokens"),
+          round(avg(size(col("ws")).cast("double")), 6).as("avg_words"))
+    }),
+
     // ---- similarity search ----------------------------------------------
     "sim_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
@@ -165,6 +190,47 @@ object QueriesPipeline {
         |      JOIN cnt cb ON cb.doc_id = doc_b)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
         |FROM j WHERE jac >= 0.3""".stripMargin,
+    "pipeline_corpus" ->
+      s"""WITH RECURSIVE
+        |w0 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+        |       FROM documents),
+        |q AS (SELECT * FROM w0 WHERE len(ws) >= 5),
+        |ke AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        |kept AS (SELECT q.* FROM q JOIN ke USING (doc_id)),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |       FROM kept WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
+        |        WHERE df > 50),
+        |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM shp a JOIN shp b
+        |            ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
+        |      FROM pairs
+        |      JOIN cnt ca ON ca.doc_id = doc_a
+        |      JOIN cnt cb ON cb.doc_id = doc_b),
+        |p2 AS (SELECT doc_a AS x, doc_b AS y FROM j WHERE jac >= 0.5),
+        |edges AS (SELECT x AS a, y AS b FROM p2 UNION SELECT y, x FROM p2),
+        |nds AS (SELECT DISTINCT a AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nds
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |nonreps AS (SELECT node AS doc_id FROM reach GROUP BY node
+        |            HAVING min(lbl) != node),
+        |surv AS (SELECT * FROM kept
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM nonreps))
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(regexp_extract_all(text,
+        |         '${graft.functions.TextFunctions.BpeTokenPattern}')))
+        |         AS BIGINT) AS n_tokens,
+        |       round(avg(len(ws) * 1.0), 6) AS avg_words
+        |FROM surv GROUP BY lang""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
