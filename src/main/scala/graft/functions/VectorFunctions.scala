@@ -42,6 +42,23 @@ object VectorFunctions {
         org.apache.spark.sql.graft.ColumnBridge.expression(a.cast("array<double>")),
         org.apache.spark.sql.graft.ColumnBridge.expression(b.cast("array<double>"))))
 
+  /** Codegen int64 dot product over `array<bigint>` (null-strict, matching
+    * the interpreted zip_with/aggregate chain) — the hyperplane sign-bit
+    * kernel. */
+  def longDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.LongDotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Codegen int64 squared L2 distance over `array<bigint>` — the
+    * quantized k-means kernel. */
+  def longSqDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.LongSqDistance(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Cosine given pre-materialized norms. Use this in pairwise joins:
     * materialize `norm(v)` as its own column on each side BELOW the join so
     * every pair costs a single array pass (the dot) plus scalar math —

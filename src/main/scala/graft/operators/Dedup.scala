@@ -376,9 +376,9 @@ object Dedup {
           lit(s"embedding dim != $dim for vec_id "),
           col("vec_id").cast("string")))).as("q"))
     val bitCols = (0 until nbits).map { i =>
-      val dot = aggregate(
-        zip_with(col("q"), typedlit(hp(i)), (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v)
+      // codegen kernel (identical null semantics to the interpreted
+      // zip_with/aggregate chain it replaced; measured several × faster)
+      val dot = longDot(col("q"), typedlit(hp(i)))
       when(dot >= 0, 1L).otherwise(0L).as(s"bit$i")
     }
     val bits = quant.select(col("vec_id") +: bitCols: _*)

@@ -115,10 +115,10 @@ object Similarity {
       transform(asDouble(col("embedding")),
         x => round(x * 1000).cast("long")).as("qv"))
 
-  /** Exact integer squared L2 distance between quantized vectors. */
-  private def qdist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+  /** Exact integer squared L2 distance between quantized vectors — the
+    * codegen kernel (graft.plans.LongSqDistance), null-semantics-identical
+    * to the interpreted zip_with/aggregate form it replaced. */
+  private def qdist(a: Column, b: Column): Column = longSqDist(a, b)
 
   /** Nearest-centroid assignment over quantized vectors: broadcast the
     * (small) centroid table, map-side argmin via min(struct(dist, cid))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the similarity hot path (SURVEY.md §7.3:
   * "custom Expression beats a Scala UDF beats anything else").
@@ -84,5 +84,99 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared base for the int64 pairwise kernels (hyperplane-LSH sign bits,
+  * quantized k-means distances). Null semantics deliberately MATCH the
+  * interpreted `aggregate(zip_with(...))` chains these replace — so
+  * swapping one in can never change a gate result: a length mismatch or
+  * any null element yields SQL NULL (zip_with pads the shorter side with
+  * nulls and the sum null-propagates). */
+sealed abstract class LongPairwiseExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  /** Java source for one element pair's contribution to `acc`. */
+  protected def combineJava(acc: String, x: String, y: String): String
+  protected def combine(acc: Long, x: Long, y: Long): Long
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc = combine(acc, x.getLong(i), y.getLong(i))
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $x = $a.getLong($i);
+         |    long $y = $b.getLong($i);
+         |    ${combineJava(acc, x, y)}
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+}
+
+/** Σ aᵢ·bᵢ over array<bigint> — the hyperplane sign-bit kernel. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends LongPairwiseExpression {
+  override def prettyName: String = "long_dot_product"
+  override protected def combine(acc: Long, x: Long, y: Long): Long =
+    acc + x * y
+  override protected def combineJava(acc: String, x: String, y: String) =
+    s"$acc += $x * $y;"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ (aᵢ−bᵢ)² over array<bigint> — the quantized k-means distance. */
+case class LongSqDistance(left: Expression, right: Expression)
+    extends LongPairwiseExpression {
+  override def prettyName: String = "long_sq_distance"
+  override protected def combine(acc: Long, x: Long, y: Long): Long = {
+    val d = x - y
+    acc + d * d
+  }
+  override protected def combineJava(acc: String, x: String, y: String) =
+    s"$acc += ($x - $y) * ($x - $y);"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongSqDistance =
     copy(left = newLeft, right = newRight)
 }

@@ -38,6 +38,37 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(r - 3.0 / (3.0 * math.sqrt(26.0))) < 1e-12)
   }
 
+  test("codegen int64 kernels agree with the interpreted HOF chains") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      Array.fill(16)(rnd.nextInt(2001).toLong - 1000),
+      Array.fill(16)(rnd.nextInt(2001).toLong - 1000)))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      VectorFunctions.longDot(col("a"), col("b")).as("dot_fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("dot_hof"),
+      VectorFunctions.longSqDist(col("a"), col("b")).as("d_fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("d_hof"))
+      .as[(Long, Long, Long, Long)].collect()
+    both.foreach { case (df_, dh, sf, sh) =>
+      assert(df_ == dh && sf == sh)
+    }
+  }
+
+  test("int64 kernels null-propagate exactly like zip_with padding") {
+    // length mismatch and null elements both yield SQL NULL — identical
+    // to the interpreted form, so swapping kernels can't change a gate
+    val mismatch = Seq((Seq(1L, 2L), Seq(3L))).toDF("a", "b")
+    assert(mismatch.select(VectorFunctions.longDot(col("a"), col("b")))
+      .as[Option[Long]].head().isEmpty)
+    val withNull = Seq((Seq(Some(1L), None), Seq(Some(3L), Some(4L))))
+      .toDF("a", "b")
+    assert(withNull.select(VectorFunctions.longSqDist(col("a"), col("b")))
+      .as[Option[Long]].head().isEmpty)
+  }
+
   test("registered SQL function works end-to-end") {
     GraftExtensions.register(spark)
     val r = spark.sql(
