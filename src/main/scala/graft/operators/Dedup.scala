@@ -332,6 +332,58 @@ object Dedup {
     lbl.select(col("node").as("doc_id"), col("lbl").as("rep"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (the map-reduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * literature): large-star hooks every neighbor v > u onto u's minimum
+    * neighborhood node; small-star does the same for v ≤ u. Both are one
+    * aggregate + one join per round, and the edge set contracts toward
+    * per-component stars in O(log n) rounds — the scale path when
+    * component diameters are adversarial ([[clusters]]' min-label
+    * propagation needs O(diameter) rounds). Same contract as
+    * [[clusters]]: (doc_id, rep) with rep = component minimum. */
+  def clustersStar(pairs: DataFrame, a: String = "doc_a",
+                   b: String = "doc_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    val e0 = pairs.select(col(a).cast("long").as("u"),
+      col(b).cast("long").as("v"))
+    // orient edges (large, small) and drop self-loops
+    def orient(df: DataFrame): DataFrame =
+      df.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.select(col("u"), col("v"))
+        .union(e.select(col("v"), col("u")))
+      val mins = nb.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      orient(nb.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // after orient(), every edge already has u > v
+      val mins = e.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      orient(e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v"))))
+    }
+    var edges = orient(e0).localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint test on the oriented edge SET
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+    }
+    // at the fixpoint every component is a star rooted at its minimum:
+    // members point at the root, plus the root itself
+    edges.select(col("u").as("doc_id"), col("v").as("rep"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("rep"))
+        .distinct())
+  }
+
   /** Fixed seeded integer hyperplanes for [[embeddingNearDupLsh]] — small
     * pseudo-random components in [-128, 128), exact int64 arithmetic, so
     * the identical literals embed in the DuckDB oracle. */

@@ -103,6 +103,24 @@ class DedupSpec extends AnyFunSuite {
       1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("large/small-star components equal min-label propagation") {
+    // random graphs incl. long chains (worst case for min-label, best
+    // showcase for star contraction) — both must produce identical maps
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val chain = (0 until n - 1).map(i => (i.toLong * 7, (i + 1L) * 7))
+      val random = Seq.fill(n)((rnd.nextInt(n).toLong * 3 + 1,
+        rnd.nextInt(n).toLong * 3 + 1)).filter(p => p._1 != p._2)
+      val pairs = (chain ++ random).toDF("doc_a", "doc_b")
+      val byProp = Dedup.clusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      val byStar = Dedup.clustersStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(byStar == byProp, s"trial $trial")
+    }
+  }
+
   test("embedding near-dup respects the threshold within label blocks") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 1),
