@@ -64,7 +64,12 @@ object QueriesPipeline {
         .where(size(col("ws")) >= 5)
       val keepExact = q.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
+      // persisted: the filtered+deduped corpus feeds the shingle index
+      // (consumed by counts, the DF cap, and both self-join sides) AND
+      // the final survivor anti-join — unpersisted it re-executes the
+      // scan+dedup subtree per consumer (the twoHopEdgesSkew lesson)
       val kept = q.join(keepExact.select(col("doc_id")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.ngramJaccard(kept, "doc_id", "text",
         k = 3, threshold = 0.5, maxDf = 50)
       val nonReps = Dedup.clusters(pairs)

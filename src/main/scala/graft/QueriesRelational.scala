@@ -45,7 +45,13 @@ object QueriesRelational {
     val aug = e.unionByName(e.select(col("user_id")).distinct()
       .withColumn("ts", timestamp_micros(lit(maxUs + 2 * gapMs * 1000L))))
     val tmp = s"/tmp/graft_${tag}_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    aug.write.mode("overwrite").parquet(tmp)
+    // ONE part-file: the file source batches at file granularity, so a
+    // single file is structurally guaranteed to land in one microbatch —
+    // a sentinel processed BEFORE a user's real events would otherwise
+    // absorb them into its own never-emitted session (t - last < 0 takes
+    // the merge branch). The wide watermark handles the separate
+    // late-drop hazard; this handles batching order.
+    aug.coalesce(1).write.mode("overwrite").parquet(tmp)
     val stream = s.readStream.schema(aug.schema).parquet(tmp)
     val sessions = sessionsFn(
       stream.as[graft.streaming.UserEvent], gapMs)
@@ -288,10 +294,11 @@ object QueriesRelational {
         .select(col("event_id"), col("event_type"), col("ts"))
       val aug = e.unionByName(e.where(col("event_id") % 10 === 0))
       val tmp = s"/tmp/graft_dedup_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      aug.write.mode("overwrite").parquet(tmp)
+      aug.coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(aug.schema).parquet(tmp)
       val qname = s"graft_stream_dedup_${System.nanoTime()}"
-      val q = graft.streaming.EventStreams.dedup(stream, watermark = "87600 hours")
+      val q = graft.streaming.EventStreams.dedup(stream,
+        watermark = SessionStreamWatermark)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

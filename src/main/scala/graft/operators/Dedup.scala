@@ -312,24 +312,27 @@ object Dedup {
     val edges = e.union(e.select(col("y"), col("x")))
       .toDF("src", "dst").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var lbl = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val prop = lbl.join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), col("lbl"))
-      val next = lbl.unionByName(prop)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true) // truncate lineage: round k must not
-                               // re-execute rounds 1..k-1
-      changed = next.as("n")
-        .join(lbl.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.lbl") =!= col("o.lbl")).count()
-      lbl = next
-    }
-    edges.unpersist()
-    lbl.select(col("node").as("doc_id"), col("lbl").as("rep"))
+    try {
+      var lbl = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val prop = lbl.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), col("lbl"))
+        val next = lbl.unionByName(prop)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true) // truncate lineage: round k must not
+                                 // re-execute rounds 1..k-1
+        changed = next.as("n")
+          .join(lbl.as("o"), col("n.node") === col("o.node"))
+          .where(col("n.lbl") =!= col("o.lbl")).count()
+        lbl.unpersist() // release the superseded round's checkpoint now,
+                        // not at driver GC — O(rounds) copies otherwise
+        lbl = next
+      }
+      lbl.select(col("node").as("doc_id"), col("lbl").as("rep"))
+    } finally edges.unpersist()
   }
 
   /** Connected components by alternating large-star / small-star
@@ -355,15 +358,17 @@ object Dedup {
     def largeStar(e: DataFrame): DataFrame = {
       val nb = e.select(col("u"), col("v"))
         .union(e.select(col("v"), col("u")))
+      // the grouping key is directly referable in agg expressions — no
+      // first() buffer needed
       val mins = nb.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
+        .agg(least(min(col("v")), col("u")).as("m"))
       orient(nb.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
     }
     def smallStar(e: DataFrame): DataFrame = {
       // after orient(), every edge already has u > v
       val mins = e.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
+        .agg(least(min(col("v")), col("u")).as("m"))
       orient(e.join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins.select(col("u"), col("m").as("v"))))
@@ -375,13 +380,20 @@ object Dedup {
       // fixpoint test on the oriented edge SET
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
+      edges.unpersist() // free the superseded round eagerly
       edges = next
     }
     // at the fixpoint every component is a star rooted at its minimum:
-    // members point at the root, plus the root itself
-    edges.select(col("u").as("doc_id"), col("v").as("rep"))
+    // members point at the root, plus the root itself. Nodes appearing
+    // only in self-loop pairs have no oriented edge — restore them as
+    // their own representatives ([[clusters]] contract parity).
+    val starMap = edges.select(col("u").as("doc_id"), col("v").as("rep"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("rep"))
         .distinct())
+    val allNodes = e0.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .distinct()
+    allNodes.join(starMap, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 
   /** Fixed seeded integer hyperplanes for [[embeddingNearDupLsh]] — small
@@ -422,8 +434,11 @@ object Dedup {
     // consumed expression (a separate dropped column would be pruned away
     // by Catalyst before it could fire).
     val quant = e.select(col("vec_id"),
-      when(size(col("v")) === dim,
-        transform(col("v"), x => round(x * 1000).cast("long")))
+      when(col("v").isNull,
+        raise_error(concat(lit("null embedding for vec_id "),
+          col("vec_id").cast("string"))))
+        .when(size(col("v")) === dim,
+          transform(col("v"), x => round(x * 1000).cast("long")))
         .otherwise(raise_error(concat(
           lit(s"embedding dim != $dim for vec_id "),
           col("vec_id").cast("string")))).as("q"))

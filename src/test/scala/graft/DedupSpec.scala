@@ -121,6 +121,13 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("both cluster variants keep self-loop-only nodes as their own rep") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val want = Map(5L -> 5L, 1L -> 1L, 2L -> 1L)
+    assert(Dedup.clusters(pairs).as[(Long, Long)].collect().toMap == want)
+    assert(Dedup.clustersStar(pairs).as[(Long, Long)].collect().toMap == want)
+  }
+
   test("embedding near-dup respects the threshold within label blocks") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 1),

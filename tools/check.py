@@ -36,11 +36,17 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
-    # iterate oracle keys UNION result dirs: a query that crashed in Verify
-    # (no result dir) must count as FAIL, not silently shrink the total
+    # iterate oracle keys UNION result dirs UNION the failure marker: a
+    # crashed query must count as FAIL even when it has no oracle entry
+    # (the rows-only queries would otherwise vanish from the denominator
+    # entirely once Verify deletes their stale result dir)
     result_dirs = {n for n in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, n))}
-    for name in sorted(result_dirs | set(oracle.keys())):
+    failed_marker = os.path.join(out_dir, "_FAILED.txt")
+    failed = set()
+    if os.path.exists(failed_marker):
+        failed = {l.strip() for l in open(failed_marker) if l.strip()}
+    for name in sorted(result_dirs | set(oracle.keys()) | failed):
         d = os.path.join(out_dir, name)
         if name not in result_dirs:
             results[name] = "MISSING (query failed or absent in Verify)"
