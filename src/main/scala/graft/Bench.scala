@@ -22,10 +22,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds keep the one-line JSON short, and the total is
+    // repeated in the TRAILING keys: harness tail-capture truncates the
+    // head of a long line, so anything that must survive goes at the end.
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -30,10 +30,12 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreGraphQueries ++ QueriesRelational.queries ++ QueriesPipeline.queries
+    coreGraphQueries ++ QueriesRelational.queries ++
+      QueriesPipeline.queries ++ QueriesTpch.queries
 
   def oracleSql: Map[String, String] =
-    coreGraphOracles ++ QueriesRelational.oracles ++ QueriesPipeline.oracles
+    coreGraphOracles ++ QueriesRelational.oracles ++
+      QueriesPipeline.oracles ++ QueriesTpch.oracles
 
   /** SURVEY.md §2.1/§2.2/§2.3/§2.5 — the reference's own operator surface. */
   private def coreGraphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -12,7 +12,17 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(graft.SparkEntry.entry(spark).count())
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq("sql_q2")
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoop")
+        .filter(plan.contains)
+      println(s"[scratch] $n joins=" +
+        plan.linesIterator.filter(_.contains("Join")).map(_.trim.takeWhile(_ != '(')).mkString("|") +
+        s" BAD=${bad.mkString(",")}")
+    }
     spark.stop()
   }
 }
