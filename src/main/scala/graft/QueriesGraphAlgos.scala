@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphAlgos
+
+/** Gate queries + DuckDB oracles for [[graft.operators.GraphAlgos]].
+  *
+  * The oracles replay the EXACT integer arithmetic of each algorithm —
+  * fixed iterations unrolled into chained CTEs (DuckDB's recursive CTEs
+  * forbid the per-round GROUP BY these need). `//` is DuckDB's integer
+  * division = Spark's `div` for the non-negative values used here; DuckDB
+  * sums of BIGINT widen to HUGEINT, so every level re-casts to BIGINT.
+  */
+object QueriesGraphAlgos {
+
+  // ----------------------------------------------------------- pagerank
+
+  /** One unrolled PageRank iteration k (reads r{k-1}): contribution =
+    * ⌊rank/outdeg⌋ summed per target, rank' = 150000 + ⌊85·Σ/100⌋. */
+  private def prIter(k: Int): String =
+    s"""r$k AS (
+       |  SELECT n.id,
+       |         CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT)
+       |           AS rank
+       |  FROM prnodes n LEFT JOIN (
+       |    SELECT e.dst AS id, sum(r.rank // e.d) AS c
+       |    FROM pre e JOIN r${k - 1} r ON r.id = e.src
+       |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+
+  private val pagerankOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |prnodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) t),
+       |pre AS (SELECT e.src, e.dst, od.d FROM e
+       |        JOIN (SELECT src, count(*) AS d FROM e GROUP BY 1) od
+       |          ON od.src = e.src),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM prnodes),
+       |${(1 to 5).map(prIter).mkString(",\n")}
+       |SELECT id, rank FROM r5""".stripMargin
+
+  // ----------------------------------------------------- triangle count
+
+  private val triangleOracle: String =
+    """WITH ps AS (SELECT DISTINCT 3000000000 + l_partkey AS part,
+      |                            l_suppkey AS supp
+      |            FROM lineitem WHERE l_partkey % 20 = 0),
+      |e AS (SELECT DISTINCT p1.part AS a, p2.part AS b
+      |      FROM ps p1 JOIN ps p2
+      |        ON p1.supp = p2.supp AND p1.part < p2.part),
+      |tri AS (SELECT count(*) AS n FROM
+      |  (SELECT e1.a AS x, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+      |  JOIN e e3 ON w.x = e3.a AND w.z = e3.b)
+      |SELECT (SELECT count(*) FROM e) AS n_edges,
+      |       (SELECT n FROM tri) AS n_triangles""".stripMargin
+
+  // ----------------------------------------------------------- bfs hops
+
+  /** One unrolled BFS level k: frontier = prior level's new nodes;
+    * n{k} = neighbors(frontier) minus everything visited so far. */
+  private def bfsLevel(k: Int): String =
+    s"""n$k AS (SELECT id, CAST($k AS BIGINT) AS dist FROM (
+       |    SELECT DISTINCT und.b AS id FROM und
+       |    JOIN n${k - 1} f ON und.a = f.id) t
+       |  WHERE id NOT IN (SELECT id FROM v${k - 1})),
+       |v$k AS (SELECT * FROM v${k - 1} UNION ALL SELECT * FROM n$k)""".stripMargin
+
+  private val bfsOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |n0 AS (SELECT CAST(1000000000 AS BIGINT) AS id,
+       |              CAST(0 AS BIGINT) AS dist),
+       |v0 AS (SELECT * FROM n0),
+       |${(1 to 3).map(bfsLevel).mkString(",\n")}
+       |SELECT id, dist FROM v3""".stripMargin
+
+  // -------------------------------------------------- Bellman-Ford SSSP
+
+  /** One unrolled relaxation round k: dist' = min(dist, dist(u)+w). */
+  private def bfRound(k: Int): String =
+    s"""d$k AS (SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+       |    SELECT id, d FROM d${k - 1}
+       |    UNION ALL
+       |    SELECT u.b AS id, p.d + u.w AS d
+       |    FROM u JOIN d${k - 1} p ON u.a = p.id) t
+       |  GROUP BY id)""".stripMargin
+
+  private val ssspOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst,
+       |             CAST(quantity AS BIGINT) AS w
+       |      FROM rels WHERE type = 'CONTAINS'),
+       |u AS (SELECT src AS a, dst AS b, w FROM e
+       |      UNION ALL SELECT dst, src, w FROM e),
+       |d0 AS (SELECT CAST(4000000000 AS BIGINT) AS id,
+       |              CAST(0 AS BIGINT) AS d),
+       |${(1 to 3).map(bfRound).mkString(",\n")}
+       |SELECT id, d FROM d3""".stripMargin
+
+  // -------------------------------------------------------------- maps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Integer-quantized PageRank, 5 iterations, over the membership
+    // subgraph (customer/supplier→nation→region).
+    "pagerank" -> ((s, dir) => GraphAlgos.pageRank(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), iters = 5)
+      .select(col("id"), col("rank"))),
+    // Triangles of the co-supplier part graph (parts sharing a supplier),
+    // id-thinned 20× so the wedge join stays proportionate in the bench.
+    "triangle_count" -> ((s, dir) => {
+      val ps = SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "SUPPLIED_BY" && col("START_ID") % 20 === 0)
+        .select(col("START_ID").as("part"), col("END_ID").as("supp"))
+        .distinct()
+      val edges = ps.as("p1")
+        .join(ps.as("p2"),
+          col("p1.supp") === col("p2.supp") && col("p1.part") < col("p2.part"))
+        .select(col("p1.part").as("a"), col("p2.part").as("b"))
+        .distinct()
+      GraphAlgos.triangleCount(edges)
+    }),
+    // BFS hop distance ≤3 from customer 0 over the membership subgraph:
+    // 1 hop = its nation, 2 = that nation's region + co-nationals,
+    // 3 = sibling nations of the region.
+    "bfs_hops" -> ((s, dir) => GraphAlgos.bfsHops(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"),
+      source = 1000000000L, maxHops = 3)
+      .select(col("id"), col("dist"))),
+    // Bellman-Ford over the undirected order↔part graph, weight =
+    // quantity, 3 relaxation rounds from order 0.
+    "sssp_bf" -> ((s, dir) => GraphAlgos.sssp(
+      SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "CONTAINS")
+        .select(col("START_ID").as("src"), col("END_ID").as("dst"),
+          col("quantity").cast("long").as("w")),
+      source = 4000000000L, rounds = 3)
+      .select(col("id"), col("d"))))
+
+  def oracles: Map[String, String] = Map(
+    "pagerank" -> pagerankOracle,
+    "triangle_count" -> triangleOracle,
+    "bfs_hops" -> bfsOracle,
+    "sssp_bf" -> ssspOracle)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms over the long-form relationship table — the analytics
+  * the reference's GDS consumers run on the graphs it serves (the
+  * reference streams graphs INTO GDS for exactly this, e.g.
+  * `plugin/.../gds/GdsReadJob.java`; here the engine computes them
+  * in-place, Spark-first).
+  *
+  * Every algorithm keeps ALL arithmetic in int64 (scaled ranks, integer
+  * weights, floor division) so a DuckDB oracle replays it bit-for-bit —
+  * the same cross-engine exactness recipe as the trained-IVF and
+  * connected-components gates (Similarity.ivfTrained, Dedup.clusters).
+  *
+  * Scale design (100 TB):
+  *  - Iterative loops `localCheckpoint(eager=true)` each round — without
+  *    it round k re-executes rounds 1..k-1 (measured in round 2: the khop
+  *    skew plan re-scanned its source 78×). The checkpointed state is the
+  *    per-round frontier/rank table — O(|V|) rows, the small side.
+  *  - Each round is one equi-join (edges ⋈ state on src) + one hash
+  *    aggregate — the canonical Pregel step as Catalyst sees it. Edges
+  *    stay partitioned by src across rounds; no driver-side collection.
+  *  - PageRank contributions use map-side partial aggregation (sum is
+  *    associative); rank updates join per-node, never per-edge.
+  *  - Triangle counting orients edges low-id→high-id, making the wedge
+  *    join's build side the adjacency above each node — at production
+  *    scale you'd orient by degree (cuts wedges to O(m^1.5)); id order
+  *    keeps the oracle's SQL twin trivial and is noted as the swap point.
+  */
+object GraphAlgos {
+
+  private def undirected(edges: DataFrame, a: String, b: String): DataFrame =
+    edges.select(col(a).as("u"), col(b).as("v"))
+      .union(edges.select(col(b).as("u"), col(a).as("v")))
+
+  /** Integer-quantized PageRank, fixed iteration count.
+    *
+    * rank_0 = scale (1e6); rank_{k+1}(v) = base + damp * Σ_{u→v} ⌊rank_k(u)
+    * / outdeg(u)⌋ where base = 0.15·scale and damp·x = ⌊85·x/100⌋. All
+    * int64, floor division — deterministic in any engine. Sink nodes
+    * contribute nothing (no dangling redistribution; same simplification
+    * as Spark's own graph examples), nodes with no in-edges hold `base`.
+    *
+    * @param rels long-form rel table (START_ID, END_ID, TYPE)
+    */
+  def pageRank(rels: DataFrame, types: Seq[String], iters: Int,
+               scale: Long = 1000000L): DataFrame = {
+    val e = rels.where(col("TYPE").isin(types: _*))
+      .select(col("START_ID").as("src"), col("END_ID").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    // out-degree fused onto each edge once — reused by every iteration
+    val eOd = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .withColumnRenamed("src", "od_src"),
+        col("src") === col("od_src"))
+      .select(col("src"), col("dst"), col("d"))
+      .localCheckpoint(true)
+    val base = (scale * 15L) / 100L
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contribs = eOd
+        .join(ranks.withColumnRenamed("id", "r_id"), col("src") === col("r_id"))
+        .select(col("dst"), expr("rank div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = nodes
+        .join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("85 * coalesce(csum, 0L) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Triangle count over an undirected simple graph given as distinct
+    * low→high edges (a < b). Two hash joins: wedges (a-b, b-c) closed by
+    * the (a, c) edge. Returns one row: n_edges, n_triangles. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = wedges.join(e.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+    // both counts in ONE aggregate over a tagged union — no 1×1 join
+    e.select(lit(1L).as("is_edge"), lit(0L).as("is_tri"))
+      .union(tri.select(lit(0L).as("is_edge"), lit(1L).as("is_tri")))
+      .agg(sum(col("is_edge")).as("n_edges"),
+        sum(col("is_tri")).as("n_triangles"))
+  }
+
+  /** BFS hop distance from a single source over the undirected projection
+    * of the given rel types; nodes beyond maxHops are omitted. Classic
+    * frontier expansion: visited ∪= neighbors(frontier) \ visited. */
+  def bfsHops(rels: DataFrame, types: Seq[String], source: Long,
+              maxHops: Int): DataFrame = {
+    val spark = rels.sparkSession
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    var visited = spark.range(1)
+      .select(lit(source).as("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("id"))
+    for (k <- 1 to maxHops) {
+      val next = und
+        .join(frontier.withColumnRenamed("id", "f_id"), col("u") === col("f_id"))
+        .select(col("v").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select(col("id"))
+    }
+    visited
+  }
+
+  /** Bellman-Ford single-source shortest path, fixed relaxation rounds,
+    * integer weights. dist_{k+1} = min(dist_k, min over edges (u,v,w) of
+    * dist_k(u)+w) — pure min/+ on int64, exact in any engine. Nodes not
+    * reached within `rounds` relaxations are omitted (standard BF gives
+    * exact distances for paths of ≤ rounds edges). */
+  def sssp(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    // both directions with the weight carried (undirected() drops extras)
+    val e2 = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
+      .localCheckpoint(true)
+    var dist = spark.range(1)
+      .select(lit(source).as("id"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = e2
+        .join(dist.withColumnRenamed("id", "d_id"), col("u") === col("d_id"))
+        .select(col("v").as("id"), (col("d") + col("w")).as("d"))
+      dist = dist.union(relaxed)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+}

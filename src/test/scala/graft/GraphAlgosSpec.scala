@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphAlgos
+
+class GraphAlgosSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // path graph 1→2→3 plus 4→2 as the long-form rel table
+  private def rels = Seq(
+    (1L, 2L, "E"), (2L, 3L, "E"), (4L, 2L, "E"))
+    .toDF("START_ID", "END_ID", "TYPE")
+
+  test("pageRank: hand-computed 1 iteration on the path graph") {
+    // outdeg: 1→1, 2→1, 4→1; contrib = 1000000 each
+    // rank1(2) = 150000 + 85*(1000000 + 1000000)/100 = 1850000
+    // rank1(3) = 150000 + 85*1000000/100 = 1000000
+    // rank1(1) = rank1(4) = 150000 (no in-edges)
+    val r = GraphAlgos.pageRank(rels, Seq("E"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 150000L, 2L -> 1850000L, 3L -> 1000000L,
+      4L -> 150000L))
+  }
+
+  test("pageRank: ranks stay positive and bounded over 5 iterations") {
+    val r = GraphAlgos.pageRank(rels, Seq("E"), iters = 5)
+      .as[(Long, Long)].collect()
+    assert(r.length == 4)
+    assert(r.forall { case (_, rank) => rank >= 150000L })
+  }
+
+  test("triangleCount: one triangle plus a pendant edge") {
+    // edges (1,2),(2,3),(1,3) form the triangle; (3,4) dangles
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val row = GraphAlgos.triangleCount(edges)
+      .as[(Long, Long)].collect().head
+    assert(row == ((4L, 1L)))
+  }
+
+  test("triangleCount: K4 has four triangles") {
+    val edges = (for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (i.toLong, j.toLong)).toDF("a", "b")
+    val row = GraphAlgos.triangleCount(edges)
+      .as[(Long, Long)].collect().head
+    assert(row == ((6L, 4L)))
+  }
+
+  test("bfsHops: undirected distances with the 4→2 shortcut") {
+    // from 1: dist 0 = {1}, 1 = {2}, 2 = {3, 4} (via undirected 2-4)
+    val d = GraphAlgos.bfsHops(rels, Seq("E"), source = 1L, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("bfsHops: maxHops truncates the expansion") {
+    val d = GraphAlgos.bfsHops(rels, Seq("E"), source = 1L, maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("sssp: min over parallel paths, weights carried") {
+    // 1-2 w=10, 2-3 w=1, 1-3 w=20: dist(3) = 11 beats the direct 20
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 20L))
+      .toDF("src", "dst", "w")
+    val d = GraphAlgos.sssp(edges, source = 1L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 10L, 3L -> 11L))
+  }
+
+  test("sssp: rounds bound the relaxation depth") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val d = GraphAlgos.sssp(edges, source = 1L, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}
