@@ -92,6 +92,15 @@ object QueriesPipeline {
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     }),
+    // huge-k regime: broadcast-free bucketed assignment — hyperplane
+    // sign-bit buckets on both sides, shuffle equi-join, integer argmin
+    "sim_assign_bigk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cent = Similarity.quantized(e.where(col("vec_id") % 17 === 0))
+        .select(col("vec_id").as("cid"), col("qv").as("qc"))
+      Similarity.assignHugeK(e, cent)
+        .select(col("vec_id"), col("cid"), col("d"))
+    }),
     // trained variant: 2 Lloyd iterations of integer-quantized k-means
     // (exact in both engines), then the probe+rank pipeline
     "sim_ivf_trained" -> ((s, dir) => {
@@ -403,6 +412,37 @@ object QueriesPipeline {
          |      JOIN e ea ON ea.vec_id = vec_a
          |      JOIN e eb ON eb.vec_id = vec_b)
          |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.4""".stripMargin
+    },
+    "sim_assign_bigk" -> {
+      // mirrors Similarity.assignHugeK: same quantization, same 4 literal
+      // hyperplanes → identical int64 bucket keys; exact integer argmin
+      // (ties → smallest cid) within the joined bucket
+      val hp = graft.operators.Dedup.hyperplanes(4, 64)
+      val bitExprs = hp.zipWithIndex.map { case (row, i) =>
+        val l = row.mkString("[", ", ", "]")
+        s"""CASE WHEN list_sum(list_transform(range(1, 65),
+           |       j -> q[j] * ($l::BIGINT[])[j])) >= 0
+           |     THEN ${1L << i} ELSE 0 END AS t$i""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+         |      FROM e),
+         |bits AS (SELECT vec_id, q,
+         |  $bitExprs
+         |  FROM q),
+         |bk AS (SELECT vec_id, q, t0 + t1 + t2 + t3 AS bucket FROM bits),
+         |cent AS (SELECT vec_id AS cid, q AS qc, bucket AS cbucket
+         |         FROM bk WHERE vec_id % 17 = 0),
+         |j AS (SELECT v.vec_id, c.cid,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> (v.q[i] - c.qc[i]) * (v.q[i] - c.qc[i])))
+         |          AS BIGINT) AS d
+         |      FROM bk v JOIN cent c ON v.bucket = c.cbucket)
+         |SELECT vec_id, cid, d FROM (
+         |  SELECT vec_id, cid, d, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d, cid) AS rn FROM j) t
+         |WHERE rn = 1""".stripMargin
     },
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe

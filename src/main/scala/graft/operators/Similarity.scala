@@ -110,7 +110,7 @@ object Similarity {
     * lets the WHOLE training loop sit under an exact cross-engine
     * oracle — float centroid means would differ in the last ulp between
     * engines (summation order) and flip assignments. */
-  private def quantized(embeddings: DataFrame): DataFrame =
+  def quantized(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       transform(asDouble(col("embedding")),
         x => round(x * 1000).cast("long")).as("qv"))
@@ -161,6 +161,46 @@ object Similarity {
           s => s.getField("c")).as("qc"))
     }
     cent
+  }
+
+  /** Broadcast-free nearest-centroid assignment for HUGE k — the regime
+    * where the centroid table itself no longer fits an executor broadcast
+    * (k in the millions; [[assignQuantized]]'s broadcast-cross is the
+    * right shape only while k is small). Both sides hash into hyperplane
+    * sign-bit buckets (the same fixed integer hyperplanes as
+    * `Dedup.embeddingNearDupLsh`, so the bucket key is exact int64 and
+    * cross-engine deterministic), then a SHUFFLE equi-join on the bucket
+    * key pairs each vector only with the centroids in its bucket, and an
+    * integer argmin picks the nearest. The join is hinted shuffle-hash:
+    * no broadcast anywhere, both sides partition by bucket — at 100 TB
+    * each bucket is ~k/2^nbits centroids × its share of the corpus.
+    *
+    * Approximation contract (same as IVF probing): a vector only sees
+    * centroids in ITS bucket — empty-bucket vectors drop out, near-plane
+    * vectors may miss their true nearest. Deterministic, so the DuckDB
+    * twin replays it exactly.
+    *
+    * @param centroids (cid, qc) with qc already integer-quantized
+    * @return (vec_id, cid, d) — assigned cell + exact integer distance
+    */
+  def assignHugeK(corpus: DataFrame, centroids: DataFrame,
+                  nbits: Int = 4, dim: Int = 64): DataFrame = {
+    val hp = Dedup.hyperplanes(nbits, dim)
+    def bucketOf(v: Column): Column =
+      (0 until nbits).map { i =>
+        when(longDot(v, typedlit(hp(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val corp = quantized(corpus)
+      .select(col("vec_id"), col("qv"), bucketOf(col("qv")).as("bucket"))
+    val cent = centroids
+      .select(col("cid"), col("qc"), bucketOf(col("qc")).as("bucket"))
+    corp.join(cent.hint("shuffle_hash"), "bucket")
+      // one vector's candidates all share its (single) bucket partition,
+      // so this aggregate collapses map-side before any further shuffle
+      .groupBy(col("vec_id"))
+      .agg(min(struct(qdist(col("qv"), col("qc")).as("d"),
+        col("cid").as("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.d").as("d"))
   }
 
   /** IVF with TRAINED centroids: quantized k-means (exact, see

@@ -86,4 +86,46 @@ class SimilaritySpec extends AnyFunSuite {
       .select("nid", "rn").as[(Long, Long)].collect().sortBy(_._2)
     assert(top.map(_._1).toSeq == Seq(2L, 1L, 3L))
   }
+
+  test("huge-k assignment matches per-bucket brute argmin, broadcast-free") {
+    val dim = 64
+    val e = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j =>
+        (math.sin(i * 31 + j * 7) * (1 + (i % 5))).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cent = Similarity.quantized(e.where(col("vec_id") % 8 === 0))
+      .select(col("vec_id").as("cid"), col("qv").as("qc"))
+    val assigned = Similarity.assignHugeK(e, cent, nbits = 4, dim = dim)
+
+    // plan: the centroid side must NOT be broadcast — the whole point
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle hash join, got:\n$plan")
+
+    // semantics: recompute buckets + exact integer argmin in local scala
+    val hp = graft.operators.Dedup.hyperplanes(4, dim)
+    def quant(a: Array[Float]): Array[Long] =
+      a.map(x => math.round(x.toDouble * 1000))
+    def bucket(q: Array[Long]): Long =
+      hp.zipWithIndex.map { case (h, i) =>
+        if (q.zip(h).map { case (x, y) => x * y }.sum >= 0) 1L << i else 0L
+      }.sum
+    val vecs = (0L until 40L).map { i =>
+      i -> quant(Array.tabulate(dim)(j =>
+        (math.sin(i * 31 + j * 7) * (1 + (i % 5))).toFloat))
+    }.toMap
+    val cents = vecs.filter(_._1 % 8 == 0)
+    val expected = vecs.flatMap { case (id, q) =>
+      val cands = cents.filter { case (_, qc) => bucket(qc) == bucket(q) }
+      if (cands.isEmpty) None
+      else {
+        val best = cands.map { case (cid, qc) =>
+          (q.zip(qc).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.minBy(identity)
+        Some((id, best._2, best._1))
+      }
+    }.toSet
+    val got = assigned.as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }
