@@ -305,6 +305,32 @@ object QueriesRelational {
       s.table(qname).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
     }),
+    // STREAM-STREAM interval join under the gate: clicks and purchases
+    // read as two file streams, joined per user within [click_ts,
+    // click_ts + 1h] (watermarked both sides so join state is evicted
+    // past the horizon at scale). One AvailableNow batch carries all
+    // events, so the inner join emits every qualifying pair — the oracle
+    // is the equivalent batch interval join in microsecond arithmetic.
+    "stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val tmp = s"/tmp/graft_sjoin_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      e.coalesce(1).write.mode("overwrite").parquet(tmp)
+      def stream = s.readStream.schema(e.schema).parquet(tmp)
+      val joined = graft.streaming.EventStreams.purchaseAttribution(
+        stream.where(col("event_type") === "click"),
+        stream.where(col("event_type") === "purchase"))
+      val qname = s"graft_stream_join_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("click_id") * 100003L + col("purchase_id"))
+            .as("checksum"))
+    }),
     // same contract through Spark 4's transformWithState (typed named
     // state + event-time timers on RocksDB column families) — the
     // successor API to flatMapGroupsWithState, under the same oracle
@@ -476,6 +502,20 @@ object QueriesRelational {
         |       CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY event_type""".stripMargin,
     "sessionize_stream" -> SessionStreamOracle,
+    "stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |             epoch_us(ts) AS ctus
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+        |        epoch_us(ts) AS ptus
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT click_id, user_id, purchase_id
+        |      FROM c JOIN p ON user_id = p_user
+        |        AND ptus >= ctus AND ptus <= ctus + 3600000000)
+        |SELECT user_id, count(*) AS n_pairs,
+        |       CAST(sum(click_id * 100003 + purchase_id) AS BIGINT)
+        |         AS checksum
+        |FROM j GROUP BY user_id""".stripMargin,
     "sessionize_tws" -> SessionStreamOracle,
     "date_functions" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
