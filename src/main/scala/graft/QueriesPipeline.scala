@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{CorpusTools, Dedup, Multimodal, Similarity}
 import graft.sources.TpchGraph.table
 
 /** North-star LLM-training-data pipeline operators over the `documents` /
@@ -109,6 +109,25 @@ object QueriesPipeline {
           iters = 2)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     }),
+
+    // ---- corpus preparation ----------------------------------------------
+    // deterministic stratified-reportable train/valid/test split: pure
+    // integer hash projection, reproducible under retries (rand() isn't)
+    "corpus_split" -> ((s, dir) =>
+      CorpusTools.hashSplit(table(s, dir, "documents"), "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
+    // per-language bigram frequency top-5 through the bounded top-k
+    // aggregate (k rows per language per partition cross the shuffle)
+    "ngram_top" -> ((s, dir) =>
+      CorpusTools.topNgrams(table(s, dir, "documents"), "lang", "text",
+        n = 2, k = 5)),
+    // frequency-vocab induction: corpus-wide word counts ≥ 10, ranked
+    // (cnt DESC, word ASC) into contiguous ids; gate keeps the top 200
+    "vocab_build" -> ((s, dir) =>
+      CorpusTools.buildVocab(table(s, dir, "documents"), "text",
+        minCount = 10L)
+        .where(col("vocab_id") <= 200)),
 
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
@@ -413,6 +432,41 @@ object QueriesPipeline {
          |      JOIN e eb ON eb.vec_id = vec_b)
          |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.4""".stripMargin
     },
+    "corpus_split" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         (doc_id * 2654435761) % 1000000007 % 100 AS b
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN b < 80 THEN 'train'
+        |            WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+        |       count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "ngram_top" ->
+      """WITH g AS (
+        |  SELECT lang,
+        |         unnest(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+        |  FROM (SELECT lang, string_split(text, ' ') AS ws
+        |        FROM documents) t
+        |  WHERE len(ws) >= 2),
+        |c AS (SELECT lang, ngram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT lang, ngram, cnt, rn FROM (
+        |  SELECT lang, ngram, cnt,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY cnt DESC, ngram) AS BIGINT) AS rn
+        |  FROM c) t
+        |WHERE rn <= 5""".stripMargin,
+    "vocab_build" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w
+        |      WHERE word != '' GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT vocab_id, word, cnt FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word)
+        |           AS BIGINT) AS vocab_id, word, cnt
+        |  FROM c) t
+        |WHERE vocab_id <= 200""".stripMargin,
     "sim_assign_bigk" -> {
       // mirrors Similarity.assignHugeK: same quantization, same 4 literal
       // hyperplanes → identical int64 bucket keys; exact integer argmin

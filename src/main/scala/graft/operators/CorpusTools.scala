@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * cleaning/dedup: deterministic dataset splitting, n-gram statistics,
+  * and frequency-vocabulary induction. All arithmetic is integer (Knuth
+  * multiplicative hashing, exact counts) so every operator carries an
+  * exact DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  *  - [[hashSplit]] is a pure narrow map — no shuffle, no RNG state, and
+  *    reproducible under retries/re-partitioning (a `rand()` split is
+  *    neither: task retry reshuffles rows to new splits).
+  *  - [[topNgrams]] aggregates counts (map-side partial) and ranks with
+  *    the bounded [[TopK.perKey]] aggregate — k rows per language per
+  *    partition cross the shuffle, never the full n-gram distribution
+  *    (the window formulation would ship every n-gram of a language to
+  *    one partition).
+  *  - [[buildVocab]] ends in a single global rank over the SURVIVING
+  *    vocabulary — bounded by `minCount` to ~vocab size (10⁵–10⁶ rows),
+  *    not corpus size; the heavy lifting (word counts) is one hash
+  *    aggregate over the corpus.
+  */
+object CorpusTools {
+
+  /** Deterministic train/valid/test split: bucket = (id·2654435761) mod
+    * 1e9+7 mod 100 (Knuth multiplicative hash — id-dense inputs spread
+    * uniformly), split by [0,trainPct) / [trainPct,trainPct+validPct) /
+    * rest. Pure projection; exact in any engine. */
+  def hashSplit(df: DataFrame, id: String, trainPct: Int = 80,
+                validPct: Int = 10): DataFrame = {
+    val bucket = (col(id) * lit(2654435761L)) % 1000000007L % 100L
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+      .drop("bucket")
+  }
+
+  /** Top-k word n-grams per group (e.g. language): positional n-grams
+    * (NOT distinct-per-doc — frequency statistics count repeats), one
+    * count aggregate, then the bounded per-key top-k. Ties rank
+    * lexicographically — deterministic. Returns (group, ngram, cnt, rn). */
+  def topNgrams(docs: DataFrame, group: String, text: String, n: Int,
+                k: Int): DataFrame = {
+    val ws = words(col(text))
+    val grams = docs.select(col(group),
+        explode(when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(ws, i + j)): _*)))
+          .otherwise(array().cast("array<string>"))).as("ngram"))
+    val counts = grams.groupBy(col(group), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded per-key top-k: (cnt DESC, ngram ASC), rn = 1..k
+    TopK.perKeyStr(counts, key = group, ord = "cnt", payload = "ngram",
+        k = k)
+      .select(col(group), col("ngram"), col("cnt").cast("long").as("cnt"),
+        col("rn"))
+  }
+
+  /** Frequency-vocabulary induction: words with corpus frequency ≥
+    * minCount, ranked by (frequency DESC, word ASC) into contiguous
+    * vocab ids starting at 1 — the id assignment every count-based
+    * tokenizer (word-level BPE seed, unigram LM) starts from. */
+  def buildVocab(docs: DataFrame, text: String, minCount: Long): DataFrame = {
+    val counts = docs
+      .select(explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    // global rank over the bounded vocabulary (not the corpus): a single
+    // window is intentional here — results must be one total order
+    counts.withColumn("vocab_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .select(col("vocab_id"), col("word"), col("cnt"))
+  }
+}

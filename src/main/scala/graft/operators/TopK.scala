@@ -35,6 +35,48 @@ object TopK {
     override def outputEncoder = Encoders.product[Buf]
   }
 
+  final case class SEntry(ord: Double, payload: String)
+
+  final case class SBuf(entries: Seq[SEntry])
+
+  /** String-payload twin of [[TopKAgg]]: k largest by (ord desc,
+    * payload asc) — the payload doubles as the deterministic tiebreak. */
+  final class TopKAggStr(k: Int) extends Aggregator[(String, SEntry), SBuf, SBuf] {
+    private val ordering: Ordering[SEntry] =
+      Ordering.by((e: SEntry) => (-e.ord, e.payload))
+    override def zero: SBuf = SBuf(Vector.empty)
+    override def reduce(b: SBuf, a: (String, SEntry)): SBuf =
+      SBuf((b.entries :+ a._2).sorted(ordering).take(k))
+    override def merge(x: SBuf, y: SBuf): SBuf =
+      SBuf((x.entries ++ y.entries).sorted(ordering).take(k))
+    override def finish(r: SBuf): SBuf = r
+    override def bufferEncoder = Encoders.product[SBuf]
+    override def outputEncoder = Encoders.product[SBuf]
+  }
+
+  /** Top-k rows per STRING key with STRING payloads (e.g. top n-grams
+    * per language): (key, payload, ord, rn), ordered (ord desc, payload
+    * asc). Same bounded-buffer scale contract as [[perKey]]. */
+  def perKeyStr(df: DataFrame, key: String, ord: String, payload: String,
+                k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(key).cast("string").as("k"),
+        col(ord).cast("double").as("ord"),
+        col(payload).cast("string").as("payload"))
+      .as[(String, Double, String)]
+      .map { case (kk, o, p) => (kk, SEntry(o, p)) }
+    val agg = new TopKAggStr(k)
+    ds.groupByKey(_._1)
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (kk, top) =>
+        top.entries.zipWithIndex.map { case (e, i) =>
+          (kk, e.payload, e.ord, i + 1L)
+        }
+      }
+      .toDF(key, payload, ord, "rn")
+  }
+
   /** Top-k rows per key: input columns (key, ord double, tiebreak long,
     * payload long) → (key, payload, ord, rn). Semantics identical to the
     * row_number window formulation with ordering (ord desc, tiebreak). */
