@@ -81,6 +81,30 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(bfsLevel).mkString(",\n")}
        |SELECT id, dist FROM v3""".stripMargin
 
+  // ----------------------------------------------- label propagation
+
+  /** One unrolled synchronous LPA round: neighbor label counts, then
+    * per-node argmax with (cnt DESC, lbl ASC) tie-break. */
+  private def lpaRound(k: Int): String =
+    s"""l$k AS (SELECT id, lbl FROM (
+       |    SELECT und.b AS id, l.lbl, count(*) AS cnt,
+       |           row_number() OVER (PARTITION BY und.b
+       |             ORDER BY count(*) DESC, l.lbl) AS rn
+       |    FROM und JOIN l${k - 1} l ON und.a = l.id
+       |    GROUP BY und.b, l.lbl) t
+       |  WHERE rn = 1)""".stripMargin
+
+  private val lpaOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM und),
+       |${(1 to 3).map(lpaRound).mkString(",\n")}
+       |SELECT id, lbl FROM l3""".stripMargin
+
   // -------------------------------------------------- Bellman-Ford SSSP
 
   /** One unrolled relaxation round k: dist' = min(dist, dist(u)+w). */
@@ -135,6 +159,12 @@ object QueriesGraphAlgos {
       types = Seq("FROM_NATION", "IN_REGION"),
       source = 1000000000L, maxHops = 3)
       .select(col("id"), col("dist"))),
+    // Synchronous label propagation, 3 rounds, over the membership
+    // subgraph — nodes converge toward region-rooted communities.
+    "label_prop" -> ((s, dir) => GraphAlgos.labelPropagation(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)
+      .select(col("id"), col("lbl"))),
     // Bellman-Ford over the undirected order↔part graph, weight =
     // quantity, 3 relaxation rounds from order 0.
     "sssp_bf" -> ((s, dir) => GraphAlgos.sssp(
@@ -146,6 +176,7 @@ object QueriesGraphAlgos {
       .select(col("id"), col("d"))))
 
   def oracles: Map[String, String] = Map(
+    "label_prop" -> lpaOracle,
     "pagerank" -> pagerankOracle,
     "triangle_count" -> triangleOracle,
     "bfs_hops" -> bfsOracle,

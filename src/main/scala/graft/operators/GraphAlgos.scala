@@ -118,6 +118,33 @@ object GraphAlgos {
     visited
   }
 
+  /** Synchronous label propagation (community detection), fixed rounds.
+    * Init label = node id; each round every node adopts the most frequent
+    * label among its undirected neighbors, ties → smallest label. The
+    * synchronous schedule + integer tie-break make it deterministic (async
+    * LPA famously isn't), so a DuckDB twin replays it exactly. Each round
+    * is one join (edges ⋈ labels) + two hash aggregates (label counts,
+    * then per-node argmax via min(struct(-cnt, lbl))). */
+  def labelPropagation(rels: DataFrame, types: Seq[String],
+                       rounds: Int): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.withColumnRenamed("id", "l_id"), col("u") === col("l_id"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("lbl").as("lbl")))
+          .as("best"))
+        .select(col("v").as("id"), col("best.lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Bellman-Ford single-source shortest path, fixed relaxation rounds,
     * integer weights. dist_{k+1} = min(dist_k, min over edges (u,v,w) of
     * dist_k(u)+w) — pure min/+ on int64, exact in any engine. Nodes not

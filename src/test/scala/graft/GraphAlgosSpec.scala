@@ -71,6 +71,16 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0L, 2L -> 10L, 3L -> 11L))
   }
 
+  test("labelPropagation: triangle converges to min id; pair oscillates") {
+    val g = Seq((1L, 2L, "E"), (2L, 3L, "E"), (1L, 3L, "E"),
+      (10L, 11L, "E")).toDF("START_ID", "END_ID", "TYPE")
+    val l = GraphAlgos.labelPropagation(g, Seq("E"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // triangle: all at label 1 from round 2 on; the isolated pair swaps
+    // labels every synchronous round (odd round count → swapped)
+    assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 11L, 11L -> 10L))
+  }
+
   test("sssp: rounds bound the relaxation depth") {
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
       .toDF("src", "dst", "w")
