@@ -129,6 +129,29 @@ object QueriesPipeline {
         minCount = 10L)
         .where(col("vocab_id") <= 200)),
 
+    // single-pass per-column profiling (data validation before training)
+    "profile_docs" -> ((s, dir) =>
+      CorpusTools.profile(table(s, dir, "documents"),
+        Seq("lang", "source", "n_chars"))),
+    // digit-run redaction (PII-scrub shape): per-language doc counts,
+    // total redactions, and redacted-length checksum
+    "pii_redact" -> ((s, dir) =>
+      CorpusTools.redactNumbers(table(s, dir, "documents"), "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_redacted") > 0, 1L).otherwise(0L))
+            .as("docs_with_num"),
+          sum(col("n_redacted")).as("total_nums"),
+          sum(length(col("redacted")).cast("long")).as("len_sum"))),
+    // fixed-window chunking with overlap (context-window packing):
+    // per-doc chunk count + covered-word checksum, pure generator plan
+    "doc_chunk" -> ((s, dir) =>
+      CorpusTools.chunkWords(table(s, dir, "documents"), "doc_id", "text",
+        size = 50, overlap = 10)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_words")).as("words_covered"))),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -467,6 +490,39 @@ object QueriesPipeline {
         |           AS BIGINT) AS vocab_id, word, cnt
         |  FROM c) t
         |WHERE vocab_id <= 200""".stripMargin,
+    "profile_docs" ->
+      """SELECT 'lang' AS col_name, count(lang) AS n_nonnull,
+        |       count(DISTINCT lang) AS n_distinct,
+        |       (SELECT count(*) FROM documents) AS n_rows FROM documents
+        |UNION ALL
+        |SELECT 'source', count(source), count(DISTINCT source),
+        |       (SELECT count(*) FROM documents) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+        |       (SELECT count(*) FROM documents) FROM documents""".stripMargin,
+    "pii_redact" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |         regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |         len(regexp_extract_all(text, '[0-9]+')) AS n_redacted
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN n_redacted > 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS docs_with_num,
+        |       CAST(sum(n_redacted) AS BIGINT) AS total_nums,
+        |       CAST(sum(length(redacted)) AS BIGINT) AS len_sum
+        |FROM r GROUP BY lang""".stripMargin,
+    "doc_chunk" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS len
+        |           FROM documents),
+        |n AS (SELECT doc_id, len,
+        |        1 + (greatest(len - 50, 0) + 39) // 40 AS n_chunks
+        |      FROM d)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |       CAST(list_sum(list_transform(range(0, n_chunks),
+        |         i -> least(50, len - (i * 40 + 1) + 1))) AS BIGINT)
+        |         AS words_covered
+        |FROM n""".stripMargin,
     "sim_assign_bigk" -> {
       // mirrors Similarity.assignHugeK: same quantization, same 4 literal
       // hyperplanes → identical int64 bucket keys; exact integer argmin

@@ -64,6 +64,58 @@ object CorpusTools {
         col("rn"))
   }
 
+  /** Single-pass column profiling (the pre-training data-validation
+    * sweep): per column, non-null and exact distinct counts, long-form.
+    * One aggregate over the table — Catalyst expands the multi-distinct
+    * into one Expand + two-phase aggregate, still a single scan; the
+    * one-row result unpivots via stack(). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nonnull"),
+        countDistinct(col(c)).as(s"${c}__distinct"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `${c}__nonnull`, `${c}__distinct`").mkString(", ")
+    row.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n_nonnull, n_distinct)",
+      "__n AS n_rows")
+  }
+
+  /** Digit-run redaction (the PII-scrub shape: swap the pattern for
+    * emails/phones/ids in production): every digit run becomes `<NUM>`.
+    * Returns the input plus `redacted` text and the exact match count —
+    * a pure narrow projection, regex engines agree on this class. */
+  def redactNumbers(df: DataFrame, text: String): DataFrame =
+    df.withColumn("redacted",
+        regexp_replace(col(text), "[0-9]+", "<NUM>"))
+      .withColumn("n_redacted",
+        size(expr(s"regexp_extract_all($text, '[0-9]+', 0)")).cast("long"))
+
+  /** Fixed-size word-window chunking with overlap — context-window
+    * packing for training. Chunk starts at 1, 1+step, 1+2·step … where
+    * step = size−overlap; n_chunks = 1 + ⌈max(0, len−size)/step⌉ (pure
+    * integer arithmetic). Returns one row per chunk (id, chunk_idx,
+    * chunk_words, n_words) via a generator — no shuffle at all. */
+  def chunkWords(df: DataFrame, id: String, text: String, size: Int,
+                 overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val step = size - overlap
+    val ws = words(col(text))
+    df.select(col(id), ws.as("ws"))
+      .withColumn("len", org.apache.spark.sql.functions.size(col("ws")).cast("long"))
+      .withColumn("n_chunks",
+        expr(s"1L + (greatest(len - ${size}L, 0L) + ${step - 1}L) div ${step}L"))
+      .select(col(id),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
+          i => slice(col("ws"), (i * step + 1).cast("int"), lit(size))))
+          .as(Seq("chunk_idx", "chunk_words")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_words"),
+        org.apache.spark.sql.functions.size(col("chunk_words"))
+          .cast("long").as("n_words"))
+  }
+
   /** Frequency-vocabulary induction: words with corpus frequency ≥
     * minCount, ranked by (frequency DESC, word ASC) into contiguous
     * vocab ids starting at 1 — the id assignment every count-based

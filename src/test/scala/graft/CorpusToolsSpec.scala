@@ -43,6 +43,42 @@ class CorpusToolsSpec extends AnyFunSuite {
       ("fr", "x y", 1L, 1L)))
   }
 
+  test("profile: one-pass per-column non-null + exact distinct counts") {
+    val df = Seq(
+      (Some("en"), Some(1L)), (Some("en"), None), (Some("fr"), Some(2L)),
+      (None, Some(2L))
+    ).toDF("lang", "v")
+    val p = CorpusTools.profile(df, Seq("lang", "v"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(p == Set(("lang", 3L, 2L, 4L), ("v", 3L, 2L, 4L)))
+  }
+
+  test("redactNumbers replaces every digit run and counts matches") {
+    val df = Seq((1L, "a1b22c333"), (2L, "no digits")).toDF("doc_id", "text")
+    val r = CorpusTools.redactNumbers(df, "text")
+      .select("doc_id", "redacted", "n_redacted")
+      .as[(Long, String, Long)].collect()
+      .map { case (i, t, n) => i -> ((t, n)) }.toMap
+    assert(r(1L) == (("a<NUM>b<NUM>c<NUM>", 3L)))
+    assert(r(2L) == (("no digits", 0L)))
+  }
+
+  test("chunkWords: overlap windows cover the doc, short docs one chunk") {
+    // 13 words, size 5, overlap 2 → step 3, n_chunks = 1+ceil(8/3) = 4
+    val text = (1 to 13).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, text), (8L, "a b")).toDF("doc_id", "text")
+    val ch = CorpusTools.chunkWords(df, "doc_id", "text",
+        size = 5, overlap = 2)
+      .as[(Long, Long, Seq[String], Long)].collect()
+    val d7 = ch.filter(_._1 == 7L).sortBy(_._2)
+    assert(d7.map(_._4).toSeq == Seq(5L, 5L, 5L, 4L))
+    assert(d7.head._3 == Seq("w1", "w2", "w3", "w4", "w5"))
+    assert(d7(1)._3.head == "w4") // overlap of 2: starts 1,4,7,10
+    assert(d7.last._3 == Seq("w10", "w11", "w12", "w13"))
+    val d8 = ch.filter(_._1 == 8L)
+    assert(d8.length == 1 && d8.head._3 == Seq("a", "b"))
+  }
+
   test("buildVocab ranks by frequency then word, applying minCount") {
     val docs = Seq(
       (1L, "b b b a a c"), (2L, "a b")
