@@ -47,7 +47,8 @@ object QueriesGraphAlgos {
   private val triangleOracle: String =
     """WITH ps AS (SELECT DISTINCT 3000000000 + l_partkey AS part,
       |                            l_suppkey AS supp
-      |            FROM lineitem WHERE l_partkey % 20 = 0),
+      |            FROM lineitem WHERE l_partkey % 20 = 0
+      |              AND (2000000000 + l_suppkey) % 3 = 0),
       |e AS (SELECT DISTINCT p1.part AS a, p2.part AS b
       |      FROM ps p1 JOIN ps p2
       |        ON p1.supp = p2.supp AND p1.part < p2.part),
@@ -105,6 +106,22 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(lpaRound).mkString(",\n")}
        |SELECT id, lbl FROM l3""".stripMargin
 
+  // ---------------------------------------------- neighbor sampling
+
+  private val neighborSampleOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('CONTAINS', 'SUPPLIED_BY')),
+       |h AS (SELECT src, dst,
+       |        ((src * 1000003 + dst) % 1000000007 * 2654435761)
+       |          % 1000000007 AS hv
+       |      FROM e),
+       |r AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+       |        ORDER BY hv, dst) AS rn FROM h)
+       |SELECT src, count(*) AS n,
+       |       CAST(sum(dst * rn) AS BIGINT) AS checksum
+       |FROM r WHERE rn <= 5 GROUP BY src""".stripMargin
+
   // -------------------------------------------------- Bellman-Ford SSSP
 
   /** One unrolled relaxation round k: dist' = min(dist, dist(u)+w). */
@@ -137,11 +154,15 @@ object QueriesGraphAlgos {
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), iters = 5)
       .select(col("id"), col("rank"))),
-    // Triangles of the co-supplier part graph (parts sharing a supplier),
-    // id-thinned 20× so the wedge join stays proportionate in the bench.
+    // Triangles of the co-supplier part graph (parts sharing a supplier).
+    // Parts id-thinned 20× and suppliers 3× — without the supplier thin
+    // the co-supply graph is a near-clique (295k of 500k possible edges
+    // at sf0.1) and the wedge join counts clique triangles, not
+    // structure; thinned, density drops to ~7% and the wedge set ~60×.
     "triangle_count" -> ((s, dir) => {
       val ps = SparkEntry.graph(s, dir).rels
-        .where(col("TYPE") === "SUPPLIED_BY" && col("START_ID") % 20 === 0)
+        .where(col("TYPE") === "SUPPLIED_BY" && col("START_ID") % 20 === 0
+          && col("END_ID") % 3 === 0)
         .select(col("START_ID").as("part"), col("END_ID").as("supp"))
         .distinct()
       val edges = ps.as("p1")
@@ -165,6 +186,14 @@ object QueriesGraphAlgos {
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)
       .select(col("id"), col("lbl"))),
+    // Deterministic fanout-5 neighbor sampling on the DENSE subgraph
+    // (order/part hubs — where a GNN pipeline must cap adjacency).
+    "neighbor_sample" -> ((s, dir) => GraphAlgos.neighborSample(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("CONTAINS", "SUPPLIED_BY"), fanout = 5)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dst") * col("rn")).as("checksum"))),
     // Bellman-Ford over the undirected order↔part graph, weight =
     // quantity, 3 relaxation rounds from order 0.
     "sssp_bf" -> ((s, dir) => GraphAlgos.sssp(
@@ -176,6 +205,7 @@ object QueriesGraphAlgos {
       .select(col("id"), col("d"))))
 
   def oracles: Map[String, String] = Map(
+    "neighbor_sample" -> neighborSampleOracle,
     "label_prop" -> lpaOracle,
     "pagerank" -> pagerankOracle,
     "triangle_count" -> triangleOracle,

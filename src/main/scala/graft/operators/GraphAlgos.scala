@@ -118,6 +118,32 @@ object GraphAlgos {
     visited
   }
 
+  /** Deterministic per-node neighbor sampling (the GraphSAGE-style fanout
+    * cap a GNN training pipeline applies before neighborhood aggregation,
+    * and the standard supernode tamer): for each source keep the `fanout`
+    * edges with the smallest mixed hash h = (((src·1000003 + dst) mod
+    * 1e9+7) · 2654435761) mod 1e9+7 — the inner mod keeps every
+    * intermediate below 2^63 (DuckDB errors on BIGINT overflow; Spark
+    * silently wraps — the reduced form is exact in both). Seedless,
+    * uniform-ish, reproducible under retries (a rand() sample is
+    * neither). Ranking goes through the
+    * bounded [[TopK]] aggregate: fanout rows per node per partition
+    * cross the shuffle, never a per-node window over full adjacency.
+    * Returns (src, dst, rn), rn = 1..fanout in hash order. */
+  def neighborSample(rels: DataFrame, types: Seq[String],
+                     fanout: Int): DataFrame = {
+    val e = rels.where(col("TYPE").isin(types: _*))
+      .select(col("START_ID").as("src"), col("END_ID").as("dst"))
+    val h = ((col("src") * 1000003L + col("dst")) % 1000000007L *
+      2654435761L) % 1000000007L
+    // TopK.perKey keeps the k LARGEST by ord — negate for smallest-hash
+    val ranked = TopK.perKey(
+      e.withColumn("negh", -h.cast("double")),
+      key = "src", ord = "negh", tiebreak = "dst", payload = "dst",
+      k = fanout)
+    ranked.select(col("src"), col("dst"), col("rn"))
+  }
+
   /** Synchronous label propagation (community detection), fixed rounds.
     * Init label = node id; each round every node adopts the most frequent
     * label among its undirected neighbors, ties → smallest label. The

@@ -71,6 +71,27 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0L, 2L -> 10L, 3L -> 11L))
   }
 
+  test("neighborSample caps fanout deterministically, matching the window form") {
+    val g = (1L to 3L).flatMap(s => (1L to 20L).map(d => (s, 100L + d, "E")))
+      .toDF("START_ID", "END_ID", "TYPE")
+    val sampled = GraphAlgos.neighborSample(g, Seq("E"), fanout = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(sampled.groupBy(_._1).forall(_._2.length == 4))
+    // reference order: smallest mixed hash first, same formula
+    def h(s: Long, d: Long): Long =
+      (s * 1000003L + d) % 1000000007L * 2654435761L % 1000000007L
+    val expected = (1L to 3L).flatMap { s =>
+      (1L to 20L).map(d => (s, 100L + d))
+        .sortBy { case (ss, dd) => (h(ss, dd), dd) }.take(4)
+        .zipWithIndex.map { case ((ss, dd), i) => (ss, dd, i + 1L) }
+    }.toSet
+    assert(sampled.toSet == expected)
+    // stable under repartitioning (rand() sampling would not be)
+    val again = GraphAlgos.neighborSample(g.repartition(7), Seq("E"),
+      fanout = 4).as[(Long, Long, Long)].collect().toSet
+    assert(again == expected)
+  }
+
   test("labelPropagation: triangle converges to min id; pair oscillates") {
     val g = Seq((1L, 2L, "E"), (2L, 3L, "E"), (1L, 3L, "E"),
       (10L, 11L, "E")).toDF("START_ID", "END_ID", "TYPE")
