@@ -82,6 +82,72 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(bfsLevel).mkString(",\n")}
        |SELECT id, dist FROM v3""".stripMargin
 
+  // ------------------------------------------- personalized pagerank
+
+  /** Personalized iteration k: teleport mass only at region seeds. */
+  private def prPersIter(k: Int): String =
+    s"""p$k AS (
+       |  SELECT n.id,
+       |         CAST(CASE WHEN n.id >= 6000000000 THEN 150000 ELSE 0 END
+       |           + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+       |  FROM prnodes n LEFT JOIN (
+       |    SELECT e.dst AS id, sum(r.rank // e.d) AS c
+       |    FROM pre e JOIN p${k - 1} r ON r.id = e.src
+       |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+
+  private val pagerankPersOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |prnodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) t),
+       |pre AS (SELECT e.src, e.dst, od.d FROM e
+       |        JOIN (SELECT src, count(*) AS d FROM e GROUP BY 1) od
+       |          ON od.src = e.src),
+       |p0 AS (SELECT id,
+       |         CAST(CASE WHEN id >= 6000000000 THEN 1000000 ELSE 0 END
+       |           AS BIGINT) AS rank FROM prnodes),
+       |${(1 to 5).map(prPersIter).mkString(",\n")}
+       |SELECT id, rank FROM p5""".stripMargin
+
+  // ------------------------------------------------- node similarity
+
+  private val nodeSimOracle: String =
+    """WITH e AS (SELECT DISTINCT 3000000000 + l_partkey AS node,
+      |                           2000000000 + l_suppkey AS nb
+      |           FROM lineitem WHERE l_partkey % 10 = 0),
+      |deg AS (SELECT node, count(*) AS deg FROM e GROUP BY 1),
+      |hot AS (SELECT nb FROM (SELECT nb, count(*) AS df FROM e
+      |                        GROUP BY 1) t WHERE df > 50),
+      |c AS (SELECT * FROM e WHERE nb NOT IN (SELECT nb FROM hot)),
+      |i AS (SELECT x.node AS a, y.node AS b, count(*) AS inter
+      |      FROM c x JOIN c y ON x.nb = y.nb AND x.node < y.node
+      |      GROUP BY 1, 2),
+      |j AS (SELECT a, b, inter,
+      |        round(inter * 1.0 / (da.deg + db.deg - inter), 6) AS jac
+      |      FROM i JOIN deg da ON da.node = a JOIN deg db ON db.node = b)
+      |SELECT a, b, inter, jac FROM j WHERE jac >= 0.05""".stripMargin
+
+  // ------------------------------------------------------------ k-core
+
+  /** One unrolled peel round: nodes with surviving degree ≥ k, edges
+    * restricted to survivor×survivor. */
+  private def kcoreRound(r: Int): String =
+    s"""s$r AS (SELECT u FROM (SELECT u, count(*) AS deg FROM u${r - 1}
+       |        GROUP BY u) t WHERE deg >= 20),
+       |u$r AS (SELECT e.u, e.v FROM u${r - 1} e
+       |        JOIN s$r a ON e.u = a.u JOIN s$r b ON e.v = b.u)""".stripMargin
+
+  private val kcoreOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('CONTAINS', 'SUPPLIED_BY')),
+       |u0 AS (SELECT DISTINCT a AS u, b AS v FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |${(1 to 3).map(kcoreRound).mkString(",\n")}
+       |SELECT u AS id, count(*) AS deg FROM u3 GROUP BY u""".stripMargin
+
   // ----------------------------------------------- label propagation
 
   /** One unrolled synchronous LPA round: neighbor label counts, then
@@ -186,6 +252,26 @@ object QueriesGraphAlgos {
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)
       .select(col("id"), col("lbl"))),
+    // Personalized PageRank: teleport restricted to the 5 region seeds —
+    // rank measures proximity to regions through the membership graph.
+    "pagerank_pers" -> ((s, dir) => GraphAlgos.pageRank(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), iters = 5,
+      seedPred = Some(col("id") >= 6000000000L))
+      .select(col("id"), col("rank"))),
+    // GDS nodeSimilarity analog: Jaccard over supplier neighbor-sets of
+    // the (10x thinned) part nodes, inverted-index join with a hub cap.
+    "node_similarity" -> ((s, dir) => GraphAlgos.nodeSimilarity(
+      SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "SUPPLIED_BY" && col("START_ID") % 10 === 0)
+        .select(col("START_ID").as("node"), col("END_ID").as("nb")),
+      threshold = 0.05, maxDf = 50)),
+    // k-core peeling (k=20, 3 rounds) on the dense order/part/supplier
+    // graph: orders (deg ~7) peel first, cascading degree updates.
+    "kcore" -> ((s, dir) => GraphAlgos.kCore(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("CONTAINS", "SUPPLIED_BY"), k = 20, rounds = 3)
+      .select(col("id"), col("deg"))),
     // Deterministic fanout-5 neighbor sampling on the DENSE subgraph
     // (order/part hubs — where a GNN pipeline must cap adjacency).
     "neighbor_sample" -> ((s, dir) => GraphAlgos.neighborSample(
@@ -205,6 +291,9 @@ object QueriesGraphAlgos {
       .select(col("id"), col("d"))))
 
   def oracles: Map[String, String] = Map(
+    "pagerank_pers" -> pagerankPersOracle,
+    "node_similarity" -> nodeSimOracle,
+    "kcore" -> kcoreOracle,
     "neighbor_sample" -> neighborSampleOracle,
     "label_prop" -> lpaOracle,
     "pagerank" -> pagerankOracle,

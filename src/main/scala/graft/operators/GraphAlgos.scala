@@ -46,7 +46,8 @@ object GraphAlgos {
     * @param rels long-form rel table (START_ID, END_ID, TYPE)
     */
   def pageRank(rels: DataFrame, types: Seq[String], iters: Int,
-               scale: Long = 1000000L): DataFrame = {
+               scale: Long = 1000000L,
+               seedPred: Option[Column] = None): DataFrame = {
     val e = rels.where(col("TYPE").isin(types: _*))
       .select(col("START_ID").as("src"), col("END_ID").as("dst"))
     val nodes = e.select(col("src").as("id"))
@@ -60,7 +61,16 @@ object GraphAlgos {
       .select(col("src"), col("dst"), col("d"))
       .localCheckpoint(true)
     val base = (scale * 15L) / 100L
-    var ranks = nodes.withColumn("rank", lit(scale))
+    // personalized variant: teleport mass (the `base` term and the initial
+    // rank) only at seed nodes — everything else identical
+    def baseCol: Column = seedPred match {
+      case None => lit(base)
+      case Some(p) => when(p, lit(base)).otherwise(lit(0L))
+    }
+    var ranks = nodes.withColumn("rank", seedPred match {
+      case None => lit(scale)
+      case Some(p) => when(p, lit(scale)).otherwise(lit(0L))
+    })
     for (_ <- 1 to iters) {
       val contribs = eOd
         .join(ranks.withColumnRenamed("id", "r_id"), col("src") === col("r_id"))
@@ -69,10 +79,63 @@ object GraphAlgos {
       ranks = nodes
         .join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),
-          (lit(base) + expr("85 * coalesce(csum, 0L) div 100")).as("rank"))
+          (baseCol + expr("85 * coalesce(csum, 0L) div 100")).as("rank"))
         .localCheckpoint(true)
     }
     ranks
+  }
+
+  /** GDS nodeSimilarity analog: Jaccard similarity of neighbor sets over
+    * a bipartite projection — for parts sharing suppliers, documents
+    * sharing shingles, users sharing items. Inverted-index shape (join
+    * through the shared neighbor, never node×node), with a frequency cap
+    * on hub neighbors exactly like `Dedup.ngramJaccard`'s DF cap: a
+    * neighbor shared by n nodes contributes n² candidate pairs, so hubs
+    * above `maxDf` are dropped from CANDIDATE GENERATION while degrees
+    * stay pre-cap — pairs whose overlap survives the cap keep exact
+    * denominators. Returns (a, b, inter, jac) for jac ≥ threshold. */
+  def nodeSimilarity(edges: DataFrame, threshold: Double,
+                     maxDf: Int): DataFrame = {
+    val e = edges.select(col("node"), col("nb")).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val hot = e.groupBy(col("nb")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("nb"))
+    val capped = e.join(hot, Seq("nb"), "left_anti")
+    val inter = capped.as("x")
+      .join(capped.as("y"),
+        col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("da") + col("db") - col("inter")), 6).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** k-core: iteratively peel nodes with degree < k (fixed rounds — at
+    * convergence this is the exact k-core; bounded rounds are the
+    * deterministic, oracle-replayable prefix). Returns surviving (id,
+    * deg) after `rounds` peels of the undirected graph. */
+  def kCore(rels: DataFrame, types: Seq[String], k: Int,
+            rounds: Int): DataFrame = {
+    var und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val surv = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("u"))
+      und = und
+        .join(surv.withColumnRenamed("u", "su"), col("u") === col("su"))
+        .drop("su")
+        .join(surv.withColumnRenamed("u", "sv"), col("v") === col("sv"))
+        .drop("sv")
+        .localCheckpoint(true)
+    }
+    und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
   }
 
   /** Triangle count over an undirected simple graph given as distinct

@@ -71,6 +71,40 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0L, 2L -> 10L, 3L -> 11L))
   }
 
+  test("personalized pageRank puts teleport mass only at seeds") {
+    // 1→2→3: seed = {1}. r0 = (1e6, 0, 0)
+    // iter1: r(1)=150000; r(2)=0+85%*1e6=850000; r(3)=0
+    val r = GraphAlgos.pageRank(rels.where(col("START_ID") =!= 4L),
+        Seq("E"), iters = 1, seedPred = Some(col("id") === 1L))
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L))
+  }
+
+  test("nodeSimilarity: exact jaccard with hub neighbors capped") {
+    // hub 99 shared by all four nodes (df 4 > cap 3) is candidate-capped
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L),
+      (1L, 99L), (2L, 99L), (3L, 99L), (4L, 99L))
+      .toDF("node", "nb")
+    val sim = GraphAlgos.nodeSimilarity(edges, threshold = 0.1, maxDf = 3)
+      .select("a", "b", "inter", "jac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // degrees include the hub (pre-cap): da=db=3, dc=3
+    // (1,2): inter {10,11} = 2 → 2/(3+3-2) = 0.5
+    // (1,3): inter {11} = 1 → 1/5 = 0.2 ; (2,3) same
+    assert(sim == Set((1L, 2L, 2L, 0.5), (1L, 3L, 1L, 0.2),
+      (2L, 3L, 1L, 0.2)))
+  }
+
+  test("kCore peels low-degree nodes and cascades") {
+    // triangle 1-2-3 plus chain 3-4-5: k=2 → 4,5 peel (4 after 5)
+    val g = Seq((1L, 2L, "E"), (2L, 3L, "E"), (1L, 3L, "E"),
+      (3L, 4L, "E"), (4L, 5L, "E")).toDF("START_ID", "END_ID", "TYPE")
+    val core = GraphAlgos.kCore(g, Seq("E"), k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("neighborSample caps fanout deterministically, matching the window form") {
     val g = (1L to 3L).flatMap(s => (1L to 20L).map(d => (s, 100L + d, "E")))
       .toDF("START_ID", "END_ID", "TYPE")
