@@ -172,6 +172,35 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(lpaRound).mkString(",\n")}
        |SELECT id, lbl FROM l3""".stripMargin
 
+  // ------------------------------------------------ FastRP embeddings
+
+  /** One unrolled smoothing iteration: neighbor sums per (node, dim),
+    * positive-shifted floor division by degree. */
+  private def frpIter(k: Int): String =
+    s"""f$k AS (SELECT s.id, s.j,
+       |    CAST((s.s + 1000000 * deg.d) // deg.d - 1000000 AS BIGINT) AS ev
+       |  FROM (SELECT und.b AS id, f.j, sum(f.ev) AS s
+       |        FROM und JOIN f${k - 1} f ON f.id = und.a
+       |        GROUP BY und.b, f.j) s
+       |  JOIN deg ON deg.a = s.id)""".stripMargin
+
+  private val fastrpOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1),
+       |n AS (SELECT DISTINCT a AS id FROM und),
+       |dims AS (SELECT unnest(range(0, 8)) AS j),
+       |f0 AS (SELECT id, j,
+       |         CAST(((id % 1000003) * (j + 31) + j * 7919)
+       |           % 1000003 % 201 - 100 AS BIGINT) AS ev
+       |       FROM n, dims),
+       |${(1 to 2).map(frpIter).mkString(",\n")}
+       |SELECT id, j, ev FROM f2""".stripMargin
+
   // ---------------------------------------------- neighbor sampling
 
   private val neighborSampleOracle: String =
@@ -252,6 +281,12 @@ object QueriesGraphAlgos {
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)
       .select(col("id"), col("lbl"))),
+    // FastRP-shaped embeddings (the reference's headline GDS payload,
+    // computed in-engine): dim 8, 2 smoothing iterations, long-form.
+    "fastrp_embed" -> ((s, dir) => GraphAlgos.fastRP(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), dim = 8, iters = 2)
+      .select(col("id"), col("j").cast("long").as("j"), col("ev"))),
     // Personalized PageRank: teleport restricted to the 5 region seeds —
     // rank measures proximity to regions through the membership graph.
     "pagerank_pers" -> ((s, dir) => GraphAlgos.pageRank(
@@ -291,6 +326,7 @@ object QueriesGraphAlgos {
       .select(col("id"), col("d"))))
 
   def oracles: Map[String, String] = Map(
+    "fastrp_embed" -> fastrpOracle,
     "pagerank_pers" -> pagerankPersOracle,
     "node_similarity" -> nodeSimOracle,
     "kcore" -> kcoreOracle,

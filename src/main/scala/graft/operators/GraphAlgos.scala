@@ -181,6 +181,51 @@ object GraphAlgos {
     visited
   }
 
+  /** FastRP-shaped node embeddings, integer-exact. The reference's
+    * headline payload IS FastRP vectors streamed out of GDS
+    * (speed/26-aug-2021/README.md — "PaySim + FastRP"); this computes the
+    * same random-projection + iterated-neighbor-averaging shape in the
+    * engine. Deterministic analog of the float algorithm:
+    *
+    *  - init: e₀(v)[j] = hash(v, j) mapped into [-100, 100] (the sparse
+    *    random projection, seedless integer hash);
+    *  - iterate: e_k(v)[j] = ⌊ Σ_{u∈N(v)} e_{k-1}(u)[j] / deg(v) ⌋ — the
+    *    neighbor-mean smoothing. Floor division over SIGNED sums diverges
+    *    between engines (Spark `div` truncates, DuckDB `//` floors), so
+    *    the quotient is computed as (s + C·deg) div deg − C with
+    *    C = 10⁶ ≫ |values| — argument positive, trunc ≡ floor in both.
+    *
+    * Embeddings are kept LONG-FORM (id, j, ev) — each iteration is one
+    * edge⋈state equi-join + one (node, dim) hash aggregate, partitioned
+    * by node, no arrays crossing shuffles and no per-node width limit.
+    * Production FastRP adds float weights and L2 normalization per
+    * iterate; the integer analog keeps the dataflow identical while
+    * every value stays oracle-replayable. */
+  def fastRP(rels: DataFrame, types: Seq[String], dim: Int,
+             iters: Int): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val nodes = und.select(col("u").as("id")).distinct()
+    var emb = nodes
+      .select(col("id"), explode(sequence(lit(0), lit(dim - 1))).as("j"))
+      .withColumn("ev",
+        ((col("id") % 1000003L) * (col("j") + 31L) + col("j") * 7919L)
+          % 1000003L % 201L - 100L)
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      emb = und
+        .join(emb.withColumnRenamed("id", "e_id"), col("u") === col("e_id"))
+        .groupBy(col("v").as("id"), col("j")).agg(sum(col("ev")).as("s"))
+        .join(deg.withColumnRenamed("u", "d_id"), col("id") === col("d_id"))
+        .select(col("id"), col("j"),
+          (expr("(s + 1000000 * d) div d") - 1000000L).as("ev"))
+        .localCheckpoint(true)
+    }
+    emb
+  }
+
   /** Deterministic per-node neighbor sampling (the GraphSAGE-style fanout
     * cap a GNN training pipeline applies before neighborhood aggregation,
     * and the standard supernode tamer): for each source keep the `fanout`

@@ -71,6 +71,24 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0L, 2L -> 10L, 3L -> 11L))
   }
 
+  test("fastRP: neighbor-mean smoothing with exact signed floor division") {
+    // path 1-2-3 undirected; dim 2, 1 iteration
+    val g = Seq((1L, 2L, "E"), (2L, 3L, "E")).toDF("START_ID", "END_ID", "TYPE")
+    def init(id: Long, j: Long): Long =
+      ((id % 1000003L) * (j + 31L) + j * 7919L) % 1000003L % 201L - 100L
+    def fdiv(s: Long, d: Long): Long = Math.floorDiv(s, d)
+    val expected = Seq(
+      // node 1: neighbor {2}; node 3: neighbor {2}; node 2: {1,3}
+      (1L, 0L, fdiv(init(2, 0), 1)), (1L, 1L, fdiv(init(2, 1), 1)),
+      (3L, 0L, fdiv(init(2, 0), 1)), (3L, 1L, fdiv(init(2, 1), 1)),
+      (2L, 0L, fdiv(init(1, 0) + init(3, 0), 2)),
+      (2L, 1L, fdiv(init(1, 1) + init(3, 1), 2))).toSet
+    val got = GraphAlgos.fastRP(g, Seq("E"), dim = 2, iters = 1)
+      .select(col("id"), col("j").cast("long"), col("ev"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("personalized pageRank puts teleport mass only at seeds") {
     // 1→2→3: seed = {1}. r0 = (1e6, 0, 0)
     // iter1: r(1)=150000; r(2)=0+85%*1e6=850000; r(3)=0
