@@ -67,4 +67,48 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
   }
+
+  test("every TPC-H delegation plan is hash-join only") {
+    // correlated EXISTS/IN must rewrite to semi/anti hash joins; a
+    // CartesianProduct or nested loop on a fact table is the 100 TB
+    // failure mode this surface must never regress into
+    for (q <- (1 to 22).map(i => s"sql_q$i")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested loop:\n$plan")
+    }
+  }
+
+  test("huge-k assignment never broadcasts and joins on the bucket key") {
+    val plan = formatted(SparkEntry.queries("sim_assign_bigk")(spark, dir))
+    assert(plan.contains("ShuffledHashJoin"), s"no shuffle-hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids were broadcast:\n$plan")
+  }
+
+  test("neighbor sampling ranks through the bounded aggregate, not a window") {
+    val plan = formatted(SparkEntry.queries("neighbor_sample")(spark, dir))
+    assert(!plan.contains("Window"), s"per-node window in plan:\n$plan")
+  }
+
+  test("per-language n-gram top-k ranks through the bounded aggregate") {
+    val plan = formatted(SparkEntry.queries("ngram_top")(spark, dir))
+    assert(!plan.contains("Window"), s"per-key window in plan:\n$plan")
+  }
+
+  test("corpus hash split is a pure narrow projection (no shuffle)") {
+    val plan = formatted(graft.operators.CorpusTools.hashSplit(
+      graft.sources.TpchGraph.table(spark, dir, "documents"), "doc_id"))
+    assert(!plan.contains("Exchange"), s"split plan shuffles:\n$plan")
+  }
+
+  test("window chunking is generator-only (no shuffle, no window)") {
+    val plan = formatted(graft.operators.CorpusTools.chunkWords(
+      graft.sources.TpchGraph.table(spark, dir, "documents"),
+      "doc_id", "text", size = 50, overlap = 10))
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"chunking plan not narrow:\n$plan")
+  }
 }
