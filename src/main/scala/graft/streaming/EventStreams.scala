@@ -39,17 +39,23 @@ object EventStreams {
     * past the horizon — the canonical bounded stream-stream join. */
   def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
                           horizon: String = "1 hour",
-                          watermark: String = "2 hours"): DataFrame = {
+                          watermark: String = "2 hours",
+                          joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
     val p = purchases.withWatermark("ts", watermark)
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    // leftOuter: a click with no purchase in its horizon emits with null
+    // purchase columns once the watermark passes click_ts + horizon —
+    // the state-eviction-driven emission that distinguishes a streaming
+    // outer join from a batch one
     c.join(p,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"))
   }
