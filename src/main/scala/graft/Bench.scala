@@ -25,7 +25,10 @@ object Bench {
     // 3-decimal seconds keep the one-line JSON short, and the total is
     // repeated in the TRAILING keys: harness tail-capture truncates the
     // head of a long line, so anything that must survive goes at the end.
-    def f3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: the default-locale formatter writes "1,234" under
+    // comma-decimal locales, which would corrupt the JSON line
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
