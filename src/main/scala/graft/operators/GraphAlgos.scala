@@ -139,15 +139,35 @@ object GraphAlgos {
   }
 
   /** Triangle count over an undirected simple graph given as distinct
-    * low→high edges (a < b). Two hash joins: wedges (a-b, b-c) closed by
-    * the (a, c) edge. Returns one row: n_edges, n_triangles. */
+    * low→high edges (a < b). DEGREE-ORDERED orientation: each edge points
+    * from its lower-degree endpoint to the higher (ties by id), so every
+    * node's out-degree is O(√m) and the wedge set is O(m^1.5) — the
+    * classic bound; orienting by raw id instead lets one high-id hub
+    * hold Θ(n) out-edges and the wedge join go quadratic. Each triangle
+    * has exactly one pivot with both edges outgoing, so counting
+    * pivot-wedges closed by a canonical edge counts each triangle once.
+    * The triangle SET is orientation-invariant — the same exact oracle
+    * verifies either plan. Returns one row: n_edges, n_triangles. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)
-    val wedges = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    // orient lower-(deg, id) → higher-(deg, id)
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("x"), col("b").as("y")))
+          .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("o"))
+      .select(col("o.x").as("x"), col("o.y").as("y"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.x") === col("o2.x") && col("o1.y") < col("o2.y"))
+      .select(col("o1.y").as("wa"), col("o2.y").as("wb"))
     val tri = wedges.join(e.as("e3"),
-      col("x") === col("e3.a") && col("z") === col("e3.b"))
+      col("wa") === col("e3.a") && col("wb") === col("e3.b"))
     // both counts in ONE aggregate over a tagged union — no 1×1 join
     e.select(lit(1L).as("is_edge"), lit(0L).as("is_tri"))
       .union(tri.select(lit(0L).as("is_edge"), lit(1L).as("is_tri")))
