@@ -172,6 +172,33 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(lpaRound).mkString(",\n")}
        |SELECT id, lbl FROM l3""".stripMargin
 
+  // -------------------------------------------------- weighted pagerank
+
+  /** One unrolled weighted iteration: per-edge floored share of rank. */
+  private def prwIter(k: Int): String =
+    s"""w$k AS (
+       |  SELECT n.id,
+       |         CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT)
+       |           AS rank
+       |  FROM wnodes n LEFT JOIN (
+       |    SELECT e.dst AS id, sum(r.rank * e.w // e.wsum) AS c
+       |    FROM we e JOIN w${k - 1} r ON r.id = e.src
+       |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+
+  private val pagerankWeightedOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst,
+       |             CAST(quantity AS BIGINT) AS w
+       |      FROM rels WHERE type = 'CONTAINS'),
+       |wnodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) t),
+       |we AS (SELECT e.src, e.dst, e.w, ws.wsum FROM e
+       |       JOIN (SELECT src, sum(w) AS wsum FROM e GROUP BY 1) ws
+       |         ON ws.src = e.src),
+       |w0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM wnodes),
+       |${(1 to 3).map(prwIter).mkString(",\n")}
+       |SELECT id, rank FROM w3""".stripMargin
+
   // ------------------------------------------------ FastRP embeddings
 
   /** One unrolled smoothing iteration: neighbor sums per (node, dim),
@@ -281,6 +308,15 @@ object QueriesGraphAlgos {
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)
       .select(col("id"), col("lbl"))),
+    // Weighted PageRank on the order→part graph, weight = quantity:
+    // per-edge floored rank shares, 3 iterations.
+    "pagerank_weighted" -> ((s, dir) => GraphAlgos.pageRankWeighted(
+      SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "CONTAINS")
+        .select(col("START_ID").as("src"), col("END_ID").as("dst"),
+          col("quantity").cast("long").as("w")),
+      iters = 3)
+      .select(col("id"), col("rank"))),
     // FastRP-shaped embeddings (the reference's headline GDS payload,
     // computed in-engine): dim 8, 2 smoothing iterations, long-form.
     "fastrp_embed" -> ((s, dir) => GraphAlgos.fastRP(
@@ -326,6 +362,7 @@ object QueriesGraphAlgos {
       .select(col("id"), col("d"))))
 
   def oracles: Map[String, String] = Map(
+    "pagerank_weighted" -> pagerankWeightedOracle,
     "fastrp_embed" -> fastrpOracle,
     "pagerank_pers" -> pagerankPersOracle,
     "node_similarity" -> nodeSimOracle,

@@ -85,6 +85,38 @@ object GraphAlgos {
     ranks
   }
 
+  /** Weighted PageRank: contribution of u→v is ⌊rank(u)·w(u,v) /
+    * Σw(u,·)⌋ — per-edge floor (replayable) instead of a float fraction.
+    * Same teleport/damping integer scheme as [[pageRank]]; weights are
+    * int64 (quantize floats upstream). */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+                       scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val eW = e.join(
+        e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+          .withColumnRenamed("src", "ws_src"),
+        col("src") === col("ws_src"))
+      .select(col("src"), col("dst"), col("w"), col("wsum"))
+      .localCheckpoint(true)
+    val base = (scale * 15L) / 100L
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contribs = eW
+        .join(ranks.withColumnRenamed("id", "r_id"), col("src") === col("r_id"))
+        .select(col("dst"), expr("(rank * w) div wsum").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = nodes
+        .join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("85 * coalesce(csum, 0L) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** GDS nodeSimilarity analog: Jaccard similarity of neighbor sets over
     * a bipartite projection — for parts sharing suppliers, documents
     * sharing shingles, users sharing items. Inverted-index shape (join

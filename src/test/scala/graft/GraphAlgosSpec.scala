@@ -71,6 +71,16 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0L, 2L -> 10L, 3L -> 11L))
   }
 
+  test("weighted pageRank splits rank by floored weight shares") {
+    // 1→2 w=3, 1→3 w=1: contrib(2) = ⌊1e6·3/4⌋ = 750000 → 787500 damped
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = GraphAlgos.pageRankWeighted(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 150000L,
+      2L -> (150000L + 85L * 750000L / 100L),
+      3L -> (150000L + 85L * 250000L / 100L)))
+  }
+
   test("fastRP: neighbor-mean smoothing with exact signed floor division") {
     // path 1-2-3 undirected; dim 2, 1 iteration
     val g = Seq((1L, 2L, "E"), (2L, 3L, "E")).toDF("START_ID", "END_ID", "TYPE")
