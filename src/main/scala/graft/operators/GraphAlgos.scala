@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
   *    stay partitioned by src across rounds; no driver-side collection.
   *  - PageRank contributions use map-side partial aggregation (sum is
   *    associative); rank updates join per-node, never per-edge.
-  *  - Triangle counting orients edges low-id→high-id, making the wedge
-  *    join's build side the adjacency above each node — at production
-  *    scale you'd orient by degree (cuts wedges to O(m^1.5)); id order
-  *    keeps the oracle's SQL twin trivial and is noted as the swap point.
+  *  - Triangle counting orients edges by DEGREE (lower-degree endpoint
+  *    first, ties by id), bounding per-node out-degree at O(√m) and the
+  *    wedge set at O(m^1.5); the triangle set is orientation-invariant,
+  *    so the exact oracle verifies the plan without replicating it.
   */
 object GraphAlgos {
 
