@@ -12,9 +12,9 @@ import graft.sources.TpchGraph.table
   * `embeddings` tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
   * SimHash, embedding near-dup), similarity search (exact + IVF),
   * text analysis (quality, language id, token counts, fingerprints) and
-  * multimodal binary plumbing. Operators whose hash functions DuckDB lacks
-  * (xxhash64) ship without oracle SQL — the driver records a rows-only
-  * check and the ScalaTest specs cover semantics. */
+  * multimodal binary plumbing. Every gate here carries oracle SQL: the
+  * minhash/simhash gates run the portable-hash pipelines DuckDB can replay
+  * exactly; the xxhash64 fast-path twins are spec-gated (DedupSpec). */
 object QueriesPipeline {
 
   private val EnStop = Seq("the", "a", "of", "and")
@@ -27,17 +27,17 @@ object QueriesPipeline {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.3, maxDf = 50)),
+    // The gate queries run the PORTABLE hash pipelines (polyHash chains both
+    // engines can replay) so DuckDB can verify the full signature/band/join
+    // algorithm exactly. The xxhash64 fast paths (Dedup.minhashLsh /
+    // Dedup.simhash) are the same pipeline over a codegen'd hash DuckDB
+    // lacks — they stay library + spec-gated (DedupSpec cross-checks them
+    // against these portable twins on planted duplicates).
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(table(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_a"), col("doc_b"),
-          round(col("est_jaccard"), 6).as("est_jaccard"))),
-    "dedup_minhash_portable" -> ((s, dir) =>
       Dedup.minhashLshPortable(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(table(s, dir, "documents"), "doc_id", "text")),
-    "dedup_simhash_portable" -> ((s, dir) =>
       Dedup.simhashPortable(table(s, dir, "documents"), "doc_id", "text")),
     // pairwise matches → dedup groups: connected components over the
     // ngram near-dup pairs (iterative min-label propagation; oracle = the
@@ -316,7 +316,7 @@ object QueriesPipeline {
         |)
         |SELECT node AS doc_id, min(lbl) AS rep
         |FROM reach GROUP BY node""".stripMargin,
-    "dedup_minhash_portable" -> {
+    "dedup_minhash" -> {
       // mirrors Dedup.minhashLshPortable exactly: word-level polyHash,
       // rolling shingle combine, numeric band-key folds
       val p = "1000000007"
@@ -364,7 +364,7 @@ object QueriesPipeline {
          |$bandJoins
          |) t WHERE est_jaccard >= 0.5""".stripMargin
     },
-    "dedup_simhash_portable" -> {
+    "dedup_simhash" -> {
       // mirrors Dedup.simhashPortable exactly: polyHash word base, 64
       // universal-hash parity bits, 4 × 16-bit band keys, popcount verify
       val p = "1000000007"

@@ -89,10 +89,14 @@ object QueriesTpch {
     * percentage, name-LIKE product line). The per-row amount quantizes to
     * int64 cents before summing: profit sums mix signs, so cancellation
     * puts the float sum on .005 rounding boundaries where accumulation
-    * order flips the last cent — the integer sum is order-free and exact. */
+    * order flips the last cent — the integer sum is order-free and exact.
+    * The outer CAST to DOUBLE matters: Spark parses the `100.0` literal as
+    * DECIMAL so the division yields DECIMAL, while DuckDB's division yields
+    * DOUBLE — same values, different storage type, and the harness hash is
+    * computed over typed values. */
   val SqlQ9: String =
     """SELECT nation, o_year,
-      |  round(sum(amount_cents) / 100.0, 2) AS sum_profit
+      |  CAST(round(sum(amount_cents) / 100.0, 2) AS DOUBLE) AS sum_profit
       |FROM (SELECT n_name AS nation,
       |             CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |             CAST(round((l_extendedprice * (1 - l_discount)
