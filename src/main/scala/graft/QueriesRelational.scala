@@ -18,6 +18,23 @@ object QueriesRelational {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`, then
+    * restore. The streaming gates execute their micro-batches inside the
+    * gate function, and every stateful operator opens one state store PER
+    * shuffle partition PER micro-batch — at the session default of 32 the
+    * store init/commit fixed cost dominates the gate (stream_join_outer:
+    * 3 forced micro-batches × 2 join state stores × 32 partitions ≈
+    * 54–84 s of overhead for a sub-second join). 8 partitions still
+    * exercises distributed state; a production deployment sizes this to
+    * cluster cores × key cardinality, not to the gate's single input file. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T)
+      : T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Watermark delay for the streaming sessionization gates: wider than
     * the whole event-time range, so correctness does NOT depend on the
     * file source packing everything into one microbatch — if the sentinel
@@ -56,9 +73,11 @@ object QueriesRelational {
     val sessions = sessionsFn(
       stream.as[graft.streaming.UserEvent], gapMs)
     val qname = s"graft_sessionize_${tag}_${System.nanoTime()}"
-    val q = sessions.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withShufflePartitions(s, 8) {
+      val q = sessions.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(qname)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -297,11 +316,13 @@ object QueriesRelational {
       aug.coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(aug.schema).parquet(tmp)
       val qname = s"graft_stream_dedup_${System.nanoTime()}"
-      val q = graft.streaming.EventStreams.dedup(stream,
-        watermark = SessionStreamWatermark)
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.dedup(stream,
+          watermark = SessionStreamWatermark)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(qname).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
     }),
@@ -323,9 +344,11 @@ object QueriesRelational {
         stream.where(col("event_type") === "click"),
         stream.where(col("event_type") === "purchase"))
       val qname = s"graft_stream_join_${System.nanoTime()}"
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(qname).groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("click_id") * 100003L + col("purchase_id"))
@@ -381,9 +404,11 @@ object QueriesRelational {
         stream.where(col("event_type") === "purchase"),
         joinType = "leftOuter")
       val qname = s"graft_stream_join_outer_${System.nanoTime()}"
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(qname).where(col("user_id") >= 0L)
         .groupBy(col("user_id"))
         .agg(count(col("purchase_id")).as("n_matched"),
