@@ -71,6 +71,23 @@ object SparkEntry {
         col("degree"),
         concat_ws(",", transform(col("targets"), _.cast("string")))
           .as("targets"))),
+    // W2 chunked: same adjacency contract with every row bounded to
+    // maxListSize targets (hub-proof at 100×). Within-group sort makes
+    // chunk contents deterministic, so the gate checks per-group chunk
+    // count, total degree, the bound itself, and a first+last-element
+    // checksum over every chunk — DuckDB replays the chunking with a
+    // row_number window.
+    "adjacency_chunks" -> ((s, dir) => graph(s, dir)
+      .adjacencyChunked(maxListSize = 50)
+      .select(col("TYPE").as("type"), col("START_ID").as("start_id"),
+        size(col("END_ID")).as("sz"),
+        element_at(col("END_ID"), 1).as("first"),
+        element_at(col("END_ID"), -1).as("last"))
+      .groupBy(col("type"), col("start_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("sz")).cast("long").as("degree"),
+        max(col("sz")).cast("long").as("max_chunk"),
+        sum(col("first") + col("last")).as("checksum"))),
     // W2: in/out degrees
     "degrees" -> ((s, dir) => graph(s, dir).degrees()
       .select(col("ID").as("id"), col("out_degree"), col("in_degree"))),
@@ -484,6 +501,21 @@ object SparkEntry {
          |       string_agg(CAST(end_id AS VARCHAR), ',' ORDER BY end_id)
          |         AS targets
          |FROM rels GROUP BY type, start_id""".stripMargin,
+    "adjacency_chunks" ->
+      s"""WITH $RelsCte,
+         |r AS (SELECT type, start_id, end_id,
+         |        CAST((row_number() OVER (PARTITION BY type, start_id
+         |                                 ORDER BY end_id) - 1) // 50
+         |          AS BIGINT) AS chunk
+         |      FROM rels),
+         |c AS (SELECT type, start_id, chunk, count(*) AS sz,
+         |        min(end_id) AS first, max(end_id) AS last
+         |      FROM r GROUP BY 1, 2, 3)
+         |SELECT type, start_id, count(*) AS n_chunks,
+         |       CAST(sum(sz) AS BIGINT) AS degree,
+         |       CAST(max(sz) AS BIGINT) AS max_chunk,
+         |       CAST(sum(first + last) AS BIGINT) AS checksum
+         |FROM c GROUP BY 1, 2""".stripMargin,
     "degrees" ->
       s"""WITH $RelsCte,
          |o AS (SELECT start_id AS id, count(*) AS out_degree

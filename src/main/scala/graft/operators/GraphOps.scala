@@ -86,6 +86,27 @@ final case class GraphRef(nodes: DataFrame, rels: DataFrame) {
         sort_array(collect_list(col("END_ID"))).as("targets"))
   }
 
+  /** W2 — chunked adjacency: the same per-(TYPE, source) sorted-target
+    * contract as [[adjacency]], but no row ever carries more than
+    * `maxListSize` targets — a 100×-scale hub's adjacency arrives as many
+    * bounded rows instead of one row holding the hub's entire edge list
+    * (the khop chunk contract of Config.java:73-75 applied to the W2
+    * build). Runs through the ChunkedCollect physical operator: ONE
+    * exchange, in-partition sort by (TYPE, START_ID, END_ID) — the target
+    * sort rides the exchange's sort instead of a per-row `sort_array` over
+    * an unbounded collected list — then streaming chunk emission with one
+    * chunk buffer of memory per group. Chunk i holds the group's sorted
+    * targets at ranks [i·maxListSize, (i+1)·maxListSize). */
+  def adjacencyChunked(types: Seq[String] = Nil,
+                       maxListSize: Int = 2048): DataFrame = {
+    val filtered =
+      if (types.isEmpty) rels else rels.where(col("TYPE").isin(types: _*))
+    graft.plans.ChunkedCollect(
+      filtered.select(col("TYPE"), col("START_ID"), col("END_ID")),
+      groups = Seq("TYPE", "START_ID"), values = Seq("END_ID"),
+      maxSize = maxListSize, sortWithin = Seq("END_ID"))
+  }
+
   /** W2 degrees — out/in degree per node over the (optionally type-filtered)
     * edge set (GdsWriteJob.java:498-514). Two partial-aggregated counts +
     * one outer join on the node id; nodes without edges are absent (same as

@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, GenericInternalRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.ArrayType
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,20 +27,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * declaratively only as row_number-window + groupBy(key, chunk) — two
   * wide stages (exchange + sort + window, then exchange + hash aggregate
   * buffering whole groups). This operator declares
-  * `ClusteredDistribution(group)` + in-partition ordering on the group, so
+  * `ClusteredDistribution(groups)` + in-partition ordering on the groups, so
   * the planner inserts ONE exchange + sort, and the exec streams each
   * sorted partition emitting chunk rows as they fill: constant memory per
   * group (one chunk buffer), no second shuffle, no whole-group
   * materialization — the shape that survives a 100 TB group.
+  *
+  * `sortWithin` extends the in-partition sort past the group key, so chunks
+  * are consecutive runs of the group's SORTED values — this is how the
+  * chunked adjacency build keeps the reference's per-source sorted-target
+  * contract (GdsWriteJob.java:529-537) while bounding every row: the sort
+  * rides the single exchange's sort for free instead of a per-row
+  * `sort_array` over an unbounded collected list.
   */
 object ChunkedCollect {
 
-  /** df grouped by `group`, each of `values` collected into ≤ maxSize
-    * chunks. Output columns: group, then one array column per value
-    * (same names). Chunks of the parallel value arrays stay aligned. */
+  /** Single-group form (the khop chunk contract). */
   def apply(df: DataFrame, group: String, values: Seq[String],
-            maxSize: Int): DataFrame = {
+            maxSize: Int): DataFrame =
+    apply(df, Seq(group), values, maxSize, Nil)
+
+  /** df grouped by `groups`, each of `values` collected into ≤ maxSize
+    * chunks, values ordered by `sortWithin` inside each group. Output
+    * columns: groups, then one array column per value (same names).
+    * Chunks of the parallel value arrays stay aligned. */
+  def apply(df: DataFrame, groups: Seq[String], values: Seq[String],
+            maxSize: Int, sortWithin: Seq[String]): DataFrame = {
     require(maxSize > 0, "maxSize must be positive")
+    require(groups.nonEmpty, "need at least one group column")
     val spark = df.sparkSession
     ensureStrategy(spark)
     val analyzed = df.queryExecution.analyzed
@@ -54,7 +68,8 @@ object ChunkedCollect {
     val minted = vAttrs.map(v =>
       AttributeReference(v.name, ArrayType(v.dataType, v.nullable))())
     ColumnBridge.ofRows(spark,
-      ChunkedCollectPlan(attr(group), vAttrs, maxSize, analyzed, minted))
+      ChunkedCollectPlan(groups.map(attr), vAttrs, sortWithin.map(attr),
+        maxSize, analyzed, minted))
   }
 
   /** Idempotently add the planner strategy to a session (the
@@ -66,16 +81,17 @@ object ChunkedCollect {
   }
 }
 
-case class ChunkedCollectPlan(group: Attribute, values: Seq[Attribute],
+case class ChunkedCollectPlan(groups: Seq[Attribute], values: Seq[Attribute],
+                              sortWithin: Seq[Attribute],
                               maxSize: Int, child: LogicalPlan,
                               minted: Seq[Attribute])
     extends UnaryNode {
-  override def output: Seq[Attribute] = group +: minted
+  override def output: Seq[Attribute] = groups ++ minted
   // the array columns are minted here, not read from the child — without
   // this the node reports them as missingInput (an invalid plan) and the
   // optimizer mis-rewrites anything downstream of it
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(output.drop(1))
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(minted)
   override protected def withNewChildInternal(c: LogicalPlan)
       : ChunkedCollectPlan = copy(child = c)
 }
@@ -83,39 +99,41 @@ case class ChunkedCollectPlan(group: Attribute, values: Seq[Attribute],
 object ChunkedCollectStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: ChunkedCollectPlan =>
-      ChunkedCollectExec(p.group, p.values, p.maxSize, p.output,
-        planLater(p.child)) :: Nil
+      ChunkedCollectExec(p.groups, p.values, p.sortWithin, p.maxSize,
+        p.output, planLater(p.child)) :: Nil
     case _ => Nil
   }
 }
 
-case class ChunkedCollectExec(group: Attribute, values: Seq[Attribute],
-                              maxSize: Int, output: Seq[Attribute],
+case class ChunkedCollectExec(groups: Seq[Attribute], values: Seq[Attribute],
+                              sortWithin: Seq[Attribute], maxSize: Int,
+                              output: Seq[Attribute],
                               child: SparkPlan) extends UnaryExecNode {
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(output.drop(1))
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output.drop(groups.length))
 
-  // one hash exchange on the group + in-partition sort by the group; the
-  // planner provides both (EnsureRequirements), the exec streams the rest
+  // one hash exchange on the groups + in-partition sort by (groups,
+  // sortWithin); the planner provides both (EnsureRequirements), the exec
+  // streams the rest
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(group)) :: Nil
+    ClusteredDistribution(groups) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(group, Ascending)))
+    Seq((groups ++ sortWithin).map(a => SortOrder(a, Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val gIdx = childOutput.indexWhere(_.exprId == group.exprId)
+    val gIdxs = groups.map(g => childOutput.indexWhere(_.exprId == g.exprId))
     val vIdxs = values.map(v => childOutput.indexWhere(_.exprId == v.exprId))
-    val gType = group.dataType
+    val gTypes = groups.map(_.dataType)
     val vTypes = values.map(_.dataType)
+    val nG = groups.length
     val cap = maxSize
     child.execute().mapPartitions { iter =>
       new Iterator[InternalRow] {
         private val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
         private val buffers = vTypes.map(_ => new ArrayBuffer[Any](cap)).toArray
-        private var curKey: Any = null
-        private var hasGroup = false
+        private var curKey: Array[Any] = null
         private var pending: InternalRow = null
 
         // sort-based values (UTF8String, array views) are reused buffers —
@@ -126,12 +144,29 @@ case class ChunkedCollectExec(group: Attribute, values: Seq[Attribute],
           case other => other
         }
 
-        private def emit(): InternalRow = {
-          val fields = new Array[Any](1 + buffers.length)
-          fields(0) = curKey
+        private def readKey(row: InternalRow): Array[Any] = {
+          val k = new Array[Any](nG)
           var i = 0
+          while (i < nG) { k(i) = own(row.get(gIdxs(i), gTypes(i))); i += 1 }
+          k
+        }
+
+        private def sameKey(k: Array[Any]): Boolean = {
+          var i = 0
+          while (i < nG) {
+            if (!java.util.Objects.equals(curKey(i), k(i))) return false
+            i += 1
+          }
+          true
+        }
+
+        private def emit(): InternalRow = {
+          val fields = new Array[Any](nG + buffers.length)
+          var i = 0
+          while (i < nG) { fields(i) = curKey(i); i += 1 }
+          i = 0
           while (i < buffers.length) {
-            fields(i + 1) = new GenericArrayData(buffers(i).toArray)
+            fields(nG + i) = new GenericArrayData(buffers(i).toArray)
             buffers(i).clear()
             i += 1
           }
@@ -150,13 +185,13 @@ case class ChunkedCollectExec(group: Attribute, values: Seq[Attribute],
           if (pending != null) return
           // a buffer left full by the previous call (possible when a group
           // switch and a full chunk coincide, e.g. maxSize = 1)
-          if (hasGroup && buffers(0).length >= cap) { pending = emit(); return }
+          if (curKey != null && buffers(0).length >= cap) { pending = emit(); return }
           while (iter.hasNext) {
             val row = iter.next()
-            val key = own(row.get(gIdx, gType))
-            if (!hasGroup) {
-              curKey = key; hasGroup = true
-            } else if (curKey != key) {
+            val key = readKey(row)
+            if (curKey == null) {
+              curKey = key
+            } else if (!sameKey(key)) {
               val remainder =
                 if (buffers(0).nonEmpty) emit() else null   // clears buffers
               curKey = key
@@ -169,7 +204,7 @@ case class ChunkedCollectExec(group: Attribute, values: Seq[Attribute],
             append(row)
             if (buffers(0).length >= cap) { pending = emit(); return }
           }
-          if (hasGroup && buffers(0).nonEmpty) pending = emit()
+          if (curKey != null && buffers(0).nonEmpty) pending = emit()
         }
 
         override def hasNext: Boolean = { step(); pending != null }

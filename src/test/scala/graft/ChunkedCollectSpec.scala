@@ -54,6 +54,23 @@ class ChunkedCollectSpec extends AnyFunSuite {
     assert(out == Set(("a", Seq(1L)), ("a", Seq(2L)), ("b", Seq(3L))))
   }
 
+  test("multi-column groups with in-group sort emit ordered chunks") {
+    val df = Seq(
+      ("t1", 1L, 30L), ("t1", 1L, 10L), ("t1", 1L, 20L),
+      ("t2", 1L, 5L), ("t1", 2L, 7L))
+      .toDF("t", "g", "v")
+    val out = ChunkedCollect(df, groups = Seq("t", "g"), values = Seq("v"),
+        maxSize = 2, sortWithin = Seq("v"))
+      .as[(String, Long, Seq[Long])].collect()
+    // one exchange only, group (t1,1) split into sorted runs [10,20],[30]
+    val byKey = out.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.toSeq.map(_._3).sortBy(_.head)).toMap
+    assert(byKey(("t1", 1L)) == Seq(Seq(10L, 20L), Seq(30L)))
+    assert(byKey(("t2", 1L)) == Seq(Seq(5L)))
+    assert(byKey(("t1", 2L)) == Seq(Seq(7L)))
+    out.foreach { case (_, _, vs) => assert(vs == vs.sorted) }
+  }
+
   test("empty input produces no rows") {
     val df = Seq.empty[(Long, Long)].toDF("g", "v")
     assert(ChunkedCollect(df, "g", Seq("v"), 10).count() == 0)

@@ -56,6 +56,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(row1 == ((2L, Seq(2L, 9L))))
   }
 
+  test("chunked adjacency: bounded sorted chunks reassemble the target lists") {
+    // node 1 has 5 FOLLOWS targets -> chunks of <=2: [2,4],[6,9],[11]
+    val extra = Seq((1L, 9L), (1L, 4L), (1L, 11L), (1L, 6L))
+      .map { case (s, d) => (s, d, "FOLLOWS", None: Option[Double],
+        None: Option[Double]) }
+      .toDF("START_ID", "END_ID", "TYPE", "weight", "cost")
+    val bigger = GraphRef(nodes, rels.unionByName(extra))
+    val chunks = bigger.adjacencyChunked(maxListSize = 2)
+      .as[(String, Long, Seq[Long])].collect()
+    // every row bounded and internally sorted
+    chunks.foreach { case (_, _, ts) =>
+      assert(ts.nonEmpty && ts.length <= 2 && ts == ts.sorted)
+    }
+    // chunks of a group are disjoint sorted runs: ordering rows by their
+    // first element reassembles the group's full sorted target list
+    val one = chunks.filter(c => c._1 == "FOLLOWS" && c._2 == 1L)
+      .sortBy(_._3.head).flatMap(_._3).toSeq
+    assert(one == Seq(2L, 4L, 6L, 9L, 11L))
+    // chunked output flattens back to exactly the adjacency lists
+    val flat = chunks.groupBy(c => (c._1, c._2)).view
+      .mapValues(_.sortBy(_._3.head).flatMap(_._3).toSeq).toMap
+    val full = bigger.adjacency()
+      .select(col("TYPE"), col("START_ID"), col("targets"))
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(flat == full)
+  }
+
   test("degrees full-outer over sources and targets") {
     val d = g.degrees().select("ID", "out_degree", "in_degree")
       .as[(Long, Long, Long)].collect().toSet
