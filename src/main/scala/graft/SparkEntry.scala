@@ -145,6 +145,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_edges"),
         sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
           .as("checksum"))),
+    // §2.3 generalized k ON the dense subgraph — k=3 over the
+    // part/supplier hubs, through the skew-split frontier build
+    // (kHopEdgesSkew): suppliers (~600-part fan-out) classify hot at
+    // threshold 256, so their adjacency streams against the broadcast hot
+    // reach rows in every frontier/incidence join instead of shuffling to
+    // one reducer. Origins thinned to 1/20 of the suppliers to keep the
+    // k=3 output (reach saturates most orders) proportionate in the bench.
+    "khop_3_dense" -> ((s, dir) => graft.operators.KHop.kHopEdgesSkew(
+        graph(s, dir).rels
+          .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
+        k = 3, hotThreshold = 256,
+        originPred = Some(col("origin").between(2000000000L, 2999999999L) &&
+          col("origin") % 20 === 0))
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
+          .as("checksum"))),
     // P6: write-path null/NaN property skip (NodeInputIterator.java:97,
     // 135-142 skips null cells and non-finite floats). NaN/null injected
     // deterministically, filtered, aggregated to prove the skip.
@@ -585,6 +602,30 @@ object SparkEntry {
          |        FROM reach JOIN e ON e.dst = reach.node) AS x)
          |SELECT origin, count(*) AS n_edges,
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
+         |FROM k GROUP BY origin""".stripMargin,
+    "khop_3_dense" ->
+      s"""WITH $RelsCte,
+         |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type IN ('CONTAINS', 'SUPPLIED_BY')),
+         |u AS (SELECT src AS a, dst AS b FROM e
+         |      UNION SELECT dst, src FROM e),
+         |r1 AS (SELECT a AS origin, b AS node FROM u
+         |       WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 20 = 0),
+         |reach AS (
+         |  SELECT DISTINCT a AS origin, a AS node FROM u
+         |  WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 20 = 0
+         |  UNION SELECT origin, node FROM r1
+         |  UNION SELECT DISTINCT r1.origin, u.b
+         |        FROM r1 JOIN u ON u.a = r1.node),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT reach.origin, e.src, e.dst
+         |        FROM reach JOIN e ON e.src = reach.node
+         |        UNION ALL
+         |        SELECT reach.origin, e.src, e.dst
+         |        FROM reach JOIN e ON e.dst = reach.node) AS x)
+         |SELECT origin, count(*) AS n_edges,
+         |       CAST(sum((src % 100003) * 100003 + (dst % 100003)) AS BIGINT)
+         |         AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     "dense_id_map" ->
       s"""WITH $NodesCte

@@ -65,6 +65,110 @@ object KHop {
     bySrc.union(byDst).distinct()
   }
 
+  /** Skew-aware generalized k-hop: the [[kHopEdges]] semantics with the
+    * 2-hop hot/cold supernode split ([[twoHopEdgesSkew]], the reference's
+    * SuperNodeCache scenario — KHOP.md:159-185) applied to EVERY join that
+    * keys on a node id: the k-1 frontier-expansion joins and the two final
+    * incidence joins. At k≥3 a hub is hit twice over — its fan-out both
+    * explodes a frontier step and skews the incidence join — and AQE alone
+    * only rebalances partitions after the skewed shuffle has already moved
+    * the hub's adjacency to one reducer.
+    *
+    * The split: hub-ness is the adjacency fan-out (a degree count,
+    * broadcast as a small hot-key set). Each join is then two joins —
+    *
+    *  - COLD × COLD: ordinary shuffle equi-join; by construction no key
+    *    exceeds `hotThreshold` fan-out, so no partition can be hub-skewed;
+    *  - HOT: the big hub-adjacency (or hub-incident-edge) side STREAMS
+    *    map-side against a broadcast of the small side restricted to hot
+    *    keys — reach rows at hot nodes, bounded by |hot|·|origins| — so a
+    *    hub's rows never shuffle to a single reducer at all.
+    *
+    * The two classes partition the rows of each join, so unions need no
+    * cross-class dedup beyond the semantics' own distincts.
+    *
+    * Like [[twoHopEdgesSkew]], the shared scan/dedup inputs are persisted
+    * (every frontier step and both incidence joins re-read them); use
+    * [[withKHopEdgesSkew]] to release the caches deterministically in a
+    * long-lived session.
+    */
+  def kHopEdgesSkew(rels: DataFrame, k: Int, hotThreshold: Long,
+                    originPred: Option[Column] = None,
+                    persist: Boolean = true): DataFrame =
+    kHopSkewBuild(rels, k, hotThreshold, originPred, persist)._1
+
+  /** [[kHopEdgesSkew]] with deterministic cache release: runs `f` on the
+    * result, then unpersists every table the build cached. Materialize the
+    * result inside `f` — the DataFrame is lazy, so plans executed after the
+    * bracket recompute the cached inputs from source. */
+  def withKHopEdgesSkew[A](rels: DataFrame, k: Int, hotThreshold: Long,
+                           originPred: Option[Column] = None)
+                          (f: DataFrame => A): A = {
+    val (df, cached) = kHopSkewBuild(rels, k, hotThreshold, originPred,
+      persist = true)
+    try f(df) finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  private[graft] def kHopSkewBuild(rels: DataFrame, k: Int, hotThreshold: Long,
+                                   originPred: Option[Column], persist: Boolean)
+      : (DataFrame, Seq[DataFrame]) = {
+    require(k >= 1, "k must be >= 1")
+    require(hotThreshold >= 0, "hotThreshold must be >= 0")
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def maybePersist(df: DataFrame): DataFrame =
+      if (persist) {
+        cached += df
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else df
+    // multi-edges collapse here instead of in the final distinct: every
+    // downstream join shrinks and the output set is unchanged
+    val e = maybePersist(
+      rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))
+        .distinct())
+    val adj = maybePersist(
+      e.union(e.select(col("dst"), col("src"))).distinct().toDF("a", "b"))
+    // hot = adjacency fan-out above threshold; the set is small by
+    // definition, so classification is a broadcast join — no shuffle
+    val hot = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") > hotThreshold).select(col("a").as("node"))
+    val hotMark = broadcast(hot.withColumn("_hot", lit(true)))
+    def splitByNode(df: DataFrame, key: String)
+        : (DataFrame, DataFrame) = {
+      val m = df.join(
+        hotMark.select(col("node").as(key), col("_hot")), Seq(key), "left")
+      (m.where(col("_hot").isNull).drop("_hot"),
+        m.where(col("_hot").isNotNull).drop("_hot"))
+    }
+    val (adjCold, adjHot) = splitByNode(adj, "a")
+    val allOrigins = adj.select(col("a").as("origin")).distinct()
+    val origins = originPred.fold(allOrigins)(p => allOrigins.where(p))
+    var reach = origins.select(col("origin"), col("origin").as("node"))
+    for (_ <- 1 until k) {
+      val (reachCold, reachHot) = splitByNode(reach, "node")
+      // cold×cold shuffle join: every key's fan-out ≤ hotThreshold.
+      // hot: hub adjacency STREAMS against the broadcast hot reach rows.
+      val expanded = reachCold
+        .join(adjCold, col("node") === col("a"))
+        .select(col("origin"), col("b").as("node"))
+        .union(adjHot.join(broadcast(reachHot), col("a") === col("node"))
+          .select(col("origin"), col("b").as("node")))
+      // dedup on (origin, node): the composite key dilutes hub skew
+      reach = reach.union(expanded).distinct()
+    }
+    val reachP = maybePersist(reach)   // consumed by both incidence joins
+    val (reachCold, reachHot) = splitByNode(reachP, "node")
+    def incidence(endpoint: String): DataFrame = {
+      val (eCold, eHot) = splitByNode(e, endpoint)
+      eCold.join(reachCold, col(endpoint) === col("node"))
+        .select(col("origin"), col("src"), col("dst"))
+        .union(eHot.join(broadcast(reachHot), col(endpoint) === col("node"))
+          .select(col("origin"), col("src"), col("dst")))
+    }
+    // an edge can qualify via both endpoints — the final distinct is the
+    // semantics' own dedup (NodeHistory bitsets, KHop.java:151-154)
+    (incidence("src").union(incidence("dst")).distinct(), cached.toList)
+  }
+
   /** CSR-style 2-hop: same result set as [[twoHopEdges]], different plan.
     * For an edge (s,d) the qualifying origins are exactly N(s) ∪ N(d), so:
     * build per-node undirected neighbor arrays (one aggregate — the W2
@@ -125,7 +229,27 @@ object KHop {
     */
   def twoHopEdgesSkew(rels: DataFrame, hotThreshold: Long,
                       originPred: Option[Column] = None,
-                      persist: Boolean = true): DataFrame = {
+                      persist: Boolean = true): DataFrame =
+    twoHopSkewBuild(rels, hotThreshold, originPred, persist)._1
+
+  /** [[twoHopEdgesSkew]] with deterministic cache release: runs `f` on the
+    * result, then unpersists every table the build cached — the bracket for
+    * long-lived sessions, where fire-and-forget persists would otherwise
+    * accumulate MEMORY_AND_DISK leftovers until eviction. Materialize the
+    * result inside `f`: the DataFrame is lazy, so plans executed after the
+    * bracket recompute the cached inputs from source (correct, just
+    * unaccelerated). */
+  def withTwoHopEdgesSkew[A](rels: DataFrame, hotThreshold: Long,
+                             originPred: Option[Column] = None)
+                            (f: DataFrame => A): A = {
+    val (df, cached) = twoHopSkewBuild(rels, hotThreshold, originPred,
+      persist = true)
+    try f(df) finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  private[graft] def twoHopSkewBuild(rels: DataFrame, hotThreshold: Long,
+                                     originPred: Option[Column], persist: Boolean)
+      : (DataFrame, Seq[DataFrame]) = {
     // e and the neighbor table are each consumed by 4-5 downstream
     // branches (classification, cold arrays, two hot joins). Persist them
     // — the GraphX idiom for exactly this shape — or every branch re-runs
@@ -133,13 +257,16 @@ object KHop {
     // unpersisted plan, ~3× the runtime). MEMORY_AND_DISK: the deduped
     // edge list is the operator's working set and spills rather than OOMs.
     // OWNERSHIP: the cached tables live until the session evicts them (the
-    // returned plan is lazy, so this function cannot unpersist). Callers
-    // invoking this repeatedly in one long-lived session should pass
-    // persist=false or clear the tables via spark.catalog.clearCache().
+    // returned plan is lazy, so this function cannot unpersist them
+    // itself). The build returns them so [[withTwoHopEdgesSkew]] can; bare
+    // [[twoHopEdgesSkew]] callers in a long-lived session should use the
+    // bracket, pass persist=false, or clear via spark.catalog.clearCache().
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def maybePersist(df: DataFrame): DataFrame =
-      if (persist)
+      if (persist) {
+        cached += df
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      } else df
     val e = maybePersist(
       rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))
         .distinct())
@@ -192,7 +319,7 @@ object KHop {
     val hotPart = bySrc.select(col("origin"), col("src"), col("dst"))
       .union(byDst.select(col("origin"), col("src"), col("dst")))
       .distinct()
-    coldPart.unionByName(hotPart)
+    (coldPart.unionByName(hotPart), cached.toList)
   }
 
   /** Long-form 2-hop: one row per (origin, src, dst). */

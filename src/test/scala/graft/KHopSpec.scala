@@ -79,6 +79,82 @@ class KHopSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
   }
 
+  test("skew-split general-k equals kHopEdges at every threshold") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 3 + rnd.nextInt(7)
+      val es = Seq.fill(1 + rnd.nextInt(12))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .distinct.filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        val df = es.toDF("START_ID", "END_ID").withColumn("TYPE", lit("E"))
+        for (k <- Seq(2, 3); t <- Seq(0L, 2L, 100L)) {
+          val want = KHop.kHopEdges(df, k)
+            .as[(Long, Long, Long)].collect().toSet
+          val got = KHop.kHopEdgesSkew(df, k, hotThreshold = t,
+              persist = false)
+            .as[(Long, Long, Long)].collect().toSet
+          assert(got == want, s"k=$k threshold=$t edges=$es")
+        }
+      }
+    }
+  }
+
+  test("skew-split general-k honors the origin restriction") {
+    val pred = Some(col("origin") <= 1L)
+    val want = KHop.kHopEdges(rels, 3, originPred = pred)
+      .as[(Long, Long, Long)].collect().toSet
+    for (t <- Seq(0L, 2L, 100L)) {
+      val got = KHop.kHopEdgesSkew(rels, 3, hotThreshold = t,
+          originPred = pred, persist = false)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"threshold $t")
+    }
+  }
+
+  test("skew-split general-k plans the broadcast hot-set path") {
+    val plan = KHop.kHopEdgesSkew(rels, 3, hotThreshold = 2, persist = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+  }
+
+  test("skew builds expose cache handles that release cleanly") {
+    import org.apache.spark.storage.StorageLevel
+    // build lazily, one at a time: the two builds cache canonically
+    // identical plans (CacheManager dedups them), so eager construction
+    // would let the first unpersist clear the second's entries
+    for (build <- Seq(
+        () => KHop.twoHopSkewBuild(rels, 2L, None, persist = true),
+        () => KHop.kHopSkewBuild(rels, 3, 2L, None, persist = true))) {
+      val (df, cached) = build()
+      df.count()
+      assert(cached.nonEmpty && cached.forall(_.storageLevel.useMemory))
+      cached.foreach(_.unpersist(blocking = true))
+      assert(cached.forall(_.storageLevel == StorageLevel.NONE))
+    }
+  }
+
+  test("with-brackets compute the right set and release their caches") {
+    import org.apache.spark.storage.StorageLevel
+    // CacheManager matches by canonicalized plan, so a probe built from the
+    // same plan text reports the cache state of the bracket's internal
+    // table — concurrency-safe, unlike counting the session's RDDs
+    def eProbe = rels
+      .select(col("START_ID").as("src"), col("END_ID").as("dst")).distinct()
+    val r1 = KHop.withTwoHopEdgesSkew(rels, hotThreshold = 2) { df =>
+      assert(eProbe.storageLevel.useMemory)     // cache live inside
+      df.as[(Long, Long, Long)].collect().toSet
+    }
+    assert(r1 == KHop.twoHopEdges(rels).as[(Long, Long, Long)].collect().toSet)
+    assert(eProbe.storageLevel == StorageLevel.NONE, "twoHop bracket leaked")
+    val r2 = KHop.withKHopEdgesSkew(rels, 3, hotThreshold = 2) { df =>
+      assert(eProbe.storageLevel.useMemory)
+      df.as[(Long, Long, Long)].collect().toSet
+    }
+    assert(r2 == KHop.kHopEdges(rels, 3).as[(Long, Long, Long)].collect().toSet)
+    assert(eProbe.storageLevel == StorageLevel.NONE, "kHop bracket leaked")
+  }
+
   test("CSR-plan 2-hop equals the golden plan (incl. multi-edges)") {
     val withDup = rels.union(rels.limit(2))   // duplicate physical edges
     val a = KHop.twoHopEdgesCsr(withDup)
