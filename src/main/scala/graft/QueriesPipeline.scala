@@ -211,6 +211,20 @@ object QueriesPipeline {
         .select(col("doc_id"), col("format"), col("n_bytes"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))),
+    // TRUE pixel-level decode under the gate: documents become byte-valid
+    // uncompressed 24-bit BMPs (bottom-up padded BGR rows) whose pixels
+    // follow a formula the oracle replays; the kernel must undo the row
+    // order, strip the padding, and split the channels — one misread byte
+    // anywhere in the raster diverges a channel sum
+    "multimodal_bmp" -> ((s, dir) =>
+      Multimodal.decodePixels(
+        Multimodal.asSyntheticBitmaps(table(s, dir, "documents"),
+          "doc_id", "text").toDF())
+        .toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"))),
     // pseudo-decode fallback surface (opaque binary + fake format): the
     // deterministic stub path for payloads no header parser recognizes
     "multimodal_pseudo" -> ((s, dir) =>
@@ -724,6 +738,25 @@ object QueriesPipeline {
         |  n % 640 + 1 AS width,
         |  n % 480 + 1 AS height
         |FROM m""".stripMargin,
+    "multimodal_bmp" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 16 + 1 AS w,
+        |         octet_length(encode(text)) % 8 + 1 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |         unnest(generate_series(0, 3*w*h - 1)) AS j
+        |       FROM m)
+        |SELECT doc_id, 'bmp' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w*h AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN j % 3 = 0 THEN (doc_id*31 + j) % 256
+        |           ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN j % 3 = 1 THEN (doc_id*31 + j) % 256
+        |           ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN j % 3 = 2 THEN (doc_id*31 + j) % 256
+        |           ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "multimodal_pseudo" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -23,6 +23,9 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, content: Array[Byte], format: String)
   final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
                                  width: Int, height: Int, checksum: Long)
+  final case class PixelFeatures(doc_id: Long, format: String, width: Int,
+                                 height: Int, n_pixels: Long, sum_b: Long,
+                                 sum_g: Long, sum_r: Long)
 
   /** Wrap a text corpus as a binary media table (content = UTF-8 bytes;
     * format sniffed — here a deterministic fake keyed on payload length). */
@@ -65,9 +68,114 @@ object Multimodal {
       lit("image").as("format"))
   }
 
+  /** Encode each document as a REAL uncompressed 24-bit BMP — file header,
+    * BITMAPINFOHEADER, bottom-up BGR rows with 4-byte row padding; any
+    * image viewer opens the bytes. Dimensions derive from the text's byte
+    * length (w = n%16+1, h = n%8+1) and pixel bytes from the deterministic
+    * formula (doc_id·31 + j) mod 256 over the logical BGR byte index
+    * j = (y·w + x)·3 + c — a pattern the gate oracle replays exactly, so
+    * [[decodePixels]]' full pixel decode (row order, padding, channel
+    * split) is verified byte-for-byte, not just header-deep. */
+  def asSyntheticBitmaps(docs: DataFrame, id: String,
+                         text: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, t) =>
+        val n = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        MediaRow(docId,
+          MediaKernels.encodeBmp(docId, n % 16 + 1, n % 8 + 1), "bmp")
+      })
+  }
+
+  /** Full pixel decode (true pixel-level features, no codec library
+    * needed for uncompressed BMP): per-channel byte sums + pixel count.
+    * Non-BMP payloads report format "unknown" with zeroed features — the
+    * swap point for a real codec, same as [[decodeFeatures]]. */
+  def decodePixels(media: DataFrame): Dataset[PixelFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map(r => MediaKernels.decodeBmpPixels(r.doc_id, r.content))
+    }
+  }
+
   object MediaKernels {
     private val PngSig: Array[Byte] =
       Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    /** Byte-valid 24-bit uncompressed BMP with formula pixels:
+      * logical BGR byte j of pixel (x, y) is (seed·31 + j) mod 256 with
+      * j = (y·w + x)·3 + c, written bottom-up with padded rows per the
+      * BMP wire format. */
+    def encodeBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val size = 54 + rowSize * h
+      val b = new Array[Byte](size)
+      def le16(i: Int, v: Int): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      }
+      def le32(i: Int, v: Int): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+        b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+      }
+      b(0) = 'B'; b(1) = 'M'
+      le32(2, size); le32(10, 54)          // file size, pixel-data offset
+      le32(14, 40)                         // BITMAPINFOHEADER size
+      le32(18, w); le32(22, h)             // positive height = bottom-up
+      le16(26, 1); le16(28, 24)            // planes, bits per pixel
+      le32(30, 0)                          // BI_RGB: uncompressed
+      le32(34, rowSize * h)                // image size
+      var y = 0
+      while (y < h) {
+        val rowOff = 54 + (h - 1 - y) * rowSize   // bottom-up row order
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            val j = (y.toLong * w + x) * 3 + c
+            b(rowOff + x * 3 + c) = ((seed * 31 + j) % 256).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      b
+    }
+
+    /** Full uncompressed-BMP pixel decode: walks the bottom-up padded rows
+      * back to logical order and accumulates per-channel sums. */
+    def decodeBmpPixels(docId: Long, b: Array[Byte]): PixelFeatures = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def u32le(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val isBmp = b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+        u16le(28) == 24 && u32le(30) == 0   // 24-bit uncompressed only
+      if (!isBmp) return PixelFeatures(docId, "unknown", 0, 0, 0L, 0L, 0L, 0L)
+      val off = u32le(10)
+      val w = u32le(18)
+      val h = u32le(22)
+      val rowSize = (w * 3 + 3) / 4 * 4
+      if (w <= 0 || h <= 0 || off + rowSize.toLong * h > b.length)
+        return PixelFeatures(docId, "unknown", 0, 0, 0L, 0L, 0L, 0L)
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var y = 0
+      while (y < h) {
+        val rowOff = off + (h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) {
+          sb += u8(rowOff + x * 3)
+          sg += u8(rowOff + x * 3 + 1)
+          sr += u8(rowOff + x * 3 + 2)
+          x += 1
+        }
+        y += 1
+      }
+      PixelFeatures(docId, "bmp", w, h, w.toLong * h, sb, sg, sr)
+    }
 
     /** Real container-header decode: PNG dimensions from the IHDR chunk,
       * JPEG dimensions by scanning marker segments to the first SOF frame
@@ -96,7 +204,12 @@ object Multimodal {
         checksum = sum)
       if (isPng)
         MediaFeatures(row.doc_id, "png", n, u32(16), u32(20), sum)
-      else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+        // BMP headers are little-endian, unlike PNG/JPEG
+        def u32le(i: Int): Int =
+          u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+        MediaFeatures(row.doc_id, "bmp", n, u32le(18), u32le(22), sum)
+      } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
         // marker scan: FF D8 (SOI) then segments FF mm [len payload]
         var i = 2
         var dims: Option[(Int, Int)] = None

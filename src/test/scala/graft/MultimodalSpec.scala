@@ -75,6 +75,51 @@ class MultimodalSpec extends AnyFunSuite {
       feats(2L).height == 4 && feats(2L).n_bytes == 3L + 33)
   }
 
+  test("BMP pixel decoder recovers a hand-crafted raster exactly") {
+    // 2x2, 24-bit, rowSize 8 (2 padding bytes per row), bottom-up: the
+    // file's first row is the image's BOTTOM row. Pixels (BGR):
+    //   top row:    (1,2,3)   (4,5,6)
+    //   bottom row: (7,8,9)   (10,11,12)
+    val bmp = hexBytes(
+      "424D 46000000 00000000 36000000" +       // BM, size 70, offset 54
+        "28000000 02000000 02000000" +          // infoheader 40, w=2, h=2
+        "0100 1800 00000000 10000000" +         // planes, 24bpp, BI_RGB
+        "00000000 00000000 00000000 00000000" + // resolution/palette fields
+        "0708090A0B0C 0000" +                   // file row 0 = bottom row
+        "010203040506 0000")                    // file row 1 = top row
+    val f = Multimodal.MediaKernels.decodeBmpPixels(9L, bmp)
+    assert(f.format == "bmp" && f.width == 2 && f.height == 2)
+    assert(f.n_pixels == 4L)
+    assert(f.sum_b == 1 + 4 + 7 + 10)
+    assert(f.sum_g == 2 + 5 + 8 + 11)
+    assert(f.sum_r == 3 + 6 + 9 + 12)
+    // header-only decode agrees on the little-endian dimensions
+    val hf = Multimodal.MediaKernels.decode(
+      Multimodal.MediaRow(9L, bmp, "unknown"))
+    assert(hf.format == "bmp" && hf.width == 2 && hf.height == 2)
+  }
+
+  test("BMP pixel decoder rejects non-BMP payloads") {
+    val f = Multimodal.MediaKernels.decodeBmpPixels(1L, "nope".getBytes)
+    assert(f.format == "unknown" && f.n_pixels == 0L)
+  }
+
+  test("synthetic bitmaps round-trip the pixel formula end-to-end") {
+    val docs = Seq((1L, "x" * 20), (2L, "y" * 33)).toDF("doc_id", "text")
+    val got = Multimodal.decodePixels(
+        Multimodal.asSyntheticBitmaps(docs, "doc_id", "text").toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    for ((id, n) <- Seq((1L, 20), (2L, 33))) {
+      val (w, h) = (n % 16 + 1, n % 8 + 1)
+      val f = got(id)
+      assert(f.format == "bmp" && f.width == w && f.height == h)
+      assert(f.n_pixels == w.toLong * h)
+      def sum(c: Int): Long = (0L until 3L * w * h)
+        .filter(_ % 3 == c).map(j => (id * 31 + j) % 256).sum
+      assert(f.sum_b == sum(0) && f.sum_g == sum(1) && f.sum_r == sum(2))
+    }
+  }
+
   test("decode runs per-partition (batch contract preserved)") {
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
       .repartition(7)
