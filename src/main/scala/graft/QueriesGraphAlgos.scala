@@ -244,6 +244,89 @@ object QueriesGraphAlgos {
        |       CAST(sum(dst * rn) AS BIGINT) AS checksum
        |FROM r WHERE rn <= 5 GROUP BY src""".stripMargin
 
+  // ------------------------------------------------------------- HITS
+
+  /** One unrolled HITS iteration k: auth = max-normalized hub sums over
+    * in-edges, then hub = max-normalized auth sums over out-edges. */
+  private def hitsIter(k: Int): String =
+    s"""ar$k AS (SELECT e.dst AS id, sum(h.hub) AS raw
+       |  FROM he e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
+       |a$k AS (SELECT n.id,
+       |    CAST(COALESCE(ar.raw, 0) * 1000000 // (SELECT max(raw) FROM ar$k)
+       |      AS BIGINT) AS auth
+       |  FROM hn n LEFT JOIN ar$k ar ON ar.id = n.id),
+       |hr$k AS (SELECT e.src AS id, sum(a.auth) AS raw
+       |  FROM he e JOIN a$k a ON a.id = e.dst GROUP BY 1),
+       |h$k AS (SELECT n.id,
+       |    CAST(COALESCE(hr.raw, 0) * 1000000 // (SELECT max(raw) FROM hr$k)
+       |      AS BIGINT) AS hub
+       |  FROM hn n LEFT JOIN hr$k hr ON hr.id = n.id)""".stripMargin
+
+  private val hitsOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |he AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels
+       |       WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |hn AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM he UNION ALL SELECT dst FROM he) t),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM hn),
+       |${(1 to 3).map(hitsIter).mkString(",\n")}
+       |SELECT h.id, h.hub, a.auth FROM h3 h JOIN a3 a USING (id)""".stripMargin
+
+  // ---------------------------------------------- harmonic centrality
+
+  /** One unrolled multi-source BFS level: new (seed, node) pairs =
+    * frontier neighbors minus everything that seed already visited. */
+  private def harmLevel(k: Int): String =
+    s"""hm$k AS (SELECT s, id, CAST($k AS BIGINT) AS dist FROM (
+       |    SELECT DISTINCT f.s, u.b AS id
+       |    FROM hm${k - 1} f JOIN und u ON u.a = f.id
+       |    EXCEPT SELECT s, id FROM hv${k - 1}) t),
+       |hv$k AS (SELECT * FROM hv${k - 1} UNION ALL SELECT * FROM hm$k)""".stripMargin
+
+  private val harmonicOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |hm0 AS (SELECT a AS s, a AS id, CAST(0 AS BIGINT) AS dist
+       |        FROM (SELECT DISTINCT a FROM und) t WHERE a >= 5000000000),
+       |hv0 AS (SELECT * FROM hm0),
+       |${(1 to 3).map(harmLevel).mkString(",\n")}
+       |SELECT id, CAST(sum(1000000 // dist) AS BIGINT) AS harmonic,
+       |       count(*) AS n_reached
+       |FROM hv3 WHERE dist > 0 GROUP BY id""".stripMargin
+
+  // --------------------------------------------------------- modularity
+
+  private val modularityOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM und),
+       |${(1 to 3).map(lpaRound).mkString(",\n")},
+       |mdeg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY 1),
+       |intr AS (SELECT lu.lbl, count(*) AS int_dir
+       |         FROM und JOIN l3 lu ON und.a = lu.id
+       |                  JOIN l3 lv ON und.b = lv.id
+       |         WHERE lu.lbl = lv.lbl GROUP BY 1),
+       |st AS (SELECT l.lbl, count(*) AS n_nodes,
+       |              CAST(sum(mdeg.deg) AS BIGINT) AS deg_sum
+       |       FROM l3 l JOIN mdeg ON mdeg.id = l.id GROUP BY 1),
+       |tm AS (SELECT count(*) AS two_m FROM und)
+       |SELECT st.lbl AS community, st.n_nodes,
+       |       CAST(COALESCE(intr.int_dir, 0) // 2 AS BIGINT)
+       |         AS internal_edges,
+       |       st.deg_sum,
+       |       CAST(COALESCE(intr.int_dir, 0) * 1000000 // tm.two_m
+       |         - (st.deg_sum * 1000000 // tm.two_m) * st.deg_sum
+       |             // tm.two_m AS BIGINT) AS q_scaled
+       |FROM st LEFT JOIN intr ON intr.lbl = st.lbl, tm""".stripMargin
+
   // -------------------------------------------------- Bellman-Ford SSSP
 
   /** One unrolled relaxation round k: dist' = min(dist, dist(u)+w). */
@@ -359,7 +442,33 @@ object QueriesGraphAlgos {
         .select(col("START_ID").as("src"), col("END_ID").as("dst"),
           col("quantity").cast("long").as("w")),
       source = 4000000000L, rounds = 3)
-      .select(col("id"), col("d"))))
+      .select(col("id"), col("d"))),
+    // HITS hubs & authorities, 3 max-normalized integer iterations on
+    // the directed membership graph (customers/suppliers → nations →
+    // regions: nations split hub/authority roles).
+    "hits" -> ((s, dir) => GraphAlgos.hits(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), iters = 3)
+      .select(col("id"), col("hub"), col("auth"))),
+    // Harmonic centrality from the nation+region seed set (ids ≥ 5e9),
+    // hops ≤ 3 — the bounded-source centrality a 100 TB graph actually
+    // computes (full all-pairs BFS is O(n·m)).
+    "harmonic" -> ((s, dir) => GraphAlgos.harmonicCentrality(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"),
+      seedPred = col("id") >= 5000000000L, maxHops = 3)
+      .select(col("id"), col("harmonic"), col("n_reached"))),
+    // Modularity of the 3-round label-propagation communities — the
+    // quality score community detection optimizes, integer-quantized
+    // per community.
+    "modularity" -> ((s, dir) => {
+      val rels = SparkEntry.graph(s, dir).rels
+      val types = Seq("FROM_NATION", "IN_REGION")
+      GraphAlgos.modularity(rels, types,
+        GraphAlgos.labelPropagation(rels, types, rounds = 3))
+        .select(col("community"), col("n_nodes"), col("internal_edges"),
+          col("deg_sum"), col("q_scaled"))
+    }))
 
   def oracles: Map[String, String] = Map(
     "pagerank_weighted" -> pagerankWeightedOracle,
@@ -372,5 +481,8 @@ object QueriesGraphAlgos {
     "pagerank" -> pagerankOracle,
     "triangle_count" -> triangleOracle,
     "bfs_hops" -> bfsOracle,
-    "sssp_bf" -> ssspOracle)
+    "sssp_bf" -> ssspOracle,
+    "hits" -> hitsOracle,
+    "harmonic" -> harmonicOracle,
+    "modularity" -> modularityOracle)
 }

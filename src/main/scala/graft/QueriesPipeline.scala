@@ -152,6 +152,32 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("n_words")).as("words_covered"))),
 
+    // Gopher-style repetition signals: distinct-word ratio, duplicate-
+    // trigram fraction, top-bigram share — all per-row array math, no
+    // shuffle (the fold over the sorted bigram array replaces a per-doc
+    // group-by)
+    "quality_repetition" -> ((s, dir) =>
+      CorpusTools.repetitionSignals(table(s, dir, "documents"),
+        "doc_id", "text")),
+    // benchmark decontamination: training docs sharing any word-4-gram
+    // with the doc_id%50=0 "benchmark" slice; inverted-index join with
+    // the same DF cap as dedup_ngram — never train×bench
+    "decontaminate" -> ((s, dir) =>
+      CorpusTools.decontaminate(table(s, dir, "documents"),
+        "doc_id", "text", benchPred = col("doc_id") % 50 === 0,
+        n = 4, maxDf = 50)),
+    // deterministic per-language sampling (hash-gated keep, no RNG):
+    // per-lang totals, kept counts, and kept-id checksum
+    "sample_stratified" -> ((s, dir) =>
+      CorpusTools.stratifiedSample(table(s, dir, "documents"),
+        "doc_id", "lang", rates = Map("en" -> 30, "de" -> 80),
+        defaultPct = 55)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"))),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -237,6 +263,59 @@ object QueriesPipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "quality_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |tg AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+        |         list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |         ELSE [] END AS g FROM w),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) >= 2 THEN
+        |         list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i+1])
+        |         ELSE [] END AS g FROM w),
+        |top AS (SELECT doc_id, max(c) AS top_cnt FROM (
+        |    SELECT doc_id, u, count(*) AS c FROM
+        |      (SELECT doc_id, unnest(g) AS u FROM bg) q GROUP BY 1, 2) t
+        |  GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        |  round(len(list_distinct(w.ws)) * 1.0 / len(w.ws), 6)
+        |    AS distinct_ratio,
+        |  CASE WHEN len(tg.g) > 0 THEN
+        |    round((len(tg.g) - len(list_distinct(tg.g))) * 1.0
+        |      / len(tg.g), 6) ELSE 0.0 END AS dup_trigram_frac,
+        |  CASE WHEN len(bg.g) > 0 THEN
+        |    round(top.top_cnt * 1.0 / len(bg.g), 6)
+        |    ELSE 0.0 END AS top_bigram_share
+        |FROM w JOIN tg USING (doc_id) JOIN bg USING (doc_id)
+        |LEFT JOIN top USING (doc_id)""".stripMargin,
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+        |                || ws[i+3]))) AS s
+        |       FROM w WHERE len(ws) >= 4),
+        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1) t
+        |        WHERE df > 50),
+        |c AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+        |b AS (SELECT s, doc_id AS bench_id FROM c WHERE doc_id % 50 = 0),
+        |tr AS (SELECT * FROM c WHERE doc_id % 50 != 0)
+        |SELECT tr.doc_id, count(DISTINCT b.bench_id) AS n_bench_docs,
+        |       count(DISTINCT tr.s) AS n_shared_ngrams
+        |FROM tr JOIN b ON tr.s = b.s GROUP BY 1""".stripMargin,
+    "sample_stratified" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |    (doc_id * 2654435761) % 1000000007 % 100 <
+        |      CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 80 ELSE 55 END
+        |      AS keep
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM k GROUP BY lang""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS hash, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -116,6 +116,103 @@ object CorpusTools {
           .cast("long").as("n_words"))
   }
 
+  /** Gopher-style repetition signals, one per document: distinct-word
+    * ratio, duplicate-trigram fraction, and top-bigram share (the
+    * "fraction of characters in the most common n-gram" family of
+    * quality rules from the Gopher/MassiveText filtering recipe,
+    * re-expressed over word counts so every value is an exact ratio of
+    * integers).
+    *
+    * Scale design: ALL signals are computed per-row with array
+    * expressions — no explode, no shuffle, a pure narrow projection
+    * that pipelines with the scan. The top-bigram count folds over the
+    * SORTED bigram array (max run of equal neighbors == max frequency)
+    * via `aggregate`, so no per-doc group-by is ever needed. */
+  def repetitionSignals(docs: DataFrame, id: String,
+                        text: String): DataFrame = {
+    val ws = words(col(text))
+    def ngrams(n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(ws, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val tg = ngrams(3)
+    val bg = ngrams(2)
+    // max run length over the sorted bigrams = count of the modal bigram
+    val topBigram = aggregate(
+      array_sort(bg),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs
+      .select(col(id), ws.as("ws"), tg.as("tg"), bg.as("bg"),
+        topBigram.as("top_bg"))
+      .select(col(id),
+        size(col("ws")).cast("long").as("n_words"),
+        round(size(array_distinct(col("ws"))).cast("double") /
+          size(col("ws")), 6).as("distinct_ratio"),
+        when(size(col("tg")) > 0,
+          round((size(col("tg")) - size(array_distinct(col("tg"))))
+            .cast("double") / size(col("tg")), 6))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        when(size(col("bg")) > 0,
+          round(col("top_bg").cast("double") / size(col("bg")), 6))
+          .otherwise(lit(0.0)).as("top_bigram_share"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * distinct word n-gram with a benchmark/eval set — the standard
+    * pre-training hygiene pass (an eval question leaking into the
+    * training corpus inflates downstream scores).
+    *
+    * Inverted-index shape, never train×bench: both sides explode to
+    * distinct per-doc n-grams and meet in ONE equi-join on the gram.
+    * N-grams appearing in more than `maxDf` documents (corpus-wide) are
+    * boilerplate, not leakage — they are dropped from candidate
+    * generation exactly like [[Dedup.ngramJaccard]]'s DF cap, which also
+    * bounds the join fan-out at 100 TB (a stop-phrase shared by every
+    * doc would otherwise produce |train|·|bench| candidate rows).
+    * Returns one row per contaminated training doc:
+    * (id, n_bench_docs, n_shared_ngrams). */
+  def decontaminate(docs: DataFrame, id: String, text: String,
+                    benchPred: Column, n: Int = 4,
+                    maxDf: Int = 50): DataFrame = {
+    val sh = docs.select(col(id), explode(shingles(words(col(text)), n))
+      .as("s"))
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("s"))
+    val capped = sh.join(hot, Seq("s"), "left_anti")
+    val bench = capped.where(benchPred)
+      .select(col("s"), col(id).as("bench_id"))
+    val train = capped.where(!benchPred)
+    train.join(bench, "s")
+      .groupBy(col(id))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+        countDistinct(col("s")).as("n_shared_ngrams"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep rates (percent)
+    * via the same Knuth multiplicative hash as [[hashSplit]] — keep row
+    * iff (id·2654435761) mod 1e9+7 mod 100 < rate(stratum). Pure narrow
+    * projection: reproducible under retries and re-partitioning, no RNG
+    * state, exact in any engine (`sample()`/`rand()` are none of these).
+    * Unlisted strata fall back to `defaultPct`. Adds `keep`. */
+  def stratifiedSample(df: DataFrame, id: String, stratum: String,
+                       rates: Map[String, Int],
+                       defaultPct: Int): DataFrame = {
+    val bucket = (col(id) * lit(2654435761L)) % 1000000007L % 100L
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(col(stratum) === k, lit(pct)).otherwise(acc)
+    }
+    df.withColumn("keep", bucket < rate)
+  }
+
   /** Frequency-vocabulary induction: words with corpus frequency ≥
     * minCount, ranked by (frequency DESC, word ASC) into contiguous
     * vocab ids starting at 1 — the id assignment every count-based

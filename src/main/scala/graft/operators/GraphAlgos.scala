@@ -331,6 +331,130 @@ object GraphAlgos {
     labels
   }
 
+  /** HITS hubs & authorities, integer-quantized, fixed iterations.
+    *
+    * auth_k(v) = norm(Σ_{u→v} hub_{k-1}(u)); hub_k(u) = norm(Σ_{u→v}
+    * auth_k(v)); norm(x) = ⌊x·scale / max(x)⌋ — max-normalization keeps
+    * every score in [0, scale] as int64 (the usual L2 norm is float;
+    * max-norm preserves the ranking HITS is used for and replays exactly
+    * in any engine). hub_0 = scale everywhere. The per-round max is a
+    * 1-row aggregate broadcast back with a scalar cross-join — O(1) data
+    * to the driver-side plan, never a collect.
+    *
+    * Each half-step is the canonical Pregel round: one edges⋈state
+    * equi-join + one map-side-combining sum per target. */
+  def hits(rels: DataFrame, types: Seq[String], iters: Int,
+           scale: Long = 1000000L): DataFrame = {
+    val e = rels.where(col("TYPE").isin(types: _*))
+      .select(col("START_ID").as("src"), col("END_ID").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth = nodes.withColumn("auth", lit(0L))
+    for (_ <- 1 to iters) {
+      // checkpointed: read twice per round (normalize join + its max)
+      val araw = e
+        .join(hub.withColumnRenamed("id", "h_id"), col("src") === col("h_id"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("raw"))
+        .localCheckpoint(true)
+      auth = nodes.join(araw, Seq("id"), "left")
+        .crossJoin(broadcast(araw.agg(max(col("raw")).as("mx"))))
+        .select(col("id"),
+          expr(s"coalesce(raw, 0L) * ${scale}L div mx").as("auth"))
+        .localCheckpoint(true)
+      val hraw = e
+        .join(auth.withColumnRenamed("id", "a_id"), col("dst") === col("a_id"))
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("raw"))
+        .localCheckpoint(true)
+      hub = nodes.join(hraw, Seq("id"), "left")
+        .crossJoin(broadcast(hraw.agg(max(col("raw")).as("mx"))))
+        .select(col("id"),
+          expr(s"coalesce(raw, 0L) * ${scale}L div mx").as("hub"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, "id").select(col("id"), col("hub"), col("auth"))
+  }
+
+  /** Harmonic centrality from a bounded seed set: harm(v) = Σ_{s∈seeds,
+    * 0<d(s,v)≤maxHops} ⌊scale/d(s,v)⌋ over the undirected projection.
+    * Computing from ALL nodes is O(n·BFS) — the standard scale play is a
+    * sampled/bounded source set (seeds here; HyperBall's sketches are the
+    * probabilistic alternative), which is exactly how GDS sizes closeness
+    * at scale. Multi-source BFS keyed by (seed, node): frontier state is
+    * |seeds|·|reached| rows, each level one join + one anti-join —
+    * distances are exact, so ⌊scale/d⌋ sums replay in any engine.
+    * Returns (id, harmonic, n_reached). */
+  def harmonicCentrality(rels: DataFrame, types: Seq[String],
+                         seedPred: Column, maxHops: Int,
+                         scale: Long = 1000000L): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    val seeds = und.select(col("u").as("id")).distinct().where(seedPred)
+    var visited = seeds
+      .select(col("id").as("s"), col("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("s"), col("id"))
+    for (k <- 1 to maxHops) {
+      val next = und
+        .join(frontier.withColumnRenamed("id", "f_id"), col("u") === col("f_id"))
+        .select(col("s"), col("v").as("id")).distinct()
+        .join(visited, Seq("s", "id"), "left_anti")
+        .withColumn("dist", lit(k.toLong))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select(col("s"), col("id"))
+    }
+    visited.where(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(sum(expr(s"${scale}L div dist")).as("harmonic"),
+        count(lit(1)).as("n_reached"))
+  }
+
+  /** Modularity of a community assignment (the quality score label
+    * propagation / Louvain optimize): per community c,
+    * Q_c = e_c/m − (deg_c/2m)² with e_c = internal edges, deg_c = degree
+    * sum, m = total undirected edges. Integer-quantized per community as
+    * q_scaled = ⌊2e_c·scale/2m⌋ − ⌊⌊deg_c·scale/2m⌋·deg_c/2m⌋ — nested
+    * floors keep every intermediate ≤ scale·deg_c (no deg_c²·scale
+    * overflow at large m) and replay exactly with `//`. Σ_c q_scaled ≈
+    * Q·scale within |communities| ulps of 1/scale.
+    *
+    * One labels⋈labels-through-edges join + two hash aggregates; the
+    * 1-row edge total broadcasts back via scalar cross-join. */
+  def modularity(rels: DataFrame, types: Seq[String],
+                 labels: DataFrame,
+                 scale: Long = 1000000L): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    // internal DIRECTED pairs per community (= 2·e_c: und holds both
+    // directions of every edge and self-loops are impossible here)
+    val internal = und
+      .join(labels.select(col("id").as("u2"), col("lbl").as("lu")),
+        col("u") === col("u2"))
+      .join(labels.select(col("id").as("v2"), col("lbl").as("lv")),
+        col("v") === col("v2"))
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("int_dir"))
+    val stats = labels
+      .join(deg, "id")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+      .join(internal, Seq("lbl"), "left")
+      .withColumn("int_dir", coalesce(col("int_dir"), lit(0L)))
+    stats
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("two_m"))))
+      .select(col("lbl").as("community"), col("n_nodes"),
+        expr("int_dir div 2").as("internal_edges"), col("deg_sum"),
+        (expr(s"int_dir * ${scale}L div two_m") -
+          expr(s"(deg_sum * ${scale}L div two_m) * deg_sum div two_m"))
+          .as("q_scaled"))
+  }
+
   /** Bellman-Ford single-source shortest path, fixed relaxation rounds,
     * integer weights. dist_{k+1} = min(dist_k, min over edges (u,v,w) of
     * dist_k(u)+w) — pure min/+ on int64, exact in any engine. Nodes not

@@ -88,4 +88,55 @@ class CorpusToolsSpec extends AnyFunSuite {
     // b:4, a:3 survive; c:1 filtered; tie impossible here but order fixed
     assert(v == Seq((1L, "b", 4L), (2L, "a", 3L)))
   }
+
+  test("repetitionSignals: hand-computed ratios, no shuffle in the plan") {
+    val docs = Seq(
+      (1L, "a a a"),          // tg ["a a a"], bg ["a a"]×2
+      (2L, "a b a b a b"),    // tg 4 (2 distinct), bg 5 ("a b"×3)
+      (3L, "x")               // too short for any n-gram
+    ).toDF("doc_id", "text")
+    val r = CorpusTools.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((3L, 0.333333, 0.0, 1.0)))
+    assert(r(2L) == ((6L, 0.333333, 0.5, 0.6)))
+    assert(r(3L) == ((1L, 1.0, 0.0, 0.0)))
+    // narrow plan: per-row array math must introduce no exchange
+    val plan = CorpusTools.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the bench set") {
+    val docs = Seq(
+      (0L, "q1 q2 q3 q4 tail"),          // benchmark doc
+      (1L, "x q1 q2 q3 q4 y"),           // shares "q1 q2 q3 q4"
+      (2L, "nothing shared here at all") // clean
+    ).toDF("doc_id", "text")
+    val f = CorpusTools.decontaminate(docs, "doc_id", "text",
+        benchPred = col("doc_id") === 0L, n = 4, maxDf = 50)
+      .as[(Long, Long, Long)].collect()
+    assert(f.toSeq == Seq((1L, 1L, 1L)))
+  }
+
+  test("stratifiedSample: exact hash gate per stratum, deterministic") {
+    val docs = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de")).toDF("doc_id", "lang")
+    def kept(rates: Map[String, Int], dflt: Int): Set[Long] =
+      CorpusTools.stratifiedSample(docs, "doc_id", "lang", rates, dflt)
+        .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(kept(Map("en" -> 0, "de" -> 0), 0).isEmpty)
+    assert(kept(Map("en" -> 100, "de" -> 100), 0).size == 300)
+    // exact per-row gate matches the reference hash formula
+    val k = kept(Map("en" -> 30), 55)
+    def bucket(i: Long): Long = i * 2654435761L % 1000000007L % 100L
+    val expected = (0L until 300L).filter(i =>
+      bucket(i) < (if (i % 3 == 0) 30 else 55)).toSet
+    assert(k == expected)
+    // reproducible under repartitioning
+    val again = CorpusTools.stratifiedSample(
+        docs.repartition(7), "doc_id", "lang", Map("en" -> 30), 55)
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(again == expected)
+  }
 }

@@ -171,4 +171,53 @@ class GraphAlgosSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("hits: hand-computed 1 iteration on the path graph") {
+    // auth raw: 2 ← {1,4} = 2e6, 3 ← {2} = 1e6; max 2e6
+    //   → auth(2)=1000000, auth(3)=500000, auth(1)=auth(4)=0
+    // hub raw: 1 → auth(2)=1e6, 4 → 1e6, 2 → auth(3)=5e5; max 1e6
+    //   → hub(1)=hub(4)=1000000, hub(2)=500000, hub(3)=0
+    val r = GraphAlgos.hits(rels, Seq("E"), iters = 1)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r == Map(
+      1L -> ((1000000L, 0L)), 2L -> ((500000L, 1000000L)),
+      3L -> ((0L, 500000L)), 4L -> ((1000000L, 0L))))
+  }
+
+  test("hits: scores stay within [0, scale] across iterations") {
+    val r = GraphAlgos.hits(rels, Seq("E"), iters = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == 4)
+    assert(r.forall { case (_, h, a) =>
+      h >= 0L && h <= 1000000L && a >= 0L && a <= 1000000L })
+    // max-normalization pins at least one hub and one authority at scale
+    assert(r.map(_._2).max == 1000000L && r.map(_._3).max == 1000000L)
+  }
+
+  test("harmonicCentrality: two seeds on the undirected path") {
+    // undirected 1-2, 2-3, 2-4; seeds {1, 4}
+    // d(1,·): 2→1, 3→2, 4→2;  d(4,·): 2→1, 1→2, 3→2
+    val h = GraphAlgos.harmonicCentrality(rels, Seq("E"),
+        seedPred = col("id") === 1L || col("id") === 4L, maxHops = 3)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(h == Map(
+      1L -> ((500000L, 1L)), 2L -> ((2000000L, 2L)),
+      3L -> ((1000000L, 2L)), 4L -> ((500000L, 1L))))
+  }
+
+  test("modularity: two triangles joined by a bridge") {
+    // communities {1,2,3} and {4,5,6}; 7 undirected edges (two_m = 14)
+    // per community: e_c = 3, deg_sum = 7
+    //   q = 6*1e6 div 14 - (7*1e6 div 14)*7 div 14 = 428571-250000 = 178571
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).map { case (a, b) => (a, b, "E") }
+      .toDF("START_ID", "END_ID", "TYPE")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "lbl")
+    val m = GraphAlgos.modularity(g, Seq("E"), labels)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(m == Map(
+      1L -> ((3L, 3L, 7L, 178571L)), 4L -> ((3L, 3L, 7L, 178571L))))
+  }
 }
