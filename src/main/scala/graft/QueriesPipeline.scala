@@ -109,6 +109,15 @@ object QueriesPipeline {
           iters = 2)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     }),
+    // product quantization: per-subspace integer k-means codebooks,
+    // m-code encoding, asymmetric-distance query — the memory-side ANN
+    // compression path, int64-exact end to end
+    "sim_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 5, m = 4,
+          iters = 1)
+        .select(col("qid"), col("nid"), col("adc"), col("rn"))
+    }),
 
     // ---- corpus preparation ----------------------------------------------
     // deterministic stratified-reportable train/valid/test split: pure
@@ -733,6 +742,52 @@ object QueriesPipeline {
          |SELECT qid, nid, sim, rn FROM (
          |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
          |    ORDER BY sim DESC, nid) AS rn FROM s) t
+         |WHERE rn <= 5""".stripMargin
+    },
+    "sim_pq" -> {
+      // mirrors Similarity.pqTopK exactly: per-subspace quantized k-means
+      // (1 Lloyd iteration), nearest-codeword encoding, ADC distance sums
+      // — int64 throughout, so the engines cannot diverge.
+      val w = 16
+      def qd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${w + 1}), " +
+          s"j -> ($a.sv[j] - $b.sc[j]) * ($a.sv[j] - $b.sc[j])))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |          AS qv
+         |      FROM e),
+         |sub AS (SELECT vec_id, t.s,
+         |          list_slice(qv, t.s * $w + 1, t.s * $w + $w) AS sv
+         |        FROM q, range(0, 4) t(s)),
+         |c0 AS (SELECT s, vec_id AS cid, sv AS sc FROM sub
+         |       WHERE vec_id % 97 = 0),
+         |a1 AS (SELECT vec_id, s, sv, cid FROM (
+         |  SELECT sub.vec_id, sub.s, sub.sv, c.cid,
+         |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+         |      ORDER BY ${qd("sub", "c")}, c.cid) AS rn
+         |  FROM sub JOIN c0 c ON c.s = sub.s) t WHERE rn = 1),
+         |u1 AS (SELECT s, cid, j,
+         |  CAST(floor(CAST(sum(sv[j]) AS DOUBLE) / count(*)) AS BIGINT)
+         |    AS cj
+         |  FROM a1, range(1, ${w + 1}) t(j) GROUP BY s, cid, j),
+         |c1 AS (SELECT s, cid, list(cj ORDER BY j) AS sc
+         |       FROM u1 GROUP BY s, cid),
+         |codes AS (SELECT vec_id AS nid, s, cid AS code FROM (
+         |  SELECT sub.vec_id, sub.s, c.cid,
+         |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+         |      ORDER BY ${qd("sub", "c")}, c.cid) AS rn
+         |  FROM sub JOIN c1 c ON c.s = sub.s) t WHERE rn = 1),
+         |qsub AS (SELECT vec_id AS qid, s, sv FROM sub WHERE vec_id < 5),
+         |dt AS (SELECT qsub.qid, qsub.s, c.cid AS code,
+         |         ${qd("qsub", "c")} AS d
+         |       FROM qsub JOIN c1 c ON c.s = qsub.s),
+         |sc AS (SELECT dt.qid, codes.nid, CAST(sum(dt.d) AS BIGINT) AS adc
+         |       FROM codes JOIN dt ON dt.s = codes.s AND dt.code = codes.code
+         |       WHERE codes.nid != dt.qid GROUP BY 1, 2)
+         |SELECT qid, nid, adc, rn FROM (
+         |  SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc, nid) AS rn FROM sc) t
          |WHERE rn <= 5""".stripMargin
     },
     "text_quality" ->

@@ -203,6 +203,80 @@ object Similarity {
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.d").as("d"))
   }
 
+  /** Product quantization (PQ) top-k — the memory-side ANN scale play
+    * (IVF prunes WHICH vectors are scanned; PQ shrinks WHAT is scanned:
+    * m small codes per vector instead of the full embedding, so the
+    * candidate scan reads m·log2(k') bits per vector instead of dim
+    * floats).
+    *
+    *  - Train: split each integer-quantized vector into m contiguous
+    *    subspaces and run the SAME deterministic Lloyd step as
+    *    [[kmeansQuantized]] independently per subspace — one DataFrame
+    *    program keyed by (subspace, cid), not a per-subspace loop.
+    *  - Encode: per (vector, subspace), the nearest codeword id by exact
+    *    integer distance (broadcast codebooks, map-side argmin — same
+    *    collapse-before-shuffle shape as [[assignQuantized]]).
+    *  - Query (ADC): per query, a distance TABLE to every codeword
+    *    (|q|·m·k' rows — tiny, broadcast); approx distance of a candidate
+    *    = Σ_m table[s, code_s] via one (s, code) equi-join + a (qid, nid)
+    *    sum; ranking through the bounded [[TopK.perKey]] aggregate.
+    *
+    * Everything is exact int64 (quantization, distances, floor means),
+    * so the WHOLE train→encode→ADC pipeline replays bit-identically in
+    * the DuckDB oracle. Returns (qid, nid, adc, rn) with rn = 1..k by
+    * ascending approximate distance, ties by nid. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             dim: Int = 64, iters: Int = 1,
+             initMod: Int = 97): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val w = dim / m
+    def subSplit(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("qv"), s * w + 1, lit(w)))).as(Seq("s", "sv")))
+    val sub = subSplit(quantized(corpus)).localCheckpoint(true)
+    var cent = sub.where(col("vec_id") % initMod === 0)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("sc"))
+    for (_ <- 1 to iters) {
+      val assigned = sub.join(broadcast(cent), "s")
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(qdist(col("sv"), col("sc")).as("d"),
+          col("cid").as("cid"))).as("best"),
+          first(col("sv")).as("sv"))
+        .select(col("vec_id"), col("s"), col("sv"),
+          col("best.cid").as("cid"))
+      cent = assigned
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+          .cast("long").as("c"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("c")))),
+          t => t.getField("c")).as("sc"))
+    }
+    val codes = sub.join(broadcast(cent), "s")
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(qdist(col("sv"), col("sc")).as("d"),
+        col("cid").as("cid"))).as("best"))
+      .select(col("vec_id").as("nid"), col("s"), col("best.cid").as("code"))
+    val qsub = subSplit(quantized(queries))
+      .select(col("vec_id").as("qid"), col("s"), col("sv"))
+    val dt = qsub.join(cent, "s")
+      .select(col("qid"), col("s"), col("cid").as("code"),
+        qdist(col("sv"), col("sc")).as("d"))
+    val scored = codes.join(broadcast(dt), Seq("s", "code"))
+      .where(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("d")).as("adc"))
+    TopK.perKey(
+        scored.withColumn("nord", -col("adc").cast("double")),
+        key = "qid", ord = "nord", tiebreak = "nid", payload = "nid",
+        k = k)
+      .select(col("qid"), col("nid"),
+        (-col("nord")).cast("long").as("adc"), col("rn"))
+  }
+
   /** IVF with TRAINED centroids: quantized k-means (exact, see
     * [[kmeansQuantized]]), corpus assigned to trained cells by integer
     * distance, queries probe the `nprobe` nearest cells by the same

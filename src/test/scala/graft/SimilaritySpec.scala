@@ -128,4 +128,48 @@ class SimilaritySpec extends AnyFunSuite {
     val got = assigned.as[(Long, Long, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("pq with every vector its own codeword reduces to exact L2 ranking") {
+    // m=1, iters=0, initMod=1: the codebook IS the corpus, every vector
+    // encodes to itself, so ADC = the exact integer squared distance.
+    val dim = 8
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim)(j => ((i * 13 + j * j * 5) % 17).toFloat)
+    val e = (0L until 12L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(e, e.where(col("vec_id") < 2), k = 3,
+        m = 1, dim = dim, iters = 0, initMod = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def quant(a: Array[Float]): Array[Long] =
+      a.map(x => math.round(x.toDouble * 1000))
+    val expected = (0L until 2L).flatMap { qid =>
+      (0L until 12L).filter(_ != qid).map { nid =>
+        val d = quant(vec(qid)).zip(quant(vec(nid)))
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, nid, d)
+      }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((q, n, d), i) => (q, n, d, i + 1L) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("pq ADC distances are sums of per-subspace codeword distances") {
+    // two clean clusters per subspace: vectors 0..3 repeat pattern A/B in
+    // each half, so 1 Lloyd round lands centroids on the cluster means
+    // and ADC reconstructs exactly per subspace
+    val e = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(0f, 0f, 10f, 10f)),   // duplicate of 0
+      (2L, Array(8f, 8f, 2f, 2f)),
+      (3L, Array(8f, 8f, 2f, 2f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.pqTopK(e, e.where(col("vec_id") === 0L), k = 3,
+        m = 2, dim = 4, iters = 1, initMod = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._2 -> t._3).toMap
+    // codebooks converge to the two exact cluster means per subspace →
+    // vec 1 (same cell) at ADC 0; vecs 2,3 at the full inter-mean distance
+    assert(r(1L) == 0L)
+    val inter = 2L * 8000L * 8000L + 2L * 8000L * 8000L
+    assert(r(2L) == inter && r(3L) == inter)
+  }
 }
