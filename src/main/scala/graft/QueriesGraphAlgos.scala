@@ -327,6 +327,45 @@ object QueriesGraphAlgos {
        |             // tm.two_m AS BIGINT) AS q_scaled
        |FROM st LEFT JOIN intr ON intr.lbl = st.lbl, tm""".stripMargin
 
+  // ------------------------------------------------- louvain move phase
+
+  /** One unrolled synchronous Louvain move round: community degree
+    * totals, neighbor-community counts, candidates = neighbor communities
+    * ∪ own (kc 0 when no neighbor shares it), integer gain
+    * 2m·kc − deg·tot (own community's tot reduced by deg — the node
+    * itself must not count), argmax with (score DESC, lbl ASC). */
+  private def louvainRound(k: Int): String =
+    s"""lt$k AS (SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS tot
+       |  FROM lv${k - 1} l JOIN ldeg d ON d.id = l.id GROUP BY 1),
+       |ln$k AS (SELECT und.a AS id, l.lbl, count(*) AS kc
+       |  FROM und JOIN lv${k - 1} l ON und.b = l.id GROUP BY 1, 2),
+       |lc$k AS (SELECT id, lbl, CAST(max(kc) AS BIGINT) AS kc FROM (
+       |    SELECT id, lbl, kc FROM ln$k
+       |    UNION ALL SELECT id, lbl, 0 FROM lv${k - 1}) t GROUP BY 1, 2),
+       |ls$k AS (SELECT c.id, c.lbl,
+       |    tm.two_m * c.kc - d.deg *
+       |      (CASE WHEN c.lbl = o.lbl THEN t.tot - d.deg ELSE t.tot END)
+       |      AS score
+       |  FROM lc$k c JOIN lv${k - 1} o ON o.id = c.id
+       |       JOIN ldeg d ON d.id = c.id
+       |       JOIN lt$k t ON t.lbl = c.lbl, tm),
+       |lv$k AS (SELECT id, lbl FROM (
+       |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+       |      ORDER BY score DESC, lbl) AS rn FROM ls$k) t WHERE rn = 1)""".stripMargin
+
+  private val louvainOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |ldeg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY 1),
+       |tm AS (SELECT count(*) AS two_m FROM und),
+       |lv0 AS (SELECT id, id AS lbl FROM ldeg),
+       |${(1 to 2).map(louvainRound).mkString(",\n")}
+       |SELECT id, lbl FROM lv2""".stripMargin
+
   // -------------------------------------------------- Bellman-Ford SSSP
 
   /** One unrolled relaxation round k: dist' = min(dist, dist(u)+w). */
@@ -458,6 +497,13 @@ object QueriesGraphAlgos {
       types = Seq("FROM_NATION", "IN_REGION"),
       seedPred = col("id") >= 5000000000L, maxHops = 3)
       .select(col("id"), col("harmonic"), col("n_reached"))),
+    // Louvain move phase: 2 synchronous modularity-gain rounds from
+    // singleton communities — integer gains (2m·kvc − deg·tot), smallest
+    // community tie-break; the inner loop GDS louvain iterates.
+    "louvain_move" -> ((s, dir) => GraphAlgos.louvainMove(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), rounds = 2)
+      .select(col("id"), col("lbl"))),
     // Modularity of the 3-round label-propagation communities — the
     // quality score community detection optimizes, integer-quantized
     // per community.
@@ -484,5 +530,6 @@ object QueriesGraphAlgos {
     "sssp_bf" -> ssspOracle,
     "hits" -> hitsOracle,
     "harmonic" -> harmonicOracle,
-    "modularity" -> modularityOracle)
+    "modularity" -> modularityOracle,
+    "louvain_move" -> louvainOracle)
 }

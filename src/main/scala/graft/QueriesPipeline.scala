@@ -187,6 +187,22 @@ object QueriesPipeline {
           sum(when(col("keep"), col("doc_id")).otherwise(0L))
             .as("kept_id_sum"))),
 
+    // ---- retrieval -------------------------------------------------------
+    // BM25-shaped top-10 per query: inverted-index postings join, 1-row
+    // corpus stats via scalar cross-join, sqrt-idf (IEEE-exact — BM25's
+    // ln is not cross-engine), per-term scores floored to scaled int64 so
+    // the per-doc sum is order-independent, bounded TopK ranking
+    "bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qt = Seq(
+          0L -> "join", 0L -> "hash",
+          1L -> "spark", 1L -> "stream", 1L -> "window",
+          2L -> "customer", 2L -> "order", 2L -> "data", 2L -> "value")
+        .toDF("qid", "word")
+      graft.operators.Retrieval.bm25TopK(
+        table(s, dir, "documents"), "doc_id", "text", qt, k = 10)
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -271,7 +287,46 @@ object QueriesPipeline {
           col("height").cast("long").as("height"), col("checksum")))
   )
 
+  /** Replays the whole BM25 pipeline: postings, df, corpus stats, the
+    * identical IEEE expression tree (k1 = 1.25, b = 0.75 and every other
+    * literal are exact binary fractions), per-term floor to int64, sum,
+    * and the (score DESC, doc_id) ranking. */
+  private val bm25Oracle: String =
+    """WITH qt(qid, word) AS (VALUES
+      |    (CAST(0 AS BIGINT), 'join'), (0, 'hash'),
+      |    (1, 'spark'), (1, 'stream'), (1, 'window'),
+      |    (2, 'customer'), (2, 'order'), (2, 'data'), (2, 'value')),
+      |toks AS (SELECT doc_id,
+      |           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |           unnest(string_split(text, ' ')) AS word
+      |         FROM documents),
+      |tf AS (SELECT doc_id, dl, word, count(*) AS tf
+      |       FROM toks GROUP BY 1, 2, 3),
+      |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS nd,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tl
+      |       FROM documents),
+      |sc AS (SELECT q.qid, t.doc_id,
+      |         CAST(floor(
+      |           (CAST(t.tf AS DOUBLE) * 2.25)
+      |           / (CAST(t.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+      |               (CAST(t.dl AS DOUBLE) * CAST(st.nd AS DOUBLE)
+      |                / CAST(st.tl AS DOUBLE))))
+      |           * sqrt((CAST(st.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+      |                  / (CAST(d.df AS DOUBLE) + 0.5))
+      |           * 1000000.0) AS BIGINT) AS s
+      |       FROM (SELECT DISTINCT qid, word FROM qt) q
+      |       JOIN tf t USING (word) JOIN dfq d USING (word), st),
+      |ag AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score
+      |       FROM sc GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score,
+      |        CAST(row_number() OVER (PARTITION BY qid
+      |          ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+      |      FROM ag)
+      |SELECT qid, doc_id, score, rn FROM r WHERE rn <= 10""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "bm25_topk" -> bm25Oracle,
     "quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),

@@ -455,6 +455,69 @@ object GraphAlgos {
           .as("q_scaled"))
   }
 
+  /** Louvain-style local-move community detection: the move phase of
+    * Louvain/Leiden run as synchronous rounds (GDS louvain's inner loop).
+    * Communities start as singletons; each round every node considers its
+    * neighbors' communities plus its own and adopts the one maximizing
+    * modularity gain.
+    *
+    * The gain comparison needs NO quantization: for candidate community c
+    * of node v, ΔQ(v→c) differs from a constant by (k_vc − deg_v·tot_c /
+    * 2m) / m, so comparing g(c) = 2m·k_vc − deg_v·tot_c (with tot reduced
+    * by deg_v for v's own community — v must not count itself) ranks
+    * candidates exactly in int64. Ties break toward the smallest
+    * community id; the synchronous schedule makes the result
+    * deterministic and oracle-replayable (sequential Louvain is neither).
+    *
+    * Each round = two equi-joins through the edge list + three hash
+    * aggregates (community totals, neighbor-community counts, per-node
+    * argmax) — the Pregel step shape; state (labels) is O(|V|) and
+    * checkpointed per round. Overflow bound: 2m·k_vc ≤ 2m·deg_max —
+    * fine in int64 until m·deg_max ~ 4·10^18 (document at ingest).
+    *
+    * Returns (id, lbl) after `rounds` synchronous move rounds. */
+  def louvainMove(rels: DataFrame, types: Seq[String],
+                  rounds: Int): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val twoM = und.agg(count(lit(1)).as("two_m"))
+    var labels = deg.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val tot = labels
+        .join(deg.withColumnRenamed("id", "d_id"), col("id") === col("d_id"))
+        .groupBy(col("lbl")).agg(sum(col("deg")).as("tot"))
+      // k_vc: how many of v's neighbors sit in community c
+      val nbl = und
+        .join(labels.withColumnRenamed("id", "l_id"), col("v") === col("l_id"))
+        .groupBy(col("u").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("kc"))
+      // candidates = neighbor communities ∪ own (own may have kc = 0
+      // after round 1; max() keeps the real count when both rows exist)
+      val cand = nbl
+        .union(labels.select(col("id"), col("lbl"), lit(0L).as("kc")))
+        .groupBy(col("id"), col("lbl")).agg(max(col("kc")).as("kc"))
+      labels = cand
+        .join(labels.select(col("id"), col("lbl").as("own")), "id")
+        .join(deg.select(col("id"), col("deg")), "id")
+        .join(tot, "lbl")
+        .crossJoin(broadcast(twoM))
+        .select(col("id"), col("lbl"),
+          (col("two_m") * col("kc") - col("deg") *
+            when(col("lbl") === col("own"), col("tot") - col("deg"))
+              .otherwise(col("tot"))).as("score"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("score")).as("neg"), col("lbl").as("lbl")))
+          .as("best"))
+        .select(col("id"), col("best.lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Bellman-Ford single-source shortest path, fixed relaxation rounds,
     * integer weights. dist_{k+1} = min(dist_k, min over edges (u,v,w) of
     * dist_k(u)+w) — pure min/+ on int64, exact in any engine. Nodes not

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text retrieval over the document corpus — the search half of a
+  * training-data pipeline (query-set curation, benchmark mining,
+  * retrieval-augmented filtering). The reference's engine serves graphs to
+  * consumers; a corpus engine at this scale must also answer "which
+  * documents match this query" without a full scan per query.
+  *
+  * Scale design (100 TB):
+  *  - The index is the classic inverted shape: one (doc, term) row per
+  *    posting, built with a single explode + hash aggregate. Queries meet
+  *    postings in ONE equi-join on the term — work is proportional to the
+  *    matched postings, never |queries|×|docs|.
+  *  - Corpus statistics (N, total length) are a 1-row aggregate broadcast
+  *    back via scalar cross-join — no collect.
+  *  - Ranking goes through the bounded [[TopK]] aggregate: k rows per
+  *    query per partition cross the shuffle (a per-query window over all
+  *    matches would sort every match of every query on one partition).
+  *
+  * Exactness: BM25's ln-based idf is NOT cross-engine reproducible (libm
+  * vs JDK ln differ in the last ulp). This scorer keeps BM25's tf
+  * saturation term verbatim but dampens the idf odds-ratio with sqrt —
+  * IEEE 754 requires +, −, ×, ÷ and sqrt to be correctly rounded, so the
+  * whole per-term score is bit-identical in any compliant engine. Each
+  * per-term score is floored to a scaled int64 BEFORE the per-document
+  * sum, making the aggregate order-independent (float sums are not).
+  */
+object Retrieval {
+
+  /** BM25-shaped top-k document retrieval.
+    *
+    * Per matched (query, doc, term):
+    * {{{
+    *   w = tf·(k1+1) / (tf + k1·(1−b + b·dl·N/L))        // tf saturation
+    *       · sqrt((N − df + 0.5) / (df + 0.5))           // sqrt-idf
+    *   score_term = ⌊w · scale⌋                           // int64
+    * }}}
+    * where dl = doc length (words), N = corpus size, L = total corpus
+    * length, df = term document frequency. Document score = Σ score_term
+    * over the query's distinct terms; top-k per query by (score DESC,
+    * doc_id ASC). The default k1/b are exact binary fractions (1.25 =
+    * 2^0+2^-2, 0.75 = 2^-1+2^-2) so every literal in the score is
+    * bit-identical however an engine parses it.
+    *
+    * @param docs       corpus with long id column `id` and text column
+    * @param queryTerms (qid long, word string) — the tokenized query set,
+    *                   small relative to the corpus (broadcast side)
+    * @return (qid, doc_id, score, rn) with rn = 1..k
+    */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+               queryTerms: DataFrame, k: Int,
+               k1: Double = 1.25, b: Double = 0.75,
+               scale: Long = 1000000L): DataFrame = {
+    val ws = words(col(text))
+    // postings: one row per (doc, term) with the doc length carried
+    val toks = docs.select(col(id).as("doc_id"),
+        size(ws).cast("long").as("dl"), explode(ws).as("word"))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // 1-row corpus stats, broadcast back — never collected
+    val stats = docs.agg(count(lit(1)).as("nd"),
+      sum(size(ws).cast("long")).as("tl"))
+    val matched = broadcast(queryTerms.select(col("qid"), col("word"))
+        .distinct())
+      .join(tf, "word")
+      .join(dfreq, "word")
+      .crossJoin(broadcast(stats))
+    // every operand explicitly double so the expression tree (and thus
+    // the IEEE rounding sequence) is identical to the oracle's SQL text
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val ndd = col("nd").cast("double")
+    val tld = col("tl").cast("double")
+    val dfd = col("df").cast("double")
+    val w = (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (dld * ndd / tld))) *
+      sqrt((ndd - dfd + lit(0.5)) / (dfd + lit(0.5)))
+    val scored = matched
+      .select(col("qid"), col("doc_id"),
+        floor(w * lit(scale.toDouble)).cast("long").as("s"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+    // int64 scores stay ≤ |query terms|·scale ≪ 2^53 — the double `ord`
+    // inside TopK is exact
+    TopK.perKey(scored, key = "qid", ord = "score", tiebreak = "doc_id",
+        payload = "doc_id", k = k)
+      .select(col("qid"), col("doc_id"),
+        col("score").cast("long").as("score"), col("rn"))
+  }
+}

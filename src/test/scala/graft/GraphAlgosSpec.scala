@@ -205,6 +205,38 @@ class GraphAlgosSpec extends AnyFunSuite {
       3L -> ((1000000L, 2L)), 4L -> ((500000L, 1L))))
   }
 
+  test("louvainMove: hand-computed rounds on two triangles + bridge") {
+    // 1-2-3 triangle, 4-5-6 triangle, bridge 3-4; two_m = 14
+    // deg: 1:2 2:2 3:3 4:3 5:2 6:2. Round 1 from singletons (gain =
+    // 2m·kc − deg·tot, own tot reduced by deg, tie → smallest lbl):
+    //   1: {2}:14−2·2=10 > {3}:8 > own:0   → 2
+    //   2: {1}:10 > {3}:8                  → 1
+    //   3: {1}:14−3·2=8 = {2}:8 > {4}:5    → 1 (tie)
+    //   4: {5}:8 = {6}:8 > {3}:5           → 5 (tie)
+    //   5: {6}:10 > {4}:8                  → 6
+    //   6: {5}:10 > {4}:8                  → 5
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).map { case (a, b) => (a, b, "E") }
+      .toDF("START_ID", "END_ID", "TYPE")
+    val r1 = GraphAlgos.louvainMove(g, Seq("E"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 6L,
+      6L -> 5L))
+    // Round 2 over communities 1:{2,3}(tot 5) 2:{1}(2) 5:{4,6}(5) 6:{5}(2):
+    //   1: {1}:2·14−2·5=18 > own{2}:0      → 1
+    //   2: {2}:14−2·2=10 > own{1}:14−2·3=8 → 2
+    //   3: own{1}:8 = {2}:8 > {5}:−1       → 1 (tie)
+    //   4: own{5}:8 = {6}:8 > {1}:−1       → 5 (tie)
+    //   5: {5}:28−2·5=18 > own{6}:0        → 5
+    //   6: {6}:10 > own{5}:8               → 6
+    // (the synchronous schedule may oscillate — determinism, not
+    // convergence, is the contract the oracle replays)
+    val r2 = GraphAlgos.louvainMove(g, Seq("E"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 5L, 5L -> 5L,
+      6L -> 6L))
+  }
+
   test("modularity: two triangles joined by a bridge") {
     // communities {1,2,3} and {4,5,6}; 7 undirected edges (two_m = 14)
     // per community: e_c = 3, deg_sum = 7

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "banana banana banana"))
+    .toDF("doc_id", "text")
+
+  /** The score formula replayed with the same IEEE ops the engine (and
+    * the DuckDB oracle) uses — +, ×, ÷, sqrt are all correctly rounded,
+    * so this is exact, not approximate. N = 3, L = 8. */
+  private def term(tf: Double, dl: Double, df: Double): Long =
+    math.floor((tf * 2.25) /
+      (tf + 1.25 * (0.25 + 0.75 * (dl * 3.0 / 8.0))) *
+      math.sqrt((3.0 - df + 0.5) / (df + 0.5)) * 1000000.0).toLong
+
+  test("bm25TopK: single-term query scores and ranks exactly") {
+    val qt = Seq((0L, "apple")).toDF("qid", "word")
+    val r = Retrieval.bm25TopK(docs, "doc_id", "text", qt, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // df(apple) = 2; d1: tf 2 dl 3, d2: tf 1 dl 2; d3 has no match
+    assert(r == Map(
+      (0L, 1L) -> ((term(2, 3, 2), 1L)),
+      (0L, 2L) -> ((term(1, 2, 2), 2L))))
+    assert(term(2, 3, 2) > term(1, 2, 2))
+  }
+
+  test("bm25TopK: multi-term scores sum per document; k bounds output") {
+    val qt = Seq((7L, "apple"), (7L, "banana")).toDF("qid", "word")
+    val all = Retrieval.bm25TopK(docs, "doc_id", "text", qt, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    // d1 matches both terms — its score is the exact sum of the two
+    val d1 = all.find(_._2 == 1L).get
+    assert(d1._3 == term(2, 3, 2) + term(1, 3, 2))
+    // df(banana) = 2 as well; all three docs match something
+    assert(all.length == 3)
+    // k = 1 keeps only the best-ranked document
+    val top1 = Retrieval.bm25TopK(docs, "doc_id", "text", qt, k = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(top1.length == 1 && top1.head._4 == 1L)
+    assert(top1.head._3 == all.map(_._3).max)
+  }
+
+  test("bm25TopK: score ties rank by ascending doc id") {
+    val d = Seq((5L, "kiwi"), (4L, "kiwi")).toDF("doc_id", "text")
+    val qt = Seq((0L, "kiwi")).toDF("qid", "word")
+    val r = Retrieval.bm25TopK(d, "doc_id", "text", qt, k = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(r.map(_._2).toSeq == Seq(4L, 5L))
+    assert(r.map(_._3).distinct.length == 1)
+  }
+}
