@@ -327,6 +327,50 @@ object QueriesGraphAlgos {
        |             // tm.two_m AS BIGINT) AS q_scaled
        |FROM st LEFT JOIN intr ON intr.lbl = st.lbl, tm""".stripMargin
 
+  // ------------------------------------------- betweenness (Brandes)
+
+  /** One forward Brandes level: σ sums over predecessor paths, anti-join
+    * against everything the seed already visited. */
+  private def bcLevel(k: Int): String =
+    s"""b$k AS (SELECT s, id, CAST(sum(sigma) AS BIGINT) AS sigma FROM (
+       |    SELECT f.s, u.b AS id, f.sigma
+       |    FROM b${k - 1} f JOIN und u ON u.a = f.id) t
+       |  WHERE NOT EXISTS (SELECT 1 FROM bv${k - 1} v
+       |                    WHERE v.s = t.s AND v.id = t.id)
+       |  GROUP BY s, id),
+       |bv$k AS (SELECT s, id FROM bv${k - 1}
+       |         UNION ALL SELECT s, id FROM b$k)""".stripMargin
+
+  /** One backward accumulation level d: δ(u) = Σ_w ⌊σ_u·(scale+δ_w)/σ_w⌋
+    * over successors, zero-filled so no level-d node goes missing. */
+  private def bcBack(d: Int): String =
+    s"""cc$d AS (SELECT l.s, l.id,
+       |    CAST(sum(l.sigma * (1000000 + w.dep) // w.sigma) AS BIGINT) AS c
+       |  FROM b$d l JOIN und e ON e.a = l.id
+       |  JOIN dp${d + 1} w ON w.s = l.s AND w.id = e.b
+       |  GROUP BY 1, 2),
+       |dp$d AS (SELECT l.s, l.id, l.sigma,
+       |    CAST(COALESCE(cc$d.c, 0) AS BIGINT) AS dep
+       |  FROM b$d l LEFT JOIN cc$d ON cc$d.s = l.s AND cc$d.id = l.id)""".stripMargin
+
+  private val betweennessOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |b0 AS (SELECT a AS s, a AS id, CAST(1 AS BIGINT) AS sigma
+       |       FROM (SELECT DISTINCT a FROM und) t WHERE a >= 6000000000),
+       |bv0 AS (SELECT s, id FROM b0),
+       |${(1 to 3).map(bcLevel).mkString(",\n")},
+       |dp3 AS (SELECT s, id, sigma, CAST(0 AS BIGINT) AS dep FROM b3),
+       |${(2 to 1 by -1).map(bcBack).mkString(",\n")}
+       |SELECT id, CAST(sum(dep) AS BIGINT) AS bc_scaled FROM
+       |  (SELECT s, id, dep FROM dp2
+       |   UNION ALL SELECT s, id, dep FROM dp1) t
+       |GROUP BY id""".stripMargin
+
   // ------------------------------------------------- louvain move phase
 
   /** One unrolled synchronous Louvain move round: community degree
@@ -497,6 +541,14 @@ object QueriesGraphAlgos {
       types = Seq("FROM_NATION", "IN_REGION"),
       seedPred = col("id") >= 5000000000L, maxHops = 3)
       .select(col("id"), col("harmonic"), col("n_reached"))),
+    // Seeded Brandes betweenness from the 5 region seeds, radius 3 — the
+    // bounded-source centrality (forward σ counts + backward floored
+    // dependency accumulation, both level-synchronous).
+    "betweenness" -> ((s, dir) => GraphAlgos.betweenness(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"),
+      seedPred = col("id") >= 6000000000L, maxHops = 3)
+      .select(col("id"), col("bc_scaled"))),
     // Louvain move phase: 2 synchronous modularity-gain rounds from
     // singleton communities — integer gains (2m·kvc − deg·tot), smallest
     // community tie-break; the inner loop GDS louvain iterates.
@@ -531,5 +583,6 @@ object QueriesGraphAlgos {
     "hits" -> hitsOracle,
     "harmonic" -> harmonicOracle,
     "modularity" -> modularityOracle,
-    "louvain_move" -> louvainOracle)
+    "louvain_move" -> louvainOracle,
+    "betweenness" -> betweennessOracle)
 }

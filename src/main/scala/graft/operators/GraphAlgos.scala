@@ -455,6 +455,77 @@ object GraphAlgos {
           .as("q_scaled"))
   }
 
+  /** Seeded Brandes betweenness centrality, integer-quantized. Exact
+    * all-pairs betweenness is O(n·m) — the scale play (identical to GDS's
+    * sampled betweenness and [[harmonicCentrality]]'s bounded seeds) is a
+    * bounded source set and hop radius.
+    *
+    * Forward phase: multi-source BFS keyed (seed, node) carrying σ = the
+    * number of shortest paths from the seed (σ(v) = Σ σ(u) over
+    * predecessors — one join + hash aggregate per level, the textbook
+    * level-synchronous path-count recurrence). Backward phase: dependency
+    * accumulation per level d = maxHops−1 … 1,
+    * δ(u) = Σ_w ⌊σ(u)·(scale + δ(w)) / σ(w)⌋ over successors w — the
+    * per-edge floor replaces Brandes' rational accumulation so every
+    * value is int64 and replays exactly in any engine (the float version
+    * is order-sensitive). BC(v) = Σ_seeds δ_s(v); seeds themselves
+    * accumulate only as intermediates of OTHER seeds, as in Brandes.
+    *
+    * Every level (both directions) is one equi-join through the edge list
+    * + one hash aggregate; state is (seed, node) rows — |seeds|·|reach|,
+    * the deliberate bound. Returns (id, bc_scaled) for nodes with a
+    * nonzero dependency row. */
+  def betweenness(rels: DataFrame, types: Seq[String], seedPred: Column,
+                  maxHops: Int, scale: Long = 1000000L): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    val seeds = und.select(col("u").as("id")).distinct().where(seedPred)
+    // forward: levels(d) = (s, id, sigma) at exact distance d
+    var levels = Vector(seeds
+      .select(col("id").as("s"), col("id"), lit(1L).as("sigma"))
+      .localCheckpoint(true))
+    var visited = levels(0).select(col("s"), col("id"))
+    for (_ <- 1 to maxHops) {
+      val next = und
+        .join(levels.last.withColumnRenamed("id", "f_id"),
+          col("u") === col("f_id"))
+        .groupBy(col("s"), col("v").as("id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("s", "id"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(next.select(col("s"), col("id")))
+        .localCheckpoint(true)
+      levels = levels :+ next
+    }
+    // backward: dep carries (s, id, sigma, dep) for ONE level at a time,
+    // starting all-zero at the deepest; each step joins level d to its
+    // successors' dep rows and zero-fills nodes without successors (their
+    // scale term must still flow up on the next step)
+    val undE = und.select(col("u").as("eu"), col("v").as("ev"))
+    var dep = levels.last.withColumn("dep", lit(0L))
+    var acc = Vector.empty[DataFrame]
+    for (d <- (maxHops - 1) to 1 by -1) {
+      val contrib = levels(d)
+        .join(undE, col("id") === col("eu"))
+        .join(dep.select(col("s").as("ws"), col("id").as("wid"),
+            col("sigma").as("wsigma"), col("dep").as("wdep")),
+          col("s") === col("ws") && col("ev") === col("wid"))
+        .select(col("s"), col("id"),
+          expr(s"sigma * (${scale}L + wdep) div wsigma").as("c"))
+        .groupBy(col("s"), col("id")).agg(sum(col("c")).as("c"))
+      dep = levels(d)
+        .join(contrib.withColumnRenamed("c", "dep"), Seq("s", "id"), "left")
+        .select(col("s"), col("id"), col("sigma"),
+          coalesce(col("dep"), lit(0L)).as("dep"))
+        .localCheckpoint(true)
+      acc = acc :+ dep.select(col("s"), col("id"), col("dep"))
+    }
+    acc.reduceOption(_ union _)
+      .getOrElse(dep.select(col("s"), col("id"), col("dep")).limit(0))
+      .groupBy(col("id")).agg(sum(col("dep")).as("bc_scaled"))
+  }
+
   /** Louvain-style local-move community detection: the move phase of
     * Louvain/Leiden run as synchronous rounds (GDS louvain's inner loop).
     * Communities start as singletons; each round every node considers its

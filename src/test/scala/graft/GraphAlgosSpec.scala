@@ -205,6 +205,27 @@ class GraphAlgosSpec extends AnyFunSuite {
       3L -> ((1000000L, 2L)), 4L -> ((500000L, 1L))))
   }
 
+  test("betweenness: path graph matches hand-computed Brandes") {
+    // path 1-2-3-4, seeds {1,4}: δ_1(2)=2, δ_1(3)=1, δ_4(3)=2, δ_4(2)=1
+    // → BC(2) = BC(3) = 3·scale; endpoints accumulate nothing
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L)).map { case (a, b) =>
+      (a, b, "E") }.toDF("START_ID", "END_ID", "TYPE")
+    val bc = GraphAlgos.betweenness(g, Seq("E"),
+        seedPred = col("id") === 1L || col("id") === 4L, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(bc == Map(2L -> 3000000L, 3L -> 3000000L))
+  }
+
+  test("betweenness: diamond splits dependency across equal paths") {
+    // 1-2-4, 1-3-4: σ(4) = 2, so δ_1(2) = δ_1(3) = ⌊1·scale/2⌋
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).map { case (a, b) =>
+      (a, b, "E") }.toDF("START_ID", "END_ID", "TYPE")
+    val bc = GraphAlgos.betweenness(g, Seq("E"),
+        seedPred = col("id") === 1L, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(bc == Map(2L -> 500000L, 3L -> 500000L))
+  }
+
   test("louvainMove: hand-computed rounds on two triangles + bridge") {
     // 1-2-3 triangle, 4-5-6 triangle, bridge 3-4; two_m = 14
     // deg: 1:2 2:2 3:3 4:3 5:2 6:2. Round 1 from singletons (gain =
