@@ -410,6 +410,36 @@ object QueriesGraphAlgos {
        |${(1 to 2).map(louvainRound).mkString(",\n")}
        |SELECT id, lbl FROM lv2""".stripMargin
 
+  // ------------------------------------------------------- random walks
+
+  /** One unrolled walk step k: per walk, the neighbor minimizing the
+    * mixed hash of (walk, step, neighbor), ties by neighbor id. */
+  private def rwStep(k: Int): String =
+    s"""rw$k AS (SELECT walk_id, node FROM (
+       |    SELECT c.walk_id, u.b AS node,
+       |      row_number() OVER (PARTITION BY c.walk_id ORDER BY
+       |        ((((c.walk_id * 31 + $k) % 1000000007) * 1000003 + u.b)
+       |          % 1000000007 * 2654435761) % 1000000007, u.b) AS rn
+       |    FROM rw${k - 1} c JOIN und u ON u.a = c.node) t
+       |  WHERE rn = 1)""".stripMargin
+
+  private val randomWalksOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |rw0 AS (SELECT a * 2 + w AS walk_id, a AS node
+       |        FROM (SELECT DISTINCT a FROM und) t,
+       |             (SELECT unnest(range(0, 2)) AS w) s),
+       |${(1 to 3).map(rwStep).mkString(",\n")}
+       |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+       |  SELECT walk_id, 0 AS step, node FROM rw0
+       |  UNION ALL SELECT walk_id, 1, node FROM rw1
+       |  UNION ALL SELECT walk_id, 2, node FROM rw2
+       |  UNION ALL SELECT walk_id, 3, node FROM rw3) t""".stripMargin
+
   // -------------------------------------------------- Bellman-Ford SSSP
 
   /** One unrolled relaxation round k: dist' = min(dist, dist(u)+w). */
@@ -541,6 +571,13 @@ object QueriesGraphAlgos {
       types = Seq("FROM_NATION", "IN_REGION"),
       seedPred = col("id") >= 5000000000L, maxHops = 3)
       .select(col("id"), col("harmonic"), col("n_reached"))),
+    // Deterministic random-walk corpus (DeepWalk data prep): 2 walks per
+    // node, 3 hops, hash-argmin next-hop choice — reproducible under
+    // retries, replayed hop-for-hop by the oracle.
+    "random_walks" -> ((s, dir) => GraphAlgos.randomWalks(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), starts = 2, length = 3)
+      .select(col("walk_id"), col("step"), col("node"))),
     // Seeded Brandes betweenness from the 5 region seeds, radius 3 — the
     // bounded-source centrality (forward σ counts + backward floored
     // dependency accumulation, both level-synchronous).
@@ -584,5 +621,6 @@ object QueriesGraphAlgos {
     "harmonic" -> harmonicOracle,
     "modularity" -> modularityOracle,
     "louvain_move" -> louvainOracle,
-    "betweenness" -> betweennessOracle)
+    "betweenness" -> betweennessOracle,
+    "random_walks" -> randomWalksOracle)
 }

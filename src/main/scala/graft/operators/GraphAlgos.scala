@@ -589,6 +589,48 @@ object GraphAlgos {
     labels
   }
 
+  /** Deterministic random-walk corpus (the DeepWalk/node2vec data-prep
+    * step: walk sequences that feed a skip-gram embedding trainer).
+    * Instead of RNG state — which task retries and repartitioning both
+    * corrupt — the next hop is the neighbor minimizing a seedless mixed
+    * hash of (walk, step, current, neighbor): uniform-ish, reproducible,
+    * and replayable by any engine (same recipe as [[neighborSample]],
+    * with the inner mod keeping every intermediate under 2^63).
+    *
+    * Each step is one equi-join (frontier ⋈ adjacency on the current
+    * node) + one per-walk argmin aggregate — walk state is O(|walks|)
+    * rows, never materializing full adjacency per walk. Walks start at
+    * `starts` times per origin node and run `length` hops (stopping only
+    * if a node has no out-edges — impossible on an undirected
+    * projection). Returns long-form (walk_id, step, node). */
+  def randomWalks(rels: DataFrame, types: Seq[String], starts: Int,
+                  length: Int): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    val origins = und.select(col("u").as("id")).distinct()
+    var cur = origins
+      .select(explode(sequence(lit(0), lit(starts - 1))).as("w"),
+        col("id"))
+      .select((col("id") * starts + col("w")).as("walk_id"),
+        col("id").as("node"))
+      .localCheckpoint(true)
+    var out = cur.withColumn("step", lit(0L))
+    for (k <- 1 to length) {
+      val h = (((col("walk_id") * 31L + lit(k.toLong)) % 1000000007L *
+        1000003L + col("v")) % 1000000007L * 2654435761L) % 1000000007L
+      cur = cur
+        .join(und, col("node") === col("u"))
+        .select(col("walk_id"), h.as("hv"), col("v"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("hv"), col("v").as("v"))).as("best"))
+        .select(col("walk_id"), col("best.v").as("node"))
+        .localCheckpoint(true)
+      out = out.union(cur.withColumn("step", lit(k.toLong)))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
+
   /** Bellman-Ford single-source shortest path, fixed relaxation rounds,
     * integer weights. dist_{k+1} = min(dist_k, min over edges (u,v,w) of
     * dist_k(u)+w) — pure min/+ on int64, exact in any engine. Nodes not

@@ -205,6 +205,31 @@ class GraphAlgosSpec extends AnyFunSuite {
       3L -> ((1000000L, 2L)), 4L -> ((500000L, 1L))))
   }
 
+  test("randomWalks: complete, continuous, and retry-stable") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .map { case (a, b) => (a, b, "E") }.toDF("START_ID", "END_ID", "TYPE")
+    val w = GraphAlgos.randomWalks(g, Seq("E"), starts = 2, length = 3)
+      .as[(Long, Long, Long)].collect()
+    // 4 nodes × 2 walks × 4 positions
+    assert(w.length == 32)
+    assert(w.count(_._2 == 0L) == 8)
+    // step-0 node is the walk's origin (walk_id = id·starts + w)
+    assert(w.filter(_._2 == 0L).forall(r => r._3 == r._1 / 2))
+    // continuity: every consecutive pair is an edge of the graph
+    val edges = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    val byWalk = w.groupBy(_._1).values
+    assert(byWalk.forall { steps =>
+      steps.sortBy(_._2).sliding(2).forall {
+        case Array(a, b) => edges((a._3, b._3)); case _ => true }
+    })
+    // deterministic under repartitioning (RNG walks are not)
+    val again = GraphAlgos.randomWalks(
+      g.repartition(7), Seq("E"), starts = 2, length = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(w.toSet == again.toSet)
+  }
+
   test("betweenness: path graph matches hand-computed Brandes") {
     // path 1-2-3-4, seeds {1,4}: δ_1(2)=2, δ_1(3)=1, δ_4(3)=2, δ_4(2)=1
     // → BC(2) = BC(3) = 3·scale; endpoints accumulate nothing
