@@ -98,6 +98,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"per-key window in plan:\n$plan")
   }
 
+  test("bm25 broadcasts the query side and ranks without a window") {
+    val plan = formatted(SparkEntry.queries("bm25_topk")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"per-query window in plan:\n$plan")
+  }
+
+  test("random walks choose hops via aggregate, not per-walk windows") {
+    val plan = formatted(SparkEntry.queries("random_walks")(spark, dir))
+    assert(!plan.contains("Window"), s"per-walk window in plan:\n$plan")
+  }
+
   test("corpus hash split is a pure narrow projection (no shuffle)") {
     val plan = formatted(graft.operators.CorpusTools.hashSplit(
       graft.sources.TpchGraph.table(spark, dir, "documents"), "doc_id"))
