@@ -203,6 +203,21 @@ object QueriesPipeline {
         table(s, dir, "documents"), "doc_id", "text", qt, k = 10)
     }),
 
+    // Count-Min sketch: 3×256 integer grid over all corpus tokens (map-
+    // side combining collapses the scan to ≤ d·w rows per partition),
+    // then min-over-rows point estimates for a probe set — the constant-
+    // size heavy-hitter screen that replaces a billion-row groupBy(term)
+    // at 100 TB. Seedless integer hashing → exact oracle.
+    "sketch_cms" -> ((s, dir) => {
+      import s.implicits._
+      val d = table(s, dir, "documents")
+      val sketch = graft.operators.Sketches.countMinBuild(d, "text",
+        width = 256)
+      val probes = Seq("join", "hash", "row", "batch", "scan", "customer",
+        "the", "xyzzy").toDF("word")
+      graft.operators.Sketches.countMinEstimate(sketch, probes, width = 256)
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -325,7 +340,41 @@ object QueriesPipeline {
       |      FROM ag)
       |SELECT qid, doc_id, score, rn FROM r WHERE rn <= 10""".stripMargin
 
+  /** Replays the whole Count-Min pipeline: polyHash per token, the three
+    * row hashes (h·a_i + b_i) mod p mod w, the cell grid, and min-over-
+    * rows estimation for the probe set. */
+  private val cmsOracle: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word
+      |              FROM documents),
+      |th AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(word, ''),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, c) -> (a * 31 + c) % 1000000007) AS h
+      |       FROM toks WHERE word <> ''),
+      |cells AS (SELECT r.row,
+      |    (CASE r.row WHEN 0 THEN h * 31 + 7
+      |                WHEN 1 THEN h * 37 + 11
+      |                ELSE h * 41 + 13 END) % 1000000007 % 256 AS cell
+      |  FROM th, (SELECT unnest(range(0, 3)) AS row) r),
+      |grid AS (SELECT CAST(row AS BIGINT) AS row, cell, count(*) AS cnt
+      |         FROM cells GROUP BY 1, 2),
+      |pr(word) AS (VALUES ('join'), ('hash'), ('row'), ('batch'),
+      |             ('scan'), ('customer'), ('the'), ('xyzzy')),
+      |ph AS (SELECT word, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(word, ''),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, c) -> (a * 31 + c) % 1000000007) AS h
+      |       FROM pr),
+      |pc AS (SELECT word, CAST(r.row AS BIGINT) AS row,
+      |    (CASE r.row WHEN 0 THEN h * 31 + 7
+      |                WHEN 1 THEN h * 37 + 11
+      |                ELSE h * 41 + 13 END) % 1000000007 % 256 AS cell
+      |  FROM ph, (SELECT unnest(range(0, 3)) AS row) r)
+      |SELECT word, CAST(min(COALESCE(grid.cnt, 0)) AS BIGINT) AS est
+      |FROM pc LEFT JOIN grid USING (row, cell) GROUP BY word""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sketch_cms" -> cmsOracle,
     "bm25_topk" -> bm25Oracle,
     "quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

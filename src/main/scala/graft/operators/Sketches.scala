@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Sketch operators — fixed-size summaries that replace unbounded
+  * aggregations at scale. Everything here is integer arithmetic over
+  * seedless hashes, so unlike the usual float/RNG sketch implementations
+  * these replay bit-for-bit in any engine (and carry exact oracles).
+  *
+  * Scale rationale: a corpus-wide `groupBy(term)` materializes one row
+  * per DISTINCT term — at 100 TB that is billions of rows shuffled to
+  * measure even a handful of hot terms. A Count-Min sketch is a d×w cell
+  * grid (constant size, chosen up front): the heavy scan aggregates into
+  * ≤ d·w cells with full map-side combining, and the shuffle carries at
+  * most d·w rows per partition regardless of corpus size. Estimates are
+  * biased UP (collisions only add), with the classic ε = e/w, δ = e^−d
+  * guarantee — exactly the right trade for heavy-hitter screening before
+  * an exact pass over the few survivors. */
+object Sketches {
+
+  /** Pairwise-independent-style row hashes over the polynomial word
+    * hash: h_i(t) = ((polyHash(t)·a_i + b_i) mod p) mod w, p = 1e9+7.
+    * Constants are small primes; polyHash ≤ p−1 keeps every intermediate
+    * well under 2^63. */
+  private val RowA = Seq(31L, 37L, 41L)
+  private val RowB = Seq(7L, 11L, 13L)
+
+  private def cell(h: Column, row: Int, width: Int): Column =
+    (h * RowA(row) + RowB(row)) % 1000000007L % width
+
+  /** Build the d×3 Count-Min grid over whitespace tokens of `text`:
+    * returns (row, cell, cnt) — at most 3·width rows total. */
+  def countMinBuild(docs: DataFrame, text: String, width: Int): DataFrame = {
+    val toks = docs.select(explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+      .select(polyHash(col("word")).as("h"))
+    toks
+      .select(explode(array((0 until RowA.length).map { r =>
+        struct(lit(r.toLong).as("row"), cell(col("h"), r, width).as("cell"))
+      }: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each probe term: est = min over the
+    * d rows of that term's cell count (never an underestimate). `probes`
+    * must have a string column `word`; the sketch side is ≤ d·w rows, so
+    * it broadcasts. Returns (word, est). */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame,
+                       width: Int): DataFrame = {
+    val probeCells = probes.select(col("word")).distinct()
+      .select(col("word"), polyHash(col("word")).as("h"))
+      .select(col("word"), explode(array((0 until RowA.length).map { r =>
+        struct(lit(r.toLong).as("row"), cell(col("h"), r, width).as("cell"))
+      }: _*)).as("rc"))
+      .select(col("word"), col("rc.row").as("row"), col("rc.cell").as("cell"))
+    probeCells
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(col("word"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a a a b c"),
+    (2L, "a b d"),
+    (3L, "c c e")).toDF("doc_id", "text")
+
+  private def estimates(width: Int): Map[String, Long] = {
+    val sketch = Sketches.countMinBuild(docs, "text", width)
+    val probes = Seq("a", "b", "c", "d", "e", "zz").toDF("word")
+    Sketches.countMinEstimate(sketch, probes, width)
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("count-min never underestimates; wide grid is exact") {
+    val truth = Map("a" -> 4L, "b" -> 2L, "c" -> 3L, "d" -> 1L, "e" -> 1L,
+      "zz" -> 0L)
+    val est = estimates(width = 4096)
+    truth.foreach { case (w, t) => assert(est(w) >= t, s"$w under: $est") }
+    // 6 distinct terms in 3×4096 cells: collisions are impossible at
+    // this width only if the 3 row hashes separate them — check exact
+    assert(est == truth)
+  }
+
+  test("narrow grid overestimates but keeps the min-over-rows bound") {
+    val truth = Map("a" -> 4L, "b" -> 2L, "c" -> 3L, "d" -> 1L, "e" -> 1L)
+    val est = estimates(width = 2)
+    // every estimate is an upper bound and no estimate exceeds the
+    // total token count (11)
+    truth.foreach { case (w, t) => assert(est(w) >= t) }
+    assert(est.values.forall(_ <= 11L))
+  }
+
+  test("grid size is bounded by d·w regardless of corpus size") {
+    val sketch = Sketches.countMinBuild(docs, "text", width = 2)
+    assert(sketch.count() <= 3L * 2L)
+    val rows = sketch.select("row").distinct().as[Long].collect().toSet
+    assert(rows.subsetOf(Set(0L, 1L, 2L)))
+  }
+}
