@@ -410,6 +410,34 @@ object QueriesGraphAlgos {
        |${(1 to 2).map(louvainRound).mkString(",\n")}
        |SELECT id, lbl FROM lv2""".stripMargin
 
+  // ------------------------------------------------------------ k-truss
+
+  /** One unrolled peel round over canonical (a<b) edges: id-oriented
+    * triangle enumeration (set-equal to the engine's degree-oriented
+    * plan), support per edge, drop support < k−2 (= 2 at k = 4). */
+  private def ktrussRound(r: Int): String =
+    s"""tr$r AS (SELECT e1.a AS p, e1.b AS q, e2.b AS r
+       |  FROM te${r - 1} e1 JOIN te${r - 1} e2
+       |    ON e2.a = e1.a AND e1.b < e2.b
+       |  JOIN te${r - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |su$r AS (SELECT a, b, count(*) AS sup FROM (
+       |    SELECT p AS a, q AS b FROM tr$r
+       |    UNION ALL SELECT p, r FROM tr$r
+       |    UNION ALL SELECT q, r FROM tr$r) u GROUP BY 1, 2),
+       |te$r AS (SELECT e.a, e.b FROM te${r - 1} e
+       |  JOIN su$r s ON s.a = e.a AND s.b = e.b WHERE s.sup >= 2)""".stripMargin
+
+  private val ktrussOracle: String =
+    s"""WITH ps AS (SELECT DISTINCT 3000000000 + l_partkey AS part,
+       |                            l_suppkey AS supp
+       |            FROM lineitem WHERE l_partkey % 20 = 0
+       |              AND (2000000000 + l_suppkey) % 3 = 0),
+       |te0 AS (SELECT DISTINCT p1.part AS a, p2.part AS b
+       |        FROM ps p1 JOIN ps p2
+       |          ON p1.supp = p2.supp AND p1.part < p2.part),
+       |${(1 to 2).map(ktrussRound).mkString(",\n")}
+       |SELECT a, b FROM te2""".stripMargin
+
   // ------------------------------------------------------- random walks
 
   /** One unrolled walk step k: per walk, the neighbor minimizing the
@@ -571,6 +599,22 @@ object QueriesGraphAlgos {
       types = Seq("FROM_NATION", "IN_REGION"),
       seedPred = col("id") >= 5000000000L, maxHops = 3)
       .select(col("id"), col("harmonic"), col("n_reached"))),
+    // 4-truss peel (2 rounds) of the thinned co-supplier part graph:
+    // every surviving edge must sit in ≥ 2 triangles of the surviving
+    // graph — the cohesive-subgraph refinement of k-core.
+    "ktruss" -> ((s, dir) => {
+      val ps = SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "SUPPLIED_BY" && col("START_ID") % 20 === 0
+          && col("END_ID") % 3 === 0)
+        .select(col("START_ID").as("part"), col("END_ID").as("supp"))
+        .distinct()
+      val edges = ps.as("p1")
+        .join(ps.as("p2"),
+          col("p1.supp") === col("p2.supp") && col("p1.part") < col("p2.part"))
+        .select(col("p1.part").as("a"), col("p2.part").as("b"))
+        .distinct()
+      GraphAlgos.kTruss(edges, k = 4, rounds = 2)
+    }),
     // Deterministic random-walk corpus (DeepWalk data prep): 2 walks per
     // node, 3 hops, hash-argmin next-hop choice — reproducible under
     // retries, replayed hop-for-hop by the oracle.
@@ -622,5 +666,6 @@ object QueriesGraphAlgos {
     "modularity" -> modularityOracle,
     "louvain_move" -> louvainOracle,
     "betweenness" -> betweennessOracle,
-    "random_walks" -> randomWalksOracle)
+    "random_walks" -> randomWalksOracle,
+    "ktruss" -> ktrussOracle)
 }

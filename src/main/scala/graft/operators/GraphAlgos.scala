@@ -589,6 +589,58 @@ object GraphAlgos {
     labels
   }
 
+  /** k-truss decomposition (bounded peel rounds): iteratively drop edges
+    * supported by fewer than k−2 triangles — the cohesive-subgraph
+    * refinement of k-core (every surviving edge sits in ≥ k−2 triangles
+    * of the surviving graph). At convergence this is the exact k-truss;
+    * bounded rounds are the deterministic, oracle-replayable prefix
+    * (same contract as [[kCore]]).
+    *
+    * Each round re-enumerates triangles with the DEGREE-ORDERED wedge
+    * join of [[triangleCount]] — per-pivot out-degree O(√m), wedge set
+    * O(m^1.5) — then counts support per canonical edge with one explode
+    * + hash aggregate. The triangle SET is orientation-invariant, so an
+    * id-oriented oracle verifies the degree-oriented plan. Input must be
+    * distinct canonical edges (a < b); returns the surviving edges. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val oriented = e
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            struct(col("a").as("x"), col("b").as("y")))
+            .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("o"))
+        .select(col("o.x").as("x"), col("o.y").as("y"))
+        .localCheckpoint(true)
+      val tri = oriented.as("o1")
+        .join(oriented.as("o2"),
+          col("o1.x") === col("o2.x") && col("o1.y") < col("o2.y"))
+        .select(col("o1.x").as("p"), col("o1.y").as("q"), col("o2.y").as("r"))
+        .join(e.as("e3"),
+          col("q") === col("e3.a") && col("r") === col("e3.b"))
+        .select(col("p"), col("q"), col("r"))
+      val sup = tri
+        .select(explode(array(
+          struct(least(col("p"), col("q")).as("a"),
+            greatest(col("p"), col("q")).as("b")),
+          struct(least(col("p"), col("r")).as("a"),
+            greatest(col("p"), col("r")).as("b")),
+          struct(col("q").as("a"), col("r").as("b")))).as("pe"))
+        .groupBy(col("pe.a").as("a"), col("pe.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+      e = e.join(sup, Seq("a", "b"))
+        .where(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    e
+  }
+
   /** Deterministic random-walk corpus (the DeepWalk/node2vec data-prep
     * step: walk sequences that feed a skip-gram embedding trainer).
     * Instead of RNG state — which task retries and repartitioning both

@@ -205,6 +205,24 @@ class GraphAlgosSpec extends AnyFunSuite {
       3L -> ((1000000L, 2L)), 4L -> ((500000L, 1L))))
   }
 
+  test("kTruss: peels weakly-supported edges, keeps the K4 core") {
+    // K4 on {1,2,3,4} (each edge in 2 triangles) + pendant triangle
+    // 1-2-5: edges (1,5), (2,5) have support 1 → peeled at k=4; the K4
+    // edges keep support 2 after the peel and survive round 2
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L)).toDF("a", "b")
+    val t = GraphAlgos.kTruss(edges, k = 4, rounds = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(t == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+  }
+
+  test("kTruss: a lone triangle survives k=3 and dies at k=4") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(GraphAlgos.kTruss(tri, k = 3, rounds = 2).count() == 3L)
+    assert(GraphAlgos.kTruss(tri, k = 4, rounds = 1).count() == 0L)
+  }
+
   test("randomWalks: complete, continuous, and retry-stable") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .map { case (a, b) => (a, b, "E") }.toDF("START_ID", "END_ID", "TYPE")
