@@ -203,6 +203,15 @@ object QueriesPipeline {
         table(s, dir, "documents"), "doc_id", "text", qt, k = 10)
     }),
 
+    // Sequence packing (GPT-style corpus layout): docs hash into 8
+    // shards, offsets are an id-ordered running sum per shard, examples
+    // cut every 512 tokens — deterministic (shard, offset, first-bin)
+    // per document, zero RNG, zero global sort.
+    "pack_offsets" -> ((s, dir) =>
+      CorpusTools.packOffsets(table(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512, buckets = 8)
+        .select(col("doc_id"), col("bucket"), col("n_tokens"),
+          col("start_off"), col("first_bin"))),
     // Count-Min sketch: 3×256 integer grid over all corpus tokens (map-
     // side combining collapses the scan to ≤ d·w rows per partition),
     // then min-over-rows point estimates for a probe set — the constant-
@@ -373,7 +382,22 @@ object QueriesPipeline {
       |SELECT word, CAST(min(COALESCE(grid.cnt, 0)) AS BIGINT) AS est
       |FROM pc LEFT JOIN grid USING (row, cell) GROUP BY word""".stripMargin
 
+  private val packOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    (doc_id * 2654435761) % 1000000007 % 8 AS bucket,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, bucket, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY bucket
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM d)
+      |SELECT doc_id, bucket, n_tokens, start_off,
+      |       start_off // 512 AS first_bin
+      |FROM o""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "pack_offsets" -> packOracle,
     "sketch_cms" -> cmsOracle,
     "bm25_topk" -> bm25Oracle,
     "quality_repetition" ->

@@ -213,6 +213,40 @@ object CorpusTools {
     df.withColumn("keep", bucket < rate)
   }
 
+  /** Sequence packing (the GPT-style training-corpus layout): documents
+    * are concatenated per shard and the token stream is cut every
+    * `seqLen` tokens, so each document gets a deterministic
+    * (shard, start offset) and examples have zero padding. This is the
+    * step between chunking/tokenizing and the data loader.
+    *
+    * Scale design: a single global concatenation order would be one
+    * total sort — instead documents hash into `buckets` independent
+    * shards (the shard = output-file granularity a loader consumes
+    * anyway) and offsets are a running sum WITHIN each shard. The
+    * per-shard window is the deliberately bounded serial section:
+    * shard size = corpus/buckets, chosen so one shard's doc METADATA
+    * (id + length, not text) fits a partition. Everything is integer
+    * arithmetic on a deterministic (id-ordered) sequence — exact in any
+    * engine, reproducible under retries.
+    *
+    * Returns (id, bucket, n_tokens, start_off, first_bin) where
+    * first_bin = ⌊start_off / seqLen⌋ is the training example index the
+    * document starts in. */
+  def packOffsets(docs: DataFrame, id: String, text: String, seqLen: Int,
+                  buckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs
+      .select(col(id),
+        ((col(id) * 2654435761L) % 1000000007L % buckets).as("bucket"),
+        size(words(col(text))).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w),
+        lit(0L)))
+      .withColumn("first_bin", expr(s"start_off div ${seqLen}L"))
+  }
+
   /** Frequency-vocabulary induction: words with corpus frequency ≥
     * minCount, ranked by (frequency DESC, word ASC) into contiguous
     * vocab ids starting at 1 — the id assignment every count-based

@@ -30,6 +30,30 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(once == again)
   }
 
+  test("packOffsets: contiguous per-shard offsets, stable under repartition") {
+    val docs = (0L until 100L)
+      .map(i => (i, ("w " * ((i % 7).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val p = CorpusTools.packOffsets(docs, "doc_id", "text", seqLen = 10,
+        buckets = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(p.length == 100)
+    // within each shard, offsets are exactly the running sum in id order
+    p.groupBy(_._2).values.foreach { shard =>
+      val sorted = shard.sortBy(_._1)
+      sorted.foldLeft(0L) { case (expect, (_, _, n, off, bin)) =>
+        assert(off == expect)
+        assert(bin == off / 10)
+        expect + n
+      }
+    }
+    // deterministic under repartitioning
+    val again = CorpusTools.packOffsets(docs.repartition(7), "doc_id",
+        "text", seqLen = 10, buckets = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(p.toSet == again.toSet)
+  }
+
   test("topNgrams counts positional bigrams with lexicographic tiebreak") {
     val docs = Seq(
       ("en", "a b a b c"),   // bigrams: "a b"×2, "b a", "b c"
