@@ -326,6 +326,30 @@ object QueriesRelational {
       s.table(qname).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
     }),
+    // STREAM-STATIC enrichment under the gate: events flow through a
+    // file stream and broadcast-join the static customer dimension per
+    // micro-batch (no state, no watermark needed — the bounded-by-
+    // construction join class); the oracle is the equivalent batch join
+    "stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = s"/tmp/graft_senrich_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      e.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(e.schema).parquet(tmp)
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val qname = s"graft_stream_enrich_${System.nanoTime()}"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.enrich(stream, dim, "user_id")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(qname).groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+    }),
     // STREAM-STREAM interval join under the gate: clicks and purchases
     // read as two file streams, joined per user within [click_ts,
     // click_ts + 1h] (watermarked both sides so join state is evicted
@@ -587,6 +611,11 @@ object QueriesRelational {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY event_type""".stripMargin,
+    "stream_enrich" ->
+      """SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "sessionize_stream" -> SessionStreamOracle,
     "stream_join_outer" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,

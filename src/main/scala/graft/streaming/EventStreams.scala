@@ -60,6 +60,17 @@ object EventStreams {
         col("purchase_id"), col("purchase_ts"))
   }
 
+  /** Stream-static enrichment: every streaming event joined to a static
+    * dimension table on `key` — the lookup join every event pipeline
+    * runs before aggregating (user → segment, item → category). The
+    * static side is broadcast: Spark re-reads it per micro-batch, the
+    * stream side never shuffles, and no state accumulates (unlike
+    * stream-stream joins, stream-static needs no watermark to stay
+    * bounded). At 100 TB/day the stream stays a narrow pipeline; only
+    * the dimension (small by definition) is replicated. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   /** Streaming twin of the put-stream → bulk-store write path (S5/S8):
     * every micro-batch appended to a type-partitioned parquet database via
     * foreachBatch — the exactly-once batch commit replaces the reference's

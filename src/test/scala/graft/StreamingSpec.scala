@@ -17,6 +17,27 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(min: Int) = new Timestamp(1700000000000L -
     (1700000000000L % 3600000L) + min * 60000L)  // aligned to an hour start
 
+  test("stream-static enrich joins each micro-batch against the dimension") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StreamEv]
+    val dim = Seq((1L, "S1"), (2L, "S2")).toDF("user_id", "segment")
+    val q = EventStreams.enrich(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamEv(1, ts(0), 1, "click", 1.0),
+        StreamEv(2, ts(1), 2, "view", 2.0),
+        StreamEv(3, ts(2), 9, "click", 3.0))   // no dimension row → dropped
+      q.processAllAvailable()
+      in.addData(StreamEv(4, ts(3), 1, "view", 4.0)) // second micro-batch
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("event_id", "segment").as[(Long, String)].collect().toSet
+      assert(out == Set((1L, "S1"), (2L, "S2"), (4L, "S1")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[StreamEv]
