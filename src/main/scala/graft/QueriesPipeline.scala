@@ -227,6 +227,21 @@ object QueriesPipeline {
       graft.operators.Sketches.countMinEstimate(sketch, probes, width = 256)
     }),
 
+    // Bloom-filter join pruning: build over the keys that placed orders,
+    // screen every customer key — the runtime-filter shape (probe side
+    // never shuffles, filter broadcasts at ≤ ⌈m/63⌉ rows). hit=0 rows
+    // are provably order-less; hit=1 may include false positives, and
+    // the oracle replays the exact bit arithmetic either way.
+    "sketch_bloom" -> ((s, dir) => {
+      val built = graft.operators.Sketches.bloomBuild(
+        table(s, dir, "orders").select(col("o_custkey").as("k")),
+        "k", mBits = 16384L)
+      graft.operators.Sketches.bloomMightContain(built,
+          table(s, dir, "customer").select(col("c_custkey").as("k")),
+          "k", mBits = 16384L)
+        .select(col("k"), col("might_contain").cast("long").as("hit"))
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -396,7 +411,27 @@ object QueriesPipeline {
       |       start_off // 512 AS first_bin
       |FROM o""".stripMargin
 
+  /** Replays the Bloom build + probe bit-for-bit: 3 row hashes over the
+    * mixed key, 63-bit words, bit_or grid, all-bits-set membership. */
+  private val bloomOracle: String =
+    """WITH rws(r, a, b) AS (VALUES (0, 31, 7), (1, 37, 11), (2, 41, 13)),
+      |ok AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |wb AS (SELECT ((k % 1000000007) * a + b) % 1000000007 % 16384 AS pos
+      |       FROM ok, rws),
+      |bloom AS (SELECT pos // 63 AS word_idx,
+      |            bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bits
+      |          FROM wb GROUP BY 1),
+      |pk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+      |pb AS (SELECT k, pos // 63 AS word_idx,
+      |         1::BIGINT << CAST(pos % 63 AS INTEGER) AS bit FROM (
+      |    SELECT k, ((k % 1000000007) * a + b) % 1000000007 % 16384 AS pos
+      |    FROM pk, rws) t)
+      |SELECT k, CAST(min(CASE WHEN COALESCE(bloom.bits & pb.bit, 0) <> 0
+      |                        THEN 1 ELSE 0 END) AS BIGINT) AS hit
+      |FROM pb LEFT JOIN bloom USING (word_idx) GROUP BY k""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sketch_bloom" -> bloomOracle,
     "pack_offsets" -> packOracle,
     "sketch_cms" -> cmsOracle,
     "bm25_topk" -> bm25Oracle,

@@ -45,6 +45,49 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Bloom filter over an int64 key column — the join-pruning primitive
+    * (Spark's own runtime filters and every lakehouse data-skipping index
+    * are this shape): build once over the small side's keys, then screen
+    * the huge side with zero shuffle before the real join. False
+    * positives only — a `might_contain = false` row is PROVABLY absent.
+    *
+    * Bits live in 63-bit words (bit index < 63, so no set bit ever
+    * reaches the int64 sign bit — engines disagree on signed-overflow
+    * shifts, 2^62 they agree on). Three row hashes over the mixed key;
+    * the filter itself is ≤ ⌈m/63⌉ (word, bits) rows built with one
+    * explode + bit_or aggregate. */
+  def bloomBuild(keys: DataFrame, key: String, mBits: Long): DataFrame = {
+    val pos = (0 until RowA.length).map { r =>
+      (col(key) % 1000000007L * RowA(r) + RowB(r)) % 1000000007L % mBits
+    }
+    keys.select(col(key)).distinct()
+      .select(explode(array(pos: _*)).as("pos"))
+      .select(expr("pos div 63").as("word_idx"),
+        expr("shiftleft(1L, cast(pos % 63 as int))").as("bit"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(bit)").as("bits"))
+  }
+
+  /** Screen probe keys against a built filter: `might_contain` is true
+    * iff all three hash bits are set. The filter broadcasts (≤ ⌈m/63⌉
+    * rows by construction) — the probe side, the 100 TB side, never
+    * shuffles. Returns (key, might_contain). */
+  def bloomMightContain(bloom: DataFrame, probes: DataFrame, key: String,
+                        mBits: Long): DataFrame = {
+    val pos = (0 until RowA.length).map { r =>
+      (col(key) % 1000000007L * RowA(r) + RowB(r)) % 1000000007L % mBits
+    }
+    probes.select(col(key)).distinct()
+      .select(col(key), explode(array(pos: _*)).as("pos"))
+      .select(col(key), expr("pos div 63").as("word_idx"),
+        expr("shiftleft(1L, cast(pos % 63 as int))").as("bit"))
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .groupBy(col(key))
+      .agg(min(when(coalesce(expr("bits & bit"), lit(0L)) =!= 0L, 1L)
+        .otherwise(0L)).as("all_set"))
+      .select(col(key), (col("all_set") === 1L).as("might_contain"))
+  }
+
   /** Point-estimate the frequency of each probe term: est = min over the
     * d rows of that term's cell count (never an underestimate). `probes`
     * must have a string column `word`; the sketch side is ≤ d·w rows, so

@@ -40,6 +40,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(est.values.forall(_ <= 11L))
   }
 
+  test("bloom filter has no false negatives and bounded words") {
+    val keys = (0L until 200L).map(k => k * 17L).toDF("k")
+    val m = 4096L
+    val bloom = Sketches.bloomBuild(keys, "k", m)
+    // ≤ ⌈m/63⌉ words, every word inside [0, ⌈m/63⌉), no sign-bit words
+    val words = bloom.as[(Long, Long)].collect()
+    assert(words.length <= (m / 63L + 1).toInt)
+    assert(words.forall { case (w, bits) => w >= 0 && w <= m / 63L &&
+      bits > 0L })
+    // every built key must probe positive
+    val probes = ((0L until 200L).map(_ * 17L) ++
+      (0L until 200L).map(_ * 17L + 5L)).toDF("k")
+    val r = Sketches.bloomMightContain(bloom, probes, "k", m)
+      .as[(Long, Boolean)].collect().toMap
+    (0L until 200L).map(_ * 17L).foreach(k => assert(r(k), s"false neg $k"))
+    // at 3 hashes / 200 keys / 4096 bits most absent keys screen out
+    val absentHits = (0L until 200L).map(_ * 17L + 5L).count(r(_))
+    assert(absentHits < 60, s"too many false positives: $absentHits")
+  }
+
   test("grid size is bounded by d·w regardless of corpus size") {
     val sketch = Sketches.countMinBuild(docs, "text", width = 2)
     assert(sketch.count() <= 3L * 2L)
