@@ -183,17 +183,24 @@ object CorpusTools {
   def decontaminate(docs: DataFrame, id: String, text: String,
                     benchPred: Column, n: Int = 4,
                     maxDf: Int = 50): DataFrame = {
-    val sh = docs.select(col(id), explode(shingles(words(col(text)), n))
-      .as("s"))
-    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select(col("s"))
-    val capped = sh.join(hot, Seq("s"), "left_anti")
-    val bench = capped.where(benchPred)
-      .select(col("s"), col(id).as("bench_id"))
-    val train = capped.where(!benchPred)
-    train.join(bench, "s")
+    // ONE pass over the exploded shingles: group the posting list per
+    // shingle (bench/train tagged), apply the DF cap as a bounded-array
+    // filter (≤ maxDf entries per row — the same bound that kept the
+    // old self-join from going quadratic now also bounds the buffer),
+    // and generate train×bench pairs inside each row. One wide shuffle
+    // total, versus the join formulation's three re-executions of the
+    // explode (df count, bench side, train side) plus a self-join.
+    val sh = docs.select(col(id).as("d"), benchPred.as("b"),
+      explode(shingles(words(col(text)), n)).as("s"))
+    val posts = sh.groupBy(col("s"))
+      .agg(collect_list(struct(col("d"), col("b"))).as("ds"))
+      .where(size(col("ds")) <= maxDf)
+    posts
+      .select(col("s"), expr("filter(ds, x -> x.b)").as("bench"),
+        explode(expr("filter(ds, x -> NOT x.b)")).as("t"))
+      .select(col("s"), col("t.d").as(id), explode(col("bench")).as("bch"))
       .groupBy(col(id))
-      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+      .agg(countDistinct(col("bch.d")).as("n_bench_docs"),
         countDistinct(col("s")).as("n_shared_ngrams"))
   }
 
