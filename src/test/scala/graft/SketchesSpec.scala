@@ -60,6 +60,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(absentHits < 60, s"too many false positives: $absentHits")
   }
 
+  test("hll estimates within 15% at m=256 and registers stay bounded") {
+    val keys = (1L to 5000L).map(_ * 7919L).toDF("k")
+    val regs = Sketches.hllBuild(keys, "k", m = 256)
+    assert(regs.count() <= 256L)
+    val Array((_, _, est)) = Sketches.hllEstimate(regs, m = 256)
+      .as[(Long, Long, Long)].collect()
+    val rel = math.abs(est / 1000.0 - 5000.0) / 5000.0
+    // standard error ≈ 1.04/√256 = 6.5%; 15% is > 2σ
+    assert(rel < 0.15, s"estimate ${est / 1000.0} off by $rel")
+  }
+
+  test("hll registers merge as a monoid: max-union == whole-corpus build") {
+    val a = (1L to 2000L).toDF("k")
+    val b = (1500L to 3500L).toDF("k")  // overlapping halves
+    val merged = Sketches.hllBuild(a, "k", 256)
+      .unionByName(Sketches.hllBuild(b, "k", 256))
+      .groupBy("bucket").agg(max("register").as("register"))
+    val whole = Sketches.hllBuild((1L to 3500L).toDF("k"), "k", 256)
+    assert(merged.as[(Long, Long)].collect().toMap ===
+      whole.as[(Long, Long)].collect().toMap)
+  }
+
   test("grid size is bounded by d·w regardless of corpus size") {
     val sketch = Sketches.countMinBuild(docs, "text", width = 2)
     assert(sketch.count() <= 3L * 2L)

@@ -15,6 +15,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def norm_type(t: str) -> str:
+    """Normalize a DuckDB type name to the VALUE REPRESENTATION the driver's
+    typed hash sees (pyarrow → python objects): int width never matters (all
+    ints hash as python int), but DECIMAL hashes as Decimal — never equal to
+    a float of identical value. That is exactly how sql_q9 failed in r04
+    with schema_match still true, so decimal-vs-float must FAIL here."""
+    t = t.upper()
+    if t.endswith("[]"):
+        return "list<" + norm_type(t[:-2]) + ">"
+    if "[" in t:  # fixed-size array e.g. DOUBLE[3]
+        return "list<" + norm_type(t[: t.index("[")]) + ">"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t.lower()
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: ints -> int64 (nullable), floats -> float64
@@ -58,9 +81,23 @@ def main():
             results[name] = f"NO-ORACLE rows={len(got)}"
             continue
         try:
-            want = con.sql(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            want = rel.df()
+            want_types = {c: norm_type(str(t))
+                          for c, t in zip(rel.columns, rel.types)}
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
+            continue
+        # typed-representation check via DuckDB's view of BOTH sides (the
+        # pandas path below coerces to float64 and would mask decimal/double)
+        srel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        got_types = {c: norm_type(str(t))
+                     for c, t in zip(srel.columns, srel.types)}
+        tbad = [c for c in got_types
+                if c in want_types and got_types[c] != want_types[c]]
+        if tbad:
+            results[name] = "TYPES " + ", ".join(
+                f"{c}: got={got_types[c]} want={want_types[c]}" for c in tbad)
             continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
