@@ -242,6 +242,21 @@ object QueriesPipeline {
         .select(col("k"), col("might_contain").cast("long").as("hit"))
     }),
 
+    // int8 embedding quantization (the 4×-compression serving format):
+    // per-vector max-abs scale, ⌊x·127/scale + ½⌋ codes — a pure narrow
+    // projection, no shuffle; gate checks exact integer code aggregates
+    // plus the bit-exact float32 scale per vector
+    "embed_quantize" -> ((s, dir) => {
+      val q = graft.operators.Similarity.quantizeInt8(
+        table(s, dir, "embeddings"))
+      q.select(col("vec_id"), col("scale"),
+        aggregate(col("qv"), lit(0L), (a, v) => a + v).as("q_sum"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"),
+        size(filter(col("qv"), v => abs(v) === 127L)).cast("long")
+          .as("n_sat"))
+    }),
+
     // HyperLogLog distinct-count sketch: 256 registers replace the
     // one-row-per-distinct-key shuffle of an exact count — map-side
     // combining bounds the scan at m rows per partition and register
@@ -487,6 +502,26 @@ object QueriesPipeline {
   }
 
   def oracles: Map[String, String] = Map(
+    // replays quantization exactly: float32→double promotion, max-abs
+    // scale, the ⌊x·127/scale + ½⌋ chain (left-assoc, identical rounding
+    // sequence), and the zero-vector guard
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, xs,
+        |    list_max(list_transform(xs, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, mx,
+        |    CASE WHEN mx = 0 THEN list_transform(xs, x -> 0::BIGINT)
+        |    ELSE list_transform(xs,
+        |      x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) END AS qv
+        |  FROM m)
+        |SELECT vec_id, mx AS scale,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+        |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM q""".stripMargin,
     "sketch_hll" -> hllOracle,
     // arg_max per column on the same unique seq ≡ Spark's max over the
     // seq-led struct; the HAVING replays tombstone-after-compaction

@@ -150,14 +150,16 @@ object SparkEntry {
     // (kHopEdgesSkew): suppliers (~600-part fan-out) classify hot at
     // threshold 256, so their adjacency streams against the broadcast hot
     // reach rows in every frontier/incidence join instead of shuffling to
-    // one reducer. Origins thinned to 1/20 of the suppliers to keep the
-    // k=3 output (reach saturates most orders) proportionate in the bench.
+    // one reducer. Origins thinned to 1/50 of the suppliers: k=3 reach
+    // saturates most orders, so output ≈ origins × |E| is the operator's
+    // INHERENT complexity — the thinning keeps the bench proportionate
+    // (at 1/20 this one gate was 46 s, 20% of the whole suite).
     "khop_3_dense" -> ((s, dir) => graft.operators.KHop.kHopEdgesSkew(
         graph(s, dir).rels
           .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
         k = 3, hotThreshold = 256,
         originPred = Some(col("origin").between(2000000000L, 2999999999L) &&
-          col("origin") % 20 === 0))
+          col("origin") % 50 === 0))
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_edges"),
         sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
@@ -610,10 +612,10 @@ object SparkEntry {
          |u AS (SELECT src AS a, dst AS b FROM e
          |      UNION SELECT dst, src FROM e),
          |r1 AS (SELECT a AS origin, b AS node FROM u
-         |       WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 20 = 0),
+         |       WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 50 = 0),
          |reach AS (
          |  SELECT DISTINCT a AS origin, a AS node FROM u
-         |  WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 20 = 0
+         |  WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 50 = 0
          |  UNION SELECT origin, node FROM r1
          |  UNION SELECT DISTINCT r1.origin, u.b
          |        FROM r1 JOIN u ON u.a = r1.node),

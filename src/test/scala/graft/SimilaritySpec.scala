@@ -56,6 +56,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!top.contains(9L) && top == Set(1L, 2L, 3L))
   }
 
+  test("int8 quantization: codes bounded, max-abs maps to ±127, zero vec ok") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -2.0f, 1.0f), 0),
+      (1L, Array(0.0f, 0.0f, 0.0f), 0),   // zero vector
+      (2L, Array(3.0f, 1.5f, -3.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizeInt8(vecs)
+      .as[(Long, Double, Array[Long])].collect().map(r => r._1 -> r).toMap
+    // every code in [-127, 127]; the max-|x| component hits ±127
+    out.values.foreach { case (_, _, qv) =>
+      assert(qv.forall(q => q >= -127L && q <= 127L)) }
+    assert(out(0L)._2 === 2.0 && out(0L)._3(1) === -127L)
+    assert(out(2L)._3(0) === 127L && out(2L)._3(2) === -127L)
+    assert(out(1L)._2 === 0.0 && out(1L)._3.forall(_ == 0L))
+    // reconstruction error bound: |x − q·scale/127| ≤ scale/254 + ulp
+    val (_, s0, q0) = out(0L)
+    Seq(0.5, -2.0, 1.0).zip(q0).foreach { case (x, q) =>
+      assert(math.abs(x - q * s0 / 127.0) <= s0 / 254.0 + 1e-12) }
+  }
+
   test("quantized k-means separates two blobs with exact integer centroids") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
