@@ -58,6 +58,33 @@ object QueriesGraphAlgos {
       |SELECT (SELECT count(*) FROM e) AS n_edges,
       |       (SELECT n FROM tri) AS n_triangles""".stripMargin
 
+  /** Same projected graph as [[triangleOracle]]; triangles via the
+    * id-ordered wedge join (orientation-invariant, so it checks the
+    * degree-ordered plan without replicating it), corners via UNION ALL,
+    * coefficient by exact integer division. */
+  private val clusteringOracle: String =
+    """WITH ps AS (SELECT DISTINCT 3000000000 + l_partkey AS part,
+      |                            l_suppkey AS supp
+      |            FROM lineitem WHERE l_partkey % 20 = 0
+      |              AND (2000000000 + l_suppkey) % 3 = 0),
+      |e AS (SELECT DISTINCT p1.part AS a, p2.part AS b
+      |      FROM ps p1 JOIN ps p2
+      |        ON p1.supp = p2.supp AND p1.part < p2.part),
+      |deg AS (SELECT n, count(*) AS deg FROM
+      |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e) t GROUP BY n),
+      |tri AS (SELECT w.x, w.y, w.z FROM
+      |    (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |     FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+      |  JOIN e e3 ON w.x = e3.a AND w.z = e3.b),
+      |tc AS (SELECT n, count(*) AS n_tri FROM
+      |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+      |   UNION ALL SELECT z FROM tri) t GROUP BY n)
+      |SELECT deg.n AS node, deg.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+      |  CASE WHEN deg.deg >= 2 THEN
+      |    COALESCE(tc.n_tri, 0) * 2000000 // (deg.deg * (deg.deg - 1))
+      |  ELSE 0 END AS cc_ppm
+      |FROM deg LEFT JOIN tc ON deg.n = tc.n""".stripMargin
+
   // ----------------------------------------------------------- bfs hops
 
   /** One unrolled BFS level k: frontier = prior level's new nodes;
@@ -518,6 +545,22 @@ object QueriesGraphAlgos {
         .distinct()
       GraphAlgos.triangleCount(edges)
     }),
+    // local clustering coefficient on the same projected co-supplier
+    // part graph as triangle_count — per-node triangles via one explode
+    // of each closed wedge's corners, coefficient as exact ppm
+    "clustering_coeff" -> ((s, dir) => {
+      val ps = SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "SUPPLIED_BY" && col("START_ID") % 20 === 0
+          && col("END_ID") % 3 === 0)
+        .select(col("START_ID").as("part"), col("END_ID").as("supp"))
+        .distinct()
+      val edges = ps.as("p1")
+        .join(ps.as("p2"),
+          col("p1.supp") === col("p2.supp") && col("p1.part") < col("p2.part"))
+        .select(col("p1.part").as("a"), col("p2.part").as("b"))
+        .distinct()
+      GraphAlgos.clusteringCoefficient(edges)
+    }),
     // BFS hop distance ≤3 from customer 0 over the membership subgraph:
     // 1 hop = its nation, 2 = that nation's region + co-nationals,
     // 3 = sibling nations of the region.
@@ -659,6 +702,7 @@ object QueriesGraphAlgos {
     "label_prop" -> lpaOracle,
     "pagerank" -> pagerankOracle,
     "triangle_count" -> triangleOracle,
+    "clustering_coeff" -> clusteringOracle,
     "bfs_hops" -> bfsOracle,
     "sssp_bf" -> ssspOracle,
     "hits" -> hitsOracle,

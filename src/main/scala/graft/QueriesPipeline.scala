@@ -187,6 +187,11 @@ object QueriesPipeline {
           sum(when(col("keep"), col("doc_id")).otherwise(0L))
             .as("kept_id_sum"))),
 
+    // temperature mixing (α=½): per-language √n weights → ppm shares —
+    // the sampling table a multilingual pretraining mix is built from
+    "corpus_mix" -> ((s, dir) =>
+      CorpusTools.temperatureMix(table(s, dir, "documents"), "lang")),
+
     // ---- retrieval -------------------------------------------------------
     // BM25-shaped top-10 per query: inverted-index postings join, 1-row
     // corpus stats via scalar cross-join, sqrt-idf (IEEE-exact — BM25's
@@ -523,6 +528,18 @@ object QueriesPipeline {
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin,
     "sketch_hll" -> hllOracle,
+    // √ is IEEE-correctly-rounded in both engines, so floor(√n·10⁶) and
+    // the ppm integer division replay exactly
+    "corpus_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |           GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS w_scaled FROM c),
+        |t AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS w_total FROM w)
+        |SELECT lang, n_docs, w_scaled,
+        |       w_scaled * 1000000 // w_total AS share_ppm
+        |FROM w, t""".stripMargin,
     // arg_max per column on the same unique seq ≡ Spark's max over the
     // seq-led struct; the HAVING replays tombstone-after-compaction
     "changelog_compact" ->

@@ -258,6 +258,28 @@ object CorpusTools {
     * minCount, ranked by (frequency DESC, word ASC) into contiguous
     * vocab ids starting at 1 — the id assignment every count-based
     * tokenizer (word-level BPE seed, unigram LM) starts from. */
+  /** Temperature-weighted corpus mixing — the multilingual-pretraining
+    * sampling scheme (w_s ∝ n_s^α flattens head strata so low-resource
+    * strata aren't drowned; α is fixed at ½ here because √ is the one
+    * power IEEE requires correctly rounded, making the whole computation
+    * engine-exact where a general pow() is not). Output per stratum:
+    * doc count, the floored ×10⁶-scaled weight, and the mixing share in
+    * parts-per-million via exact integer division.
+    *
+    * Scale: one count aggregate over the corpus; the per-stratum weight
+    * table is tiny (|strata| rows) so the normalizing total broadcasts.
+    */
+  def temperatureMix(docs: DataFrame, stratum: String): DataFrame = {
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_docs"))
+    val w = counts.select(col(stratum), col("n_docs"),
+      floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
+        .as("w_scaled"))
+    val tot = w.agg(sum(col("w_scaled")).as("w_total"))
+    w.join(broadcast(tot), lit(true))
+      .select(col(stratum), col("n_docs"), col("w_scaled"),
+        expr("w_scaled * 1000000 div w_total").as("share_ppm"))
+  }
+
   def buildVocab(docs: DataFrame, text: String, minCount: Long): DataFrame = {
     val counts = docs
       .select(explode(words(col(text))).as("word"))

@@ -103,6 +103,17 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(d8.length == 1 && d8.head._3 == Seq("a", "b"))
   }
 
+  test("temperatureMix: sqrt weights flatten the head, ppm shares exact") {
+    val docs = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (901 to 1000).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val out = CorpusTools.temperatureMix(docs, "lang")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // proportional would give de 100k ppm; sqrt temperature lifts it to
+    // 10/(30+10) = 250k exactly (sqrt(900)=30, sqrt(100)=10 are exact)
+    assert(out("en") === (("en", 900L, 30000000L, 750000L)))
+    assert(out("de") === (("de", 100L, 10000000L, 250000L)))
+  }
+
   test("buildVocab ranks by frequency then word, applying minCount") {
     val docs = Seq(
       (1L, "b b b a a c"), (2L, "a b")

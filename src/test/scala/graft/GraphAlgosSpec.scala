@@ -49,6 +49,29 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(row == ((6L, 4L)))
   }
 
+  test("clusteringCoefficient: triangle node vs hub vs pendant") {
+    // triangle 1-2-3; pendant 4 on 1 → node 1 has deg 3, wedges 3, tri 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val cc = GraphAlgos.clusteringCoefficient(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cc(1L) === ((3L, 1L, 333333L)))  // 2·1·1e6 div (3·2)
+    assert(cc(2L) === ((2L, 1L, 1000000L)))
+    assert(cc(3L) === ((2L, 1L, 1000000L)))
+    assert(cc(4L) === ((1L, 0L, 0L)))
+  }
+
+  test("clusteringCoefficient: K4 is fully clustered everywhere") {
+    val edges = (for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (i.toLong, j.toLong)).toDF("a", "b")
+    val cc = GraphAlgos.clusteringCoefficient(edges)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(cc.length === 4)
+    cc.foreach { case (_, deg, tri, ppm) =>
+      assert(deg === 3L && tri === 3L && ppm === 1000000L) }
+  }
+
   test("bfsHops: undirected distances with the 4→2 shortcut") {
     // from 1: dist 0 = {1}, 1 = {2}, 2 = {3, 4} (via undirected 2-4)
     val d = GraphAlgos.bfsHops(rels, Seq("E"), source = 1L, maxHops = 3)
