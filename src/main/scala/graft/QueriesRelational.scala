@@ -270,6 +270,19 @@ object QueriesRelational {
         .select(col("o_orderkey").as("orderkey"),
           col("o_totalprice").as("totalprice"))),
 
+    // ---- data layout -----------------------------------------------------
+    // Z-order clustering audit over (customer, price-cents): Morton keys
+    // via the branch-free shift-mask spread, per-block row counts and
+    // per-dimension min/max — the file statistics a reader prunes on.
+    // floor(x+½) for the cents, not round(): tie conventions differ
+    // across engines, floor does not.
+    "zorder_audit" -> ((s, dir) =>
+      graft.operators.Layout.zorderAudit(
+        table(s, dir, "orders"),
+        x = col("o_custkey") % 65536,
+        y = floor(col("o_totalprice") * 100 + 0.5) % 65536,
+        bitsPerBlock = 24)),
+
     // ---- streaming-analog (event time) -----------------------------------
     // Tumbling 1h event-time windows (batch twin of the Structured
     // Streaming pipeline in graft.streaming).
@@ -589,6 +602,25 @@ object QueriesRelational {
     "sort_topk" ->
       """SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    // replays the Morton spread bit-for-bit (masks 0x00FF00FF, 0x0F0F0F0F,
+    // 0x33333333, 0x55555555 in decimal), interleave, block shift, stats
+    "zorder_audit" ->
+      """WITH d AS (SELECT o_custkey % 65536 AS x,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 65536 AS y
+        |  FROM orders),
+        |s1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS x1,
+        |                    (y | (y << 8)) & 16711935 AS y1 FROM d),
+        |s2 AS (SELECT x, y, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |                    (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT x, y, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |                    (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT x, y, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |                    (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+        |z AS (SELECT x, y, (x4 | (y4 << 1)) >> 24 AS block FROM s4)
+        |SELECT block, count(*) AS n_rows,
+        |  min(x) AS x_min, max(x) AS x_max,
+        |  min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY block""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multidimensional data layout — Z-order (Morton) clustering keys, the
+  * lakehouse technique (Delta OPTIMIZE ZORDER, Hudi/Iceberg clustering)
+  * for making ONE sort order serve range predicates on SEVERAL columns.
+  * A table range-partitioned by `mortonKey(x, y)` keeps rows that are
+  * close in BOTH dimensions inside the same files, so min/max file
+  * statistics prune scans for filters on x, on y, or on both — where a
+  * lexicographic (x, y) sort prunes only x. At 100 TB this is the
+  * difference between reading one file group and reading the table.
+  *
+  * The interleave is the branch-free shift-mask spread; every op is
+  * int64 `&`/`|`/`<<` on constants < 2^32, so the key is engine-exact
+  * and usable as a bucketing/sort expression anywhere. */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to even bit positions (0, 2, …, 30). */
+  def spread16(c: Column): Column = {
+    val m = c.bitwiseAND(lit(0xFFFFL))
+    val a = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton key interleaving two 16-bit dimensions: bit i of x
+    * lands at position 2i, bit i of y at 2i+1. */
+  def mortonKey(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Layout audit for a prospective two-dimensional clustering: assign
+    * each row its Morton key, group into `2^(32-bitsPerBlock)`-key blocks
+    * (≈ target file groups), and report per-block row counts and per-
+    * dimension min/max — exactly the file statistics a reader would prune
+    * on. Tight per-block ranges in BOTH dimensions are the clustering
+    * win; the audit makes it measurable (and oracle-checkable) before
+    * rewriting a 100 TB table. */
+  def zorderAudit(df: DataFrame, x: Column, y: Column,
+                  bitsPerBlock: Int): DataFrame =
+    df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .select(col("x"), col("y"),
+        shiftright(mortonKey(col("x"), col("y")), bitsPerBlock).as("block"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def morton(x: Long, y: Long): Long =
+    Seq((x, y)).toDF("x", "y")
+      .select(Layout.mortonKey(col("x"), col("y")).as("z"))
+      .as[Long].collect().head
+
+  test("morton interleave matches hand-computed bit patterns") {
+    // x bits land even, y bits odd: (x=3, y=0) → 0b0101; (x=0, y=3) → 0b1010
+    assert(morton(3L, 0L) === 5L)
+    assert(morton(0L, 3L) === 10L)
+    assert(morton(3L, 3L) === 15L)
+    assert(morton(2L, 1L) === 6L)    // 0b100 | 0b010
+    // max 16-bit inputs fill all 32 bits
+    assert(morton(0xFFFFL, 0xFFFFL) === 0xFFFFFFFFL)
+    // only low 16 bits participate
+    assert(morton(0x10003L, 0L) === morton(3L, 0L))
+  }
+
+  test("morton is a bijection on a small grid") {
+    val zs = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .toDF("x", "y")
+      .select(Layout.mortonKey(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    assert(zs.distinct.length === 256)
+    assert(zs.min === 0L && zs.max === 255L)
+  }
+
+  test("zorder audit: blocks are square tiles with tight 2-D ranges") {
+    // 64×64 grid, 12-bit z → blocks of 16 keys... use bitsPerBlock such
+    // that each block is a 2^k × 2^k tile: shifting z by 2k merges k low
+    // bits of each dimension → tile side 2^k. k=3 → 8×8 tiles, 64 blocks.
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
+      .toDF("x", "y")
+    val blocks = Layout.zorderAudit(grid, col("x"), col("y"),
+        bitsPerBlock = 6)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(blocks.length === 64)
+    blocks.foreach { case (_, n, xmin, xmax, ymin, ymax) =>
+      assert(n === 64L)                       // 8×8 rows per tile
+      assert(xmax - xmin === 7L, "x range must span exactly one tile side")
+      assert(ymax - ymin === 7L, "y range must span exactly one tile side")
+      assert(xmin % 8 === 0L && ymin % 8 === 0L)
+    }
+  }
+}
