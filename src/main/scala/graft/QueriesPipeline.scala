@@ -288,6 +288,29 @@ object QueriesPipeline {
         key = "user_id", seq = "event_id",
         isDelete = col("event_type") === "error")),
 
+    // SCD Type-2 history: every change versioned over [valid_from,
+    // valid_to), NULL valid_to = current; tombstones close intervals but
+    // emit nothing. Window per key — per-key ORDER is the semantics,
+    // state bounded by one key's change count
+    "changelog_scd2" -> ((s, dir) =>
+      graft.operators.Changelog.scd2(
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value")),
+        key = "user_id", seq = "event_id",
+        isDelete = col("event_type") === "error")),
+
+    // per-group HLL (the GROUP BY approx_count_distinct shape): distinct
+    // users per event type from 32 registers per group
+    "sketch_hll_grouped" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      graft.operators.Sketches.hllEstimateGrouped(
+        graft.operators.Sketches.hllBuildGrouped(
+          ev, Seq("event_type"), "user_id", m = 32),
+        Seq("event_type"), m = 32)
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -506,7 +529,45 @@ object QueriesPipeline {
        |FROM s""".stripMargin
   }
 
+  /** Grouped twin of [[hllOracle]] with the group key carried through
+    * every stage; m = 32, α₃₂ numerator embedded the same way. */
+  private val hllGroupedOracle: String = {
+    val c = String.format(java.util.Locale.ROOT, "%.17g",
+      Double.box(graft.operators.Sketches.hllAlphaNumerator(32)))
+    s"""WITH x0 AS (SELECT event_type, user_id % 1000000007 AS x
+       |            FROM events),
+       |y0 AS (SELECT event_type, (x * x + x * 31 + 7) % 1000000007 AS y
+       |       FROM x0),
+       |z0 AS (SELECT event_type, (y * y + y * 37 + 11) % 1000000007 AS z
+       |       FROM y0),
+       |h AS (SELECT event_type, z % 32 AS bucket,
+       |    (z * z + z * 41 + 13) % 1000000007 AS h2 FROM z0),
+       |r AS (SELECT event_type, bucket,
+       |    max(CASE WHEN h2 = 0 THEN 40
+       |        ELSE least(bit_count((h2 & -h2) - 1) + 1, 40) END) AS register
+       |  FROM h GROUP BY 1, 2),
+       |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+       |    CAST(sum(1::BIGINT << CAST(40 - register AS INTEGER)) AS BIGINT)
+       |      AS sum_present FROM r GROUP BY 1)
+       |SELECT event_type, n_present,
+       |  sum_present + (32 - n_present) * (1::BIGINT << 40) AS sum_term,
+       |  CAST(floor($c
+       |    / (sum_present + (32 - n_present) * (1::BIGINT << 40))
+       |    * 1000.0) AS BIGINT) AS est_x1000
+       |FROM s""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "sketch_hll_grouped" -> hllGroupedOracle,
+    // lead() over the full per-key history (deletes included — they
+    // bound the previous version's interval), filtered after
+    "changelog_scd2" ->
+      """SELECT user_id, event_type, value, valid_from, valid_to FROM (
+        |  SELECT user_id, event_type, value, event_id AS valid_from,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS valid_to
+        |  FROM events) t
+        |WHERE event_type <> 'error'""".stripMargin,
     // replays quantization exactly: float32→double promotion, max-abs
     // scale, the ⌊x·127/scale + ½⌋ chain (left-assoc, identical rounding
     // sequence), and the zero-vector guard

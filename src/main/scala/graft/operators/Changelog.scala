@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture compaction — the "apply changelog" primitive under
@@ -41,5 +42,32 @@ object Changelog {
       .where(!col("_latest._is_delete"))
       .select(col(key) +: payload.map(c =>
         col(s"_latest.$c").as(s"last_$c")): _*)
+  }
+
+  /** SCD Type-2 history build: every change record becomes a versioned
+    * row valid over [`valid_from` = its seq, `valid_to` = the key's next
+    * seq), with `valid_to` NULL on the key's current version — the
+    * slowly-changing-dimension layout time-travel joins read. Tombstones
+    * CLOSE the previous version's interval (they bound its `valid_to`)
+    * but emit no row themselves, so a deleted key simply has no open
+    * version.
+    *
+    * Unlike [[compactLatest]] this one IS a window — by design: interval
+    * endpoints are a per-key order statistic, and the per-key sort is the
+    * semantics. The partition key is the dimension key, so state and sort
+    * are bounded by one key's change count (bounded by retention in a
+    * real changelog), never by table size.
+    */
+  def scd2(changes: DataFrame, key: String, seq: String,
+           isDelete: Column): DataFrame = {
+    val payload = changes.columns.filterNot(c => c == key || c == seq).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(col("valid_from"))
+    changes
+      .select(col(key) +: col(seq).as("valid_from") +:
+        isDelete.as("_is_delete") +: payload.map(col): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .where(!col("_is_delete"))
+      .select(col(key) +: payload.map(col) :+
+        col("valid_from") :+ col("valid_to"): _*)
   }
 }

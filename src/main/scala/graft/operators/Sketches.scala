@@ -107,22 +107,29 @@ object Sketches {
     * every op is int64-exact in any engine. Returns (bucket, register),
     * ≤ m rows. */
   def hllBuild(keys: DataFrame, key: String, m: Int): DataFrame =
-    keys
-      .select((col(key) % 1000000007L).as("x"))
-      .select(((col("x") * col("x") + col("x") * 31L + 7L) % 1000000007L)
-        .as("y"))
-      .select(((col("y") * col("y") + col("y") * 37L + 11L) % 1000000007L)
-        .as("z"))
-      .select((col("z") % m).as("bucket"),
-        ((col("z") * col("z") + col("z") * 41L + 13L) % 1000000007L)
-          .as("h2"))
-      .select(col("bucket"),
-        when(col("h2") === 0L, lit(40L))
+    hllBuildGrouped(keys, Nil, key, m)
+
+  /** Per-group HLL registers — the `GROUP BY g, approx_count_distinct(k)`
+    * shape: registers keyed (group…, bucket), ≤ m rows per group. The
+    * register table is itself a mergeable aggregation state: union two
+    * periods' tables and re-max to sketch their union. */
+  def hllBuildGrouped(df: DataFrame, groupCols: Seq[String], key: String,
+                      m: Int): DataFrame =
+    df
+      .withColumn("_x", col(key) % 1000000007L)
+      .withColumn("_y",
+        (col("_x") * col("_x") + col("_x") * 31L + 7L) % 1000000007L)
+      .withColumn("_z",
+        (col("_y") * col("_y") + col("_y") * 37L + 11L) % 1000000007L)
+      .withColumn("_h2",
+        (col("_z") * col("_z") + col("_z") * 41L + 13L) % 1000000007L)
+      .withColumn("_rho",
+        when(col("_h2") === 0L, lit(40L))
           .otherwise(least(
-            expr("cast(bit_count((h2 & -h2) - 1) as bigint)") + 1L, lit(40L)))
-          .as("rho"))
-      .groupBy(col("bucket"))
-      .agg(max(col("rho")).as("register"))
+            expr("cast(bit_count((_h2 & -_h2) - 1) as bigint)") + 1L,
+            lit(40L))))
+      .groupBy(groupCols.map(col) :+ (col("_z") % m).as("bucket"): _*)
+      .agg(max(col("_rho")).as("register"))
 
   /** Collapse HLL registers to the cardinality estimate. The harmonic sum
     * Σ 2^-register is kept EXACT in int64 by scaling to 2^40 units (every
@@ -133,16 +140,24 @@ object Sketches {
     * (exposed as [[hllAlphaNumerator]] for oracle replay).
     * Returns one row (n_present, sum_term, est_x1000). */
   def hllEstimate(registers: DataFrame, m: Int): DataFrame =
+    hllEstimateGrouped(registers, Nil, m)
+
+  /** Per-group estimates from [[hllBuildGrouped]] registers: one row per
+    * group (group…, n_present, sum_term, est_x1000). */
+  def hllEstimateGrouped(registers: DataFrame, groupCols: Seq[String],
+                         m: Int): DataFrame =
     registers
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_present"),
         sum(expr("shiftleft(1L, cast(40 - register as int))"))
           .as("sum_present"))
-      .select(col("n_present"),
+      .select(groupCols.map(col) ++ Seq(col("n_present"),
         (col("sum_present") +
-          (lit(m.toLong) - col("n_present")) * lit(1L << 40)).as("sum_term"))
-      .select(col("n_present"), col("sum_term"),
+          (lit(m.toLong) - col("n_present")) * lit(1L << 40))
+          .as("sum_term")): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_present"), col("sum_term"),
         floor(lit(hllAlphaNumerator(m)) / col("sum_term") * 1000.0)
-          .cast("long").as("est_x1000"))
+          .cast("long").as("est_x1000")): _*)
 
   /** α_m·m²·2^40 as one Scala-computed double: the single float constant
     * both the Spark plan and the SQL oracle must share (17 significant

@@ -37,6 +37,33 @@ class ChangelogSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("scd2 versions every change; deletes close intervals silently") {
+    val out = Changelog.scd2(changes, "k", "seq", col("op") === "delete")
+      .select("k", "valid_from", "valid_to", "amount")
+      .as[(Long, Long, Option[Long], Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, 10L, Some(20L), 5.0),   // superseded by seq 20
+      (1L, 20L, None, 7.0),        // current
+      (2L, 11L, Some(30L), 1.0),   // closed by the delete; no open row
+      (3L, 40L, None, 9.0),        // re-insert after delete is current
+      (4L, 13L, None, 2.0)))
+  }
+
+  test("scd2 intervals partition each key's history without overlap") {
+    val out = Changelog.scd2(changes, "k", "seq", col("op") === "delete")
+      .select("k", "valid_from", "valid_to")
+      .as[(Long, Long, Option[Long])].collect()
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) => assert(to <= from)
+        case _ => ()
+      }
+      // at most one open (current) version per key
+      assert(sorted.count(_._3.isEmpty) <= 1)
+    }
+  }
+
   test("plan is a single aggregate — no window sort over history") {
     val plan = Changelog.compactLatest(changes, "k", "seq",
       col("op") === "delete").queryExecution.executedPlan.toString

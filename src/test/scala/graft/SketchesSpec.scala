@@ -71,6 +71,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(rel < 0.15, s"estimate ${est / 1000.0} off by $rel")
   }
 
+  test("hll grouped estimates track per-group distinct counts") {
+    // group A: 400 distinct keys; group B: 40 distinct keys (10× apart)
+    val df = ((1L to 400L).map(k => ("A", k * 13L)) ++
+      (1L to 40L).map(k => ("B", k * 13L)) ++
+      (1L to 40L).map(k => ("B", k * 13L))).toDF("g", "k")  // dupes collapse
+    val est = Sketches.hllEstimateGrouped(
+        Sketches.hllBuildGrouped(df, Seq("g"), "k", m = 64), Seq("g"), m = 64)
+      .select("g", "est_x1000").as[(String, Long)].collect().toMap
+    assert(math.abs(est("A") / 1000.0 - 400.0) / 400.0 < 0.3)
+    assert(est("A") > 4 * est("B"), s"groups must separate: $est")
+  }
+
   test("hll registers merge as a monoid: max-union == whole-corpus build") {
     val a = (1L to 2000L).toDF("k")
     val b = (1500L to 3500L).toDF("k")  // overlapping halves
