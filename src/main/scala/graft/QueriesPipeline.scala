@@ -311,6 +311,28 @@ object QueriesPipeline {
         Seq("event_type"), m = 32)
     }),
 
+    // fixed-bin histogram quantiles: the ONE-aggregate percentile path
+    // (bins merge as a monoid across shards; exact percentiles sort) —
+    // p50/p90/p99 of price-cents at 500-unit bins, integer rank test
+    "quantile_hist" -> ((s, dir) =>
+      graft.operators.Sketches.histogramQuantiles(
+        table(s, dir, "lineitem"),
+        value = floor(col("l_extendedprice") * 100 + 0.5),
+        binWidth = 50000L, qPcts = Seq(50L, 90L, 99L))),
+
+    // referential-integrity audit: dangling-FK counts an inner join
+    // would silently drop — anti-join + 1-row aggregates per check
+    "integrity_audit" -> ((s, dir) =>
+      graft.operators.Quality.referentialAudit(Seq(
+        ("lineitem.orderkey", table(s, dir, "lineitem"), "l_orderkey",
+          table(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.partkey", table(s, dir, "lineitem"), "l_partkey",
+          table(s, dir, "part"), "p_partkey"),
+        ("lineitem.suppkey", table(s, dir, "lineitem"), "l_suppkey",
+          table(s, dir, "supplier"), "s_suppkey"),
+        ("orders.custkey", table(s, dir, "orders"), "o_custkey",
+          table(s, dir, "customer"), "c_custkey")))),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -558,6 +580,36 @@ object QueriesPipeline {
   }
 
   def oracles: Map[String, String] = Map(
+    // integer rank test n_le·100 ≥ q·N — no ceil, no division, replays
+    // exactly; same floor(+0.5) cents as the Spark side
+    "quantile_hist" ->
+      """WITH b AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    // 50000 AS bin FROM lineitem),
+        |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |cum AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT)
+        |          AS n_le FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b),
+        |q(q_pct) AS (VALUES (CAST(50 AS BIGINT)), (90), (99))
+        |SELECT q_pct, min(bin) AS bin, min(bin) * 50000 AS bin_lo
+        |FROM q, cum, t WHERE n_le * 100 >= q_pct * total
+        |GROUP BY q_pct""".stripMargin,
+    "integrity_audit" ->
+      """SELECT 'lineitem.orderkey' AS relation,
+        |  (SELECT count(*) FROM lineitem) AS n_rows,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS n_dangling
+        |UNION ALL SELECT 'lineitem.partkey',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+        |    (SELECT p_partkey FROM part))
+        |UNION ALL SELECT 'lineitem.suppkey',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier))
+        |UNION ALL SELECT 'orders.custkey',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer))""".stripMargin,
     "sketch_hll_grouped" -> hllGroupedOracle,
     // lead() over the full per-key history (deletes included — they
     // bound the previous version's interval), filtered after

@@ -94,6 +94,11 @@ object SparkEntry {
     // KHop step 1: degree histogram (supernode detection)
     "degree_histogram" -> ((s, dir) => graph(s, dir).degreeHistogram()
       .select(col("bucket"), col("n_nodes"))),
+    // W2 CSR layout, offsets half: exclusive prefix sum of out-degrees in
+    // node-id order via the DISTRIBUTED two-level sum (range partitions +
+    // broadcast per-partition bases) — never a single global window
+    "csr_offsets" -> ((s, dir) => graph(s, dir).csrOffsets()
+      .select(col("node"), col("deg"), col("offset"))),
     // §2.3: 2-hop subgraph per origin (aggregated to count + checksum —
     // streams are unordered, MANIFESTO.md:230-235, so the check is set-wise)
     "khop_2" -> ((s, dir) => graph(s, dir)
@@ -545,6 +550,17 @@ object SparkEntry {
          |       COALESCE(out_degree, 0) AS out_degree,
          |       COALESCE(in_degree, 0) AS in_degree
          |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin,
+    "csr_offsets" ->
+      s"""WITH $RelsCte,
+         |o AS (SELECT start_id AS id, count(*) AS deg FROM rels GROUP BY 1),
+         |i AS (SELECT DISTINCT end_id AS id FROM rels),
+         |d AS (SELECT COALESCE(o.id, i.id) AS node, COALESCE(o.deg, 0) AS deg
+         |      FROM o FULL OUTER JOIN i ON o.id = i.id)
+         |SELECT node, deg,
+         |  CAST(COALESCE(sum(deg) OVER (ORDER BY node
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS offset
+         |FROM d""".stripMargin,
     "degree_histogram" ->
       s"""WITH $RelsCte,
          |o AS (SELECT start_id AS id, count(*) AS out_degree

@@ -124,6 +124,42 @@ final case class GraphRef(nodes: DataFrame, rels: DataFrame) {
       .agg(sum(col("o")).as("out_degree"), sum(col("i")).as("in_degree"))
   }
 
+  /** CSR offset table — the columnar adjacency layout the reference's GDS
+    * graph stores natively (offsets[] + targets[]; our W2 adjacency covers
+    * targets, this covers offsets): each node's (out-degree, exclusive
+    * prefix-sum offset) in ascending node-id order, so `targets[offset ..
+    * offset+degree)` is the node's adjacency in a flat array.
+    *
+    * The prefix sum is DISTRIBUTED — a single global window would sort
+    * every node through one partition. Instead: range-repartition by id,
+    * per-partition running sums, then each partition's base = the sum of
+    * all prior partitions' totals (a window over #partitions rows — a
+    * bounded table, broadcast back). Range boundaries come from sampling
+    * and may vary run to run; the OUTPUT is partition-invariant because
+    * the global prefix sum is. */
+  def csrOffsets(types: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // localCheckpoint pins the sampled range boundaries: both consumers
+    // below must see the SAME pid assignment (two independent evaluations
+    // could re-sample different boundaries and mis-base the offsets)
+    val deg = degrees(types)
+      .select(col("ID").as("node"), col("out_degree").as("deg"))
+      .repartitionByRange(col("node"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val withLocal = deg.withColumn("local_cum",
+      sum(col("deg")).over(Window.partitionBy(col("pid")).orderBy(col("node"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bases = deg.groupBy(col("pid")).agg(sum(col("deg")).as("ptotal"))
+      .withColumn("base",
+        coalesce(sum(col("ptotal")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("base"))
+    withLocal.join(broadcast(bases), "pid")
+      .select(col("node"), col("deg"),
+        (col("base") + col("local_cum") - col("deg")).as("offset"))
+  }
+
   /** KHop step-1 analog — degree histogram for supernode detection
     * (KHop.java:24-57). The reference buckets by log10(degree); we bucket by
     * decimal digit count (identical partition of the integers, but exact —

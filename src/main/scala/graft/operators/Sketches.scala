@@ -159,6 +159,40 @@ object Sketches {
         floor(lit(hllAlphaNumerator(m)) / col("sum_term") * 1000.0)
           .cast("long").as("est_x1000")): _*)
 
+  /** Fixed-bin histogram quantiles — the percentile path that scales.
+    * Exact percentiles globally sort the data (or materialize every group
+    * in memory — `agg_percentiles` covers that exact form); a fixed-bin
+    * histogram needs ONE count aggregate that map-side-combines to ≤
+    * #bins cells per partition, then quantiles read off the cumulative
+    * histogram with error bounded by the bin width. Histograms from
+    * disjoint shards merge by adding cells (a monoid, like the other
+    * sketches here).
+    *
+    * Everything is integer: the rank test `n_le·100 ≥ q·N` needs no
+    * ceil() and no division, so any engine replays it exactly. The
+    * cumulative window runs over #bins rows — a constant chosen up
+    * front, never data-sized. Returns (q_pct, bin, bin_lo) per requested
+    * percentile. */
+  def histogramQuantiles(df: DataFrame, value: Column, binWidth: Long,
+                         qPcts: Seq[Long]): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bins = df.select(value.cast("long").as("v"))
+      .selectExpr(s"v div $binWidth AS bin")
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("n_le", sum(col("n")).over(w))
+    val total = bins.agg(sum(col("n")).as("total"))
+    cum.join(broadcast(total), lit(true))
+      .join(broadcast(qPcts.toDF("q_pct")), lit(true))
+      .where(col("n_le") * 100 >= col("q_pct") * col("total"))
+      .groupBy(col("q_pct"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("q_pct"), col("bin"),
+        (col("bin") * binWidth).as("bin_lo"))
+  }
+
   /** α_m·m²·2^40 as one Scala-computed double: the single float constant
     * both the Spark plan and the SQL oracle must share (17 significant
     * digits round-trip a double exactly). */

@@ -34,6 +34,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](g.nodeScan(props = Seq("nope")))
   }
 
+  test("csrOffsets: exclusive prefix sums of out-degree in id order") {
+    // out-degrees: 1→2, 2→1, 3→0 (sink); offsets 0, 2, 3
+    val out = g.csrOffsets().as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L, 0L), (2L, 1L, 2L), (3L, 0L, 3L)))
+  }
+
+  test("csrOffsets: offsets tile the edge array on a larger graph") {
+    val edges = (1L to 500L).flatMap(s =>
+      (1L to (s % 7)).map(t => (s, t, "E", None: Option[Double],
+        None: Option[Double])))
+      .toDF("START_ID", "END_ID", "TYPE", "weight", "cost")
+    val out = GraphRef(nodes, edges).csrOffsets()
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // each node's offset = sum of all prior degrees; last offset+deg = m
+    out.foldLeft(0L) { case (expect, (_, deg, off)) =>
+      assert(off === expect); off + deg
+    }
+    assert(out.map(_._2).sum === edges.count())
+  }
+
   test("rel scan long form: one row per rel per present property") {
     val rows = g.relScan()
       .select("START_ID", "END_ID", "property")

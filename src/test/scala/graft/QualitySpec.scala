@@ -1,0 +1,23 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quality
+
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("referentialAudit counts exactly the dangling foreign keys") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq((10L, 1L), (11L, 2L), (12L, 2L), (13L, 9L), (14L, 8L))
+      .toDF("id", "fk")
+    val clean = Seq((20L, 3L)).toDF("id", "fk")
+    val out = Quality.referentialAudit(Seq(
+        ("child.fk", child, "fk", parent, "pk"),
+        ("clean.fk", clean, "fk", parent, "pk")))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("child.fk") === (("child.fk", 5L, 2L)))  // fks 9 and 8 dangle
+    assert(out("clean.fk") === (("clean.fk", 1L, 0L)))
+  }
+}

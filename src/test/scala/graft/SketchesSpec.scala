@@ -94,6 +94,17 @@ class SketchesSpec extends AnyFunSuite {
       whole.as[(Long, Long)].collect().toMap)
   }
 
+  test("histogram quantiles: rank test picks the first covering bin") {
+    val vals = (1L to 100L).toDF("v")
+    val out = Sketches.histogramQuantiles(vals, col("v"), binWidth = 10L,
+        qPcts = Seq(50L, 90L, 99L))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // bins: 0 holds 1..9 (9 rows), k holds 10k..10k+9; cum(4)=49, cum(5)=59
+    assert(out(50L) === ((5L, 50L)))   // true median 50.5, error < binWidth
+    assert(out(90L) === ((9L, 90L)))
+    assert(out(99L) === ((9L, 90L)))   // value 99 lives in bin 9
+  }
+
   test("grid size is bounded by d·w regardless of corpus size") {
     val sketch = Sketches.countMinBuild(docs, "text", width = 2)
     assert(sketch.count() <= 3L * 2L)
