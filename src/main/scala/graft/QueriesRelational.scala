@@ -363,6 +363,41 @@ object QueriesRelational {
       s.table(qname).groupBy(col("segment"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
     }),
+    // INCREMENTAL CDC materialization under the gate: the event
+    // changelog split into 3 source files, drained one file per
+    // micro-batch; each batch merges into a versioned compacted state
+    // (tombstones kept so late older records cannot resurrect deleted
+    // keys). The final state filtered of tombstones must equal the batch
+    // compaction over everything — the same oracle as changelog_compact.
+    "changelog_stream" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+      val base = s"/tmp/graft_cdc_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))   // stale state/checkpoints corrupt runs
+      val src = s"$base/src"
+      for (i <- 0 until 3)
+        e.where(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src)
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.materializeChangelog(
+          stream, s"$base/state", s"$base/ckpt",
+          key = "user_id", seq = "event_id",
+          isDelete = col("event_type") === "error")
+        q.awaitTermination()
+      }
+      val v = graft.streaming.EventStreams.latestVersion(s"$base/state").get
+      s.read.parquet(s"$base/state/v$v")
+        .where(!col("_is_delete"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+    }),
     // STREAM-STREAM interval join under the gate: clicks and purchases
     // read as two file streams, joined per user within [click_ts,
     // click_ts + 1h] (watermarked both sides so join state is evicted
@@ -621,6 +656,15 @@ object QueriesRelational {
         |  min(x) AS x_min, max(x) AS x_max,
         |  min(y) AS y_min, max(y) AS y_max
         |FROM z GROUP BY block""".stripMargin,
+    // identical oracle to changelog_compact: after draining, the
+    // incremental state must equal the batch compaction
+    "changelog_stream" ->
+      """SELECT user_id,
+        |  arg_max(event_id, event_id) AS last_event_id,
+        |  arg_max(event_type, event_id) AS last_event_type,
+        |  arg_max(value, event_id) AS last_value
+        |FROM events GROUP BY user_id
+        |HAVING arg_max(event_type, event_id) <> 'error'""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS n, round(sum(value), 2) AS total

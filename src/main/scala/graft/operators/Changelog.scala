@@ -44,6 +44,22 @@ object Changelog {
         col(s"_latest.$c").as(s"last_$c")): _*)
   }
 
+  /** State-form compaction — the MERGE step of an incremental
+    * materialization: the same latest-wins aggregate as [[compactLatest]]
+    * but KEEPING tombstone rows and original column names, because in an
+    * incremental state a tombstone must survive to defeat late-arriving
+    * older records for its key (a filtered state would resurrect deleted
+    * keys on the next merge). Input must carry a boolean `_is_delete`
+    * column; output has the same schema, one row per key. The operation
+    * is associative and commutative over change-sets (max over a unique
+    * seq), so merges can apply in any batch order. */
+  def compactState(state: DataFrame, key: String, seq: String): DataFrame = {
+    val payload = state.columns.filterNot(c => c == key || c == seq).toSeq
+    state.groupBy(col(key))
+      .agg(max(struct(col(seq) +: payload.map(col): _*)).as("_m"))
+      .select(col(key) +: (seq +: payload).map(c => col(s"_m.$c").as(c)): _*)
+  }
+
   /** SCD Type-2 history build: every change record becomes a versioned
     * row valid over [`valid_from` = its seq, `valid_to` = the key's next
     * seq), with `valid_to` NULL on the key's current version — the

@@ -87,6 +87,48 @@ object EventStreams {
       }
       .start()
 
+  /** Incremental CDC materialization — the streaming form of
+    * [[graft.operators.Changelog.compactLatest]]: each micro-batch of
+    * change records merges into a versioned compacted state table, so
+    * after draining the input the newest version equals a batch
+    * compaction over ALL changes seen. Tombstones stay IN the state
+    * (they must outlive late-arriving older records — see
+    * `Changelog.compactState`); readers filter `_is_delete`.
+    *
+    * State versions are parquet dirs `v<batchId>` — each merge reads the
+    * highest existing version (batch ids need not be contiguous under
+    * retries) and writes a new one, so a failed batch can simply re-run:
+    * the merge is idempotent at the same version. Runs with
+    * AvailableNow (drain-then-stop); a long-lived deployment would
+    * swap the trigger and prune old versions. At scale the state write
+    * partitions by key range instead of `coalesce(1)` — the merge
+    * itself is one hash aggregate either way. */
+  def materializeChangelog(changes: DataFrame, stateDir: String,
+                           checkpointDir: String, key: String, seq: String,
+                           isDelete: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch.withColumn("_is_delete", isDelete)
+        val prev = latestVersion(stateDir)
+          .map(v => spark.read.parquet(s"$stateDir/v$v"))
+        val all = prev.fold(incoming)(_.unionByName(incoming))
+        graft.operators.Changelog.compactState(all, key, seq)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+      .start()
+
+  /** Highest committed state version under `dir`, if any. */
+  def latestVersion(dir: String): Option[Long] =
+    Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .reduceOption(_ max _)
+
   /** Session windows with a 30-minute inactivity gap per user — the
     * streaming twin of operators.Sessionize. */
   def sessions(events: DataFrame, gap: String = "30 minutes",

@@ -110,6 +110,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"per-walk window in plan:\n$plan")
   }
 
+  test("changelog compaction is one aggregate — no window over history") {
+    val plan = formatted(SparkEntry.queries("changelog_compact")(spark, dir))
+    assert(!plan.contains("Window"), s"history window in plan:\n$plan")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected ≤1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("int8 quantization is a pure narrow projection (no shuffle)") {
+    val plan = formatted(graft.operators.Similarity.quantizeInt8(
+      graft.sources.TpchGraph.table(spark, dir, "embeddings")))
+    assert(!plan.contains("Exchange"), s"quantization shuffles:\n$plan")
+  }
+
+  test("bloom probe side screens without an Exchange before the filter") {
+    val plan = formatted(SparkEntry.queries("sketch_bloom")(spark, dir))
+    // the built filter must arrive by broadcast; the probe side's only
+    // shuffle is the final per-key aggregate, never a join exchange
+    assert(plan.contains("BroadcastExchange"),
+      s"bloom filter not broadcast:\n$plan")
+  }
+
+  test("hll build collapses to registers through partial aggregation") {
+    val plan = formatted(SparkEntry.queries("sketch_hll")(spark, dir))
+    // partial_max before the exchange = map-side register combining
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"no partial aggregation in:\n$plan")
+    assert(!plan.contains("Window"), s"window in sketch plan:\n$plan")
+  }
+
   test("corpus hash split is a pure narrow projection (no shuffle)") {
     val plan = formatted(graft.operators.CorpusTools.hashSplit(
       graft.sources.TpchGraph.table(spark, dir, "documents"), "doc_id"))

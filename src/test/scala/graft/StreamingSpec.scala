@@ -196,6 +196,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental changelog: tombstones defeat late older records") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_cdc").toString
+    // file 1: key 1 up@10; key 2 up@11 then DELETED @30
+    // file 2: key 2 LATE OLDER up@20 (must stay deleted); key 1 up@40
+    Seq((1L, 10L, "up", 1.0), (2L, 11L, "up", 2.0), (2L, 30L, "del", 0.0))
+      .toDF("k", "seq", "op", "v")
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    Seq((2L, 20L, "up", 9.9), (1L, 40L, "up", 7.0))
+      .toDF("k", "seq", "op", "v")
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/src").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+    val q = EventStreams.materializeChangelog(stream, s"$base/state",
+      s"$base/ckpt", key = "k", seq = "seq", isDelete = col("op") === "del")
+    q.awaitTermination()
+    val v = EventStreams.latestVersion(s"$base/state").get
+    val state = spark.read.parquet(s"$base/state/v$v")
+    // the tombstone row for key 2 is IN the state (seq 30 beat late 20)…
+    assert(state.count() === 2)
+    assert(state.where(col("k") === 2L).select("_is_delete")
+      .as[Boolean].collect() === Array(true))
+    // …and the reader view hides it; key 1 shows its newest payload
+    val view = state.where(!col("_is_delete"))
+      .select("k", "seq", "v").as[(Long, Long, Double)].collect()
+    assert(view.toSeq === Seq((1L, 40L, 7.0)))
+  }
+
   test("file-stream hourly counts on real events match the batch twin") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_stream_src")
