@@ -283,6 +283,15 @@ object QueriesRelational {
         y = floor(col("o_totalprice") * 100 + 0.5) % 65536,
         bitsPerBlock = 24)),
 
+    // time-series regularization: hourly resample per user with forward
+    // fill — latest-observation recency by unique event_id (no float
+    // arithmetic touches the carried value), grid densified by a
+    // sequence generator, window bounded by GRID length not event count
+    "resample_ffill" -> ((s, dir) =>
+      graft.operators.Timeseries.resampleFfill(
+        table(s, dir, "events"), entity = "user_id", ts = "ts",
+        seq = "event_id", value = "value", bucketUs = 3600000000L)),
+
     // ---- streaming-analog (event time) -----------------------------------
     // Tumbling 1h event-time windows (batch twin of the Structured
     // Streaming pipeline in graft.streaming).
@@ -665,6 +674,22 @@ object QueriesRelational {
         |  arg_max(value, event_id) AS last_value
         |FROM events GROUP BY user_id
         |HAVING arg_max(event_type, event_id) <> 'error'""".stripMargin,
+    // arg_max on the unique event_id ≡ Spark's max over the seq-led
+    // struct; range() densifies the grid; IGNORE NULLS last_value is the
+    // forward fill (default RANGE frame ≡ rowsBetween on the unique b)
+    "resample_ffill" ->
+      """WITH ev AS (SELECT user_id AS e, epoch_us(ts) // 3600000000 AS b,
+        |    value AS v, event_id AS s FROM events),
+        |agg AS (SELECT e, b, arg_max(v, s) AS v_obs,
+        |    CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY e, b),
+        |span AS (SELECT e, min(b) AS b0, max(b) AS b1 FROM agg GROUP BY e),
+        |grid AS (SELECT e, unnest(range(b0, b1 + 1)) AS b FROM span),
+        |j AS (SELECT g.e, g.b, agg.v_obs, COALESCE(agg.n, 0) AS n_events
+        |      FROM grid g LEFT JOIN agg ON g.e = agg.e AND g.b = agg.b)
+        |SELECT e AS user_id, b AS bucket, n_events,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY e ORDER BY b)
+        |    AS v_filled
+        |FROM j""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS n, round(sum(value), 2) AS total

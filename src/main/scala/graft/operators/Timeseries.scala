@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization — turning an irregular event stream into
+  * the fixed-grid per-entity series a sequence model trains on. */
+object Timeseries {
+
+  /** Resample to a fixed period and forward-fill gaps: bucket events by
+    * `bucketUs` microseconds of event time, keep each (entity, bucket)'s
+    * latest observation (recency = the unique `seq` id, the changelog
+    * convention — no float arithmetic touches the value, so it stays
+    * bit-exact), densify each entity's grid from its first to its last
+    * observed bucket with a `sequence` generator (never a driver loop),
+    * and carry the last observation across empty buckets.
+    *
+    * Scale: one hash aggregate (map-side combined) + a generator + one
+    * per-entity window ORDERED BY BUCKET — the window's partition is the
+    * entity's GRID length (time span / period, a constant chosen by the
+    * caller), not its event count, so a hot entity with a billion events
+    * costs the same window state as a cold one. Leading buckets are
+    * always observed by construction (the grid starts at the entity's
+    * first observation), so `v_filled` is never null.
+    *
+    * Returns (entity, bucket, n_events, v_filled). */
+  def resampleFfill(events: DataFrame, entity: String, ts: String,
+                    seq: String, value: String, bucketUs: Long): DataFrame = {
+    val agg = events
+      .select(col(entity).as("e"),
+        expr(s"unix_micros($ts) div ${bucketUs}L").as("b"),
+        col(seq).as("s"), col(value).as("v"))
+      .groupBy(col("e"), col("b"))
+      .agg(max(struct(col("s"), col("v"))).as("m"),
+        count(lit(1)).as("n_events"))
+      .select(col("e"), col("b"), col("m.v").as("v_obs"), col("n_events"))
+    val grid = agg.groupBy(col("e"))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col("e"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy(col("e")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("e", "b"), "left")
+      .select(col("e").as(entity), col("b").as("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("v_filled"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway plan-dissection harness — edit freely while profiling; see
   * ArrowBench for the recorded Arrow-egress benchmark. */
@@ -12,16 +13,23 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq else Seq("sql_q2")
-    names.foreach { n =>
-      val df = graft.SparkEntry.queries(n)(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
-      val bad = Seq("CartesianProduct", "BroadcastNestedLoop")
-        .filter(plan.contains)
-      println(s"[scratch] $n joins=" +
-        plan.linesIterator.filter(_.contains("Join")).map(_.trim.takeWhile(_ != '(')).mkString("|") +
-        s" BAD=${bad.mkString(",")}")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rels = graft.SparkEntry.graph(spark, dir).rels
+      .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY"))
+      .localCheckpoint(true)
+    def time[A](name: String)(f: => A): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val pred = Some(col("origin").between(2000000000L, 2999999999L) &&
+      col("origin") % 50 === 0)
+    time("kHopEdges_plain") {
+      println("[probe] rows=" +
+        graft.operators.KHop.kHopEdges(rels, 3, pred).count())
+    }
+    time("kHopEdgesSkew_t256") {
+      println("[probe] rows=" +
+        graft.operators.KHop.kHopEdgesSkew(rels, 3, 256, pred).count())
     }
     spark.stop()
   }
