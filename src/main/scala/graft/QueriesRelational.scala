@@ -291,6 +291,16 @@ object QueriesRelational {
       graft.operators.Timeseries.resampleFfill(
         table(s, dir, "events"), entity = "user_id", ts = "ts",
         seq = "event_id", value = "value", bucketUs = 3600000000L)),
+    // feature engineering over the regular grid: integer-cents lags and
+    // a rolling 3-bucket sum (quantize FIRST — a rolling sum of raw
+    // doubles depends on the engine's frame accumulation order)
+    "lag_features" -> ((s, dir) =>
+      graft.operators.Timeseries.lagFeatures(
+        graft.operators.Timeseries.resampleFfill(
+          table(s, dir, "events"), entity = "user_id", ts = "ts",
+          seq = "event_id", value = "value", bucketUs = 3600000000L),
+        entity = "user_id", bucket = "bucket", value = "v_filled",
+        lags = Seq(1, 24), rollK = 3)),
 
     // ---- streaming-analog (event time) -----------------------------------
     // Tumbling 1h event-time windows (batch twin of the Structured
@@ -533,6 +543,23 @@ object QueriesRelational {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")))
   )
 
+  /** Shared CTE chain of the resample oracle (reused by lag_features). */
+  private val ResampleCtes: String =
+    """ev AS (SELECT user_id AS e, epoch_us(ts) // 3600000000 AS b,
+      |    value AS v, event_id AS s FROM events),
+      |agg AS (SELECT e, b, arg_max(v, s) AS v_obs,
+      |    CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY e, b),
+      |span AS (SELECT e, min(b) AS b0, max(b) AS b1 FROM agg GROUP BY e),
+      |grid AS (SELECT e, unnest(range(b0, b1 + 1)) AS b FROM span),
+      |j AS (SELECT g.e, g.b, agg.v_obs, COALESCE(agg.n, 0) AS n_events
+      |      FROM grid g LEFT JOIN agg ON g.e = agg.e AND g.b = agg.b)""".stripMargin
+
+  private val ResampleSelect: String =
+    """SELECT e AS user_id, b AS bucket, n_events,
+      |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY e ORDER BY b)
+      |    AS v_filled
+      |FROM j""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "join_topk_q3" ->
       """SELECT l_orderkey AS orderkey,
@@ -677,19 +704,25 @@ object QueriesRelational {
     // arg_max on the unique event_id ≡ Spark's max over the seq-led
     // struct; range() densifies the grid; IGNORE NULLS last_value is the
     // forward fill (default RANGE frame ≡ rowsBetween on the unique b)
-    "resample_ffill" ->
-      """WITH ev AS (SELECT user_id AS e, epoch_us(ts) // 3600000000 AS b,
-        |    value AS v, event_id AS s FROM events),
-        |agg AS (SELECT e, b, arg_max(v, s) AS v_obs,
-        |    CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY e, b),
-        |span AS (SELECT e, min(b) AS b0, max(b) AS b1 FROM agg GROUP BY e),
-        |grid AS (SELECT e, unnest(range(b0, b1 + 1)) AS b FROM span),
-        |j AS (SELECT g.e, g.b, agg.v_obs, COALESCE(agg.n, 0) AS n_events
-        |      FROM grid g LEFT JOIN agg ON g.e = agg.e AND g.b = agg.b)
-        |SELECT e AS user_id, b AS bucket, n_events,
-        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY e ORDER BY b)
-        |    AS v_filled
-        |FROM j""".stripMargin,
+    "resample_ffill" -> s"WITH $ResampleCtes\n$ResampleSelect",
+    // lag/rolling features ON the resampled grid — the same CTE chain,
+    // then integer-cents lags and a ROWS-frame sum (cast: DuckDB window
+    // sums of BIGINT widen to HUGEINT)
+    "lag_features" ->
+      s"""WITH $ResampleCtes,
+         |r AS ($ResampleSelect)
+         |SELECT user_id, bucket,
+         |  CAST(floor(v_filled * 100 + 0.5) AS BIGINT) AS v_cents,
+         |  lag(CAST(floor(v_filled * 100 + 0.5) AS BIGINT), 1)
+         |    OVER w AS lag_1,
+         |  lag(CAST(floor(v_filled * 100 + 0.5) AS BIGINT), 24)
+         |    OVER w AS lag_24,
+         |  CAST(sum(CAST(floor(v_filled * 100 + 0.5) AS BIGINT))
+         |    OVER (PARTITION BY user_id ORDER BY bucket
+         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS roll3_sum
+         |FROM r
+         |WINDOW w AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS n, round(sum(value), 2) AS total

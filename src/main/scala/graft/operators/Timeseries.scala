@@ -45,4 +45,28 @@ object Timeseries {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("v_obs"), ignoreNulls = true).over(w).as("v_filled"))
   }
+
+  /** Lag + rolling-window features over a regular per-entity grid (the
+    * output shape of [[resampleFfill]]) — the feature-engineering step a
+    * forecasting/training pipeline runs after regularization. The value
+    * is quantized to int64 cents FIRST, so every lag and the rolling sum
+    * are exact integers: a rolling sum of raw doubles depends on the
+    * engine's accumulation order in the frame, cents do not.
+    *
+    * Same bounded-window economics as [[resampleFfill]]: partitions are
+    * grid-sized. Leading rows where a lag reaches before the grid hold
+    * NULL (the model masks them), the rolling sum shrinks its frame.
+    * Returns (entity, bucket, v_cents, lag_<k>… , roll<rollK>_sum). */
+  def lagFeatures(series: DataFrame, entity: String, bucket: String,
+                  value: String, lags: Seq[Int], rollK: Int): DataFrame = {
+    require(lags.nonEmpty && rollK >= 1, "need lags and rollK >= 1")
+    val w = Window.partitionBy(col(entity)).orderBy(col(bucket))
+    val wRoll = w.rowsBetween(-(rollK - 1L), Window.currentRow)
+    val base = series.select(col(entity), col(bucket),
+      floor(col(value) * 100 + 0.5).cast("long").as("v_cents"))
+    base.select(
+      Seq(col(entity), col(bucket), col("v_cents")) ++
+        lags.map(l => lag(col("v_cents"), l).over(w).as(s"lag_$l")) :+
+        sum(col("v_cents")).over(wRoll).as(s"roll${rollK}_sum"): _*)
+  }
 }

@@ -32,6 +32,21 @@ class TimeseriesSpec extends AnyFunSuite {
       (2L, 1L, 1L, 5.0)))   // grid is per-entity, not global
   }
 
+  test("lagFeatures: integer-cents lags and a shrinking rolling frame") {
+    val grid = Seq(
+      (1L, 0L, 1.10), (1L, 1L, 2.20), (1L, 2L, 3.30), (1L, 3L, 4.40)
+    ).toDF("user_id", "bucket", "v_filled")
+    val out = Timeseries.lagFeatures(grid, "user_id", "bucket", "v_filled",
+        lags = Seq(1, 2), rollK = 3)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().sortBy(_._2)
+    assert(out.toSeq === Seq(
+      (1L, 0L, 110L, None, None, 110L),
+      (1L, 1L, 220L, Some(110L), None, 330L),
+      (1L, 2L, 330L, Some(220L), Some(110L), 660L),
+      (1L, 3L, 440L, Some(330L), Some(220L), 990L)))  // frame drops 110
+  }
+
   test("v_filled is never null: each grid starts at the first observation") {
     val ev = Seq((9L, ts(5), 1L, 1.5), (9L, ts(8), 2L, 2.5))
       .toDF("user_id", "ts", "event_id", "value")
