@@ -469,14 +469,13 @@ object QueriesGraphAlgos {
 
   /** One unrolled walk step k: per walk, the neighbor minimizing the
     * mixed hash of (walk, step, neighbor), ties by neighbor id. */
+  /** One walk step: index the sorted neighbor list at
+    * mix(walk_id, k) mod degree — replaying the array-indexed hop. */
   private def rwStep(k: Int): String =
-    s"""rw$k AS (SELECT walk_id, node FROM (
-       |    SELECT c.walk_id, u.b AS node,
-       |      row_number() OVER (PARTITION BY c.walk_id ORDER BY
-       |        ((((c.walk_id * 31 + $k) % 1000000007) * 1000003 + u.b)
-       |          % 1000000007 * 2654435761) % 1000000007, u.b) AS rn
-       |    FROM rw${k - 1} c JOIN und u ON u.a = c.node) t
-       |  WHERE rn = 1)""".stripMargin
+    s"""rw$k AS (SELECT c.walk_id,
+       |    nb.nbl[1 + CAST(((c.walk_id * 31 + $k) % 1000000007)
+       |      * 2654435761 % 1000000007 % len(nb.nbl) AS INTEGER)] AS node
+       |  FROM rw${k - 1} c JOIN nb ON nb.node = c.node)""".stripMargin
 
   private val randomWalksOracle: String =
     s"""WITH ${SparkEntry.RelsCte},
@@ -485,9 +484,10 @@ object QueriesGraphAlgos {
        |und AS (SELECT DISTINCT a, b FROM
        |  (SELECT src AS a, dst AS b FROM e
        |   UNION ALL SELECT dst, src FROM e) t),
-       |rw0 AS (SELECT a * 2 + w AS walk_id, a AS node
-       |        FROM (SELECT DISTINCT a FROM und) t,
-       |             (SELECT unnest(range(0, 2)) AS w) s),
+       |nb AS (SELECT a AS node, list_sort(list(DISTINCT b)) AS nbl
+       |       FROM und GROUP BY a),
+       |rw0 AS (SELECT node * 2 + w AS walk_id, node
+       |        FROM nb, (SELECT unnest(range(0, 2)) AS w) s),
        |${(1 to 3).map(rwStep).mkString(",\n")}
        |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
        |  SELECT walk_id, 0 AS step, node FROM rw0

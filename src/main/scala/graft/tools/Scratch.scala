@@ -23,13 +23,11 @@ object Scratch {
     }
     val pred = Some(col("origin").between(2000000000L, 2999999999L) &&
       col("origin") % 50 === 0)
-    time("kHopEdges_plain") {
-      println("[probe] rows=" +
-        graft.operators.KHop.kHopEdges(rels, 3, pred).count())
-    }
-    time("kHopEdgesSkew_t256") {
-      println("[probe] rows=" +
-        graft.operators.KHop.kHopEdgesSkew(rels, 3, 256, pred).count())
+    time("random_walks") {
+      println("[probe] rows=" + graft.operators.GraphAlgos.randomWalks(
+        graft.SparkEntry.graph(spark, dir).rels,
+        types = Seq("FROM_NATION", "IN_REGION"), starts = 2,
+        length = 3).count())
     }
     spark.stop()
   }
