@@ -495,6 +495,24 @@ object QueriesGraphAlgos {
        |  UNION ALL SELECT walk_id, 2, node FROM rw2
        |  UNION ALL SELECT walk_id, 3, node FROM rw3) t""".stripMargin
 
+  /** One max-plus round: lvl' = max(lvl, 1 + lvl(src) over in-edges). */
+  private def dagRound(k: Int): String =
+    s"""l$k AS (SELECT id, CAST(max(lvl) AS BIGINT) AS lvl FROM (
+       |    SELECT id, lvl FROM l${k - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS id, p.lvl + 1 AS lvl
+       |    FROM e JOIN l${k - 1} p ON e.src = p.id) t
+       |  GROUP BY id)""".stripMargin
+
+  private val dagLevelsOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels),
+       |n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e
+       |                               UNION ALL SELECT dst FROM e) t),
+       |l0 AS (SELECT id, CAST(0 AS BIGINT) AS lvl FROM n),
+       |${(1 to 5).map(dagRound).mkString(",\n")}
+       |SELECT id, lvl FROM l5""".stripMargin
+
   // -------------------------------------------------- Bellman-Ford SSSP
 
   /** One unrolled relaxation round k: dist' = min(dist, dist(u)+w). */
@@ -665,6 +683,13 @@ object QueriesGraphAlgos {
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), starts = 2, length = 3)
       .select(col("walk_id"), col("step"), col("node"))),
+    // topological layers of the full typed DAG (order→part→supplier→
+    // nation→region + customer/supplier→nation): longest-path level per
+    // node, 5 max-plus rounds ≥ the schema DAG's depth
+    "dag_levels" -> ((s, dir) => GraphAlgos.dagLevels(
+      SparkEntry.graph(s, dir).rels
+        .select(col("START_ID").as("src"), col("END_ID").as("dst")),
+      rounds = 5)),
     // Seeded Brandes betweenness from the 5 region seeds, radius 3 — the
     // bounded-source centrality (forward σ counts + backward floored
     // dependency accumulation, both level-synchronous).
@@ -710,6 +735,7 @@ object QueriesGraphAlgos {
     "modularity" -> modularityOracle,
     "louvain_move" -> louvainOracle,
     "betweenness" -> betweennessOracle,
+    "dag_levels" -> dagLevelsOracle,
     "random_walks" -> randomWalksOracle,
     "ktruss" -> ktrussOracle)
 }

@@ -302,6 +302,24 @@ object QueriesRelational {
         entity = "user_id", bucket = "bucket", value = "v_filled",
         lags = Seq(1, 24), rollK = 3)),
 
+    // ---- event-sequence analytics ----------------------------------------
+    // strict-order funnel: view → click AFTER the view → purchase AFTER
+    // the click, per user; k hash aggregates + k−1 equi-joins, no
+    // windows, no per-user event lists
+    "funnel_stages" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(
+        table(s, dir, "events"), entity = "user_id", ts = "ts",
+        stages = Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))),
+    // daily cohort retention triangle: cohort = first-event day, offset
+    // = days since; two aggregates + one join, all int64
+    "cohort_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cohortRetention(
+        table(s, dir, "events"), entity = "user_id", ts = "ts",
+        periodUs = 86400000000L)),
+
     // ---- streaming-analog (event time) -----------------------------------
     // Tumbling 1h event-time windows (batch twin of the Structured
     // Streaming pipeline in graft.streaming).
@@ -723,6 +741,31 @@ object QueriesRelational {
          |    AS roll3_sum
          |FROM r
          |WINDOW w AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin,
+    "funnel_stages" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |       GROUP BY e.user_id)
+        |SELECT '1_view' AS stage,
+        |       (SELECT count(*) FROM s1) AS n_entities
+        |UNION ALL SELECT '2_click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT '3_purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    "cohort_retention" ->
+      """WITH c AS (SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS cohort_period
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS p
+        |      FROM events)
+        |SELECT c.cohort_period, a.p - c.cohort_period AS period_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS n, round(sum(value), 2) AS total

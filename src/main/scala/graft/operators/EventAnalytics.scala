@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics — the funnel / cohort workload family every
+  * product-analytics OLAP engine ships as first-class operators. */
+object EventAnalytics {
+
+  /** Ordered funnel: how many entities completed stage 1, then stage 2
+    * AFTER their stage-1 time, then stage 3 after stage 2, … Stage k's
+    * qualifying time is the MINIMUM event time strictly after the
+    * entity's stage-(k−1) time — the standard strict-order funnel
+    * semantics (an earlier B does not count toward A→B).
+    *
+    * Each stage is one filtered aggregate joined to the previous stage's
+    * per-entity times: k stages = k hash aggregates + k−1 equi-joins on
+    * the entity key, all map-side combined — no windows, no sorting, no
+    * per-entity event lists. Returns (stage, n_entities) with stage
+    * numbered "1_<label>"… so sort order matches funnel order. */
+  def funnel(events: DataFrame, entity: String, ts: String,
+             stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    var reached: DataFrame = null
+    val counts = stages.zipWithIndex.map { case ((label, pred), i) =>
+      reached =
+        if (i == 0)
+          events.where(pred).groupBy(col(entity))
+            .agg(min(col(ts)).as("_t"))
+        else
+          events.where(pred)
+            .join(reached.select(col(entity), col("_t").as("_prev")), entity)
+            .where(col(ts) > col("_prev"))
+            .groupBy(col(entity)).agg(min(col(ts)).as("_t"))
+      reached.agg(count(lit(1)).as("n_entities"))
+        .select(lit(s"${i + 1}_$label").as("stage"), col("n_entities"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: entities grouped by the period of their FIRST
+    * event (the cohort); for each later period, how many of the cohort
+    * were active. Periods are integer buckets of event time
+    * (`periodUs`), offsets are periods since the cohort period — the
+    * classic retention triangle, all int64.
+    *
+    * Two hash aggregates (first-event per entity; distinct active
+    * periods per entity) + one equi-join on the entity key. Returns
+    * (cohort_period, period_offset, n_active). */
+  def cohortRetention(events: DataFrame, entity: String, ts: String,
+                      periodUs: Long): DataFrame = {
+    val period = expr(s"unix_micros($ts) div ${periodUs}L")
+    val cohort = events.groupBy(col(entity))
+      .agg(min(period).as("cohort_period"))
+    val active = events.select(col(entity), period.as("p")).distinct()
+    active.join(cohort, entity)
+      .groupBy(col("cohort_period"),
+        (col("p") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+}

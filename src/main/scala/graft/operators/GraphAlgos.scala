@@ -733,6 +733,33 @@ object GraphAlgos {
     out.select(col("walk_id"), col("step"), col("node"))
   }
 
+  /** Longest-path levels on a DAG — "topological layers", the
+    * scheduling depth of every node in a dependency graph (build
+    * systems, dbt lineage, task DAGs): level(v) = 0 at sources, else
+    * 1 + max over incoming edges. Iterated max-plus over int64 for
+    * `rounds` rounds — exact once rounds ≥ the DAG's depth (caller's
+    * bound; on a cyclic input levels inside cycles keep growing, which
+    * is also the standard cycle detector: a level > rounds−1 ⇒ cycle).
+    * Each round is one equi-join + one max aggregate, map-side
+    * combined. Returns (id, lvl). */
+  def dagLevels(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+    var lvl = nodes.select(col("id"), lit(0L).as("lvl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val contrib = e
+        .join(lvl.select(col("id").as("src"), col("lvl").as("sl")), "src")
+        .select(col("dst").as("id"), (col("sl") + 1L).as("lvl"))
+      lvl = lvl.union(contrib)
+        .groupBy(col("id")).agg(max(col("lvl")).as("lvl"))
+        .localCheckpoint(true)
+    }
+    lvl
+  }
+
   /** Bellman-Ford single-source shortest path, fixed relaxation rounds,
     * integer weights. dist_{k+1} = min(dist_k, min over edges (u,v,w) of
     * dist_k(u)+w) — pure min/+ on int64, exact in any engine. Nodes not

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  test("funnel enforces strict stage order per entity") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "buy"),
+      // user 2: clicked BEFORE viewing — click must not count
+      (2L, ts(3), "click"), (2L, ts(4), "view"),
+      // user 3: view then click, no buy
+      (3L, ts(0), "view"), (3L, ts(1), "click"),
+      // user 4: buy with no view — counts nowhere
+      (4L, ts(0), "buy")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "buy" -> (col("event_type") === "buy")))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("1_view" -> 3L, "2_click" -> 2L, "3_buy" -> 1L))
+  }
+
+  test("funnel uses the EARLIEST qualifying time at each stage") {
+    // user's first view at t0; a click at t1 qualifies even though a
+    // later view (t2) exists; the buy between them must chain off t1
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"),
+      (1L, ts(2), "view"), (1L, ts(3), "buy")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "buy" -> (col("event_type") === "buy")))
+      .as[(String, Long)].collect().toMap
+    assert(out.values.toSeq.forall(_ == 1L))
+  }
+
+  test("cohort retention builds the triangle on day buckets") {
+    val day = 86400000000L
+    def dts(d: Int, min: Int = 1) = new Timestamp(d * 86400000L + min * 60000L)
+    val ev = Seq(
+      (1L, dts(0)), (1L, dts(1)), (1L, dts(3)),   // cohort 0, active 0/1/3
+      (2L, dts(0)), (2L, dts(3)),                  // cohort 0, active 0/3
+      (3L, dts(1)), (3L, dts(2))                   // cohort 1, active 1/2
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.cohortRetention(ev, "user_id", "ts", day)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 2L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+}

@@ -72,6 +72,15 @@ class GraphAlgosSpec extends AnyFunSuite {
       assert(deg === 3L && tri === 3L && ppm === 1000000L) }
   }
 
+  test("dagLevels: longest path wins on a diamond with a long arm") {
+    // 1→2→3→5 and 1→4→5: node 5's level is 3 (the longer path)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 5L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val lvl = GraphAlgos.dagLevels(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lvl === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 3L))
+  }
+
   test("bfsHops: undirected distances with the 4→2 shortcut") {
     // from 1: dist 0 = {1}, 1 = {2}, 2 = {3, 4} (via undirected 2-4)
     val d = GraphAlgos.bfsHops(rels, Seq("E"), source = 1L, maxHops = 3)
