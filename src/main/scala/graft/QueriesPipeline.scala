@@ -320,6 +320,20 @@ object QueriesPipeline {
         value = floor(col("l_extendedprice") * 100 + 0.5),
         binWidth = 50000L, qPcts = Seq(50L, 90L, 99L))),
 
+    // grouped histogram quantiles: per-returnflag p50/p99 at histogram
+    // cost — cells are (group, bin), window still ≤ #bins per group
+    "quantile_hist_grouped" -> ((s, dir) =>
+      graft.operators.Sketches.histogramQuantilesGrouped(
+        table(s, dir, "lineitem"), group = "l_returnflag",
+        value = floor(col("l_extendedprice") * 100 + 0.5),
+        binWidth = 50000L, qPcts = Seq(50L, 99L))),
+
+    // tokenizer-coverage eval: OOV ppm of the valid split against the
+    // top-1000 train vocabulary, token-weighted, per language
+    "oov_rate" -> ((s, dir) =>
+      CorpusTools.oovRate(table(s, dir, "documents"), id = "doc_id",
+        text = "text", lang = "lang", trainPct = 80, vocabSize = 1000)),
+
     // referential-integrity audit: dangling-FK counts an inner join
     // would silently drop — anti-join + 1-row aggregates per check
     "integrity_audit" -> ((s, dir) =>
@@ -593,6 +607,45 @@ object QueriesPipeline {
         |SELECT q_pct, min(bin) AS bin, min(bin) * 50000 AS bin_lo
         |FROM q, cum, t WHERE n_le * 100 >= q_pct * total
         |GROUP BY q_pct""".stripMargin,
+    "quantile_hist_grouped" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 50000
+        |      AS bin FROM lineitem),
+        |c AS (SELECT g, bin, count(*) AS n FROM b GROUP BY g, bin),
+        |cum AS (SELECT g, bin,
+        |    CAST(sum(n) OVER (PARTITION BY g ORDER BY bin) AS BIGINT)
+        |      AS n_le FROM c),
+        |t AS (SELECT g, CAST(count(*) AS BIGINT) AS total FROM b
+        |      GROUP BY g),
+        |q(q_pct) AS (VALUES (CAST(50 AS BIGINT)), (99))
+        |SELECT cum.g AS l_returnflag, q_pct, min(bin) AS bin,
+        |       min(bin) * 50000 AS bin_lo
+        |FROM q, cum JOIN t ON cum.g = t.g
+        |WHERE n_le * 100 >= q_pct * total
+        |GROUP BY cum.g, q_pct""".stripMargin,
+    // replays split hash, top-1000 vocab rank (count desc, word), and
+    // the token-weighted left-join OOV count
+    "oov_rate" ->
+      """WITH s AS (SELECT doc_id, text, lang,
+        |    CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80
+        |         THEN 'train' ELSE 'valid' END AS split FROM documents),
+        |tc AS (SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM s
+        |    WHERE split = 'train') t
+        |  WHERE word <> '' GROUP BY word),
+        |v AS (SELECT word FROM (
+        |    SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS r
+        |    FROM tc) q WHERE r <= 1000),
+        |vt AS (SELECT lang, word FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM s
+        |    WHERE split = 'valid') t WHERE word <> ''),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM vt LEFT JOIN v ON vt.word = v.word GROUP BY lang)
+        |SELECT lang, n_tokens, n_oov,
+        |       n_oov * 1000000 // n_tokens AS oov_ppm
+        |FROM a""".stripMargin,
     "integrity_audit" ->
       """SELECT 'lineitem.orderkey' AS relation,
         |  (SELECT count(*) FROM lineitem) AS n_rows,

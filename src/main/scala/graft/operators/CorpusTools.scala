@@ -280,6 +280,34 @@ object CorpusTools {
         expr("w_scaled * 1000000 div w_total").as("share_ppm"))
   }
 
+  /** Tokenizer-coverage evaluation: the out-of-vocabulary rate of the
+    * held-out split against a vocabulary induced on the training split —
+    * the metric that decides a vocab size before an expensive tokenizer
+    * train. Vocab = top `vocabSize` train words by (count desc, word);
+    * OOV counts the valid split's POSITIONAL tokens (repeats count —
+    * coverage is token-weighted, not type-weighted) outside it. The
+    * vocabulary is bounded by construction, so membership is a broadcast
+    * join; rates are exact ppm by integer division. Returns per-stratum
+    * (lang, n_tokens, n_oov, oov_ppm). */
+  def oovRate(docs: DataFrame, id: String, text: String, lang: String,
+              trainPct: Int, vocabSize: Int): DataFrame = {
+    val split = hashSplit(docs, id, trainPct, validPct = 100 - trainPct)
+    val vocab = buildVocab(split.where(col("split") === "train"), text,
+        minCount = 1L)
+      .where(col("vocab_id") <= vocabSize).select(col("word"))
+    val validToks = split.where(col("split") === "valid")
+      .select(col(lang), explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+    validToks
+      .join(broadcast(vocab.withColumn("_in", lit(true))), Seq("word"),
+        "left")
+      .groupBy(col(lang))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(lang), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+  }
+
   def buildVocab(docs: DataFrame, text: String, minCount: Long): DataFrame = {
     val counts = docs
       .select(explode(words(col(text))).as("word"))

@@ -193,6 +193,31 @@ object Sketches {
         (col("bin") * binWidth).as("bin_lo"))
   }
 
+  /** Per-group twin of [[histogramQuantiles]] — `GROUP BY g,
+    * percentile(v, q)` at histogram cost: cells are (group, bin), the
+    * cumulative window partitions by group (still ≤ #bins rows per
+    * group), and the per-group total joins on the group key. */
+  def histogramQuantilesGrouped(df: DataFrame, group: String, value: Column,
+                                binWidth: Long, qPcts: Seq[Long])
+      : DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bins = df.select(col(group), value.cast("long").as("v"))
+      .selectExpr(group, s"v div $binWidth AS bin")
+      .groupBy(col(group), col("bin")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(group)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("n_le", sum(col("n")).over(w))
+    val total = bins.groupBy(col(group)).agg(sum(col("n")).as("total"))
+    cum.join(total, group)
+      .join(broadcast(qPcts.toDF("q_pct")), lit(true))
+      .where(col("n_le") * 100 >= col("q_pct") * col("total"))
+      .groupBy(col(group), col("q_pct"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col(group), col("q_pct"), col("bin"),
+        (col("bin") * binWidth).as("bin_lo"))
+  }
+
   /** α_m·m²·2^40 as one Scala-computed double: the single float constant
     * both the Spark plan and the SQL oracle must share (17 significant
     * digits round-trip a double exactly). */

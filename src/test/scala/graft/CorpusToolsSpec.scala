@@ -114,6 +114,26 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out("de") === (("de", 100L, 10000000L, 250000L)))
   }
 
+  test("oovRate matches a Scala mirror of split, vocab, and token counts") {
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 2 == 0) s"alpha beta w$i" else "alpha gamma", "en"))
+    val out = CorpusTools.oovRate(rows.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", trainPct = 80, vocabSize = 2)
+      .as[(String, Long, Long, Long)].collect().head
+    // mirror the hash split and top-2 vocab exactly
+    def bucket(i: Long) = i * 2654435761L % 1000000007L % 100L
+    val (train, valid) = rows.partition(r => bucket(r._1) < 80)
+    assert(valid.nonEmpty && train.nonEmpty)
+    val counts = train.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (w, g) => w -> g.size }
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(2).map(_._1).toSet
+    val vtoks = valid.flatMap(_._2.split(" "))
+    val nOov = vtoks.count(w => !vocab(w)).toLong
+    assert(out === (("en", vtoks.size.toLong, nOov,
+      nOov * 1000000L / vtoks.size)))
+  }
+
   test("buildVocab ranks by frequency then word, applying minCount") {
     val docs = Seq(
       (1L, "b b b a a c"), (2L, "a b")

@@ -105,6 +105,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(out(99L) === ((9L, 90L)))   // value 99 lives in bin 9
   }
 
+  test("grouped histogram quantiles: independent ranks per group") {
+    val vals = ((1L to 100L).map(("A", _)) ++ (1L to 10L).map(("B", _)))
+      .toDF("g", "v")
+    val out = Sketches.histogramQuantilesGrouped(vals, "g", col("v"),
+        binWidth = 10L, qPcts = Seq(50L, 99L))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("A", 50L)) === ((5L, 50L)))
+    assert(out(("A", 99L)) === ((9L, 90L)))
+    assert(out(("B", 50L)) === ((0L, 0L)))   // 9 of B's 10 rows in bin 0
+    assert(out(("B", 99L)) === ((1L, 10L)))
+  }
+
   test("grid size is bounded by d·w regardless of corpus size") {
     val sketch = Sketches.countMinBuild(docs, "text", width = 2)
     assert(sketch.count() <= 3L * 2L)
