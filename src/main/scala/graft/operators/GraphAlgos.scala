@@ -646,7 +646,14 @@ object GraphAlgos {
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
     var e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // early exit once a round peels nothing: peeling is monotone
+    // (edges only leave), so an unchanged count means an unchanged SET
+    // and every further round is an identity — the result is exactly
+    // the fixed-`rounds` result without paying the remaining wedge
+    // joins. The count is O(1) on the checkpointed edge list.
+    var prev = e.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       val oriented = e
@@ -678,6 +685,9 @@ object GraphAlgos {
         .where(col("support") >= k - 2)
         .select(col("a"), col("b"))
         .localCheckpoint(true)
+      val n = e.count()
+      converged = n == prev
+      prev = n
     }
     e
   }

@@ -23,11 +23,9 @@ object Scratch {
     }
     val pred = Some(col("origin").between(2000000000L, 2999999999L) &&
       col("origin") % 50 === 0)
-    time("random_walks") {
-      println("[probe] rows=" + graft.operators.GraphAlgos.randomWalks(
-        graft.SparkEntry.graph(spark, dir).rels,
-        types = Seq("FROM_NATION", "IN_REGION"), starts = 2,
-        length = 3).count())
+    time("ktruss_gate") {
+      println("[probe] rows=" +
+        graft.SparkEntry.queries("ktruss")(spark, dir).count())
     }
     spark.stop()
   }
