@@ -157,7 +157,11 @@ object GraphAlgos {
     var und = undirected(
         rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
       .distinct().localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // same monotone early exit as kTruss: an unchanged count after a
+    // peel round means an unchanged set, so remaining rounds are no-ops
+    var prev = und.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val surv = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("u"))
       und = und
@@ -166,6 +170,9 @@ object GraphAlgos {
         .join(surv.withColumnRenamed("u", "sv"), col("v") === col("sv"))
         .drop("sv")
         .localCheckpoint(true)
+      val n = und.count()
+      converged = n == prev
+      prev = n
     }
     und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
   }
