@@ -64,6 +64,34 @@ class ChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("compactState merges are batch-order invariant on random changelogs") {
+    val rnd = new scala.util.Random(11)
+    // 300 changes over 40 keys, unique seqs, ~20% deletes
+    val all = rnd.shuffle((1L to 300L).toList).map { seq =>
+      (rnd.nextInt(40).toLong, seq, rnd.nextInt(5) == 0, rnd.nextDouble())
+    }
+    def toDf(rows: Seq[(Long, Long, Boolean, Double)]) =
+      rows.toDF("k", "seq", "_is_delete", "v")
+    val whole = Changelog.compactState(toDf(all), "k", "seq")
+      .orderBy("k").collect().toSeq
+    // split into 3 batches, merge in a SHUFFLED order, re-compact each step
+    val batches = rnd.shuffle(all.grouped(100).toList)
+    val merged = batches.map(toDf).reduce((st, b) =>
+      Changelog.compactState(st.unionByName(b), "k", "seq"))
+      .orderBy("k").collect().toSeq
+    assert(merged === whole)
+    // and the tombstone-filtered view equals compactLatest over everything
+    val viaState = Changelog.compactState(toDf(all), "k", "seq")
+      .where(!col("_is_delete")).select("k", "seq", "v")
+      .orderBy("k").collect().toSeq
+    val direct = Changelog.compactLatest(
+        toDf(all).withColumnRenamed("_is_delete", "del"), "k", "seq",
+        col("del"))
+      .select(col("k"), col("last_seq").as("seq"), col("last_v").as("v"))
+      .orderBy("k").collect().toSeq
+    assert(viaState === direct)
+  }
+
   test("plan is a single aggregate — no window sort over history") {
     val plan = Changelog.compactLatest(changes, "k", "seq",
       col("op") === "delete").queryExecution.executedPlan.toString

@@ -54,6 +54,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out.map(_._2).sum === edges.count())
   }
 
+  test("csrOffsets equals the naive global-window prefix sum on random graphs") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(800)((rnd.nextInt(200).toLong,
+        rnd.nextInt(200).toLong, "E", None: Option[Double],
+        None: Option[Double]))
+      .toDF("START_ID", "END_ID", "TYPE", "weight", "cost")
+    val gr = GraphRef(nodes, edges)
+    val distributed = gr.csrOffsets().orderBy("node").collect().toSeq
+    val naive = gr.degrees()
+      .select(col("ID").as("node"), col("out_degree").as("deg"))
+      .withColumn("offset",
+        coalesce(sum(col("deg")).over(Window.orderBy(col("node"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy("node").collect().toSeq
+    assert(distributed === naive)
+  }
+
   test("rel scan long form: one row per rel per present property") {
     val rows = g.relScan()
       .select("START_ID", "END_ID", "property")
