@@ -192,6 +192,13 @@ object QueriesPipeline {
     "corpus_mix" -> ((s, dir) =>
       CorpusTools.temperatureMix(table(s, dir, "documents"), "lang")),
 
+    // the mix APPLIED: ppm shares → per-language keep rates for a
+    // 200-doc budget → hash-gated sample; the kept SET (id checksum),
+    // not just its size, is engine-reproducible
+    "corpus_mix_apply" -> ((s, dir) =>
+      CorpusTools.applyTemperatureMix(table(s, dir, "documents"),
+        id = "doc_id", stratum = "lang", budget = 200L)),
+
     // ---- retrieval -------------------------------------------------------
     // BM25-shaped top-10 per query: inverted-index postings join, 1-row
     // corpus stats via scalar cross-join, sqrt-idf (IEEE-exact — BM25's
@@ -694,6 +701,28 @@ object QueriesPipeline {
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin,
     "sketch_hll" -> hllOracle,
+    "corpus_mix_apply" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |           GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS w_scaled FROM c),
+        |t AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS w_total FROM w),
+        |m AS (SELECT lang, n_docs, w_scaled * 1000000 // w_total
+        |        AS share_ppm FROM w, t),
+        |r AS (SELECT lang, n_docs, share_ppm * 200 // 1000000 AS target
+        |      FROM m),
+        |r2 AS (SELECT lang, n_docs, target,
+        |    least(target * 1000000 // n_docs, 1000000) AS rate_ppm FROM r),
+        |k AS (SELECT d.lang, d.doc_id FROM documents d
+        |      JOIN r2 ON d.lang = r2.lang
+        |      WHERE d.doc_id * 2654435761 % 1000000007 % 1000000
+        |            < r2.rate_ppm),
+        |kk AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(doc_id) AS BIGINT) AS s FROM k GROUP BY lang)
+        |SELECT r2.lang, r2.n_docs, r2.target, r2.rate_ppm,
+        |  COALESCE(kk.n, 0) AS n_kept, COALESCE(kk.s, 0) AS kept_id_sum
+        |FROM r2 LEFT JOIN kk ON r2.lang = kk.lang""".stripMargin,
     // √ is IEEE-correctly-rounded in both engines, so floor(√n·10⁶) and
     // the ppm integer division replay exactly
     "corpus_mix" ->

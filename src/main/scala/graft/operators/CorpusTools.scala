@@ -308,6 +308,33 @@ object CorpusTools {
         expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
   }
 
+  /** APPLY a temperature mix: turn [[temperatureMix]]'s ppm shares into
+    * per-stratum deterministic keep rates for a total `budget` of
+    * documents, gate rows by the Knuth hash (retry- and
+    * partitioning-stable where rand() is neither), and report per
+    * stratum what the sampler actually kept. target = budget·share;
+    * rate = target/n capped at 100% — all exact integer arithmetic, so
+    * the sampled SET (not just its size) is reproducible anywhere.
+    * Returns (stratum, n_docs, target, rate_ppm, n_kept, kept_id_sum). */
+  def applyTemperatureMix(docs: DataFrame, id: String, stratum: String,
+                          budget: Long): DataFrame = {
+    val rates = temperatureMix(docs, stratum)
+      .select(col(stratum), col("n_docs"),
+        expr(s"share_ppm * ${budget}L div 1000000").as("target"))
+      .select(col(stratum), col("n_docs"), col("target"),
+        least(expr("target * 1000000 div n_docs"), lit(1000000L))
+          .as("rate_ppm"))
+    val kept = docs.join(broadcast(rates), Seq(stratum))
+      .where(col(id) * 2654435761L % 1000000007L % 1000000L
+        < col("rate_ppm"))
+      .groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_kept"), sum(col(id)).as("kept_id_sum"))
+    rates.join(kept, Seq(stratum), "left")
+      .select(col(stratum), col("n_docs"), col("target"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+  }
+
   def buildVocab(docs: DataFrame, text: String, minCount: Long): DataFrame = {
     val counts = docs
       .select(explode(words(col(text))).as("word"))

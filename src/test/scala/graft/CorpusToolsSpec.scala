@@ -114,6 +114,24 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out("de") === (("de", 100L, 10000000L, 250000L)))
   }
 
+  test("applyTemperatureMix: exact rates, deterministic kept set") {
+    val docs = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (901 to 1000).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    def run() = CorpusTools
+      .applyTemperatureMix(docs, "doc_id", "lang", budget = 100L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val out = run()
+    // shares 750k/250k ppm of a 100-doc budget → targets 75/25;
+    // rates: 75e6/900 = 83333 ppm, 25e6/100 = 250000 ppm
+    assert(out("en")._3 === 75L && out("en")._4 === 83333L)
+    assert(out("de")._3 === 25L && out("de")._4 === 250000L)
+    // the hash gate is uniform-ish (within 40% of target) and the kept
+    // SET is bit-stable across runs (checksum equality, not just count)
+    assert(math.abs(out("en")._5 - 75L) <= 30L)
+    assert(out === run())
+  }
+
   test("oovRate matches a Scala mirror of split, vocab, and token counts") {
     val rows = (1L to 60L).map(i =>
       (i, if (i % 2 == 0) s"alpha beta w$i" else "alpha gamma", "en"))
