@@ -268,7 +268,8 @@ object GraphAlgos {
       .select(lit(source).as("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = visited.select(col("id"))
-    for (k <- 1 to maxHops) {
+    var exhausted = false
+    for (k <- 1 to maxHops if !exhausted) {
       val next = und
         .join(frontier.withColumnRenamed("id", "f_id"), col("u") === col("f_id"))
         .select(col("v").as("id")).distinct()
@@ -277,6 +278,8 @@ object GraphAlgos {
         .localCheckpoint(true)
       visited = visited.union(next).localCheckpoint(true)
       frontier = next.select(col("id"))
+      // an empty frontier cannot grow again — remaining hops are no-ops
+      exhausted = next.isEmpty
     }
     visited
   }
@@ -766,13 +769,21 @@ object GraphAlgos {
       .union(e.select(col("dst"))).distinct()
     var lvl = nodes.select(col("id"), lit(0L).as("lvl"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // levels only grow, so an unchanged sum(lvl) is the fixpoint — the
+    // same monotone early exit as the peel loops, detected by one cheap
+    // aggregate on the checkpointed table
+    var prevSum = 0L
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val contrib = e
         .join(lvl.select(col("id").as("src"), col("lvl").as("sl")), "src")
         .select(col("dst").as("id"), (col("sl") + 1L).as("lvl"))
       lvl = lvl.union(contrib)
         .groupBy(col("id")).agg(max(col("lvl")).as("lvl"))
         .localCheckpoint(true)
+      val s = lvl.agg(sum(col("lvl"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
     }
     lvl
   }
