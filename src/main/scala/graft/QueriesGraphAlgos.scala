@@ -109,6 +109,39 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(bfsLevel).mkString(",\n")}
        |SELECT id, dist FROM v3""".stripMargin
 
+  /** Prefixed BFS level for multi-sweep oracles. MATERIALIZED is
+    * load-bearing: DuckDB inlines plain CTEs per reference, so a
+    * 12-level chained sweep re-expands the parquet union exponentially
+    * (observed as fd exhaustion); materializing each level keeps the
+    * expansion linear. */
+  private def bfsLvl(p: String, k: Int): String =
+    s"""${p}n$k AS MATERIALIZED (SELECT id, CAST($k AS BIGINT) AS dist FROM (
+       |    SELECT DISTINCT und.b AS id FROM und
+       |    JOIN ${p}n${k - 1} f ON und.a = f.id) t
+       |  WHERE id NOT IN (SELECT id FROM ${p}v${k - 1})),
+       |${p}v$k AS MATERIALIZED (SELECT * FROM ${p}v${k - 1}
+       |            UNION ALL SELECT * FROM ${p}n$k)""".stripMargin
+
+  private val diameterOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |an0 AS (SELECT CAST(1000000000 AS BIGINT) AS id,
+       |               CAST(0 AS BIGINT) AS dist),
+       |av0 AS (SELECT * FROM an0),
+       |${(1 to 6).map(k => bfsLvl("a", k)).mkString(",\n")},
+       |bn0 AS (SELECT (SELECT id FROM av6 ORDER BY dist DESC, id LIMIT 1)
+       |          AS id, CAST(0 AS BIGINT) AS dist),
+       |bv0 AS (SELECT * FROM bn0),
+       |${(1 to 6).map(k => bfsLvl("b", k)).mkString(",\n")}
+       |SELECT (SELECT id FROM bn0) AS far_node,
+       |       CAST(max(dist) AS BIGINT) AS diameter_lb,
+       |       CAST(count(*) AS BIGINT) AS n_reached
+       |FROM bv6""".stripMargin
+
   // ------------------------------------------- personalized pagerank
 
   /** Personalized iteration k: teleport mass only at region seeds. */
@@ -587,6 +620,13 @@ object QueriesGraphAlgos {
       types = Seq("FROM_NATION", "IN_REGION"),
       source = 1000000000L, maxHops = 3)
       .select(col("id"), col("dist"))),
+    // diameter lower bound by double BFS sweep over the membership
+    // subgraph: farthest node from customer 0 (ties → min id), then the
+    // second sweep's eccentricity
+    "diameter_est" -> ((s, dir) => GraphAlgos.diameterEstimate(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"),
+      source = 1000000000L, maxHops = 6)),
     // Synchronous label propagation, 3 rounds, over the membership
     // subgraph — nodes converge toward region-rooted communities.
     "label_prop" -> ((s, dir) => GraphAlgos.labelPropagation(
@@ -736,6 +776,7 @@ object QueriesGraphAlgos {
     "louvain_move" -> louvainOracle,
     "betweenness" -> betweennessOracle,
     "dag_levels" -> dagLevelsOracle,
+    "diameter_est" -> diameterOracle,
     "random_walks" -> randomWalksOracle,
     "ktruss" -> ktrussOracle)
 }

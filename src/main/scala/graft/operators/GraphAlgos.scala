@@ -284,6 +284,26 @@ object GraphAlgos {
     visited
   }
 
+  /** Diameter lower bound by the classic double BFS sweep: BFS from
+    * `source`, take the farthest reached node (max dist, ties by min
+    * id), BFS again from it — the second sweep's eccentricity is a
+    * tight diameter lower bound (exact on trees, near-exact on most
+    * real graphs; the exact diameter is all-pairs, which does not exist
+    * at 100 TB). The single-row `first()` between sweeps is an
+    * algorithm-level sequential dependency (one scalar), not a data
+    * collection. Returns one row (far_node, diameter_lb, n_reached). */
+  def diameterEstimate(rels: DataFrame, types: Seq[String], source: Long,
+                       maxHops: Int): DataFrame = {
+    val b1 = bfsHops(rels, types, source, maxHops)
+    val far = b1.orderBy(col("dist").desc, col("id")).limit(1)
+      .select(col("id")).first().getLong(0)
+    bfsHops(rels, types, far, maxHops)
+      .agg(max(col("dist")).as("diameter_lb"),
+        count(lit(1)).as("n_reached"))
+      .select(lit(far).as("far_node"), col("diameter_lb"),
+        col("n_reached"))
+  }
+
   /** FastRP-shaped node embeddings, integer-exact. The reference's
     * headline payload IS FastRP vectors streamed out of GDS
     * (speed/26-aug-2021/README.md — "PaySim + FastRP"); this computes the

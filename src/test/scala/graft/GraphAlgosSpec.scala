@@ -81,6 +81,18 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(lvl === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 3L))
   }
 
+  test("diameterEstimate: exact on a path graph, ties break to min id") {
+    // path 1-2-3-4-5 as typed rels; from the middle (3) the far node is
+    // 1 (dist 2, tie with 5 → min id), second sweep reaches 5 at dist 4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .map { case (a, b) => (a, b, "E") }
+      .toDF("START_ID", "END_ID", "TYPE")
+    val Array((far, lb, n)) = GraphAlgos.diameterEstimate(
+        path, Seq("E"), source = 3L, maxHops = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(far === 1L && lb === 4L && n === 5L)
+  }
+
   test("bfsHops: undirected distances with the 4→2 shortcut") {
     // from 1: dist 0 = {1}, 1 = {2}, 2 = {3, 4} (via undirected 2-4)
     val d = GraphAlgos.bfsHops(rels, Seq("E"), source = 1L, maxHops = 3)
