@@ -199,6 +199,50 @@ object QueriesPipeline {
       CorpusTools.applyTemperatureMix(table(s, dir, "documents"),
         id = "doc_id", stratum = "lang", budget = 200L)),
 
+    // END-TO-END curation v2 — the round-5 operators composed: quality
+    // floor → benchmark decontamination (flagged train docs dropped) →
+    // temperature-mix budgeted sampling of the survivors → per-language
+    // selection stats. One oracle replays every stage including the mix
+    // rates and the hash gate, proving the new operators compose.
+    "pipeline_curation" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          words(col("text")).as("ws"))
+        .where(size(col("ws")) >= 5)
+      val flagged = CorpusTools.decontaminate(docs, "doc_id", "text",
+          benchPred = col("doc_id") % 50 === 0, n = 4, maxDf = 50)
+        .select(col("doc_id"))
+      val train = docs.where(col("doc_id") % 50 =!= 0)
+      // survivors feed the mix-rate build AND the gate AND the final agg
+      val surv = train.join(flagged, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rates = CorpusTools.temperatureMix(surv, "lang")
+        .select(col("lang"), col("n_docs"),
+          expr("share_ppm * 300L div 1000000").as("target"))
+        .select(col("lang"), col("n_docs"), col("target"),
+          least(expr("target * 1000000 div n_docs"), lit(1000000L))
+            .as("rate_ppm"))
+      val keptAgg = surv.join(broadcast(rates), Seq("lang"))
+        .where(col("doc_id") * 2654435761L % 1000000007L % 1000000L
+          < col("rate_ppm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(col("ws")).cast("long")).as("kept_tokens"),
+          sum(col("doc_id")).as("kept_id_sum"))
+      val stats = train
+        .join(flagged.withColumn("_f", lit(true)), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("_f"), 1L).otherwise(0L)).as("n_flagged"))
+      stats.join(rates, Seq("lang"))
+        .join(keptAgg, Seq("lang"), "left")
+        .select(col("lang"), col("n_train"), col("n_flagged"),
+          col("n_docs"), col("target"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+    }),
+
     // ---- retrieval -------------------------------------------------------
     // BM25-shaped top-10 per query: inverted-index postings join, 1-row
     // corpus stats via scalar cross-join, sqrt-idf (IEEE-exact — BM25's
@@ -671,6 +715,58 @@ object QueriesPipeline {
         |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
         |    (SELECT c_custkey FROM customer))""".stripMargin,
     "sketch_hll_grouped" -> hllGroupedOracle,
+    // replays the whole curation chain: quality floor, distinct
+    // word-4-gram posting lists with the DF cap, train×bench flagging,
+    // √n mix rates over SURVIVORS, and the Knuth-hash gate
+    "pipeline_curation" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+        |           || ws[i+3]))) AS s
+        |  FROM q),
+        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh
+        |                       GROUP BY 1) t WHERE df > 50),
+        |c AS MATERIALIZED (SELECT * FROM sh
+        |                   WHERE s NOT IN (SELECT s FROM hot)),
+        |b AS (SELECT s, doc_id FROM c WHERE doc_id % 50 = 0),
+        |tr AS (SELECT * FROM c WHERE doc_id % 50 != 0),
+        |fl AS MATERIALIZED (SELECT DISTINCT tr.doc_id
+        |                    FROM tr JOIN b ON tr.s = b.s),
+        |train AS MATERIALIZED (SELECT * FROM q WHERE doc_id % 50 <> 0),
+        |surv AS MATERIALIZED (SELECT * FROM train
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
+        |cnt AS (SELECT lang, count(*) AS n_docs FROM surv GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS w_scaled FROM cnt),
+        |tt AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS w_total FROM w),
+        |m AS (SELECT lang, n_docs, w_scaled * 1000000 // w_total
+        |        AS share_ppm FROM w, tt),
+        |r2 AS (SELECT lang, n_docs, target,
+        |    least(target * 1000000 // n_docs, 1000000) AS rate_ppm FROM (
+        |      SELECT lang, n_docs, share_ppm * 300 // 1000000 AS target
+        |      FROM m) z),
+        |kept AS (SELECT surv.lang, surv.doc_id, surv.ws FROM surv
+        |    JOIN r2 ON surv.lang = r2.lang
+        |    WHERE surv.doc_id * 2654435761 % 1000000007 % 1000000
+        |          < r2.rate_ppm),
+        |ka AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(len(ws)) AS BIGINT) AS kept_tokens,
+        |    CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |  FROM kept GROUP BY lang),
+        |st AS (SELECT lang, count(*) AS n_train,
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM fl)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |  FROM train GROUP BY lang)
+        |SELECT st.lang, st.n_train, st.n_flagged, r2.n_docs, r2.target,
+        |  r2.rate_ppm, COALESCE(ka.n_kept, 0) AS n_kept,
+        |  COALESCE(ka.kept_tokens, 0) AS kept_tokens,
+        |  COALESCE(ka.kept_id_sum, 0) AS kept_id_sum
+        |FROM st JOIN r2 ON st.lang = r2.lang
+        |LEFT JOIN ka ON st.lang = ka.lang""".stripMargin,
     // lead() over the full per-key history (deletes included — they
     // bound the previous version's interval), filtered after
     "changelog_scd2" ->
