@@ -569,6 +569,101 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(bfRound).mkString(",\n")}
        |SELECT id, d FROM d3""".stripMargin
 
+  // ------------------------------------------------------ scc coloring
+
+  /** One unrolled min-label round k for SCC coloring; prefix "f"
+    * propagates along edge direction, "b" against it. MATERIALIZED keeps
+    * DuckDB from re-inlining the whole chain at every level (the same
+    * CTE-explosion guard as the diameter oracle). */
+  private def sccRound(p: String, k: Int): String = {
+    val (from, to) = if (p == "b") ("dst", "src") else ("src", "dst")
+    s"""$p$k AS MATERIALIZED (
+       |  SELECT l.id, least(l.lbl, coalesce(m.m, l.lbl)) AS lbl
+       |  FROM $p${k - 1} l LEFT JOIN (
+       |    SELECT e.$to AS id, min(l2.lbl) AS m
+       |    FROM scce e JOIN $p${k - 1} l2 ON e.$from = l2.id
+       |    GROUP BY e.$to) m ON m.id = l.id)""".stripMargin
+  }
+
+  /** The gate's cyclic graph: within each sampled order, parts chain by
+    * linenumber and the last wraps to the first — parts shared across
+    * orders merge the cycles into larger SCCs. */
+  private val sccEdgeCtes: String =
+    """sccli AS MATERIALIZED (
+      |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+      |         3000000000 + l_partkey AS p
+      |  FROM lineitem WHERE l_orderkey % 25 = 0),
+      |scce AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT p AS src,
+      |           coalesce(lead(p) OVER (PARTITION BY ok ORDER BY ln),
+      |                    first_value(p) OVER (PARTITION BY ok ORDER BY ln))
+      |             AS dst
+      |    FROM sccli) t),
+      |sccn AS MATERIALIZED (
+      |  SELECT src AS id FROM scce UNION SELECT dst FROM scce)""".stripMargin
+
+  private val sccOracle: String =
+    s"""WITH $sccEdgeCtes,
+       |f0 AS (SELECT id, id AS lbl FROM sccn),
+       |b0 AS (SELECT id, id AS lbl FROM sccn),
+       |${(1 to 6).map(sccRound("f", _)).mkString(",\n")},
+       |${(1 to 6).map(sccRound("b", _)).mkString(",\n")}
+       |SELECT f.id,
+       |       CASE WHEN f.lbl = b.lbl THEN f.lbl ELSE f.id END AS scc,
+       |       CAST(CASE WHEN f.lbl = b.lbl THEN 1 ELSE 0 END AS BIGINT)
+       |         AS resolved
+       |FROM f6 f JOIN b6 b ON f.id = b.id""".stripMargin
+
+  // ----------------------------------------------------- assortativity
+
+  private val assortativityOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |ae AS MATERIALIZED (SELECT DISTINCT start_id AS src, end_id AS dst
+       |  FROM rels WHERE type = 'CONTAINS'),
+       |st AS MATERIALIZED (SELECT src AS u, dst AS v FROM ae
+       |  UNION SELECT dst, src FROM ae),
+       |dg AS MATERIALIZED (SELECT u AS n, count(*) AS d FROM st GROUP BY u),
+       |j AS (SELECT du.d AS du, dv.d AS dv
+       |      FROM st JOIN dg du ON st.u = du.n JOIN dg dv ON st.v = dv.n),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+       |             CAST(sum(du) AS BIGINT) AS sx,
+       |             CAST(sum(du * dv) AS BIGINT) AS sxy,
+       |             CAST(sum(du * du) AS BIGINT) AS sxx FROM j)
+       |SELECT m2, sx, sxy, sxx,
+       |       CAST(m2 * sxy - sx * sx AS DOUBLE)
+       |         / CAST(m2 * sxx - sx * sx AS DOUBLE) AS r
+       |FROM a""".stripMargin
+
+  // ----------------------------------------------------- link predict
+
+  private val linkPredictOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |lpps AS MATERIALIZED (
+       |  SELECT DISTINCT start_id AS part, end_id AS supp FROM rels
+       |  WHERE type = 'SUPPLIED_BY' AND start_id % 20 = 0
+       |    AND end_id % 3 = 0),
+       |lppe AS MATERIALIZED (
+       |  SELECT DISTINCT p1.part AS a, p2.part AS b
+       |  FROM lpps p1 JOIN lpps p2
+       |    ON p1.supp = p2.supp AND p1.part < p2.part),
+       |lpund AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM lppe UNION SELECT b, a FROM lppe),
+       |lpdg AS MATERIALIZED (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM lpund GROUP BY u),
+       |lpcent AS MATERIALIZED (
+       |  SELECT lpund.u AS c, lpund.v AS n, 1000000 // lpdg.deg AS share
+       |  FROM lpund JOIN lpdg ON lpund.u = lpdg.u WHERE lpdg.deg <= 50),
+       |lpcand AS MATERIALIZED (
+       |  SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS cn,
+       |         CAST(sum(x.share) AS BIGINT) AS ra
+       |  FROM lpcent x JOIN lpcent y ON x.c = y.c AND x.n < y.n
+       |  GROUP BY x.n, y.n)
+       |SELECT a, b, cn, ra FROM lpcand
+       |WHERE NOT EXISTS (SELECT 1 FROM lpund
+       |                  WHERE lpund.u = lpcand.a AND lpund.v = lpcand.b)
+       |ORDER BY ra DESC, a, b LIMIT 25""".stripMargin
+
   // -------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -738,6 +833,44 @@ object QueriesGraphAlgos {
       types = Seq("FROM_NATION", "IN_REGION"),
       seedPred = col("id") >= 6000000000L, maxHops = 3)
       .select(col("id"), col("bc_scaled"))),
+    // One FW-BW coloring pass of SCC decomposition over the per-order
+    // part-cycle graph (parts chain by linenumber, last wraps to first;
+    // shared parts merge order cycles) — min-label both directions,
+    // F=B resolves membership.
+    "scc_coloring" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ok")).orderBy(col("ln"))
+      val li = graft.sources.TpchGraph.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 25 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          (col("l_partkey") + 3000000000L).as("p"))
+      val edges = li.select(col("p").as("src"),
+        coalesce(lead(col("p"), 1).over(w), first(col("p")).over(w))
+          .as("dst"))
+      GraphAlgos.sccColoring(edges, rounds = 6)
+    }),
+    // Resource-Allocation-index link prediction on the thinned
+    // co-supplier part graph: top-25 non-edges by Σ ⌊1e6/deg(c)⌋ over
+    // common neighbors, hub centers capped at deg ≤ 50.
+    "link_predict" -> ((s, dir) => {
+      val ps = SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "SUPPLIED_BY" && col("START_ID") % 20 === 0
+          && col("END_ID") % 3 === 0)
+        .select(col("START_ID").as("part"), col("END_ID").as("supp"))
+        .distinct()
+      val edges = ps.as("p1")
+        .join(ps.as("p2"),
+          col("p1.supp") === col("p2.supp") && col("p1.part") < col("p2.part"))
+        .select(col("p1.part").as("a"), col("p2.part").as("b"))
+        .distinct()
+      GraphAlgos.linkPredict(edges, maxDf = 50, k = 25)
+    }),
+    // Newman degree assortativity of the undirected order↔part graph —
+    // int64 stub-degree sums, one exact double division at the end.
+    "assortativity" -> ((s, dir) => GraphAlgos.degreeAssortativity(
+      SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "CONTAINS")
+        .select(col("START_ID").as("src"), col("END_ID").as("dst")))),
     // Louvain move phase: 2 synchronous modularity-gain rounds from
     // singleton communities — integer gains (2m·kvc − deg·tot), smallest
     // community tie-break; the inner loop GDS louvain iterates.
@@ -777,6 +910,9 @@ object QueriesGraphAlgos {
     "betweenness" -> betweennessOracle,
     "dag_levels" -> dagLevelsOracle,
     "diameter_est" -> diameterOracle,
+    "scc_coloring" -> sccOracle,
+    "assortativity" -> assortativityOracle,
+    "link_predict" -> linkPredictOracle,
     "random_walks" -> randomWalksOracle,
     "ktruss" -> ktrussOracle)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{CorpusTools, Dedup, Multimodal, Similarity}
+import graft.operators.{CorpusTools, Dedup, Multimodal, Similarity, Skew}
 import graft.sources.TpchGraph.table
 
 /** North-star LLM-training-data pipeline operators over the `documents` /
@@ -39,6 +39,11 @@ object QueriesPipeline {
           round(col("est_jaccard"), 6).as("est_jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(table(s, dir, "documents"), "doc_id", "text")),
+    // exact-substring dedup's span stage (Lee et al. 2022): mark every
+    // 5-token span occurring >1× corpus-wide, per-doc duplication ppm —
+    // two hash aggregates, no pair join however hot a boilerplate span is
+    "dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(table(s, dir, "documents"), "doc_id", "text", n = 5)),
     // pairwise matches → dedup groups: connected components over the
     // ngram near-dup pairs (iterative min-label propagation; oracle = the
     // same fixpoint as a recursive CTE)
@@ -138,6 +143,16 @@ object QueriesPipeline {
         minCount = 10L)
         .where(col("vocab_id") <= 200)),
 
+    // BPE training's first pair-count scan: adjacent character-pair
+    // frequencies, token-weighted via the word-count vocabulary (the
+    // corpus never explodes — only distinct words do), top 25
+    "bpe_pairs" -> ((s, dir) =>
+      CorpusTools.bpePairs(table(s, dir, "documents"), "text", k = 25)),
+    // join-key distribution profile of lineitem's part key — cardinality,
+    // frequency percentiles, hottest key, exact integer Gini — the
+    // pre-flight statistic that picks a 100 TB join strategy
+    "skew_profile" -> ((s, dir) =>
+      Skew.keyProfile(table(s, dir, "lineitem"), "l_partkey")),
     // single-pass per-column profiling (data validation before training)
     "profile_docs" -> ((s, dir) =>
       CorpusTools.profile(table(s, dir, "documents"),
@@ -1164,6 +1179,69 @@ object QueriesPipeline {
         |           AS BIGINT) AS vocab_id, word, cnt
         |  FROM c) t
         |WHERE vocab_id <= 200""".stripMargin,
+    "dup_spans" ->
+      """WITH sp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws) - 3),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+        |                || ws[i+3] || ' ' || ws[i+4])) AS span
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) t
+        |  WHERE len(ws) >= 5),
+        |sc AS MATERIALIZED (
+        |  SELECT span, count(*) AS c FROM sp GROUP BY span)
+        |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN sc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_spans,
+        |       CAST(sum(CASE WHEN sc.c > 1 THEN 1 ELSE 0 END) * 1000000
+        |         // count(*) AS BIGINT) AS dup_ppm
+        |FROM sp JOIN sc ON sp.span = sc.span
+        |GROUP BY sp.doc_id""".stripMargin,
+    "bpe_pairs" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT word, count(*) AS wcnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents) t
+        |  WHERE word != '' GROUP BY word),
+        |p0 AS (SELECT word, wcnt,
+        |              unnest(range(1, length(word))) AS i FROM w),
+        |p AS (SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, wcnt
+        |      FROM p0),
+        |c AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+        |      FROM p GROUP BY pair)
+        |SELECT rn, pair, cnt FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+        |           AS BIGINT) AS rn, pair, cnt
+        |  FROM c) t
+        |WHERE rn <= 25""".stripMargin,
+    "skew_profile" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT l_partkey AS k, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey),
+        |h AS MATERIALIZED (SELECT cnt, count(*) AS f FROM c GROUP BY cnt),
+        |cum AS MATERIALIZED (
+        |  SELECT cnt, f,
+        |         CAST(coalesce(sum(f) OVER (ORDER BY cnt
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS s
+        |  FROM h),
+        |t AS (SELECT CAST(sum(f) AS BIGINT) AS n_keys,
+        |             CAST(sum(cnt * f) AS BIGINT) AS n_rows,
+        |             max(cnt) AS max_cnt FROM h),
+        |p AS (SELECT t.n_keys, t.n_rows, t.max_cnt,
+        |             CAST(sum(cnt * f * (2 * s + f - t.n_keys)) AS BIGINT)
+        |               AS gini_num,
+        |             min(CASE WHEN s + f >= (t.n_keys * 50 + 99) // 100
+        |                 THEN cnt END) AS p50_cnt,
+        |             min(CASE WHEN s + f >= (t.n_keys * 99 + 99) // 100
+        |                 THEN cnt END) AS p99_cnt
+        |      FROM cum, t
+        |      GROUP BY t.n_keys, t.n_rows, t.max_cnt),
+        |hot AS (SELECT min(c.k) AS hot_key FROM c, t
+        |        WHERE c.cnt = t.max_cnt)
+        |SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt, hot_key,
+        |       gini_num, n_keys * n_rows AS gini_den
+        |FROM p, hot""".stripMargin,
     "profile_docs" ->
       """SELECT 'lang' AS col_name, count(lang) AS n_nonnull,
         |       count(DISTINCT lang) AS n_distinct,

@@ -335,6 +335,37 @@ object CorpusTools {
         coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
   }
 
+  /** One counting step of BPE tokenizer training: adjacent character-pair
+    * frequencies at the initial (all-characters) stage — the statistic
+    * whose argmax becomes the tokenizer's first merge rule.
+    *
+    * Pairs are token-weighted but computed type-wise: words aggregate to
+    * (word, corpus count) FIRST, then each DISTINCT word explodes into
+    * its pairs once and contributes count-weighted sums — the exploded
+    * side is the vocabulary (10⁵–10⁶ rows), never the corpus, exactly
+    * how production BPE trainers batch the pair-count scan. The final
+    * rank is a single window over the surviving pair vocabulary, bounded
+    * by alphabet² — same justification as [[buildVocab]]'s global rank.
+    * Returns the top `k` pairs as (rn, pair, cnt), ties (cnt DESC,
+    * pair ASC). */
+  def bpePairs(docs: DataFrame, text: String, k: Int): DataFrame = {
+    val wordCounts = docs
+      .select(explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val pairs = wordCounts.select(col("wcnt"),
+      explode(when(length(col("word")) >= 2,
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    pairs.groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("rn"), col("pair"), col("cnt"))
+  }
+
   def buildVocab(docs: DataFrame, text: String, minCount: Long): DataFrame = {
     val counts = docs
       .select(explode(words(col(text))).as("word"))

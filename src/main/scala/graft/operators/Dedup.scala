@@ -37,6 +37,40 @@ object Dedup {
       // shingle expression into a per-document Filter (measured 10×).
       .select(col("doc_id"), explode(col("sh")).as("s"))
 
+  /** Duplicated-span marking — the detection stage of exact-substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every n-token span whose exact text occurs more
+    * than once corpus-wide (across docs or repeated within one) is
+    * counted at each position it occupies. Returns per doc (doc_id,
+    * n_spans, n_dup_spans, dup_ppm) — the fraction a substring-dedup
+    * pass would cut.
+    *
+    * Scale: NO pair join anywhere — positional spans aggregate
+    * corpus-wide by span text (one hash aggregate with map-side
+    * combine), rejoin to positions on the same key, then per-doc counts.
+    * Cost tracks corpus token volume even when one boilerplate span
+    * occurs 10⁹ times — the case that detonates pairwise span dedup. The
+    * span table is recomputed for the rejoin rather than cached: it is
+    * corpus-sized, and the recompute is a narrow re-scan. */
+  def dupSpans(docs: DataFrame, id: String, text: String,
+               n: Int): DataFrame = {
+    val spans = docs
+      .select(col(id).as("doc_id"), words(col(text)).as("ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= n,
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(col("ws"), i + j)): _*)))
+          .otherwise(array().cast("array<string>"))).as("span"))
+    val spanCounts = spans.groupBy(col("span")).agg(count(lit(1)).as("c"))
+    spans.join(spanCounts, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") > 1L, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        expr("n_dup_spans * 1000000 div n_spans").as("dup_ppm"))
+  }
+
   /** n-gram Jaccard near-dup: distinct word-k-shingles per doc, inverted
     * index on the shingle, pair-count aggregate, exact Jaccard filter.
     * The shingle join is the classic "documents sharing at least one

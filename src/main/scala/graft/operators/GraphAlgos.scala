@@ -832,4 +832,130 @@ object GraphAlgos {
     }
     dist
   }
+
+  /** One forward–backward coloring pass of distributed SCC decomposition
+    * (the inner step of FW-BW / the coloring algorithm, the standard
+    * MapReduce-era SCC recipe — gated the way `louvainMove` gates
+    * Louvain's move phase).
+    *
+    * F(v) = min id reaching v along edge direction within `rounds`
+    * min-label rounds; B(v) = the same over reversed edges. F(v) = B(v)
+    * = m means m both reaches and is reached from v, i.e. v lies on a
+    * cycle through m, so v ∈ SCC(m) — and once propagation covers the
+    * component (rounds ≥ its directed diameter) m is exactly that SCC's
+    * minimum reachable pivot. Nodes with F ≠ B keep scc = id,
+    * resolved = 0 — the remainder the full algorithm recurses on.
+    *
+    * All labels are int64 node ids, min-combined — exact in any engine.
+    * Scale: each direction-round is one edges⋈labels equi-join + one
+    * map-side-combining min per target (the canonical Pregel step);
+    * labels localCheckpoint per round so round k never re-executes
+    * rounds 1..k-1. Monotone early exit: sum(lbl) only decreases, an
+    * unchanged sum is the fixpoint.
+    *
+    * Reference analog: GDS scc consumer over streamed graphs
+    * (plugin/.../gds/GdsReadJob.java). Returns (id, scc, resolved 0/1).
+    */
+  def sccColoring(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+      .localCheckpoint(true)
+    def minLabel(rev: Boolean): DataFrame = {
+      val (from, to) = if (rev) ("dst", "src") else ("src", "dst")
+      var lbl = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+      var prevSum = Long.MaxValue
+      var converged = false
+      for (_ <- 1 to rounds if !converged) {
+        val prop = e
+          .join(lbl.select(col("id").as(from), col("lbl").as("in_lbl")), from)
+          .groupBy(col(to).as("id")).agg(min(col("in_lbl")).as("p"))
+        lbl = lbl.join(prop, Seq("id"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("p"),
+            col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        val s = lbl.agg(sum(col("lbl"))).head.getLong(0)
+        converged = s == prevSum
+        prevSum = s
+      }
+      lbl
+    }
+    val fwd = minLabel(rev = false).withColumnRenamed("lbl", "f")
+    val bwd = minLabel(rev = true).withColumnRenamed("lbl", "b")
+    fwd.join(bwd, Seq("id"))
+      .select(col("id"),
+        when(col("f") === col("b"), col("f")).otherwise(col("id"))
+          .as("scc"),
+        when(col("f") === col("b"), 1L).otherwise(0L).as("resolved"))
+  }
+
+  /** Link prediction by the Resource-Allocation index: for each
+    * non-adjacent pair (a, b) with common neighbors,
+    * ra = Σ_{c ∈ Γ(a)∩Γ(b)} ⌊scale / deg(c)⌋ (Zhou–Lü–Zhang 2009;
+    * Adamic-Adar's 1/log deg is not engine-exact, 1/deg is) and
+    * cn = |Γ(a)∩Γ(b)|.
+    *
+    * Wedge centers with degree > maxDf are skipped — the hub cap that
+    * bounds the wedge set at O(m·maxDf) (same DF cap as
+    * [[nodeSimilarity]]); each skipped hub's contribution is
+    * ≤ scale/maxDf per pair, the quantified truncation. Top-k by
+    * (ra DESC, a, b) via orderBy+limit — Spark plans
+    * TakeOrderedAndProject, so O(k) rows per partition cross the
+    * shuffle, never the candidate set. */
+  def linkPredict(edges: DataFrame, maxDf: Int, k: Int,
+                  scale: Long = 1000000L): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b"), col("a"))).distinct()
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val cent = und.select(col("u").as("c"), col("v").as("n"))
+      .join(deg.select(col("u").as("c"), col("deg")), "c")
+      .where(col("deg") <= maxDf)
+      .withColumn("share", expr(s"$scale div deg"))
+    val cand = cent.as("x").join(cent.as("y"),
+        col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("x.share")).as("ra"))
+    cand.join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("cn"), col("ra"))
+      .orderBy(col("ra").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Degree assortativity (Newman's r) of an undirected graph: the
+    * Pearson correlation of endpoint degrees over directed edge stubs.
+    * With M = |stubs| (2m), Sx = Σ deg(u), Sxy = Σ deg(u)·deg(v),
+    * Sxx = Σ deg(u)² (symmetric stubs make Sy = Sx, Syy = Sxx):
+    * r = (M·Sxy − Sx²) / (M·Sxx − Sx²).
+    *
+    * All five sums are int64 (exact in any engine); r is one final
+    * double division over int64-exact operands, bit-identical
+    * cross-engine. Overflow bound: M·Sxx ≤ 2m·Σdeg³ — fits int64 up to
+    * ~10⁹ edges with kilodegree hubs; beyond that the sums shard into
+    * per-range partial rows (same associative aggregate), not floats.
+    *
+    * Scale: one degree aggregate, one broadcast-sized join of degrees
+    * onto stubs (degrees table is O(|V|) — joined by src then dst as
+    * plain equi-joins), one global aggregate. No window, no collect. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val stubs = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().localCheckpoint(true)
+    val deg = stubs.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val joined = stubs
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    joined.agg(
+        count(lit(1)).as("m2"),
+        sum(col("du")).as("sx"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"))
+      .select(col("m2"), col("sx"), col("sxy"), col("sxx"),
+        ((col("m2") * col("sxy") - col("sx") * col("sx"))
+          .cast("double") /
+          (col("m2") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("r"))
+  }
 }

@@ -51,4 +51,51 @@ object Skew {
     hotProbe.join(broadcast(hotBuild), Seq(key))
       .unionByName(coldProbe.join(coldBuild, Seq(key)))
   }
+
+  /** Join/partition-key distribution profile — the statistic that decides
+    * BETWEEN the strategies above (salt? split? plain shuffle?) before a
+    * 100 TB join is launched. One row: key cardinality, row count, max /
+    * median / p99 per-key frequency, the hottest key (min id among ties),
+    * and the exact Gini concentration as an integer fraction
+    * gini_num / gini_den (Gini = Σᵢ(2i−n−1)xᵢ / n·Σx over ascending xᵢ).
+    *
+    * Scale: the corpus-sized work is ONE hash aggregate (per-key counts).
+    * Everything after runs on the count HISTOGRAM (distinct frequency
+    * values — thousands at most, zipf or not), where the Gini folds into
+    * per-frequency terms c·f·(2S+f−n) — no per-key global rank, no
+    * corpus-sized window. The histogram window is a single partition by
+    * construction and bounded by |distinct frequencies|, not |keys|.
+    * Percentiles are exact: the frequency at ascending key-rank
+    * ⌈q·n/100⌉. All arithmetic int64; ties in the Gini sum are
+    * order-free (equal xᵢ commute). */
+  def keyProfile(df: DataFrame, key: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    val hist = counts.groupBy(col("cnt")).agg(count(lit(1)).as("f"))
+    val cum = hist.withColumn("s",
+      coalesce(sum(col("f")).over(
+        W.orderBy(col("cnt")).rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+    val tot = hist.agg(sum(col("f")).as("n_keys"),
+      sum(col("cnt") * col("f")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val prof = cum.join(broadcast(tot), lit(true))
+      .groupBy(col("n_keys"), col("n_rows"), col("max_cnt"))
+      .agg(
+        sum(col("cnt") * col("f")
+          * (lit(2L) * col("s") + col("f") - col("n_keys")))
+          .as("gini_num"),
+        min(when(col("s") + col("f") >= expr("(n_keys * 50 + 99) div 100"),
+          col("cnt"))).as("p50_cnt"),
+        min(when(col("s") + col("f") >= expr("(n_keys * 99 + 99) div 100"),
+          col("cnt"))).as("p99_cnt"))
+    val hot = counts
+      .join(broadcast(tot.select(col("max_cnt").as("mx"))),
+        col("cnt") === col("mx"))
+      .agg(min(col("k")).as("hot_key"))
+    prof.join(broadcast(hot), lit(true))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"), col("p50_cnt"),
+        col("p99_cnt"), col("hot_key"), col("gini_num"),
+        (col("n_keys") * col("n_rows")).as("gini_den"))
+  }
 }

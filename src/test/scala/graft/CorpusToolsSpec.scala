@@ -212,4 +212,15 @@ class CorpusToolsSpec extends AnyFunSuite {
       .where(col("keep")).select("doc_id").as[Long].collect().toSet
     assert(again == expected)
   }
+
+  test("bpePairs: token-weighted pair counts with deterministic ties") {
+    // words: hello×2, hi×1 → pairs el/he/ll/lo ×2 (hello), hi ×1;
+    // single-char words contribute nothing
+    val docs = Seq((1L, "hello hello"), (2L, "hi x"))
+      .toDF("doc_id", "text")
+    val r = CorpusTools.bpePairs(docs, "text", k = 10)
+      .as[(Long, String, Long)].collect().toList
+    assert(r == List((1L, "el", 2L), (2L, "he", 2L), (3L, "ll", 2L),
+      (4L, "lo", 2L), (5L, "hi", 1L)))
+  }
 }

@@ -177,4 +177,26 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked.subsetOf(lsh),
       s"label-blocked pairs missed by LSH: ${blocked.diff(lsh)}")
   }
+
+  test("dupSpans: shared 5-token span marks one position in each doc") {
+    // both docs contain "a b c d e"; their second spans are unique
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e x"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r == Map(1L -> ((2L, 1L, 500000L)), 2L -> ((2L, 1L, 500000L))))
+  }
+
+  test("dupSpans: within-doc repetition counts as duplication") {
+    // "p q r s t p q r s t": spans at positions 1 and 6 are identical
+    val docs = Seq((7L, "p q r s t p q r s t"), (8L, "too short"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 7: 6 spans, the two "p q r s t" occurrences are dups; doc 8
+    // has < 5 tokens → absent
+    assert(r == Map(7L -> ((6L, 2L))))
+  }
 }

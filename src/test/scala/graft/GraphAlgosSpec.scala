@@ -345,6 +345,54 @@ class GraphAlgosSpec extends AnyFunSuite {
       6L -> 6L))
   }
 
+  test("sccColoring: cycle with a tail resolves the cycle only") {
+    // 1→2→3→1 is an SCC; 3→4→5 is a DAG tail. F(v)=1 for all (1 reaches
+    // everything); B=1 only inside the cycle → {1,2,3} resolve to scc 1,
+    // 4 and 5 stay unresolved singletons (the remainder FW-BW recurses
+    // on).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = GraphAlgos.sccColoring(edges, rounds = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(1L -> ((1L, 1L)), 2L -> ((1L, 1L)), 3L -> ((1L, 1L)),
+      4L -> ((4L, 0L)), 5L -> ((5L, 0L))))
+  }
+
+  test("sccColoring: two disjoint cycles resolve separately") {
+    val edges = Seq((1L, 2L), (2L, 1L), (7L, 8L), (8L, 9L), (9L, 7L))
+      .toDF("src", "dst")
+    val r = GraphAlgos.sccColoring(edges, rounds = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("linkPredict: path graph predicts the closing edge") {
+    // 1—2—3: only candidate pair (1,3) via center 2 (deg 2):
+    // cn = 1, ra = ⌊1e6/2⌋ = 500000; edge (1,2) itself is excluded
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = GraphAlgos.linkPredict(edges, maxDf = 10, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(r == List((1L, 3L, 1L, 500000L)))
+  }
+
+  test("linkPredict: hub cap drops wedges centered on hot nodes") {
+    // star center 1 with leaves 2..5: all wedges center on 1 (deg 4);
+    // maxDf = 3 excludes it → no candidates
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    assert(GraphAlgos.linkPredict(edges, maxDf = 3, k = 5).count() == 0L)
+  }
+
+  test("degreeAssortativity: star K1,3 is perfectly disassortative") {
+    // stubs M=6, du over stubs [3,3,3,1,1,1]: sx=12, sxy=18, sxx=30
+    // r = (6·18 − 144) / (6·30 − 144) = −36/36 = −1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val row = GraphAlgos.degreeAssortativity(edges)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(row == ((6L, 12L, 18L, 30L, -1.0)))
+  }
+
   test("modularity: two triangles joined by a bridge") {
     // communities {1,2,3} and {4,5,6}; 7 undirected edges (two_m = 14)
     // per community: e_c = 3, deg_sum = 7

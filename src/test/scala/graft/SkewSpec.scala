@@ -37,4 +37,22 @@ class SkewSpec extends AnyFunSuite {
       hotThreshold = 1000000)
     assert(canon(split) == canon(probe.join(build, Seq("k"))))
   }
+
+  test("keyProfile: hand-computed Gini, percentiles, and hot key") {
+    // keys 1×3, 2×2, 3×1 → ascending freqs [1,2,3]:
+    // gini_num = (2·1−4)·1 + (4−4)·2 + (6−4)·3 = 4, den = 3·6 = 18
+    // p50 rank ⌈1.5⌉=2 → 2; p99 rank ⌈2.97⌉=3 → 3; hot key 1
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k2")
+    val r = Skew.keyProfile(df, "k2")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((3L, 6L, 3L, 2L, 3L, 1L, 4L, 18L)))
+  }
+
+  test("keyProfile: uniform keys have zero Gini") {
+    val df = (1L to 8L).flatMap(k => Seq(k, k)).toDF("k2")
+    val r = Skew.keyProfile(df, "k2")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // 8 keys × 2 rows: gini_num = Σ(2i−9)·2 over i=1..8 = 2·(72−72) = 0
+    assert(r == ((8L, 16L, 2L, 2L, 2L, 1L, 0L, 128L)))
+  }
 }
