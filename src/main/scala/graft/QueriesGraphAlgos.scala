@@ -635,6 +635,40 @@ object QueriesGraphAlgos {
        |         / CAST(m2 * sxx - sx * sx AS DOUBLE) AS r
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------- MIS
+
+  /** One unrolled Luby round k: winners (key below every live
+    * neighbor's), then the shrunk live set. */
+  private def misRound(k: Int): String =
+    s"""mism$k AS MATERIALIZED (
+       |  SELECT l.id FROM mislive${k - 1} l LEFT JOIN (
+       |    SELECT e.v AS id, min(l2.key) AS mk
+       |    FROM misund e JOIN mislive${k - 1} l2 ON e.u = l2.id
+       |    GROUP BY e.v) nb ON nb.id = l.id
+       |  WHERE nb.mk IS NULL OR l.key < nb.mk),
+       |mislive$k AS MATERIALIZED (
+       |  SELECT l.id, l.key FROM mislive${k - 1} l
+       |  WHERE l.id NOT IN (SELECT id FROM mism$k)
+       |    AND l.id NOT IN (SELECT e.v FROM misund e
+       |                     JOIN mism$k m ON e.u = m.id))""".stripMargin
+
+  private val misOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |mise AS (SELECT start_id AS a, end_id AS b FROM rels
+       |         WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |misund AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT a AS u, b AS v FROM mise
+       |    UNION ALL SELECT b, a FROM mise) t),
+       |mislive0 AS MATERIALIZED (
+       |  SELECT id, ((id % 1000003) * (id % 1000003) % 1000003 * 31
+       |    + id % 1000003) % 1000003 * 10000000000 + id AS key
+       |  FROM (SELECT DISTINCT u AS id FROM misund) n),
+       |${(1 to 3).map(misRound).mkString(",\n")}
+       |SELECT id, CAST(1 AS BIGINT) AS mis_round FROM mism1
+       |UNION ALL SELECT id, 2 FROM mism2
+       |UNION ALL SELECT id, 3 FROM mism3""".stripMargin
+
   // ----------------------------------------------------- link predict
 
   private val linkPredictOracle: String =
@@ -849,6 +883,12 @@ object QueriesGraphAlgos {
           .as("dst"))
       GraphAlgos.sccColoring(edges, rounds = 6)
     }),
+    // Luby maximal independent set, 3 rounds, hash-priority
+    // deterministic, over the membership graph — the distributed
+    // symmetry-breaking primitive.
+    "mis_luby" -> ((s, dir) => GraphAlgos.misLuby(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)),
     // Resource-Allocation-index link prediction on the thinned
     // co-supplier part graph: top-25 non-edges by Σ ⌊1e6/deg(c)⌋ over
     // common neighbors, hub centers capped at deg ≤ 50.
@@ -913,6 +953,7 @@ object QueriesGraphAlgos {
     "scc_coloring" -> sccOracle,
     "assortativity" -> assortativityOracle,
     "link_predict" -> linkPredictOracle,
+    "mis_luby" -> misOracle,
     "random_walks" -> randomWalksOracle,
     "ktruss" -> ktrussOracle)
 }

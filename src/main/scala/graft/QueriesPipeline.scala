@@ -97,6 +97,23 @@ object QueriesPipeline {
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("nid"), col("sim"), col("rn"))
     }),
+    // recall@5 of the IVF index against brute-force ground truth — the
+    // evaluation loop that tunes nprobe/nlist before an index ships;
+    // exact integer recall, both pipelines replayed by the oracle
+    "ann_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteTopK(e, q, k = 5)
+        .select(col("qid"), col("nid"))
+      val ivf = Similarity.ivfTopK(e, q, k = 5)
+        .select(col("qid").as("iqid"), col("nid").as("inid"))
+      brute.join(ivf,
+          col("qid") === col("iqid") && col("nid") === col("inid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("inid")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          expr("n_hits * 1000000 div 5").as("recall_ppm"))
+    }),
     // huge-k regime: broadcast-free bucketed assignment — hyperplane
     // sign-bit buckets on both sides, shuffle equi-join, integer argmin
     "sim_assign_bigk" -> ((s, dir) => {
@@ -153,6 +170,11 @@ object QueriesPipeline {
     // pre-flight statistic that picks a 100 TB join strategy
     "skew_profile" -> ((s, dir) =>
       Skew.keyProfile(table(s, dir, "lineitem"), "l_partkey")),
+    // unigram-surprisal quality score — exact integer log2 via binary
+    // string length (bin / printf('%b')), the LM-free perplexity proxy
+    "doc_surprisal" -> ((s, dir) =>
+      CorpusTools.docSurprisal(table(s, dir, "documents"), "doc_id",
+        "text")),
     // single-pass per-column profiling (data validation before training)
     "profile_docs" -> ((s, dir) =>
       CorpusTools.profile(table(s, dir, "documents"),
@@ -659,7 +681,73 @@ object QueriesPipeline {
        |FROM s""".stripMargin
   }
 
+  /** Extracted so [[oracles]]' `ann_recall` can replay both pipelines as
+    * subqueries of one recall computation. */
+  private val SimTopkOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce
+      |      FROM embeddings),
+      |s AS (SELECT qid, nid,
+      |        round(list_cosine_similarity(qe, ce), 6) AS sim
+      |      FROM q, c WHERE nid != qid),
+      |r AS (SELECT qid, nid, sim, row_number() OVER (
+      |        PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      |      FROM s)
+      |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5""".stripMargin
+
+  private val SimIvfOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+      |asg AS (SELECT nid, ce, cid FROM (
+      |    SELECT e.vec_id AS nid, e.v AS ce, cent.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6)
+      |                      DESC, cent.cid) AS crn
+      |    FROM e, cent) t WHERE crn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 10),
+      |probed AS (SELECT qid, qe, cid FROM (
+      |    SELECT q.qid, q.qe, cent.cid,
+      |           row_number() OVER (PARTITION BY q.qid
+      |             ORDER BY round(list_cosine_similarity(q.qe, cent.cv), 6)
+      |                      DESC, cent.cid) AS crn
+      |    FROM q, cent) t WHERE crn <= 2),
+      |s AS (SELECT p.qid, a.nid,
+      |        round(list_cosine_similarity(p.qe, a.ce), 6) AS sim
+      |      FROM probed p JOIN asg a USING (cid)
+      |      WHERE a.nid != p.qid)
+      |SELECT qid, nid, sim, rn FROM (
+      |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+      |    ORDER BY sim DESC, nid) AS rn FROM s) t
+      |WHERE rn <= 5""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "ann_recall" ->
+      s"""WITH brute AS MATERIALIZED (
+         |  SELECT qid, nid FROM ($SimTopkOracle) t),
+         |ivfr AS MATERIALIZED (
+         |  SELECT qid, nid FROM ($SimIvfOracle) t)
+         |SELECT b.qid, CAST(count(i.nid) AS BIGINT) AS n_hits,
+         |       CAST(count(i.nid) * 1000000 // 5 AS BIGINT) AS recall_ppm
+         |FROM brute b LEFT JOIN ivfr i
+         |  ON b.qid = i.qid AND b.nid = i.nid
+         |GROUP BY b.qid""".stripMargin,
+    "doc_surprisal" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents) t WHERE word != ''),
+        |c AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM tk GROUP BY word),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+        |sc AS (SELECT tk.doc_id,
+        |              CAST(length(printf('%b', tt.t // c.cnt)) AS BIGINT)
+        |                AS s
+        |       FROM tk JOIN c ON tk.word = c.word, tt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(s) AS BIGINT) AS surprisal_sum,
+        |       CAST(sum(s) * 1000 // count(*) AS BIGINT) AS mean_milli
+        |FROM sc GROUP BY doc_id""".stripMargin,
     // integer rank test n_le·100 ≥ q·N — no ceil, no division, replays
     // exactly; same floor(+0.5) cents as the Spark side
     "quantile_hist" ->
@@ -1306,42 +1394,8 @@ object QueriesPipeline {
          |    PARTITION BY vec_id ORDER BY d, cid) AS rn FROM j) t
          |WHERE rn = 1""".stripMargin
     },
-    "sim_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-        |           FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce
-        |      FROM embeddings),
-        |s AS (SELECT qid, nid,
-        |        round(list_cosine_similarity(qe, ce), 6) AS sim
-        |      FROM q, c WHERE nid != qid),
-        |r AS (SELECT qid, nid, sim, row_number() OVER (
-        |        PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-        |      FROM s)
-        |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5""".stripMargin,
-    "sim_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
-        |asg AS (SELECT nid, ce, cid FROM (
-        |    SELECT e.vec_id AS nid, e.v AS ce, cent.cid,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6)
-        |                      DESC, cent.cid) AS crn
-        |    FROM e, cent) t WHERE crn = 1),
-        |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 10),
-        |probed AS (SELECT qid, qe, cid FROM (
-        |    SELECT q.qid, q.qe, cent.cid,
-        |           row_number() OVER (PARTITION BY q.qid
-        |             ORDER BY round(list_cosine_similarity(q.qe, cent.cv), 6)
-        |                      DESC, cent.cid) AS crn
-        |    FROM q, cent) t WHERE crn <= 2),
-        |s AS (SELECT p.qid, a.nid,
-        |        round(list_cosine_similarity(p.qe, a.ce), 6) AS sim
-        |      FROM probed p JOIN asg a USING (cid)
-        |      WHERE a.nid != p.qid)
-        |SELECT qid, nid, sim, rn FROM (
-        |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
-        |    ORDER BY sim DESC, nid) AS rn FROM s) t
-        |WHERE rn <= 5""".stripMargin,
+    "sim_topk" -> SimTopkOracle,
+    "sim_ivf" -> SimIvfOracle,
     "sim_ivf_trained" -> {
       // mirrors Similarity.ivfTrainedTopK exactly: integer-quantized
       // k-means (2 Lloyd iterations unrolled), integer-distance probe,

@@ -335,6 +335,36 @@ object CorpusTools {
         coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
   }
 
+  /** Unigram-surprisal quality score with EXACT integer log₂: token
+    * surprisal ≈ ⌊log₂(T / cnt(w))⌋ + 1, computed as the bit-length of
+    * T div cnt(w) — the binary-string length (`bin()` / printf('%b'))
+    * both engines produce exactly, sidestepping IEEE ln/log which no
+    * engine guarantees correctly rounded. Rare-word-dense documents
+    * score high, boilerplate scores low — the cheap LM-free stand-in
+    * for perplexity filtering. Returns (doc_id, n_tokens,
+    * surprisal_sum, mean_milli = ⌊1000·sum/n⌋).
+    *
+    * Scale: one corpus count aggregate; the token→count join is a plain
+    * equi-join on word (vocabulary side is aggregate-bounded, AQE
+    * broadcasts it when small); per-doc totals are one more aggregate.
+    * The token table is recomputed for the join — narrow re-scan, never
+    * cached at corpus size. */
+  def docSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"),
+        explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+    val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("t"))
+    toks.join(counts, "word")
+      .join(broadcast(tot), lit(true))
+      .select(col("doc_id"),
+        length(bin(expr("t div cnt"))).cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("surprisal_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_sum"),
+        expr("surprisal_sum * 1000 div n_tokens").as("mean_milli"))
+  }
+
   /** One counting step of BPE tokenizer training: adjacent character-pair
     * frequencies at the initial (all-characters) stage — the statistic
     * whose argmax becomes the tokenizer's first merge rule.

@@ -890,6 +890,48 @@ object GraphAlgos {
         when(col("f") === col("b"), 1L).otherwise(0L).as("resolved"))
   }
 
+  /** Luby-style maximal independent set with deterministic hash
+    * priorities — the symmetry-breaking primitive under distributed
+    * coloring/scheduling. pr(id) = ((id mod p)² mod p · 31 + id mod p)
+    * mod p with p = 1000003 (quadratic mod-p mixing; an affine chain
+    * correlates with id order and stalls rounds), folded with the id
+    * into ONE strict total order key = pr·10¹⁰ + id (ids < 10¹⁰ keep it
+    * int64-exact, ties impossible). Each round, a live node whose key is
+    * strictly below every live neighbor's joins the set; members and
+    * their neighbors leave the live set. `rounds` is bounded — the
+    * deterministic prefix the oracle replays; at convergence the set is
+    * maximal by construction.
+    *
+    * Scale: per round one edges⋈live join + min-aggregate (Pregel step)
+    * and one anti-join shrink; live/mis localCheckpoint per round.
+    * Returns (id, mis_round). */
+  def misLuby(rels: DataFrame, types: Seq[String], rounds: Int): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    val keyExpr = expr(
+      "((id % 1000003) * (id % 1000003) % 1000003 * 31 + id % 1000003)" +
+        " % 1000003 * 10000000000 + id")
+    var live = und.select(col("u").as("id")).distinct()
+      .withColumn("key", keyExpr).localCheckpoint(true)
+    var mis: DataFrame = null
+    for (r <- 1 to rounds) {
+      val nbMin = und
+        .join(live.select(col("id").as("u"), col("key").as("nk")), "u")
+        .groupBy(col("v").as("id")).agg(min(col("nk")).as("mk"))
+      val won = live.join(nbMin, Seq("id"), "left")
+        .where(col("mk").isNull || col("key") < col("mk"))
+        .select(col("id"), lit(r.toLong).as("mis_round"))
+        .localCheckpoint(true)
+      mis = if (mis == null) won else mis.union(won)
+      val removed = won.select(col("id").as("u"))
+        .join(und, "u").select(col("v").as("id"))
+        .union(won.select(col("id"))).distinct()
+      live = live.join(removed, Seq("id"), "left_anti").localCheckpoint(true)
+    }
+    mis
+  }
+
   /** Link prediction by the Resource-Allocation index: for each
     * non-adjacent pair (a, b) with common neighbors,
     * ra = Σ_{c ∈ Γ(a)∩Γ(b)} ⌊scale / deg(c)⌋ (Zhou–Lü–Zhang 2009;

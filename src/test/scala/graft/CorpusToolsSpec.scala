@@ -213,6 +213,17 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(again == expected)
   }
 
+  test("docSurprisal: bit-length surprisal, hand-computed") {
+    // counts a:2 b:2 c:1, T=5; s = bitlen(T div cnt): a,b → bitlen(2)=2,
+    // c → bitlen(5)=3. doc1 (a a b): 3 tokens, sum 6, mean 2000 milli;
+    // doc2 (b c): 2 tokens, sum 5, mean 2500
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = CorpusTools.docSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r == Map(1L -> ((3L, 6L, 2000L)), 2L -> ((2L, 5L, 2500L))))
+  }
+
   test("bpePairs: token-weighted pair counts with deterministic ties") {
     // words: hello×2, hi×1 → pairs el/he/ll/lo ×2 (hello), hi ×1;
     // single-char words contribute nothing

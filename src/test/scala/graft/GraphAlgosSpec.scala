@@ -368,6 +368,32 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("misLuby: path graph — min-key endpoint first, far end next round") {
+    // keys: pr(id)=(id²·31+id) mod 1000003 → 1:32, 2:126, 3:282 (×10¹⁰+id)
+    // round 1: node 1 wins (beats 2), nodes 2,3 lose to a neighbor;
+    // {1,2} leave. round 2: 3 alone → wins. MIS = {1@r1, 3@r2}
+    val g = Seq((1L, 2L, "E"), (2L, 3L, "E"))
+      .toDF("START_ID", "END_ID", "TYPE")
+    val r = GraphAlgos.misLuby(g, Seq("E"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("misLuby result is independent and maximal on a clique plus tail") {
+    // K3 {1,2,3} with tail 3—4: exactly one clique member enters, and
+    // 4 enters unless adjacent member 3 did
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .map { case (a, b) => (a, b, "E") }
+      .toDF("START_ID", "END_ID", "TYPE")
+    val mis = GraphAlgos.misLuby(g, Seq("E"), rounds = 3)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    val edges = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(!edges.exists { case (a, b) => mis(a) && mis(b) })
+    assert(Seq(1L, 2L, 3L, 4L).forall(v =>
+      mis(v) || edges.exists { case (a, b) =>
+        (a == v && mis(b)) || (b == v && mis(a)) }))
+  }
+
   test("linkPredict: path graph predicts the closing edge") {
     // 1—2—3: only candidate pair (1,3) via center 2 (deg 2):
     // cn = 1, ra = ⌊1e6/2⌋ = 500000; edge (1,2) itself is excluded

@@ -152,4 +152,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Window"),
       s"chunking plan not narrow:\n$plan")
   }
+
+  test("link_predict ships top-k via TakeOrderedAndProject, not a sort") {
+    // orderBy+limit must plan the bounded O(k)-per-partition operator —
+    // a global Sort of the candidate set would ship every wedge pair
+    val plan = formatted(SparkEntry.queries("link_predict")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"no TakeOrderedAndProject:\n${plan.take(4000)}")
+  }
+
+  test("dup_spans plan has no pair join (exactly the two aggregates)") {
+    // the whole point vs pairwise span dedup: spans group-count then
+    // rejoin by span key — no self-join of docs with docs, so no
+    // BroadcastNestedLoop/cartesian anywhere
+    val plan = formatted(SparkEntry.queries("dup_spans")(spark, dir))
+    assert(!plan.contains("Cartesian") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"dup_spans plan grew a pair join:\n${plan.take(4000)}")
+  }
 }
