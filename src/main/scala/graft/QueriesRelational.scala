@@ -320,6 +320,27 @@ object QueriesRelational {
         table(s, dir, "events"), entity = "user_id", ts = "ts",
         periodUs = 86400000000L)),
 
+    // gaps-and-islands: merge overlapping shipment windows [shipdate,
+    // shipdate+quantity] per supplier into maximal coverage islands —
+    // per-key windows only, integer day ordinates
+    "interval_merge" -> ((s, dir) => {
+      val days = datediff(col("l_shipdate"),
+        to_date(lit("1970-01-01"))).cast("long")
+      graft.operators.Timeseries.mergeIntervals(
+        table(s, dir, "lineitem")
+          .where(col("l_orderkey") % 50 === 0)
+          .select(col("l_suppkey").as("k"), days.as("s"),
+            (days + col("l_quantity").cast("long")).as("e")),
+        key = "k", start = "s", end = "e")
+    }),
+    // market-basket co-occurrence (A-Priori pair scan): top-25 part
+    // pairs sharing an order, baskets capped at 20 items (quadratic
+    // guard, replicated in the oracle)
+    "basket_pairs" -> ((s, dir) =>
+      graft.operators.EventAnalytics.basketPairs(
+        table(s, dir, "lineitem"), basket = "l_orderkey",
+        item = "l_partkey", maxBasket = 20, k = 25)),
+
     // ---- streaming-analog (event time) -----------------------------------
     // Tumbling 1h event-time windows (batch twin of the Structured
     // Streaming pipeline in graft.streaming).
@@ -766,6 +787,40 @@ object QueriesRelational {
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM a JOIN c ON a.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "interval_merge" ->
+      """WITH iv AS MATERIALIZED (
+        |  SELECT l_suppkey AS k,
+        |         CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+        |           AS BIGINT) AS s,
+        |         CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+        |           AS BIGINT) + CAST(l_quantity AS BIGINT) AS e
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |m AS (SELECT k, s, e,
+        |        max(e) OVER (PARTITION BY k ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS pmax
+        |      FROM iv),
+        |f AS (SELECT k, s, e,
+        |        CAST(sum(CASE WHEN pmax IS NULL OR s > pmax
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY k ORDER BY s, e) AS BIGINT) AS isl
+        |      FROM m)
+        |SELECT k, isl, min(s) AS island_start, max(e) AS island_end,
+        |       CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM f GROUP BY k, isl""".stripMargin,
+    "basket_pairs" ->
+      """WITH it AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |ok AS MATERIALIZED (
+        |  SELECT it.bk, it.it FROM it JOIN (
+        |    SELECT bk FROM it GROUP BY bk HAVING count(*) <= 20) sm
+        |    USING (bk))
+        |SELECT a, b, cnt FROM (
+        |  SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY x.it, y.it) p
+        |ORDER BY cnt DESC, a, b LIMIT 25""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -58,4 +58,27 @@ object EventAnalytics {
         (col("p") - col("cohort_period")).as("period_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Market-basket pair counts — A-Priori's pairwise candidate scan.
+    * Distinct items per basket, co-occurrence counted over each
+    * basket's item pairs. Baskets above `maxBasket` items are dropped
+    * whole: the quadratic guard (a 10⁶-item basket would alone emit
+    * 5·10¹¹ pairs) — the same bounded-candidate-generation discipline
+    * as the dedup DF caps, replicated by the oracle. Top-k pairs by
+    * (cnt DESC, a, b) through TakeOrderedAndProject — O(k) per
+    * partition crosses the final shuffle. Returns (a, b, cnt). */
+  def basketPairs(df: DataFrame, basket: String, item: String,
+                  maxBasket: Int, k: Int): DataFrame = {
+    val items = df.select(col(basket).as("bk"), col(item).as("it"))
+      .distinct().localCheckpoint(true)
+    val small = items.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBasket).select(col("bk"))
+    val ok = items.join(small, Seq("bk"), "left_semi")
+    ok.as("x").join(ok.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

@@ -8,6 +8,37 @@ import org.apache.spark.sql.functions._
   * the fixed-grid per-entity series a sequence model trains on. */
 object Timeseries {
 
+  /** Gaps-and-islands: merge overlapping-or-touching [start, end]
+    * intervals per key into maximal islands — the classic
+    * coverage/availability analytics (uptime spans, sensor coverage,
+    * validity-range consolidation). An island opens where an interval's
+    * start strictly exceeds the running max of all prior ends; island id
+    * = running count of opens. Integer ordinates only (days, µs) —
+    * exact in any engine.
+    *
+    * Scale: both windows partition BY KEY and order by (start, end) —
+    * state is bounded by one key's interval count, the semantics'
+    * inherent serial section (same bound as SCD2's history window).
+    * Exact-duplicate intervals are RANGE-frame peers, so both engines
+    * assign them the same island. Returns (key, isl, island_start,
+    * island_end, n_intervals). */
+  def mergeIntervals(df: DataFrame, key: String, start: String,
+                     end: String): DataFrame = {
+    val wPrev = Window.partitionBy(col(key))
+      .orderBy(col(start), col(end))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(key)).orderBy(col(start), col(end))
+    df.select(col(key), col(start).as("s"), col(end).as("e"))
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("isl",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L)).over(wRun))
+      .groupBy(col(key), col("isl"))
+      .agg(min(col("s")).as("island_start"),
+        max(col("e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** Resample to a fixed period and forward-fill gaps: bucket events by
     * `bucketUs` microseconds of event time, keep each (entity, bucket)'s
     * latest observation (recency = the unique `seq` id, the changelog

@@ -62,4 +62,15 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 2L,
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
+
+  test("basketPairs: pair counts with the basket-size cap") {
+    // b1 {1,2,3}, b2 {2,3} (duplicate item rows collapse), b3 has 6
+    // items > cap 5 → dropped whole
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L),
+      (2L, 3L)) ++ (1L to 6L).map(i => (3L, 100L + i))
+    val df = rows.toDF("bk", "it")
+    val out = EventAnalytics.basketPairs(df, "bk", "it",
+      maxBasket = 5, k = 10).as[(Long, Long, Long)].collect().toList
+    assert(out == List((2L, 3L, 2L), (1L, 2L, 1L), (1L, 3L, 1L)))
+  }
 }

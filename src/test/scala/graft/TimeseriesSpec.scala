@@ -55,4 +55,27 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.where("v_filled IS NULL").count() === 0L)
     assert(out.count() === 4L)  // buckets 5..8
   }
+
+  test("mergeIntervals: overlap and touch merge, strict gap opens") {
+    // A: [1,5]+[4,8] overlap → island [1,8]; [10,12] opens (10 > 8).
+    // B: [1,2]+[2,3] touch (2 ≯ 2) → one island [1,3].
+    val iv = Seq(("A", 1L, 5L), ("A", 4L, 8L), ("A", 10L, 12L),
+      ("B", 1L, 2L), ("B", 2L, 3L)).toDF("k", "s", "e")
+    val out = Timeseries.mergeIntervals(iv, "k", "s", "e")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      ("A", 1L) -> ((1L, 8L, 2L)), ("A", 2L) -> ((10L, 12L, 1L)),
+      ("B", 1L) -> ((1L, 3L, 2L))))
+  }
+
+  test("mergeIntervals: contained interval does not reopen an island") {
+    // [1,10] then [2,3] (contained) then [4,20]: all one island — the
+    // running-max (not previous-row) end is what prevents a false gap
+    val iv = Seq(("K", 1L, 10L), ("K", 2L, 3L), ("K", 4L, 20L))
+      .toDF("k", "s", "e")
+    val out = Timeseries.mergeIntervals(iv, "k", "s", "e")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toList == List(("K", 1L, 1L, 20L, 3L)))
+  }
 }
