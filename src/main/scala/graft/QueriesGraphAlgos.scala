@@ -596,8 +596,9 @@ object QueriesGraphAlgos {
       |scce AS MATERIALIZED (
       |  SELECT DISTINCT src, dst FROM (
       |    SELECT p AS src,
-      |           coalesce(lead(p) OVER (PARTITION BY ok ORDER BY ln),
-      |                    first_value(p) OVER (PARTITION BY ok ORDER BY ln))
+      |           coalesce(
+      |             lead(p) OVER (PARTITION BY ok ORDER BY ln, p),
+      |             first_value(p) OVER (PARTITION BY ok ORDER BY ln, p))
       |             AS dst
       |    FROM sccli) t),
       |sccn AS MATERIALIZED (
@@ -872,8 +873,10 @@ object QueriesGraphAlgos {
     // shared parts merge order cycles) — min-label both directions,
     // F=B resolves membership.
     "scc_coloring" -> ((s, dir) => {
+      // ORDER BY (ln, p): sf0.1 has duplicate (order, linenumber) pairs,
+      // so the part id must break ties for an engine-independent chain
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("ok")).orderBy(col("ln"))
+        .partitionBy(col("ok")).orderBy(col("ln"), col("p"))
       val li = graft.sources.TpchGraph.table(s, dir, "lineitem")
         .where(col("l_orderkey") % 25 === 0)
         .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),

@@ -320,6 +320,35 @@ object QueriesPipeline {
       graft.operators.Sketches.countMinEstimate(sketch, probes, width = 256)
     }),
 
+    // CM-inner-product join-cardinality estimate (orders ⋈ lineitem on
+    // orderkey) next to the exact Σ fA·fB ground truth — the pre-flight
+    // sizing of a 100 TB shuffle from two constant-size sketches
+    "join_cardinality" -> ((s, dir) => {
+      val o = table(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val l = table(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val est = graft.operators.Sketches.countMinJoinSize(
+        o, "k", l, "k", width = 8192)
+      val exact = o.groupBy(col("k")).agg(count(lit(1)).as("fa"))
+        .join(l.groupBy(col("k")).agg(count(lit(1)).as("fb")), "k")
+        .agg(sum(col("fa") * col("fb")).as("exact_pairs"))
+      est.join(broadcast(exact), lit(true))
+        .select(col("exact_pairs"), col("est_pairs"),
+          expr("est_pairs * 1000000 div exact_pairs").as("over_ppm"))
+    }),
+    // fuzzy self-join at edit distance ≤1: originals + one-substitution
+    // variants of part names; half-block pigeonhole candidates (hot
+    // blocks DF-capped), levenshtein verify
+    "fuzzy_join" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+      val orig = p.select(col("p_partkey").as("eid"),
+        col("p_name").as("nm"))
+      val varnt = p.select((col("p_partkey") + 10000000L).as("eid"),
+        expr("concat(substring(p_name, 1, " +
+          "cast(p_partkey % length(p_name) as int)), 'q', " +
+          "substring(p_name, cast(p_partkey % length(p_name) as int) + 2))")
+          .as("nm"))
+      Dedup.fuzzyPairs(orig.union(varnt), "eid", "nm", maxBlock = 50)
+    }),
     // Bloom-filter join pruning: build over the keys that placed orders,
     // screen every customer key — the runtime-filter shape (probe side
     // never shuffles, filter broadcasts at ≤ ⌈m/63⌉ rows). hit=0 rows
@@ -946,6 +975,64 @@ object QueriesPipeline {
     "sketch_bloom" -> bloomOracle,
     "pack_offsets" -> packOracle,
     "sketch_cms" -> cmsOracle,
+    "join_cardinality" ->
+      """WITH ka AS (SELECT o_orderkey % 1000000007 AS h FROM orders),
+        |kb AS (SELECT l_orderkey % 1000000007 AS h FROM lineitem),
+        |ga AS MATERIALIZED (
+        |  SELECT row, cell, CAST(count(*) AS BIGINT) AS ca FROM (
+        |    SELECT 0 AS row, (h*31+7) % 1000000007 % 8192 AS cell FROM ka
+        |    UNION ALL SELECT 1, (h*37+11) % 1000000007 % 8192 FROM ka
+        |    UNION ALL SELECT 2, (h*41+13) % 1000000007 % 8192 FROM ka) t
+        |  GROUP BY row, cell),
+        |gb AS MATERIALIZED (
+        |  SELECT row, cell, CAST(count(*) AS BIGINT) AS cb FROM (
+        |    SELECT 0 AS row, (h*31+7) % 1000000007 % 8192 AS cell FROM kb
+        |    UNION ALL SELECT 1, (h*37+11) % 1000000007 % 8192 FROM kb
+        |    UNION ALL SELECT 2, (h*41+13) % 1000000007 % 8192 FROM kb) t
+        |  GROUP BY row, cell),
+        |rs AS (SELECT ga.row, CAST(sum(ca * cb) AS BIGINT) AS rowsum
+        |       FROM ga JOIN gb ON ga.row = gb.row AND ga.cell = gb.cell
+        |       GROUP BY ga.row),
+        |est AS (SELECT min(rowsum) AS est_pairs FROM rs),
+        |ex AS (SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_pairs FROM
+        |  (SELECT o_orderkey AS k, count(*) AS fa FROM orders
+        |   GROUP BY 1) a
+        |  JOIN (SELECT l_orderkey AS k, count(*) AS fb FROM lineitem
+        |        GROUP BY 1) b USING (k))
+        |SELECT exact_pairs, est_pairs,
+        |       est_pairs * 1000000 // exact_pairs AS over_ppm
+        |FROM ex, est""".stripMargin,
+    "fuzzy_join" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT p_partkey AS eid, p_name AS nm FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 10000000,
+        |         substring(p_name, 1,
+        |           CAST(p_partkey % length(p_name) AS INTEGER))
+        |         || 'q' ||
+        |         substring(p_name,
+        |           CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+        |  FROM part),
+        |keyed AS MATERIALIZED (
+        |  SELECT eid, nm,
+        |         'L' || '|' || length(nm) || '|'
+        |           || substring(nm, 1, (length(nm) + 1) // 2) AS blk
+        |  FROM base
+        |  UNION ALL
+        |  SELECT eid, nm,
+        |         'R' || '|' || length(nm) || '|'
+        |           || substring(nm, (length(nm) + 1) // 2 + 1)
+        |  FROM base),
+        |ok AS MATERIALIZED (
+        |  SELECT k.eid, k.nm, k.blk FROM keyed k JOIN (
+        |    SELECT blk FROM keyed GROUP BY blk
+        |    HAVING count(*) <= 50) g USING (blk)),
+        |cand AS (SELECT DISTINCT x.eid AS id_a, y.eid AS id_b,
+        |                x.nm AS nm_a, y.nm AS nm_b
+        |         FROM ok x JOIN ok y
+        |           ON x.blk = y.blk AND x.eid < y.eid)
+        |SELECT id_a, id_b, CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(nm_a, nm_b) <= 1""".stripMargin,
     "bm25_topk" -> bm25Oracle,
     "quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -71,6 +71,43 @@ object Dedup {
         expr("n_dup_spans * 1000000 div n_spans").as("dup_ppm"))
   }
 
+  /** Fuzzy string self-join (entity-resolution blocking + verify): all
+    * id pairs whose names are within edit distance 1, restricted to
+    * same-length (substitution) matches by construction. A single
+    * substitution leaves the first half OR the last half of the string
+    * intact (pigeonhole), so blocking on (length, side, half-string)
+    * generates every such pair as a candidate; `levenshtein` then
+    * verifies exactly (for same-length strings differing in ≤1 position
+    * the edit distance IS the Hamming distance). Distance-0 pairs
+    * (exact name dupes) are included — this is fuzzy DEDUP, finding
+    * them is the point.
+    *
+    * Scale: candidates come only from shared half-blocks; a degenerate
+    * hot block (shared prefix across a huge slice) is dropped whole by
+    * `maxBlock` — the same DF-cap discipline as [[ngramJaccard]],
+    * replicated by the oracle. Returns (id_a, id_b, dist). */
+  def fuzzyPairs(df: DataFrame, id: String, name: String,
+                 maxBlock: Int): DataFrame = {
+    val keyed = df.select(col(id).as("fid"), col(name).as("nm"))
+      .select(col("fid"), col("nm"), explode(array(
+        concat_ws("|", lit("L"), length(col("nm")),
+          expr("substring(nm, 1, (length(nm) + 1) div 2)")),
+        concat_ws("|", lit("R"), length(col("nm")),
+          expr("substring(nm, (length(nm) + 1) div 2 + 1)")))).as("blk"))
+      .localCheckpoint(true)
+    val hot = keyed.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBlock).select(col("blk"))
+    val ok = keyed.join(hot, Seq("blk"), "left_anti")
+    ok.as("x").join(ok.as("y"),
+        col("x.blk") === col("y.blk") && col("x.fid") < col("y.fid"))
+      .select(col("x.fid").as("id_a"), col("y.fid").as("id_b"),
+        col("x.nm").as("nm_a"), col("y.nm").as("nm_b"))
+      .distinct()
+      .where(levenshtein(col("nm_a"), col("nm_b")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("nm_a"), col("nm_b")).cast("long").as("dist"))
+  }
+
   /** n-gram Jaccard near-dup: distinct word-k-shingles per doc, inverted
     * index on the shingle, pair-count aggregate, exact Jaccard filter.
     * The shingle join is the classic "documents sharing at least one

@@ -235,6 +235,39 @@ object Sketches {
     * d rows of that term's cell count (never an underestimate). `probes`
     * must have a string column `word`; the sketch side is ≤ d·w rows, so
     * it broadcasts. Returns (word, est). */
+  /** Count-Min grid over an int64 KEY column with multiplicity (the
+    * frequency-vector sketch, vs [[countMinBuild]]'s token variant).
+    * ≤ 3·width rows out, full map-side combining. */
+  def countMinKeyBuild(df: DataFrame, key: String, width: Int): DataFrame = {
+    val h = col(key) % 1000000007L
+    df.select(explode(array((0 until RowA.length).map { r =>
+        struct(lit(r.toLong).as("row"),
+          ((h * RowA(r) + RowB(r)) % 1000000007L % width).as("cell"))
+      }: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Join-cardinality estimate from two Count-Min sketches — the
+    * pre-flight |A ⋈ B| sizing a planner wants before committing a
+    * 100 TB shuffle (Cormode–Muthukrishnan's CM inner product):
+    * |A ⋈_k B| = Σ_k fA(k)·fB(k), estimated per sketch row as
+    * Σ_cell cntA·cntB and MIN'd across the 3 rows — collisions only
+    * add, so every row overestimates and the min is the tightest bound.
+    *
+    * Cost: two constant-size sketch scans + a ≤ 3·width-cell join,
+    * never a per-key join of the real sides. Exact when width exceeds
+    * key cardinality (no collisions — spec-pinned). Returns one row
+    * (est_pairs). */
+  def countMinJoinSize(a: DataFrame, aKey: String, b: DataFrame,
+                       bKey: String, width: Int): DataFrame = {
+    val ga = countMinKeyBuild(a, aKey, width).withColumnRenamed("cnt", "ca")
+    val gb = countMinKeyBuild(b, bKey, width).withColumnRenamed("cnt", "cb")
+    ga.join(gb, Seq("row", "cell"))
+      .groupBy(col("row")).agg(sum(col("ca") * col("cb")).as("rowsum"))
+      .agg(min(col("rowsum")).as("est_pairs"))
+  }
+
   def countMinEstimate(sketch: DataFrame, probes: DataFrame,
                        width: Int): DataFrame = {
     val probeCells = probes.select(col("word")).distinct()

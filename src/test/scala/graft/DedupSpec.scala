@@ -178,6 +178,25 @@ class DedupSpec extends AnyFunSuite {
       s"label-blocked pairs missed by LSH: ${blocked.diff(lsh)}")
   }
 
+  test("fuzzyPairs: half-block candidates, levenshtein verify, dist 0 kept") {
+    // ab/ac share the L half; ab/ab are exact dupes; xy is isolated
+    val df = Seq((1L, "ab"), (2L, "ac"), (3L, "xy"), (4L, "ab"))
+      .toDF("eid", "nm")
+    val out = Dedup.fuzzyPairs(df, "eid", "nm", maxBlock = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)))
+  }
+
+  test("fuzzyPairs: hot blocks are dropped whole by the cap") {
+    // maxBlock=2 drops the 3-member "L|2|a" block; only the R-half
+    // block {ab, ab} survives as a candidate source
+    val df = Seq((1L, "ab"), (2L, "ac"), (3L, "xy"), (4L, "ab"))
+      .toDF("eid", "nm")
+    val out = Dedup.fuzzyPairs(df, "eid", "nm", maxBlock = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 4L, 0L)))
+  }
+
   test("dupSpans: shared 5-token span marks one position in each doc") {
     // both docs contain "a b c d e"; their second spans are unique
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e x"))

@@ -124,4 +124,22 @@ class SketchesSpec extends AnyFunSuite {
     val rows = sketch.select("row").distinct().as[Long].collect().toSet
     assert(rows.subsetOf(Set(0L, 1L, 2L)))
   }
+
+  test("countMinJoinSize: exact when width avoids collisions") {
+    // fA = {1:2, 2:1}, fB = {1:1, 2:2, 3:1} → Σ fA·fB = 2·1 + 1·2 = 4
+    val a = Seq(1L, 1L, 2L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val est = Sketches.countMinJoinSize(a, "k", b, "k", width = 64)
+      .as[Long].collect().head
+    assert(est === 4L)
+  }
+
+  test("countMinJoinSize: collisions only overestimate") {
+    // width 1 → every key in one cell: est = |A|·|B| = 12 ≥ exact 4
+    val a = Seq(1L, 1L, 2L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val est = Sketches.countMinJoinSize(a, "k", b, "k", width = 1)
+      .as[Long].collect().head
+    assert(est === 12L)
+  }
 }
