@@ -886,6 +886,14 @@ object QueriesGraphAlgos {
           .as("dst"))
       GraphAlgos.sccColoring(edges, rounds = 6)
     }),
+    // deterministic negative sampling over the nation target domain,
+    // k=3 hash-indexed corruptions per source, true edges anti-joined
+    // out — the link-prediction training corruption step
+    "neg_sample" -> ((s, dir) => GraphAlgos.negativeSample(
+      SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "FROM_NATION")
+        .select(col("START_ID").as("src"), col("END_ID").as("dst")),
+      k = 3, domainBase = 5000000000L, domainSize = 25L)),
     // Luby maximal independent set, 3 rounds, hash-priority
     // deterministic, over the membership graph — the distributed
     // symmetry-breaking primitive.
@@ -957,6 +965,19 @@ object QueriesGraphAlgos {
     "assortativity" -> assortativityOracle,
     "link_predict" -> linkPredictOracle,
     "mis_luby" -> misOracle,
+    "neg_sample" ->
+      s"""WITH ${SparkEntry.RelsCte},
+         |nse AS MATERIALIZED (
+         |  SELECT start_id AS src, end_id AS dst FROM rels
+         |  WHERE type = 'FROM_NATION'),
+         |srcs AS (SELECT DISTINCT src FROM nse),
+         |cand AS (
+         |  SELECT src, i,
+         |         5000000000 + (src % 1000003 * 31 + i * 7) % 25 AS neg
+         |  FROM srcs, (SELECT unnest(range(0, 3)) AS i) ii)
+         |SELECT c.src, c.i, c.neg FROM cand c
+         |WHERE NOT EXISTS (SELECT 1 FROM nse e
+         |                  WHERE e.src = c.src AND e.dst = c.neg)""".stripMargin,
     "random_walks" -> randomWalksOracle,
     "ktruss" -> ktrussOracle)
 }

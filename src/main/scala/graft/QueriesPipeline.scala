@@ -175,6 +175,12 @@ object QueriesPipeline {
     "doc_surprisal" -> ((s, dir) =>
       CorpusTools.docSurprisal(table(s, dir, "documents"), "doc_id",
         "text")),
+    // corpus encoding through the induced vocabulary (OOV → 0):
+    // per-doc positional id checksum — the materialize-training-data
+    // step after vocab_build
+    "encode_corpus" -> ((s, dir) =>
+      CorpusTools.encodeCorpus(table(s, dir, "documents"), "doc_id",
+        "text", minCount = 10L)),
     // single-pass per-column profiling (data validation before training)
     "profile_docs" -> ((s, dir) =>
       CorpusTools.profile(table(s, dir, "documents"),
@@ -761,6 +767,28 @@ object QueriesPipeline {
          |FROM brute b LEFT JOIN ivfr i
          |  ON b.qid = i.qid AND b.nid = i.nid
          |GROUP BY b.qid""".stripMargin,
+    "encode_corpus" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, pos, ws[CAST(pos AS INTEGER)] AS word FROM (
+        |    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |          FROM documents) a) b
+        |  WHERE ws[CAST(pos AS INTEGER)] != ''),
+        |vc AS MATERIALIZED (
+        |  SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word)
+        |    AS BIGINT) AS vocab_id
+        |  FROM (SELECT word, count(*) AS cnt FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS word
+        |          FROM documents) t
+        |        WHERE word != '' GROUP BY word
+        |        HAVING count(*) >= 10) c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.vocab_id IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_oov,
+        |       CAST(sum(coalesce(v.vocab_id, 0) * tk.pos) AS BIGINT)
+        |         AS ids_checksum
+        |FROM tk LEFT JOIN vc v USING (word)
+        |GROUP BY doc_id""".stripMargin,
     "doc_surprisal" ->
       """WITH tk AS MATERIALIZED (
         |  SELECT doc_id, word FROM (

@@ -396,6 +396,35 @@ object CorpusTools {
       .select(col("rn"), col("pair"), col("cnt"))
   }
 
+  /** Corpus encoding — the materialize-the-training-data step: every
+    * positional token maps through the [[buildVocab]] id table (OOV →
+    * id 0), summarized per doc as an engine-exact checksum Σ id·pos
+    * (positions index the RAW whitespace split, so empty-token filtering
+    * cannot shift alignment between engines) plus token and OOV counts.
+    * The id-sequence itself is this projection minus the aggregate; the
+    * checksum form keeps the gate hashable without array-order pitfalls.
+    *
+    * Scale: tokens⋈vocab is an equi-join against an aggregate-bounded
+    * vocabulary (AQE broadcasts it when small); one per-doc aggregate
+    * after. Returns (doc_id, n_tokens, n_oov, ids_checksum). */
+  def encodeCorpus(docs: DataFrame, id: String, text: String,
+                   minCount: Long): DataFrame = {
+    val vocab = buildVocab(docs, text, minCount)
+      .select(col("word"), col("vocab_id"))
+    val toks = docs
+      .select(col(id).as("doc_id"),
+        posexplode(words(col(text))).as(Seq("pos0", "word")))
+      .where(col("word") =!= "")
+      .select(col("doc_id"), (col("pos0") + 1L).as("pos"), col("word"))
+    toks.join(vocab, Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("vocab_id"), lit(0L)).as("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("tid") * col("pos")).as("ids_checksum"))
+  }
+
   def buildVocab(docs: DataFrame, text: String, minCount: Long): DataFrame = {
     val counts = docs
       .select(explode(words(col(text))).as("word"))

@@ -890,6 +890,34 @@ object GraphAlgos {
         when(col("f") === col("b"), 1L).otherwise(0L).as("resolved"))
   }
 
+  /** Negative sampling for link-prediction / contrastive training:
+    * for each distinct source node, k hash-indexed candidates from the
+    * target id domain [domainBase, domainBase + domainSize), with TRUE
+    * positives excluded by an anti-join — the corruption step of every
+    * GNN/KG-embedding trainer (TransE, GraphSAGE), made deterministic
+    * (reproducible under retries) by replacing the RNG with quadratic
+    * mod-p mixing of (src, i).
+    *
+    * Scale: one narrow k-way explode of the distinct source set + one
+    * anti-join against the edge list on (src, neg) — never a sample
+    * loop, never a collect. Slots whose candidate collides with a real
+    * edge drop (k is a budget, not a guarantee — the standard trade;
+    * re-draw rounds would compose the same way). Returns (src, i, neg).
+    */
+  def negativeSample(edges: DataFrame, k: Int, domainBase: Long,
+                     domainSize: Long): DataFrame = {
+    val cands = edges.select(col("src")).distinct()
+      .select(col("src"),
+        explode(sequence(lit(0L), lit(k.toLong - 1L))).as("i"))
+      .select(col("src"), col("i"),
+        (lit(domainBase) +
+          (col("src") % 1000003L * 31L + col("i") * 7L) % domainSize)
+          .as("neg"))
+    cands.join(edges.select(col("src"), col("dst").as("neg")),
+      Seq("src", "neg"), "left_anti")
+      .select(col("src"), col("i"), col("neg"))
+  }
+
   /** Luby-style maximal independent set with deterministic hash
     * priorities — the symmetry-breaking primitive under distributed
     * coloring/scheduling. pr(id) = ((id mod p)² mod p · 31 + id mod p)

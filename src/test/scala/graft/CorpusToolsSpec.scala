@@ -213,6 +213,17 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(again == expected)
   }
 
+  test("encodeCorpus: positional id checksum with OOV as id 0") {
+    // minCount 2 → vocab a=1, b=2 (cnt desc, word asc); c,z are OOV.
+    // doc1 "a a b z": Σ id·pos = 1+2+6+0 = 9, 1 OOV of 4 tokens
+    // doc2 "b c": 2·1 + 0 = 2, 1 OOV of 2
+    val docs = Seq((1L, "a a b z"), (2L, "b c")).toDF("doc_id", "text")
+    val r = CorpusTools.encodeCorpus(docs, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r == Map(1L -> ((4L, 1L, 9L)), 2L -> ((2L, 1L, 2L))))
+  }
+
   test("docSurprisal: bit-length surprisal, hand-computed") {
     // counts a:2 b:2 c:1, T=5; s = bitlen(T div cnt): a,b → bitlen(2)=2,
     // c → bitlen(5)=3. doc1 (a a b): 3 tokens, sum 6, mean 2000 milli;

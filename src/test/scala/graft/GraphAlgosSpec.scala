@@ -368,6 +368,17 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("negativeSample: hash-indexed candidates, positives excluded") {
+    // domain [10,12): src 1 draws 11,10,11 for i=0,1,2 — slot i=1 hits
+    // its true edge (1→10) and drops; src 2 draws 10,11,10 — slot i=1
+    // hits (2→11) and drops
+    val edges = Seq((1L, 10L), (2L, 11L)).toDF("src", "dst")
+    val r = GraphAlgos.negativeSample(edges, k = 3, domainBase = 10L,
+      domainSize = 2L).as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 0L, 11L), (1L, 2L, 11L), (2L, 0L, 10L),
+      (2L, 2L, 10L)))
+  }
+
   test("misLuby: path graph — min-key endpoint first, far end next round") {
     // keys: pr(id)=(id²·31+id) mod 1000003 → 1:32, 2:126, 3:282 (×10¹⁰+id)
     // round 1: node 1 wins (beats 2), nodes 2,3 lose to a neighbor;
