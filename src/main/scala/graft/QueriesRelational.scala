@@ -341,6 +341,13 @@ object QueriesRelational {
         table(s, dir, "lineitem"), basket = "l_orderkey",
         item = "l_partkey", maxBasket = 20, k = 25)),
 
+    // association rules from the basket scan: exact integer confidence
+    // and lift ppm, top-25 by lift — directed rules over capped baskets
+    "assoc_rules" -> ((s, dir) =>
+      graft.operators.EventAnalytics.assocRules(
+        table(s, dir, "lineitem"), basket = "l_orderkey",
+        item = "l_partkey", maxBasket = 20, k = 25)),
+
     // ---- streaming-analog (event time) -----------------------------------
     // Tumbling 1h event-time windows (batch twin of the Structured
     // Streaming pipeline in graft.streaming).
@@ -821,6 +828,28 @@ object QueriesRelational {
         |  FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
         |  GROUP BY x.it, y.it) p
         |ORDER BY cnt DESC, a, b LIMIT 25""".stripMargin,
+    "assoc_rules" ->
+      """WITH it AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |ok AS MATERIALIZED (
+        |  SELECT it.bk, it.it FROM it JOIN (
+        |    SELECT bk FROM it GROUP BY bk HAVING count(*) <= 20) sm
+        |    USING (bk)),
+        |p AS MATERIALIZED (
+        |  SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY x.it, y.it),
+        |n AS MATERIALIZED (
+        |  SELECT it, CAST(count(*) AS BIGINT) AS n FROM ok GROUP BY it),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM ok),
+        |d AS (SELECT a AS x, b AS y, cnt FROM p
+        |      UNION ALL SELECT b, a, cnt FROM p)
+        |SELECT x, y, cnt,
+        |       cnt * 1000000 // nx.n AS conf_ppm,
+        |       cnt * nb.nb * 1000000 // (nx.n * ny.n) AS lift_ppm
+        |FROM d JOIN n nx ON d.x = nx.it JOIN n ny ON d.y = ny.it, nb
+        |ORDER BY lift_ppm DESC, x, y LIMIT 25""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS n, round(sum(value), 2) AS total

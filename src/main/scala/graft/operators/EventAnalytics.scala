@@ -68,17 +68,53 @@ object EventAnalytics {
     * (cnt DESC, a, b) through TakeOrderedAndProject — O(k) per
     * partition crosses the final shuffle. Returns (a, b, cnt). */
   def basketPairs(df: DataFrame, basket: String, item: String,
-                  maxBasket: Int, k: Int): DataFrame = {
+                  maxBasket: Int, k: Int): DataFrame =
+    cappedItems(df, basket, item, maxBasket) match { case ok =>
+      pairCounts(ok)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(k)
+    }
+
+  /** Distinct (basket, item) pairs from baskets within the size cap. */
+  private def cappedItems(df: DataFrame, basket: String, item: String,
+                          maxBasket: Int): DataFrame = {
     val items = df.select(col(basket).as("bk"), col(item).as("it"))
       .distinct().localCheckpoint(true)
     val small = items.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= maxBasket).select(col("bk"))
-    val ok = items.join(small, Seq("bk"), "left_semi")
+    items.join(small, Seq("bk"), "left_semi")
+  }
+
+  private def pairCounts(ok: DataFrame): DataFrame =
     ok.as("x").join(ok.as("y"),
         col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
       .groupBy(col("x.it").as("a"), col("y.it").as("b"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("a"), col("b"))
+
+  /** Association rules from the pair scan: both directed rules per
+    * co-occurring pair with exact integer metrics —
+    * conf(x→y) = ⌊cnt·10⁶ / n(x)⌋ and lift = ⌊cnt·N·10⁶ / (n(x)·n(y))⌋
+    * ppm, where n(i) counts capped baskets containing i and N the
+    * capped baskets. Top-k by (lift DESC, x, y) via
+    * TakeOrderedAndProject. Returns (x, y, cnt, conf_ppm, lift_ppm). */
+  def assocRules(df: DataFrame, basket: String, item: String,
+                 maxBasket: Int, k: Int): DataFrame = {
+    val ok = cappedItems(df, basket, item, maxBasket).localCheckpoint(true)
+    val pairs = pairCounts(ok)
+    val itemN = ok.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    val totalN = ok.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    val directed = pairs.select(col("a").as("x"), col("b").as("y"),
+        col("cnt"))
+      .union(pairs.select(col("b"), col("a"), col("cnt")))
+    directed
+      .join(itemN.select(col("it").as("x"), col("n").as("nx")), "x")
+      .join(itemN.select(col("it").as("y"), col("n").as("ny")), "y")
+      .join(broadcast(totalN), lit(true))
+      .select(col("x"), col("y"), col("cnt"),
+        expr("cnt * 1000000 div nx").as("conf_ppm"),
+        expr("cnt * nb * 1000000 div (nx * ny)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("x"), col("y"))
       .limit(k)
   }
 }

@@ -63,6 +63,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
 
+  test("assocRules: exact integer confidence and lift") {
+    // b1{1,2} b2{1,2} b3{1,3}: n(1)=3 n(2)=2 n(3)=1, N=3
+    // 1→2 conf ⌊2e6/3⌋=666666, lift 2·3e6/(3·2)=1e6; 2→1 conf 1e6;
+    // 1→3 conf 333333; 3→1 conf 1e6 — all lifts 1e6, ties by (x,y)
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L)).toDF("bk", "it")
+    val out = EventAnalytics.assocRules(df, "bk", "it",
+      maxBasket = 5, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, 2L, 2L, 666666L, 1000000L), (1L, 3L, 1L, 333333L, 1000000L),
+      (2L, 1L, 2L, 1000000L, 1000000L), (3L, 1L, 1L, 1000000L, 1000000L)))
+  }
+
   test("basketPairs: pair counts with the basket-size cap") {
     // b1 {1,2,3}, b2 {2,3} (duplicate item rows collapse), b3 has 6
     // items > cap 5 → dropped whole
