@@ -161,6 +161,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no TakeOrderedAndProject:\n${plan.take(4000)}")
   }
 
+  test("basket_pairs and assoc_rules ship top-k via TakeOrderedAndProject") {
+    for (g <- Seq("basket_pairs", "assoc_rules")) {
+      val plan = formatted(SparkEntry.queries(g)(spark, dir))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$g lost the bounded top-k:\n${plan.take(3000)}")
+    }
+  }
+
   test("dup_spans plan has no pair join (exactly the two aggregates)") {
     // the whole point vs pairwise span dedup: spans group-count then
     // rejoin by span key — no self-join of docs with docs, so no
