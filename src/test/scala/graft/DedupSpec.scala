@@ -178,6 +178,25 @@ class DedupSpec extends AnyFunSuite {
       s"label-blocked pairs missed by LSH: ${blocked.diff(lsh)}")
   }
 
+  test("fuzzyPairs equals brute-force same-length Hamming<=1 on random strings") {
+    // pigeonhole completeness: with no block cap, the output must be
+    // EXACTLY the same-length pairs within Hamming distance 1 (for equal
+    // lengths, levenshtein<=1 ⟺ Hamming<=1)
+    val rnd = new scala.util.Random(29)
+    val strs = (1 to 30).map { i =>
+      val len = 4 + rnd.nextInt(3)
+      (i.toLong, (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val brute = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && sa.length == sb.length &&
+        sa.zip(sb).count(p => p._1 != p._2) <= 1
+    } yield (ia, ib, sa.zip(sb).count(p => p._1 != p._2).toLong)).toSet
+    val out = Dedup.fuzzyPairs(strs.toDF("eid", "nm"), "eid", "nm",
+      maxBlock = 1000).as[(Long, Long, Long)].collect().toSet
+    assert(out == brute, s"missing: ${brute.diff(out)}, extra: ${out.diff(brute)}")
+  }
+
   test("fuzzyPairs: half-block candidates, levenshtein verify, dist 0 kept") {
     // ab/ac share the L half; ab/ab are exact dupes; xy is isolated
     val df = Seq((1L, "ab"), (2L, "ac"), (3L, "xy"), (4L, "ab"))

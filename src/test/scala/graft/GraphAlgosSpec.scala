@@ -368,6 +368,65 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("sccColoring agrees with driver-side Kosaraju on a random digraph") {
+    val rnd = new scala.util.Random(31)
+    val n = 24
+    val es = (1 to 55).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    // Kosaraju: order by first-DFS finish time, then reverse-graph DFS
+    val fwd = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val rev = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    var seen = Set.empty[Long]
+    var order = List.empty[Long]
+    def dfs1(v: Long): Unit = if (!seen(v)) {
+      seen += v
+      fwd.getOrElse(v, Nil).foreach(dfs1)
+      order ::= v
+    }
+    nodes.foreach(dfs1)
+    seen = Set.empty
+    var comp = Map.empty[Long, Long]
+    def dfs2(v: Long, root: Long): Unit = if (!seen(v)) {
+      seen += v; comp += v -> root
+      rev.getOrElse(v, Nil).foreach(dfs2(_, root))
+    }
+    order.foreach(v => dfs2(v, v))
+    val trueScc = nodes.groupBy(comp).values
+      .flatMap(g => g.map(_ -> g.min)).toMap
+    val out = GraphAlgos.sccColoring(es.toDF("src", "dst"), rounds = 30)
+      .as[(Long, Long, Long)].collect()
+    for ((id, scc, resolved) <- out) {
+      if (resolved == 1L) {
+        // a resolved node's id must be its true SCC's minimum member
+        assert(trueScc(id) == scc && trueScc(scc) == scc,
+          s"node $id resolved to $scc but true SCC min is ${trueScc(id)}")
+      }
+    }
+    // resolved-ness is uniform per true SCC at fixpoint
+    val byScc = out.groupBy(t => trueScc(t._1))
+    for ((_, members) <- byScc)
+      assert(members.map(_._3).distinct.length == 1)
+  }
+
+  test("misLuby is independent and maximal on a random graph at fixpoint") {
+    val rnd = new scala.util.Random(17)
+    val n = 14
+    val es = (1 to 26).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val g = es.map { case (a, b) => (a, b, "E") }
+      .toDF("START_ID", "END_ID", "TYPE")
+    val mis = GraphAlgos.misLuby(g, Seq("E"), rounds = n)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(!es.exists { case (a, b) => mis(a) && mis(b) }, "not independent")
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(nodes.forall(v => mis(v) || es.exists { case (a, b) =>
+      (a == v && mis(b)) || (b == v && mis(a)) }), "not maximal")
+  }
+
   test("negativeSample: hash-indexed candidates, positives excluded") {
     // domain [10,12): src 1 draws 11,10,11 for i=0,1,2 — slot i=1 hits
     // its true edge (1→10) and drops; src 2 draws 10,11,10 — slot i=1
