@@ -341,6 +341,30 @@ object QueriesRelational {
         table(s, dir, "lineitem"), basket = "l_orderkey",
         item = "l_partkey", maxBasket = 20, k = 25)),
 
+    // per-nation revenue trend: int64-cent yearly points, OLS slope and
+    // intercept from exact moment sums + identical double algebra
+    "trend_fit" -> ((s, dir) => {
+      val pts = table(s, dir, "orders")
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(table(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          (year(col("o_orderdate")) - 1992).cast("long").as("x"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("y"))
+      graft.operators.Stats.groupedOls(pts, "nation", "x", "y")
+    }),
+    // pairwise Pearson over quantized lineitem measures — one aggregate
+    // of int64 moments, closing r algebra in double
+    "corr_matrix" -> ((s, dir) =>
+      graft.operators.Stats.corrPairs(
+        table(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice")).cast("long").as("price_usd"),
+          floor(col("l_discount") * 10000 + 0.5).cast("long")
+            .as("disc_bp")),
+        Seq("qty", "price_usd", "disc_bp"))),
     // association rules from the basket scan: exact integer confidence
     // and lift ppm, top-25 by lift — directed rules over capped baskets
     "assoc_rules" -> ((s, dir) =>
@@ -828,6 +852,74 @@ object QueriesRelational {
         |  FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
         |  GROUP BY x.it, y.it) p
         |ORDER BY cnt DESC, a, b LIMIT 25""".stripMargin,
+    "trend_fit" ->
+      """WITH pts AS MATERIALIZED (
+        |  SELECT n_name AS nation,
+        |         CAST(year(o_orderdate) - 1992 AS BIGINT) AS x,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |           AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders, customer, nation
+        |  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  GROUP BY n_name, year(o_orderdate)),
+        |m AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM pts GROUP BY nation),
+        |s AS (SELECT *,
+        |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |      FROM m)
+        |SELECT nation, n, sx, sy, sxy, sxx, slope,
+        |       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |         / CAST(n AS DOUBLE) AS intercept
+        |FROM s""".stripMargin,
+    "corr_matrix" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(floor(l_extendedprice) AS BIGINT) AS price_usd,
+        |         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+        |           AS disc_bp
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(qty) AS BIGINT) AS s_q,
+        |        CAST(sum(price_usd) AS BIGINT) AS s_p,
+        |        CAST(sum(disc_bp) AS BIGINT) AS s_d,
+        |        CAST(sum(qty * qty) AS BIGINT) AS q_q,
+        |        CAST(sum(price_usd * price_usd) AS BIGINT) AS q_p,
+        |        CAST(sum(disc_bp * disc_bp) AS BIGINT) AS q_d,
+        |        CAST(sum(qty * price_usd) AS BIGINT) AS p_qp,
+        |        CAST(sum(qty * disc_bp) AS BIGINT) AS p_qd,
+        |        CAST(sum(price_usd * disc_bp) AS BIGINT) AS p_pd
+        |      FROM q)
+        |SELECT 'qty' AS col_a, 'price_usd' AS col_b, n,
+        |  (CAST(n AS DOUBLE) * CAST(p_qp AS DOUBLE)
+        |    - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(q_q AS DOUBLE)
+        |       - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(q_p AS DOUBLE)
+        |       - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))) AS r
+        |FROM m
+        |UNION ALL
+        |SELECT 'qty', 'disc_bp', n,
+        |  (CAST(n AS DOUBLE) * CAST(p_qd AS DOUBLE)
+        |    - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(q_q AS DOUBLE)
+        |       - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(q_d AS DOUBLE)
+        |       - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        |FROM m
+        |UNION ALL
+        |SELECT 'price_usd', 'disc_bp', n,
+        |  (CAST(n AS DOUBLE) * CAST(p_pd AS DOUBLE)
+        |    - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(q_p AS DOUBLE)
+        |       - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(q_d AS DOUBLE)
+        |       - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        |FROM m""".stripMargin,
     "assoc_rules" ->
       """WITH it AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed statistics — regression and correlation as ONE aggregate
+  * of int64 moment sums plus a final double expression. The sums are
+  * exact in any engine; the closing division/sqrt chain is written
+  * identically on both sides (every step IEEE-correctly-rounded:
+  * +, −, ×, /, √ — never pow/ln), so results replay bit-for-bit.
+  *
+  * Scale: each statistic is a single map-side-combined hash aggregate
+  * over the data — no window, no second pass, no collect. Moment sums
+  * are kept small by quantizing inputs to the coarsest unit that holds
+  * the signal (dollars/basis points, x shifted to a zero-based index):
+  * Σx² at 10⁹ rows of 10⁵-unit values stays well under 2⁶³, while the
+  * n·Σx² cross-terms that WOULD overflow are evaluated in double after
+  * exact int64 accumulation. */
+object Stats {
+
+  /** Per-group ordinary least squares y = slope·x + intercept from the
+    * five moment sums (n, Σx, Σy, Σxy, Σx²):
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²-bar), intercept =
+    * (Σy − slope·Σx) / n — the per-entity trend fit a feature pipeline
+    * runs at full table scale. x and y must already be int64.
+    * Returns (group, n, sx, sy, sxy, sxx, slope, intercept). */
+  def groupedOls(df: DataFrame, group: String, x: String,
+                 y: String): DataFrame =
+    df.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), sum(col(x)).as("sx"),
+        sum(col(y)).as("sy"), sum(col(x) * col(y)).as("sxy"),
+        sum(col(x) * col(x)).as("sxx"))
+      .select(col(group), col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("slope"))
+      .select(col(group), col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"), col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+
+  /** Pairwise Pearson correlations of pre-quantized int64 columns,
+    * long-form (col_a, col_b, n, r) for every a < b pair. ONE aggregate
+    * computes every moment; the r expressions are pure double algebra
+    * over the exact sums. The column list is caller-bounded (k columns
+    * → k(k−1)/2 outputs from a 1-row aggregate). */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => sum(col(c)).as(s"s_$c")) ++
+      cols.map(c => sum(col(c) * col(c)).as(s"q_$c")) ++
+      (for (i <- cols.indices; j <- cols.indices if i < j)
+        yield sum(col(cols(i)) * col(cols(j)))
+          .as(s"p_${cols(i)}_${cols(j)}"))
+    val m = df.agg(count(lit(1)).as("n"), aggs: _*)
+    def d(c: String): Column = col(c).cast("double")
+    val rows = for (i <- cols.indices; j <- cols.indices if i < j) yield {
+      val (a, b) = (cols(i), cols(j))
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        ((d("n") * d(s"p_${a}_$b") - d(s"s_$a") * d(s"s_$b"))
+          / (sqrt(d("n") * d(s"q_$a") - d(s"s_$a") * d(s"s_$a"))
+            * sqrt(d("n") * d(s"q_$b") - d(s"s_$b") * d(s"s_$b"))))
+          .as("r"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+}
