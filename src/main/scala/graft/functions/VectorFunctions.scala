@@ -51,6 +51,13 @@ object VectorFunctions {
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
+  /** Codegen int64 bit length — `length(bin(x))` without the per-row
+    * string materialization (exact ⌊log₂⌋+1, the surprisal kernel). */
+  def bitLen(a: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.BitLength(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a)))
+
   /** Codegen int64 squared L2 distance over `array<bigint>` — the
     * quantized k-means kernel. */
   def longSqDist(a: Column, b: Column): Column =

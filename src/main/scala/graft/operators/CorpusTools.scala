@@ -358,7 +358,7 @@ object CorpusTools {
     toks.join(counts, "word")
       .join(broadcast(tot), lit(true))
       .select(col("doc_id"),
-        length(bin(expr("t div cnt"))).cast("long").as("s"))
+        graft.functions.VectorFunctions.bitLen(expr("t div cnt")).as("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("surprisal_sum"))
       .select(col("doc_id"), col("n_tokens"), col("surprisal_sum"),

@@ -166,6 +166,43 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Bit length of an int64 — semantically identical to
+  * `length(bin(x))` (positive: 64 − nlz(x); zero: 1; negative: 64,
+  * two's-complement digits) but ONE intrinsic instead of materializing
+  * a binary string per row. This is the doc-surprisal hot-path kernel:
+  * exact integer ⌊log₂⌋+1 with no allocation inside whole-stage
+  * codegen. */
+case class BitLength(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bit_len"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Long]
+    val r: Long =
+      if (x == 0L) 1L
+      else if (x < 0L) 64L
+      else 64L - java.lang.Long.numberOfLeadingZeros(x)
+    java.lang.Long.valueOf(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x =>
+      s"($x == 0L ? 1L : ($x < 0L ? 64L : " +
+        s"64L - (long) java.lang.Long.numberOfLeadingZeros($x)))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BitLength = copy(child = newChild)
+}
+
 /** Σ (aᵢ−bᵢ)² over array<bigint> — the quantized k-means distance. */
 case class LongSqDistance(left: Expression, right: Expression)
     extends LongPairwiseExpression {

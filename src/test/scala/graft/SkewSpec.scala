@@ -48,6 +48,24 @@ class SkewSpec extends AnyFunSuite {
     assert(r == ((3L, 6L, 3L, 2L, 3L, 1L, 4L, 18L)))
   }
 
+  test("keyProfile matches the brute per-key-rank Gini on random data") {
+    val rnd = new scala.util.Random(53)
+    val keys = Seq.fill(400)(rnd.nextInt(40).toLong)
+    val counts = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val xs = counts.values.toSeq.sorted
+    val n = xs.size.toLong
+    val gini = xs.zipWithIndex.map { case (x, i0) =>
+      (2L * (i0 + 1) - n - 1L) * x
+    }.sum
+    def pct(q: Long): Long = xs((((q * n + 99) / 100) - 1).toInt)
+    val r = Skew.keyProfile(keys.toDF("k2"), "k2")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val hot = counts.filter(_._2 == xs.max).keys.min
+    assert(r == ((n, keys.size.toLong, xs.max, pct(50), pct(99), hot,
+      gini, n * keys.size)))
+  }
+
   test("keyProfile: uniform keys have zero Gini") {
     val df = (1L to 8L).flatMap(k => Seq(k, k)).toDF("k2")
     val r = Skew.keyProfile(df, "k2")

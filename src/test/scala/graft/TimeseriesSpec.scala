@@ -69,6 +69,32 @@ class TimeseriesSpec extends AnyFunSuite {
       ("B", 1L) -> ((1L, 3L, 2L))))
   }
 
+  test("mergeIntervals equals a driver-side sort-and-merge on random data") {
+    val rnd = new scala.util.Random(47)
+    val iv = Seq.fill(120) {
+      val k = s"k${rnd.nextInt(5)}"
+      val s = rnd.nextInt(60).toLong
+      (k, s, s + 1 + rnd.nextInt(8).toLong)
+    }
+    val brute = iv.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(identity)
+      val islands = sorted.tail.foldLeft(
+        List((sorted.head._1, sorted.head._2, 1L))) {
+        case ((st, en, n) :: rest, (s, e)) =>
+          if (s > en) (s, e, 1L) :: (st, en, n) :: rest
+          else (st, math.max(en, e), n + 1) :: rest
+        case (Nil, _) => Nil
+      }.reverse
+      islands.zipWithIndex.map { case ((st, en, n), i) =>
+        (k, i + 1L, st, en, n)
+      }
+    }.toSet
+    val out = Timeseries.mergeIntervals(iv.toDF("k", "s", "e"), "k", "s", "e")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == brute,
+      s"missing: ${brute.diff(out)}, extra: ${out.diff(brute)}")
+  }
+
   test("mergeIntervals: contained interval does not reopen an island") {
     // [1,10] then [2,3] (contained) then [4,20]: all one island — the
     // running-max (not previous-row) end is what prevents a false gap

@@ -69,6 +69,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .as[Option[Long]].head().isEmpty)
   }
 
+  test("bitLen agrees with length(bin(x)) across the full int64 range") {
+    val rnd = new scala.util.Random(19)
+    val edge = Seq(0L, 1L, 2L, 63L, 64L, Long.MaxValue, -1L,
+      Long.MinValue, -42L)
+    val vals = edge ++ Seq.fill(200)(rnd.nextLong()) ++
+      Seq.fill(50)(rnd.nextInt(1000000).toLong)
+    val df = vals.toDF("x")
+    val both = df.select(
+      VectorFunctions.bitLen(col("x")).as("fast"),
+      length(bin(col("x"))).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (f, r) => assert(f == r, s"bitLen $f != bin $r") }
+  }
+
   test("registered SQL function works end-to-end") {
     GraftExtensions.register(spark)
     val r = spark.sql(
