@@ -543,6 +543,19 @@ object QueriesPipeline {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"))),
+    // REAL audio decode: byte-valid PCM WAV containers (RIFF chunk walk,
+    // int16 LE samples) — the audio twin of multimodal_bmp, sample sums
+    // replayed exactly by the oracle
+    "multimodal_wav" -> ((s, dir) =>
+      Multimodal.decodeAudio(
+        Multimodal.asSyntheticWavs(table(s, dir, "documents"),
+          "doc_id", "text").toDF())
+        .toDF()
+        .select(col("doc_id"), col("format"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("n_samples"), col("sum_abs"), col("sum_val"))),
     // pseudo-decode fallback surface (opaque binary + fake format): the
     // deterministic stub path for payloads no header parser recognizes
     "multimodal_pseudo" -> ((s, dir) =>
@@ -1710,6 +1723,23 @@ object QueriesPipeline {
         |  CAST(sum(CASE WHEN j % 3 = 2 THEN (doc_id*31 + j) % 256
         |           ELSE 0 END) AS BIGINT) AS sum_r
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    "multimodal_wav" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 64 + 8 AS ns,
+        |         8000 + octet_length(encode(text)) % 4 * 4000 AS rate
+        |  FROM documents),
+        |sm AS (SELECT doc_id, ns, rate,
+        |         unnest(generate_series(0, ns - 1)) AS i
+        |       FROM m)
+        |SELECT doc_id, 'wav' AS format, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(sum(abs((doc_id * 31 + i) % 65536 - 32768)) AS BIGINT)
+        |    AS sum_abs,
+        |  CAST(sum((doc_id * 31 + i) % 65536 - 32768) AS BIGINT)
+        |    AS sum_val
+        |FROM sm GROUP BY doc_id, ns, rate""".stripMargin,
     "multimodal_pseudo" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -26,6 +26,10 @@ object Multimodal {
   final case class PixelFeatures(doc_id: Long, format: String, width: Int,
                                  height: Int, n_pixels: Long, sum_b: Long,
                                  sum_g: Long, sum_r: Long)
+  final case class WavFeatures(doc_id: Long, format: String,
+                               sample_rate: Int, channels: Int, bits: Int,
+                               n_samples: Long, sum_abs: Long,
+                               sum_val: Long)
 
   /** Wrap a text corpus as a binary media table (content = UTF-8 bytes;
     * format sniffed — here a deterministic fake keyed on payload length). */
@@ -89,6 +93,40 @@ object Multimodal {
       })
   }
 
+  /** Encode each document as a REAL PCM WAV — RIFF header, fmt chunk
+    * (mono 16-bit), data chunk with formula samples
+    * vᵢ = ((doc_id·31 + i) mod 65536) − 32768; any audio player opens
+    * the bytes. Sample count and rate derive from the text byte length
+    * (n_samples = n%64 + 8, rate = 8000 + n%4·4000) so the gate oracle
+    * replays the whole waveform exactly — sample-level decode verified
+    * end-to-end, the audio twin of [[asSyntheticBitmaps]]. */
+  def asSyntheticWavs(docs: DataFrame, id: String,
+                      text: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, t) =>
+        val n = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        MediaRow(docId,
+          MediaKernels.encodeWav(docId, n % 64 + 8, 8000 + n % 4 * 4000),
+          "wav")
+      })
+  }
+
+  /** Sample-level PCM decode (true audio features, no codec library
+    * needed for uncompressed WAV): chunk-walking RIFF parse, then
+    * absolute and signed sample sums. Non-WAV payloads report format
+    * "unknown" with zeroed features — the swap point for a real codec,
+    * same as [[decodeFeatures]]. */
+  def decodeAudio(media: DataFrame): Dataset[WavFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map(r => MediaKernels.decodeWavSamples(r.doc_id, r.content))
+    }
+  }
+
   /** Full pixel decode (true pixel-level features, no codec library
     * needed for uncompressed BMP): per-channel byte sums + pixel count.
     * Non-BMP payloads report format "unknown" with zeroed features — the
@@ -143,6 +181,78 @@ object Multimodal {
         y += 1
       }
       b
+    }
+
+    /** Byte-valid mono 16-bit PCM WAV with formula samples
+      * vᵢ = ((seed·31 + i) mod 65536) − 32768, little-endian per the
+      * RIFF wire format. */
+    def encodeWav(seed: Long, nSamples: Int, rate: Int): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val b = new Array[Byte](44 + dataLen)
+      def tag(i: Int, s: String): Unit =
+        s.getBytes.copyToArray(b, i)
+      def le16(i: Int, v: Int): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      }
+      def le32(i: Int, v: Int): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+        b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+      }
+      tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16)       // fmt chunk, PCM size 16
+      le16(20, 1); le16(22, 1)            // PCM, mono
+      le32(24, rate); le32(28, rate * 2)  // sample rate, byte rate
+      le16(32, 2); le16(34, 16)           // block align, bits/sample
+      tag(36, "data"); le32(40, dataLen)
+      var i = 0
+      while (i < nSamples) {
+        val v = ((seed * 31 + i) % 65536L).toInt - 32768
+        le16(44 + i * 2, v & 0xffff)
+        i += 1
+      }
+      b
+    }
+
+    /** Chunk-walking RIFF/WAVE parse + sample-level PCM decode: finds
+      * the fmt and data chunks by walking the declared chunk lengths
+      * (arbitrary chunk order and extra chunks tolerated — the actual
+      * wire format, not fixed offsets), then accumulates int16 LE
+      * sample sums. */
+    def decodeWavSamples(docId: Long, b: Array[Byte]): WavFeatures = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def u32le(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def tag(i: Int): String =
+        if (i + 4 <= b.length) new String(b.slice(i, i + 4)) else ""
+      val bad = WavFeatures(docId, "unknown", 0, 0, 0, 0L, 0L, 0L)
+      if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+      var i = 12
+      var rate = 0; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (i + 8 <= b.length && (dataOff < 0 || rate == 0)) {
+        val t = tag(i)
+        val len = u32le(i + 4)
+        if (t == "fmt " && i + 8 + 16 <= b.length) {
+          channels = u16le(i + 10); rate = u32le(i + 12)
+          bits = u16le(i + 22)
+        } else if (t == "data") {
+          dataOff = i + 8; dataLen = len
+        }
+        i += 8 + len + (len & 1)          // chunks are word-aligned
+      }
+      if (rate == 0 || dataOff < 0 || bits != 16 ||
+        dataOff + dataLen > b.length) return bad
+      val n = dataLen / 2
+      var sumAbs = 0L; var sumVal = 0L
+      var s = 0
+      while (s < n) {
+        val v = u16le(dataOff + s * 2).toShort.toLong
+        sumAbs += math.abs(v); sumVal += v
+        s += 1
+      }
+      WavFeatures(docId, "wav", rate, channels, bits, n.toLong, sumAbs,
+        sumVal)
     }
 
     /** Full uncompressed-BMP pixel decode: walks the bottom-up padded rows

@@ -120,6 +120,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("synthetic WAVs round-trip the sample formula end-to-end") {
+    val docs = Seq((1L, "x" * 20), (2L, "y" * 33)).toDF("doc_id", "text")
+    val got = Multimodal.decodeAudio(
+        Multimodal.asSyntheticWavs(docs, "doc_id", "text").toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    for ((id, n) <- Seq((1L, 20), (2L, 33))) {
+      val ns = n % 64 + 8
+      val f = got(id)
+      assert(f.format == "wav" && f.sample_rate == 8000 + n % 4 * 4000)
+      assert(f.channels == 1 && f.bits == 16 && f.n_samples == ns)
+      val vs = (0 until ns).map(i => (id * 31 + i) % 65536 - 32768)
+      assert(f.sum_abs == vs.map(math.abs).sum && f.sum_val == vs.sum)
+    }
+  }
+
+  test("WAV chunk walk tolerates extra chunks; non-WAV is unknown") {
+    val orig = Multimodal.MediaKernels.encodeWav(7L, 16, 8000)
+    // splice a 2-byte JUNK chunk between WAVE and fmt
+    val junk = "JUNK".getBytes ++ Array[Byte](2, 0, 0, 0, 9, 9)
+    val spliced = orig.take(12) ++ junk ++ orig.drop(12)
+    val a = Multimodal.MediaKernels.decodeWavSamples(7L, spliced)
+    val b = Multimodal.MediaKernels.decodeWavSamples(7L, orig)
+    assert(a == b && a.format == "wav")
+    val bad = Multimodal.MediaKernels.decodeWavSamples(7L,
+      "definitely not a riff file, just some bytes....".getBytes)
+    assert(bad.format == "unknown" && bad.n_samples == 0L)
+  }
+
   test("decode runs per-partition (batch contract preserved)") {
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
       .repartition(7)
