@@ -556,6 +556,18 @@ object QueriesPipeline {
           col("channels").cast("long").as("channels"),
           col("bits").cast("long").as("bits"),
           col("n_samples"), col("sum_abs"), col("sum_val"))),
+    // REAL video frame-sampling: Y4M containers (codec-free video),
+    // header parse + FRAME walk, luma sums over every 2nd frame — the
+    // decode that thins raw video to trainable frames
+    "multimodal_video" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asSyntheticVideos(table(s, dir, "documents"),
+          "doc_id", "text").toDF(), step = 2)
+        .toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames"), col("n_sampled"), col("sum_y"))),
     // pseudo-decode fallback surface (opaque binary + fake format): the
     // deterministic stub path for payloads no header parser recognizes
     "multimodal_pseudo" -> ((s, dir) =>
@@ -1740,6 +1752,19 @@ object QueriesPipeline {
         |  CAST(sum((doc_id * 31 + i) % 65536 - 32768) AS BIGINT)
         |    AS sum_val
         |FROM sm GROUP BY doc_id, ns, rate""".stripMargin,
+    "multimodal_video" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) % 6 + 2 AS nf
+        |  FROM documents),
+        |fp AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f
+        |       FROM m),
+        |sp AS (SELECT doc_id, nf, f, unnest(generate_series(0, 7)) AS p
+        |       FROM fp WHERE f % 2 = 0)
+        |SELECT doc_id, 'y4m' AS format, CAST(4 AS BIGINT) AS width,
+        |  CAST(2 AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+        |  CAST(sum((doc_id * 31 + f * 131 + p) % 256) AS BIGINT) AS sum_y
+        |FROM sp GROUP BY doc_id, nf""".stripMargin,
     "multimodal_pseudo" ->
       """WITH m AS (
         |  SELECT doc_id,

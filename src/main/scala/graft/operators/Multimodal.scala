@@ -30,6 +30,9 @@ object Multimodal {
                                sample_rate: Int, channels: Int, bits: Int,
                                n_samples: Long, sum_abs: Long,
                                sum_val: Long)
+  final case class VideoFeatures(doc_id: Long, format: String, width: Int,
+                                 height: Int, n_frames: Long,
+                                 n_sampled: Long, sum_y: Long)
 
   /** Wrap a text corpus as a binary media table (content = UTF-8 bytes;
     * format sniffed — here a deterministic fake keyed on payload length). */
@@ -127,6 +130,39 @@ object Multimodal {
     }
   }
 
+  /** Encode each document as a REAL uncompressed video — YUV4MPEG2
+    * (C444: full Y/U/V planes per frame), the codec-free container every
+    * video toolchain reads. Frame count derives from the text byte
+    * length (n_frames = n%6 + 2, fixed 4×2 planes); the luma byte of
+    * frame f at position p is (doc_id·31 + f·131 + p) mod 256, chroma
+    * constant 128 — the oracle replays the sampled luma sums exactly. */
+  def asSyntheticVideos(docs: DataFrame, id: String,
+                        text: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, t) =>
+        val n = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        MediaRow(docId, MediaKernels.encodeY4m(docId, 4, 2, n % 6 + 2),
+          "y4m")
+      })
+  }
+
+  /** Frame-sampled video decode (the brief's frame-sample op, real
+    * bytes end-to-end): parse the Y4M header, walk FRAME markers, and
+    * accumulate luma sums over every `step`-th frame — the decode a
+    * vision-training pipeline runs to thin 30 fps video to trainable
+    * frames. Non-Y4M payloads report "unknown". */
+  def sampleFrames(media: DataFrame, step: Int): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map(r => MediaKernels.decodeY4mSampled(r.doc_id, r.content,
+        step))
+    }
+  }
+
   /** Full pixel decode (true pixel-level features, no codec library
     * needed for uncompressed BMP): per-channel byte sums + pixel count.
     * Non-BMP payloads report format "unknown" with zeroed features — the
@@ -181,6 +217,83 @@ object Multimodal {
         y += 1
       }
       b
+    }
+
+    /** Byte-valid YUV4MPEG2 (C444) with formula luma planes; chroma is
+      * constant 128. */
+    def encodeY4m(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val header =
+        s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".getBytes
+      val frameTag = "FRAME\n".getBytes
+      val planeLen = w * h
+      val out = new Array[Byte](header.length +
+        nFrames * (frameTag.length + 3 * planeLen))
+      header.copyToArray(out, 0)
+      var off = header.length
+      var f = 0
+      while (f < nFrames) {
+        frameTag.copyToArray(out, off); off += frameTag.length
+        var p = 0
+        while (p < planeLen) {           // Y plane: formula bytes
+          out(off + p) = ((seed * 31 + f.toLong * 131 + p) % 256).toByte
+          p += 1
+        }
+        java.util.Arrays.fill(out, off + planeLen, off + 3 * planeLen,
+          128.toByte)                    // U, V planes
+        off += 3 * planeLen
+        f += 1
+      }
+      out
+    }
+
+    /** Y4M header parse + FRAME walk with every-`step`-th luma sum.
+      * Handles FRAME parameter strings (bytes to the newline) and stops
+      * cleanly at truncated payloads. */
+    def decodeY4mSampled(docId: Long, b: Array[Byte],
+                         step: Int): VideoFeatures = {
+      val bad = VideoFeatures(docId, "unknown", 0, 0, 0L, 0L, 0L)
+      val magic = "YUV4MPEG2".getBytes
+      if (b.length < 10 || !b.take(9).sameElements(magic)) return bad
+      var i = 9
+      var w = 0; var h = 0
+      // header params: space-separated tokens until newline
+      while (i < b.length && b(i) != '\n') {
+        if (b(i) == ' ' && i + 1 < b.length) {
+          val tagC = b(i + 1).toChar
+          var j = i + 2
+          var v = 0
+          var numeric = true
+          while (j < b.length && b(j) != ' ' && b(j) != '\n') {
+            val c = b(j).toChar
+            if (c.isDigit) v = v * 10 + (c - '0') else numeric = false
+            j += 1
+          }
+          if (numeric && tagC == 'W') w = v
+          if (numeric && tagC == 'H') h = v
+          i = j - 1
+        }
+        i += 1
+      }
+      if (w <= 0 || h <= 0 || i >= b.length) return bad
+      i += 1                                 // past header newline
+      val frameBytes = 3 * w * h             // C444 planes
+      var nFrames = 0L; var nSampled = 0L; var sumY = 0L
+      val tag = "FRAME".getBytes
+      while (i + tag.length <= b.length &&
+        b.slice(i, i + tag.length).sameElements(tag)) {
+        i += tag.length
+        while (i < b.length && b(i) != '\n') i += 1  // frame params
+        i += 1
+        if (i + frameBytes > b.length) return bad    // truncated frame
+        if (nFrames % step == 0) {
+          var p = 0
+          while (p < w * h) { sumY += b(i + p) & 0xff; p += 1 }
+          nSampled += 1
+        }
+        nFrames += 1
+        i += frameBytes
+      }
+      VideoFeatures(docId, "y4m", w, h, nFrames, nSampled, sumY)
     }
 
     /** Byte-valid mono 16-bit PCM WAV with formula samples

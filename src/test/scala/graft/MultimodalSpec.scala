@@ -148,6 +148,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.format == "unknown" && bad.n_samples == 0L)
   }
 
+  test("synthetic Y4M videos round-trip the sampled luma formula") {
+    val docs = Seq((1L, "x" * 20), (2L, "y" * 33)).toDF("doc_id", "text")
+    val got = Multimodal.sampleFrames(
+        Multimodal.asSyntheticVideos(docs, "doc_id", "text").toDF(),
+        step = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    for ((id, n) <- Seq((1L, 20), (2L, 33))) {
+      val nf = n % 6 + 2
+      val f = got(id)
+      assert(f.format == "y4m" && f.width == 4 && f.height == 2)
+      assert(f.n_frames == nf && f.n_sampled == (nf + 1) / 2)
+      val exp = (0 until nf).filter(_ % 2 == 0).flatMap(fr =>
+        (0 until 8).map(p => (id * 31 + fr * 131 + p) % 256)).sum
+      assert(f.sum_y == exp)
+    }
+  }
+
+  test("Y4M decoder rejects truncated frames and non-Y4M bytes") {
+    val ok = Multimodal.MediaKernels.encodeY4m(3L, 4, 2, 3)
+    val trunc = ok.take(ok.length - 5)
+    assert(Multimodal.MediaKernels.decodeY4mSampled(3L, trunc, 2)
+      .format == "unknown")
+    assert(Multimodal.MediaKernels.decodeY4mSampled(3L,
+      "MPEG4 something else".getBytes, 2).format == "unknown")
+    // step 1 samples every frame
+    val all = Multimodal.MediaKernels.decodeY4mSampled(3L, ok, 1)
+    assert(all.n_frames == 3L && all.n_sampled == 3L)
+  }
+
   test("decode runs per-partition (batch contract preserved)") {
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
       .repartition(7)
