@@ -160,6 +160,12 @@ object QueriesPipeline {
         minCount = 10L)
         .where(col("vocab_id") <= 200)),
 
+    // collocation mining: adjacent word pairs scored by lift (exact
+    // counts, bit-identical double closing algebra), min count 5,
+    // top 25 — the multiword-expression statistic
+    "collocations" -> ((s, dir) =>
+      CorpusTools.collocations(table(s, dir, "documents"), "text",
+        minCount = 5L, k = 25)),
     // BPE training's first pair-count scan: adjacent character-pair
     // frequencies, token-weighted via the word-count vocabulary (the
     // corpus never explodes — only distinct words do), top 25
@@ -1425,6 +1431,29 @@ object QueriesPipeline {
         |         // count(*) AS BIGINT) AS dup_ppm
         |FROM sp JOIN sc ON sp.span = sc.span
         |GROUP BY sp.doc_id""".stripMargin,
+    "collocations" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY w),
+        |bw AS MATERIALIZED (
+        |  SELECT ws[CAST(i AS INTEGER)] AS w1,
+        |         ws[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+        |        FROM (SELECT string_split(text, ' ') AS ws
+        |              FROM documents) a) b),
+        |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+        |      FROM bw GROUP BY w1, w2 HAVING count(*) >= 5),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS nw,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM bw) AS nb)
+        |SELECT p.w1, p.w2, p.cab AS cnt,
+        |       CAST(p.cab AS DOUBLE) * 1000000.0
+        |         * CAST(tot.nw AS DOUBLE) * CAST(tot.nw AS DOUBLE)
+        |         / (CAST(tot.nb AS DOUBLE) * CAST(ua.c AS DOUBLE)
+        |           * CAST(ub.c AS DOUBLE)) AS score
+        |FROM p JOIN uni ua ON p.w1 = ua.w
+        |       JOIN uni ub ON p.w2 = ub.w, tot
+        |ORDER BY score DESC, p.w1, p.w2 LIMIT 25""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS MATERIALIZED (
         |  SELECT word, count(*) AS wcnt FROM (

@@ -396,6 +396,47 @@ object CorpusTools {
       .select(col("rn"), col("pair"), col("cnt"))
   }
 
+  /** Collocation extraction: adjacent word pairs scored by lift
+    * (the PMI family's exact-arithmetic member):
+    * score = cnt(ab)·Nw²·10⁶ / (Nb·cnt(a)·cnt(b)) — how much more often
+    * the pair occurs than independence predicts, the statistic behind
+    * multiword-expression mining ("new york" ≫ "of the"). Counts are
+    * int64 over RAW positional tokens (same construction as
+    * [[topNgrams]]); the score closes in double algebra written
+    * identically in the oracle (a pure-integer form would overflow at
+    * Nw² ≈ 10¹² × ppm). Pairs below `minCount` are noise and dropped
+    * BEFORE scoring; top-k by (score DESC, w1, w2) through
+    * TakeOrderedAndProject. Returns (w1, w2, cnt, score). */
+  def collocations(docs: DataFrame, text: String, minCount: Long,
+                   k: Int): DataFrame = {
+    val ws = words(col(text))
+    val toks = docs.select(explode(ws).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val big = docs.select(explode(when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"),
+            element_at(ws, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val pairs = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCount)
+    val tot = toks.agg(count(lit(1)).as("nw"))
+      .join(big.agg(count(lit(1)).as("nb")), lit(true))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
+      .join(broadcast(tot), lit(true))
+      .select(col("w1"), col("w2"), col("cab").as("cnt"),
+        (col("cab").cast("double") * lit(1000000.0)
+          * col("nw").cast("double") * col("nw").cast("double")
+          / (col("nb").cast("double") * col("ca").cast("double")
+            * col("cb").cast("double"))).as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Corpus encoding — the materialize-the-training-data step: every
     * positional token maps through the [[buildVocab]] id table (OOV →
     * id 0), summarized per doc as an engine-exact checksum Σ id·pos

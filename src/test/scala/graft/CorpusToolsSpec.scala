@@ -213,6 +213,15 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(again == expected)
   }
 
+  test("collocations: lift score, hand-computed") {
+    // tokens [a,b,a,b,c]: Nw=5, bigrams [(a,b),(b,a),(a,b),(b,c)]: Nb=4
+    // only (a,b) reaches minCount 2: score = 2·10⁶·25 / (4·2·2)
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val out = CorpusTools.collocations(docs, "text", minCount = 2L, k = 5)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(out == List(("a", "b", 2L, 3125000.0)))
+  }
+
   test("encodeCorpus: positional id checksum with OOV as id 0") {
     // minCount 2 → vocab a=1, b=2 (cnt desc, word asc); c,z are OOV.
     // doc1 "a a b z": Σ id·pos = 1+2+6+0 = 9, 1 OOV of 4 tokens
