@@ -160,6 +160,13 @@ object QueriesPipeline {
         minCount = 10L)
         .where(col("vocab_id") <= 200)),
 
+    // exact-k per-language sample by smallest Knuth hash — the
+    // deterministic eval-set draw (tie-free: the hash is a bijection)
+    "group_sample" -> ((s, dir) =>
+      CorpusTools.groupSample(table(s, dir, "documents"), "lang",
+        "doc_id", k = 10)
+        .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+          col("negh"), col("rn"))),
     // collocation mining: adjacent word pairs scored by lift (exact
     // counts, bit-identical double closing algebra), min count 5,
     // top 25 — the multiword-expression statistic
@@ -1431,6 +1438,13 @@ object QueriesPipeline {
         |         // count(*) AS BIGINT) AS dup_ppm
         |FROM sp JOIN sc ON sp.span = sc.span
         |GROUP BY sp.doc_id""".stripMargin,
+    "group_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |         doc_id * 2654435761 % 1000000007 AS hh FROM documents)
+        |SELECT lang, doc_id, CAST(-hh AS DOUBLE) AS negh, rn FROM (
+        |  SELECT lang, doc_id, hh, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY hh) AS BIGINT) AS rn FROM h) t
+        |WHERE rn <= 10""".stripMargin,
     "collocations" ->
       """WITH t AS MATERIALIZED (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

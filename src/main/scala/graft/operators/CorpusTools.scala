@@ -396,6 +396,26 @@ object CorpusTools {
       .select(col("rn"), col("pair"), col("cnt"))
   }
 
+  /** Exact-k deterministic per-stratum sample: the k docs with the
+    * smallest Knuth multiplicative hash in each stratum. Complements
+    * [[stratifiedSample]] (rate-based, size varies) with the
+    * exact-count draw an eval-set builder needs; reproducible under
+    * retries/repartitioning, and tie-free by construction (x·a mod p
+    * is a bijection for ids < p = 10⁹+7, so hashes never collide).
+    *
+    * Scale: ranking goes through the bounded [[TopK.perKeyStr]]
+    * aggregate — k rows per stratum per partition cross the shuffle,
+    * never a stratum's full row set (the window formulation would ship
+    * every row of a stratum to one task). Returns (stratum, id, negh,
+    * rn). */
+  def groupSample(docs: DataFrame, stratum: String, id: String,
+                  k: Int): DataFrame =
+    TopK.perKeyStr(
+      docs.select(col(stratum), col(id),
+        (-(col(id) * 2654435761L % 1000000007L)).cast("double")
+          .as("negh")),
+      key = stratum, ord = "negh", payload = id, k = k)
+
   /** Collocation extraction: adjacent word pairs scored by lift
     * (the PMI family's exact-arithmetic member):
     * score = cnt(ab)·Nw²·10⁶ / (Nb·cnt(a)·cnt(b)) — how much more often

@@ -213,6 +213,50 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(again == expected)
   }
 
+  test("groupSample: exact k smallest hashes per stratum, retry-stable") {
+    def hash(i: Long): Long = i * 2654435761L % 1000000007L
+    val docs = ((1L to 20L).map(i => ("a", i)) ++
+      (21L to 25L).map(i => ("b", i))).toDF("lang", "doc_id")
+    val out = CorpusTools.groupSample(docs, "lang", "doc_id", k = 3)
+      .select(col("lang"), col("doc_id").cast("long"), col("rn"))
+      .as[(String, Long, Long)].collect()
+    val expA = (1L to 20L).sortBy(hash).take(3)
+    val expB = (21L to 25L).sortBy(hash).take(3)
+    val got = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(got == Map("a" -> expA, "b" -> expB))
+    val again = CorpusTools.groupSample(docs.repartition(7), "lang",
+        "doc_id", k = 3)
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(again == (expA ++ expB).toSet)
+  }
+
+  test("encodeCorpus equals a driver-side encode on random docs") {
+    val rnd = new scala.util.Random(37)
+    val vocabPool = Seq("aa", "bb", "cc", "dd", "ee", "rare1", "rare2")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(8))(
+        vocabPool(rnd.nextInt(vocabPool.length))).mkString(" "))
+    }
+    val allWords = docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+    val counts = allWords.groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = counts.filter(_._2 >= 5).toSeq
+      .sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((w, _), i) => w -> (i + 1L) }.toMap
+    val brute = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1).zipWithIndex
+        .map { case (w, p) => (w, p + 1L) }.filter(_._1.nonEmpty)
+      val ids = toks.map { case (w, p) => (vocab.getOrElse(w, 0L), p) }
+      (id, (toks.length.toLong, ids.count(_._1 == 0L).toLong,
+        ids.map { case (v, p) => v * p }.sum))
+    }.toMap
+    val out = CorpusTools.encodeCorpus(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 5L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out == brute)
+  }
+
   test("collocations: lift score, hand-computed") {
     // tokens [a,b,a,b,c]: Nw=5, bigrams [(a,b),(b,a),(a,b),(b,c)]: Nb=4
     // only (a,b) reaches minCount 2: score = 2·10⁶·25 / (4·2·2)

@@ -77,6 +77,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (2L, 1L, 2L, 1000000L, 1000000L), (3L, 1L, 1L, 1000000L, 1000000L)))
   }
 
+  test("assocRules equals a driver-side computation on random baskets") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(150)((rnd.nextInt(20).toLong, rnd.nextInt(8).toLong))
+    val items = rows.distinct
+    val itemN = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nb = items.map(_._1).distinct.size.toLong
+    val pairCnt = items.groupBy(_._1).values.flatMap { b =>
+      val its = b.map(_._2).sorted
+      for (i <- its.indices; j <- its.indices if i < j)
+        yield (its(i), its(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val brute = pairCnt.toSeq.flatMap { case ((a, b), cab) =>
+      Seq((a, b, cab), (b, a, cab)) }.map { case (x, y, cab) =>
+      (x, y, cab, cab * 1000000L / itemN(x),
+        cab * nb * 1000000L / (itemN(x) * itemN(y)))
+    }.sortBy { case (x, y, _, _, l) => (-l, x, y) }
+    val out = EventAnalytics.assocRules(rows.toDF("bk", "it"), "bk", "it",
+        maxBasket = 100, k = 1000)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out == brute)
+  }
+
   test("basketPairs: pair counts with the basket-size cap") {
     // b1 {1,2,3}, b2 {2,3} (duplicate item rows collapse), b3 has 6
     // items > cap 5 → dropped whole
