@@ -428,6 +428,36 @@ object QueriesRelational {
       s.table(qname).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
     }),
+    // STREAMING windowed heavy hitters (trending detection): hourly
+    // type counts aggregate in the stream engine (complete mode — the
+    // bounded-snapshot twin of the production watermark+append path),
+    // then the bounded per-window top-3 ranks in batch
+    "stream_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = table(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      val tmp =
+        s"/tmp/graft_topn_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      e.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(e.schema).parquet(tmp)
+      val qname = s"graft_stream_topn_${System.nanoTime()}"
+      withShufflePartitions(s, 8) {
+        val q = stream
+          .groupBy(window(col("ts"), "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
+            .as("hour"), col("event_type"), col("n"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(qname)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("hour"))
+            .orderBy(col("n").desc, col("event_type"))).cast("long"))
+        .where(col("rn") <= 3)
+    }),
     // STREAM-STATIC enrichment under the gate: events flow through a
     // file stream and broadcast-join the static customer dimension per
     // micro-batch (no state, no watermark needed — the bounded-by-
@@ -960,6 +990,17 @@ object QueriesRelational {
         |SELECT user_id, CAST(sum(newflag) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM f GROUP BY user_id""".stripMargin,
+    "stream_topn" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+        |           AS hour,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, n, rn FROM (
+        |  SELECT hour, event_type, n, CAST(row_number() OVER (
+        |    PARTITION BY hour ORDER BY n DESC, event_type) AS BIGINT)
+        |    AS rn FROM c) t
+        |WHERE rn <= 3""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum
