@@ -177,6 +177,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(all.n_frames == 3L && all.n_sampled == 3L)
   }
 
+  test("WAV and Y4M kernels round-trip random shapes exactly") {
+    val rnd = new scala.util.Random(59)
+    for (_ <- 1 to 25) {
+      val seed = rnd.nextInt(100000).toLong
+      val ns = 1 + rnd.nextInt(200)
+      val rate = 8000 + rnd.nextInt(4) * 4000
+      val w = Multimodal.MediaKernels.decodeWavSamples(seed,
+        Multimodal.MediaKernels.encodeWav(seed, ns, rate))
+      val vs = (0 until ns).map(i => (seed * 31 + i) % 65536 - 32768)
+      assert(w.format == "wav" && w.sample_rate == rate &&
+        w.n_samples == ns && w.sum_abs == vs.map(math.abs).sum &&
+        w.sum_val == vs.sum)
+      val fw = 1 + rnd.nextInt(8)
+      val fh = 1 + rnd.nextInt(6)
+      val nf = 1 + rnd.nextInt(10)
+      val step = 1 + rnd.nextInt(3)
+      val v = Multimodal.MediaKernels.decodeY4mSampled(seed,
+        Multimodal.MediaKernels.encodeY4m(seed, fw, fh, nf), step)
+      val expY = (0 until nf).filter(_ % step == 0).flatMap(f =>
+        (0 until fw * fh).map(p => (seed * 31 + f.toLong * 131 + p) % 256))
+        .sum
+      assert(v.format == "y4m" && v.width == fw && v.height == fh &&
+        v.n_frames == nf && v.sum_y == expY)
+    }
+  }
+
   test("decode runs per-partition (batch contract preserved)") {
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
       .repartition(7)
