@@ -39,11 +39,26 @@ object QueriesPipeline {
           round(col("est_jaccard"), 6).as("est_jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(table(s, dir, "documents"), "doc_id", "text")),
+    // ingest-time shape: a new batch (doc_id % 4 = 0) screened against
+    // the existing corpus (the rest) — band keys meet in one equi-join,
+    // the corpus never self-joins; novel docs report match_id = −1
+    "dedup_incremental" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.minhashIncremental(
+        d.where(col("doc_id") % 4 =!= 0),
+        d.where(col("doc_id") % 4 === 0), "doc_id", "text")
+    }),
     // exact-substring dedup's span stage (Lee et al. 2022): mark every
     // 5-token span occurring >1× corpus-wide, per-doc duplication ppm —
     // two hash aggregates, no pair join however hot a boilerplate span is
     "dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(table(s, dir, "documents"), "doc_id", "text", n = 5)),
+    // the REMOVAL stage over the same span statistics: drop every
+    // non-canonical duplicated 5-token occurrence and reassemble each
+    // document's surviving tokens in order — still no pair join anywhere
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeDupSpans(table(s, dir, "documents"), "doc_id", "text",
+        n = 5)),
     // pairwise matches → dedup groups: connected components over the
     // ngram near-dup pairs (iterative min-label propagation; oracle = the
     // same fixpoint as a recursive CTE)
@@ -313,6 +328,25 @@ object QueriesPipeline {
         .toDF("qid", "word")
       graft.operators.Retrieval.bm25TopK(
         table(s, dir, "documents"), "doc_id", "text", qt, k = 10)
+    }),
+
+    // Hybrid search: reciprocal-rank fusion of the lexical (BM25) and
+    // vector (brute cosine) rankings of the same 5 queries — query q is
+    // document q's own words on the text side and embedding q on the
+    // vector side; integer-floored 1/(60+rank) contributions make the
+    // fused score exactly engine-reproducible
+    "rrf_fusion" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val e = table(s, dir, "embeddings")
+      val vr = Similarity.bruteTopK(e, e.where(col("vec_id") < 5), k = 10)
+        .select(col("qid"), col("nid").as("doc_id"), col("rn"))
+      val qt = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(TextFunctions.words(col("text"))).as("word"))
+      val tr = graft.operators.Retrieval
+        .bm25TopK(docs, "doc_id", "text", qt, k = 10)
+        .select(col("qid"), col("doc_id"), col("rn"))
+      graft.operators.Retrieval.rrfFuse(Seq(vr, tr), k = 5)
     }),
 
     // Sequence packing (GPT-style corpus layout): docs hash into 8
@@ -1100,6 +1134,62 @@ object QueriesPipeline {
         |SELECT id_a, id_b, CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(nm_a, nm_b) <= 1""".stripMargin,
     "bm25_topk" -> bm25Oracle,
+    // replays both retrieval pipelines (vector brute top-10 over queries
+    // 0..4, BM25 top-10 with each query doc's own words as terms) and the
+    // integer RRF combine
+    "rrf_fusion" ->
+      """WITH vq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |            FROM embeddings WHERE vec_id < 5),
+        |vc AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce
+        |       FROM embeddings),
+        |vs AS (SELECT qid, nid,
+        |         round(list_cosine_similarity(qe, ce), 6) AS sim
+        |       FROM vq, vc WHERE nid != qid),
+        |vr AS MATERIALIZED (
+        |  SELECT qid, nid AS doc_id, CAST(rn AS BIGINT) AS rn FROM (
+        |    SELECT qid, nid, row_number() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+        |    FROM vs) t WHERE rn <= 10),
+        |qt AS (SELECT DISTINCT doc_id AS qid,
+        |         unnest(string_split(text, ' ')) AS word
+        |       FROM documents WHERE doc_id < 5),
+        |toks AS (SELECT doc_id,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |           unnest(string_split(text, ' ')) AS word
+        |         FROM documents),
+        |tf AS (SELECT doc_id, dl, word, count(*) AS tf
+        |       FROM toks GROUP BY 1, 2, 3),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tl
+        |       FROM documents),
+        |sc AS (SELECT q.qid, t.doc_id,
+        |         CAST(floor(
+        |           (CAST(t.tf AS DOUBLE) * 2.25)
+        |           / (CAST(t.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+        |               (CAST(t.dl AS DOUBLE) * CAST(st.nd AS DOUBLE)
+        |                / CAST(st.tl AS DOUBLE))))
+        |           * sqrt((CAST(st.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |                  / (CAST(d.df AS DOUBLE) + 0.5))
+        |           * 1000000.0) AS BIGINT) AS s
+        |       FROM (SELECT DISTINCT qid, word FROM qt) q
+        |       JOIN tf t USING (word) JOIN dfq d USING (word), st),
+        |ag AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score
+        |       FROM sc GROUP BY 1, 2),
+        |tr AS MATERIALIZED (
+        |  SELECT qid, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS rn
+        |    FROM ag) t WHERE rn <= 10),
+        |u AS (SELECT qid, doc_id, rn FROM vr
+        |      UNION ALL SELECT qid, doc_id, rn FROM tr),
+        |f AS (SELECT qid, doc_id,
+        |        CAST(sum(1000000 // (60 + rn)) AS BIGINT) AS rrf
+        |      FROM u GROUP BY 1, 2)
+        |SELECT qid, doc_id, rrf, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT qid, doc_id, rrf, row_number() OVER (
+        |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
+        |  FROM f) t WHERE rn <= 5""".stripMargin,
     "quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
@@ -1335,6 +1425,68 @@ object QueriesPipeline {
          |$bandJoins
          |) t WHERE hamming <= 3""".stripMargin
     },
+    "dedup_incremental" -> {
+      // mirrors Dedup.minhashIncremental: the portable signature/band
+      // pipeline computed once over all docs, split into batch (doc_id %
+      // 4 = 0) and corpus sides, band keys meeting in equi-joins, ≥8-of-16
+      // signature verify, per-batch-doc aggregate with −1 for novel docs
+      val p = "1000000007"
+      val cc = "1000003"
+      val sigExprs = graft.operators.Dedup.MinhashSeeds.take(16).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"list_min(list_transform(hs, x -> (x * $a + $b) % $p)) AS m$i"
+        }.mkString(",\n         ")
+      val keyExprs = (0 until 4).map { bnd =>
+        val fold = (0 until 4).foldLeft(s"CAST($bnd AS BIGINT)") { (acc, r) =>
+          s"(($acc) * $cc + m${bnd * 4 + r}) % $p"
+        }
+        s"$fold AS k$bnd"
+      }.mkString(",\n         ")
+      val matchSum = (0 until 16)
+        .map(i => s"CASE WHEN a.m$i = s.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val bandJoins = (0 until 4).map { bnd =>
+        s"""SELECT b.doc_id AS doc_b, c.doc_id AS doc_c
+           |FROM bb b JOIN bc c ON b.k$bnd = c.k$bnd""".stripMargin
+      }.mkString("\nUNION\n")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |wh AS (SELECT doc_id,
+         |         list_transform(ws, s ->
+         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(string_split(s, ''),
+         |                              c -> CAST(ascii(c) AS BIGINT))),
+         |             (a, c) -> (a * 31 + c) % $p)) AS wh
+         |       FROM w WHERE len(ws) >= 3),
+         |h AS (SELECT doc_id,
+         |        list_distinct(list_transform(range(1, len(wh) - 1),
+         |          i -> ((wh[i] * $cc + wh[i+1]) % $p * $cc + wh[i+2]) % $p))
+         |          AS hs
+         |      FROM wh),
+         |sig AS MATERIALIZED (SELECT doc_id,
+         |         $sigExprs
+         |        FROM h),
+         |banded AS MATERIALIZED (SELECT *,
+         |         $keyExprs
+         |        FROM sig),
+         |bb AS (SELECT * FROM banded WHERE doc_id % 4 = 0),
+         |bc AS (SELECT * FROM banded WHERE doc_id % 4 != 0),
+         |cand AS (SELECT DISTINCT doc_b, doc_c FROM (
+         |$bandJoins
+         |) t),
+         |ver AS (SELECT doc_b, doc_c FROM cand
+         |        JOIN sig a ON a.doc_id = doc_b
+         |        JOIN sig s ON s.doc_id = doc_c
+         |        WHERE ($matchSum) >= 8),
+         |agg AS (SELECT doc_b AS doc_id,
+         |               CAST(count(*) AS BIGINT) AS n_matches,
+         |               min(doc_c) AS match_id
+         |        FROM ver GROUP BY 1)
+         |SELECT d.doc_id, coalesce(agg.n_matches, 0) AS n_matches,
+         |       coalesce(agg.match_id, -1) AS match_id
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         |LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |           FROM embeddings)
@@ -1438,6 +1590,47 @@ object QueriesPipeline {
         |         // count(*) AS BIGINT) AS dup_ppm
         |FROM sp JOIN sc ON sp.span = sc.span
         |GROUP BY sp.doc_id""".stripMargin,
+    // replays removal end-to-end: span stats (count + min ordinal), the
+    // covered-position explode, the anti-join, and the ordered reassembly
+    "dedup_span_removal" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |         ws[CAST(pos AS INTEGER)] AS word
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+        |        FROM base) t),
+        |spans AS MATERIALIZED (
+        |  SELECT doc_id, CAST(spos AS BIGINT) AS spos,
+        |         ws[CAST(spos AS INTEGER)] || ' ' ||
+        |         ws[CAST(spos + 1 AS INTEGER)] || ' ' ||
+        |         ws[CAST(spos + 2 AS INTEGER)] || ' ' ||
+        |         ws[CAST(spos + 3 AS INTEGER)] || ' ' ||
+        |         ws[CAST(spos + 4 AS INTEGER)] AS span
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS spos
+        |        FROM base WHERE len(ws) >= 5) t),
+        |st AS (SELECT span, count(*) AS c,
+        |              min(doc_id * 1048576 + spos) AS min_occ
+        |       FROM spans GROUP BY span),
+        |rem AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT d.doc_id, d.spos + unnest(range(0, 5)) AS pos FROM (
+        |    SELECT s.doc_id, s.spos
+        |    FROM spans s JOIN st USING (span)
+        |    WHERE st.c > 1
+        |      AND s.doc_id * 1048576 + s.spos != st.min_occ) d) u),
+        |kept AS (SELECT t.doc_id, t.pos, t.word
+        |         FROM toks t LEFT JOIN rem r
+        |           ON t.doc_id = r.doc_id AND t.pos = r.pos
+        |         WHERE r.pos IS NULL),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |               string_agg(word, ' ' ORDER BY pos) AS text_out
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+        |       coalesce(r.n_kept, 0) AS n_kept,
+        |       CAST(len(b.ws) AS BIGINT) - coalesce(r.n_kept, 0)
+        |         AS n_removed,
+        |       coalesce(r.text_out, '') AS text_out
+        |FROM base b LEFT JOIN reb r USING (doc_id)""".stripMargin,
     "group_sample" ->
       """WITH h AS (SELECT lang, doc_id,
         |         doc_id * 2654435761 % 1000000007 AS hh FROM documents)

@@ -71,6 +71,68 @@ object Dedup {
         expr("n_dup_spans * 1000000 div n_spans").as("dup_ppm"))
   }
 
+  /** Duplicated-span REMOVAL — the rewrite stage of exact-substring dedup
+    * (Lee et al. 2022 §3: drop every duplicated occurrence, keep one
+    * canonical copy). A span occurrence is removed when its exact n-token
+    * text occurs more than once corpus-wide AND it is not the canonical
+    * (first) occurrence — canonical = minimum of the occurrence ordinal
+    * `doc_id · 2²⁰ + position` (2²⁰ exceeds any document's token count, so
+    * the ordinal orders occurrences by (doc, position) in one int64).
+    * Every token covered by a removed span occurrence is dropped; the
+    * surviving tokens reassemble in original order. Returns per doc
+    * (doc_id, n_tokens, n_kept, n_removed, text_out) — text_out is the
+    * deduplicated document.
+    *
+    * Scale: the same no-pair-join discipline as [[dupSpans]] — span
+    * statistics are ONE corpus-wide hash aggregate (count + min ordinal,
+    * both map-side combinable), removed positions explode at most n rows
+    * per duplicated occurrence, and reassembly sorts only within one
+    * document (collect_list + array_sort bounded by doc length, the same
+    * per-doc bound every tokenizer stage already carries). A boilerplate
+    * span occurring 10⁹ times costs 10⁹·n position rows — linear in the
+    * duplication it removes, never quadratic in the pairs it implies. */
+  def removeDupSpans(docs: DataFrame, id: String, text: String,
+                     n: Int): DataFrame = {
+    val ord = 1L << 20
+    val base = docs.select(col(id).as("doc_id"), words(col(text)).as("ws"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("word"))
+    val spans = base
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= n,
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)), i =>
+            struct(i.cast("long").as("spos"),
+              concat_ws(" ",
+                (0 until n).map(j => element_at(col("ws"), i + j)): _*)
+                .as("span"))))
+          .otherwise(array().cast("array<struct<spos:bigint,span:string>>")))
+          .as("sp"))
+      .select(col("doc_id"), col("sp.spos").as("spos"), col("sp.span").as("span"))
+    val stats = spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("c"),
+        min(col("doc_id") * ord + col("spos")).as("min_occ"))
+    val removedPos = spans.join(stats, "span")
+      .where(col("c") > 1L &&
+        (col("doc_id") * ord + col("spos")) =!= col("min_occ"))
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word"))).as("text_out"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_out"), lit("")).as("text_out"))
+  }
+
   /** Fuzzy string self-join (entity-resolution blocking + verify): all
     * id pairs whose names are within edit distance 1, restricted to
     * same-length (substitution) matches by construction. A single
@@ -216,35 +278,8 @@ object Dedup {
                          k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val p = PortableP
-    val c = PortableC
-    // per-doc signature: words → word hashes (materialized — see
-    // shingleTable re: inline re-evaluation) → distinct rolling shingle
-    // hashes → numHashes minima. All narrow, no explode, no shuffle.
-    val sig = docs
-      .select(col(id).as("doc_id"), words(col(text)).as("ws"))
-      .where(size(col("ws")) >= k)
-      .select(col("doc_id"), transform(col("ws"), polyHash _).as("wh"))
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), size(col("wh")) - (k - 1)), i =>
-          (0 until k).foldLeft(lit(0L): Column) { (acc, j) =>
-            (acc * c + element_at(col("wh"), i + j)) % p
-          })).as("hs"))
-      .select(col("doc_id") +: MinhashSeeds.take(numHashes).zipWithIndex.map {
-        case ((a, b), i) =>
-          array_min(transform(col("hs"),
-            h => (h * a + b) % p)).as(s"m$i")
-      }: _*)
-    // single explode-band join on a numeric fold key (narrow shuffle rows)
-    val buckets = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { bnd =>
-        val key = (0 until rows).foldLeft(lit(bnd.toLong): Column) {
-          (acc, r) => (acc * c + col(s"m${bnd * rows + r}")) % p
-        }
-        struct(lit(bnd).as("band"), key.as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sig = portableSignature(docs, id, text, k, numHashes)
+    val buckets = portableBandKeys(sig, numHashes, bands)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -264,6 +299,92 @@ object Dedup {
     * (64: enough for a full SimHash bit family). */
   val MinhashSeeds: Seq[(Long, Long)] =
     (0 until 64).map(i => (33L + 2 * i, 7919L * i))
+
+  /** Per-doc portable MinHash signature (doc_id, m0..m{numHashes-1}):
+    * words → polyHash word hashes (materialized projection — see
+    * [[shingleTable]] re: inline re-evaluation) → distinct rolling
+    * k-shingle hashes → numHashes minima. All narrow, no explode, no
+    * shuffle. Docs shorter than k words drop out (no signature). */
+  private def portableSignature(docs: DataFrame, id: String, text: String,
+                                k: Int, numHashes: Int): DataFrame = {
+    val p = PortableP
+    val c = PortableC
+    docs
+      .select(col(id).as("doc_id"), words(col(text)).as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), transform(col("ws"), polyHash _).as("wh"))
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("wh")) - (k - 1)), i =>
+          (0 until k).foldLeft(lit(0L): Column) { (acc, j) =>
+            (acc * c + element_at(col("wh"), i + j)) % p
+          })).as("hs"))
+      .select(col("doc_id") +: MinhashSeeds.take(numHashes).zipWithIndex.map {
+        case ((a, b), i) =>
+          array_min(transform(col("hs"),
+            h => (h * a + b) % p)).as(s"m$i")
+      }: _*)
+  }
+
+  /** LSH band keys for a [[portableSignature]] — one (doc_id, band, key)
+    * row per band, key = numeric fold of that band's signature rows
+    * (narrow shuffle rows, no string concat). */
+  private def portableBandKeys(sig: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val c = PortableC
+    val p = PortableP
+    sig.select(col("doc_id"),
+      explode(array((0 until bands).map { bnd =>
+        val key = (0 until rows).foldLeft(lit(bnd.toLong): Column) {
+          (acc, r) => (acc * c + col(s"m${bnd * rows + r}")) % p
+        }
+        struct(lit(bnd).as("band"), key.as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** Incremental near-dup screening — the ingest-time shape of
+    * MinHash+LSH: a new BATCH of documents is checked against the
+    * EXISTING corpus without ever joining the corpus to itself. Returns
+    * one row per batch document: (doc_id, n_matches, match_id) where
+    * n_matches counts verified corpus near-dups (signature agreement ≥
+    * ⌈threshold·numHashes⌉) and match_id is the smallest matching corpus
+    * id, −1 when the document is novel.
+    *
+    * Scale: band keys are computed on both sides and meet in ONE
+    * equi-join — work is proportional to batch-side collisions, never
+    * |corpus|². The batch side is typically orders of magnitude smaller
+    * than the corpus, so AQE broadcasts it; re-ingesting the same corpus
+    * day after day never re-pairs existing documents with each other
+    * (the self-join the batch formulation exists to avoid). */
+  def minhashIncremental(corpus: DataFrame, batch: DataFrame, id: String,
+                         text: String, k: Int = 3, numHashes: Int = 16,
+                         bands: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    val minMatches = math.ceil(threshold * numHashes).toLong
+    val sigC = portableSignature(corpus, id, text, k, numHashes)
+    val sigB = portableSignature(batch, id, text, k, numHashes)
+    val cand = portableBandKeys(sigB, numHashes, bands).as("b")
+      .join(portableBandKeys(sigC, numHashes, bands).as("c"),
+        col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+      .select(col("b.doc_id").as("doc_b"), col("c.doc_id").as("doc_c"))
+      .distinct()
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a.m$i") === col(s"s.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val ver = cand.join(sigB.as("a"), col("doc_b") === col("a.doc_id"))
+      .join(sigC.as("s"), col("doc_c") === col("s.doc_id"))
+      .where(matches >= minMatches)
+      .select(col("doc_b"), col("doc_c"))
+    val agg = ver.groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("doc_c")).as("match_id"))
+    batch.select(col(id).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"))
+  }
 
   /** SimHash with a DuckDB-replicable bit family: word base hash =
     * polyHash (mod p), bit i of a word = parity of the universal hash

@@ -93,4 +93,35 @@ object Retrieval {
       .select(col("qid"), col("doc_id"),
         col("score").cast("long").as("score"), col("rn"))
   }
+
+  /** Reciprocal-rank fusion — the standard hybrid-search combiner for a
+    * lexical ranking (BM25) and a vector ranking (ANN) of the same query
+    * set: RRF(q, d) = Σ over rankings r of ⌊scale / (c + rank_r(d))⌋,
+    * top-k per query by (RRF desc, doc_id). The classic c = 60 damping;
+    * the floor-scaled integer contribution makes the cross-ranking sum
+    * order-independent and bit-identical in any engine (the textbook
+    * 1/(c+rank) float sum is neither).
+    *
+    * Scale: inputs are already top-k rankings — ≤ k·|rankings| rows per
+    * query ever exist, the fusion is one hash aggregate over them, and
+    * the final ranking goes through the bounded [[TopK]] aggregate. The
+    * expensive work (retrieval itself) stays in the upstream operators.
+    *
+    * @param rankings each with columns (qid long, doc_id long, rn long);
+    *                 rn = 1-based rank within that ranking
+    * @return (qid, doc_id, rrf, rn) with rn = 1..k by fused score
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Long = 60L,
+              scale: Long = 1000000L): DataFrame = {
+    val u = rankings
+      .map(_.select(col("qid"), col("doc_id"), col("rn")))
+      .reduce(_.unionAll(_))
+    val scored = u.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(expr(s"${scale}L div (${c}L + rn)")).as("rrf"))
+    // rrf ≤ |rankings|·scale/(c+1) ≪ 2^53 — exact through TopK's double ord
+    TopK.perKey(scored, key = "qid", ord = "rrf", tiebreak = "doc_id",
+        payload = "doc_id", k = k)
+      .select(col("qid"), col("doc_id"),
+        col("rrf").cast("long").as("rrf"), col("rn"))
+  }
 }

@@ -237,4 +237,89 @@ class DedupSpec extends AnyFunSuite {
     // has < 5 tokens → absent
     assert(r == Map(7L -> ((6L, 2L))))
   }
+
+  test("minhashIncremental: batch screens against corpus, novel docs get -1") {
+    val corpus = Seq((0L, a), (3L, b)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, a),                                      // exact dup of corpus 0
+      (11L, aNear),                                  // near-dup of corpus 0
+      (12L, "zz yy xx ww vv uu tt ss rr qq"),        // novel
+      (13L, "x y")                                   // too short for k=3
+    ).toDF("doc_id", "text")
+    val r = Dedup.minhashIncremental(corpus, batch, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r.keySet == Set(10L, 11L, 12L, 13L))
+    assert(r(10L) == ((1L, 0L)))
+    assert(r(12L) == ((0L, -1L)))
+    assert(r(13L) == ((0L, -1L)))
+    // doc 11's verdict must agree with the self-join formulation run over
+    // corpus ∪ {11}: incremental is a restriction, not a new estimator
+    val pairs = Dedup.minhashLshPortable(
+        Seq((0L, a), (3L, b), (11L, aNear)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expect11 = if (pairs.contains((0L, 11L))) (1L, 0L) else (0L, -1L)
+    assert(r(11L) == expect11)
+  }
+
+  test("removeDupSpans: keeps the canonical occurrence, strips the rest") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e x"))
+      .toDF("doc_id", "text")
+    val r = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // doc 1 holds the first "a b c d e" → untouched; doc 2's copy covers
+    // its positions 1..5, leaving only the trailing "x"
+    assert(r(1L) == ((6L, 6L, 0L, "a b c d e f")))
+    assert(r(2L) == ((6L, 1L, 5L, "x")))
+  }
+
+  test("removeDupSpans: within-doc repeat keeps the first copy; short docs pass through") {
+    val docs = Seq((7L, "p q r s t p q r s t"), (8L, "too short"))
+      .toDF("doc_id", "text")
+    val r = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._3, t._5))).toMap
+    assert(r(7L) == ((5L, "p q r s t")))
+    assert(r(8L) == ((2L, "too short")))
+  }
+
+  test("removeDupSpans: matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(1234)
+    val n = 4
+    for (_ <- 0 until 3) {
+      val corpus = (0L until 12L).map { id =>
+        val len = 2 + rnd.nextInt(14)
+        id -> Seq.fill(len)(('a' + rnd.nextInt(3)).toChar.toString)
+          .mkString(" ")
+      }
+      // reference: span stats + canonical-min-ordinal removal, plain Scala
+      val spans = corpus.flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        (0 to ws.length - n).map(i =>
+          (id, i + 1, ws.slice(i, i + n).mkString(" ")))
+      }
+      val stats = spans.groupBy(_._3).map { case (s, occ) =>
+        s -> ((occ.size, occ.map(o => o._1 * (1L << 20) + o._2).min))
+      }
+      val expected = corpus.map { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val removed = spans.collect {
+          case (d, p, s) if d == id && stats(s)._1 > 1 &&
+            d * (1L << 20) + p != stats(s)._2 =>
+            (p until p + n)
+        }.flatten.toSet
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !removed.contains(i + 1) => w
+        }
+        (id, ws.length.toLong, kept.length.toLong,
+          (ws.length - kept.length).toLong, kept.mkString(" "))
+      }.toSet
+      val got = Dedup.removeDupSpans(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", n = n)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(got == expected)
+    }
+  }
 }

@@ -58,4 +58,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r.map(_._2).toSeq == Seq(4L, 5L))
     assert(r.map(_._3).distinct.length == 1)
   }
+
+  test("rrfFuse: integer contributions sum across rankings, ties by doc id") {
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("qid", "doc_id", "rn")
+    val b = Seq((0L, 2L, 1L), (0L, 3L, 2L)).toDF("qid", "doc_id", "rn")
+    val r = Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    val c1 = 1000000L / 61 // rank 1
+    val c2 = 1000000L / 62 // rank 2
+    // d2 appears in both lists (rank 2 + rank 1); d1's single rank-1
+    // contribution outranks d3's single rank-2 one
+    assert(r.map(t => (t._2, t._3)).toSeq ==
+      Seq((2L, c1 + c2), (1L, c1), (3L, c2)))
+    // k bounds the fused list
+    assert(Retrieval.rrfFuse(Seq(a, b), k = 1).count() == 1)
+  }
 }
