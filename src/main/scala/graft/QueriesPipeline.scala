@@ -490,6 +490,16 @@ object QueriesPipeline {
         value = floor(col("l_extendedprice") * 100 + 0.5),
         binWidth = 50000L, qPcts = Seq(50L, 90L, 99L))),
 
+    // quantile BINNING through those cut points: quartile feature
+    // discretization with no global sort — the cut table folds to one
+    // broadcast array row, assignment is a narrow projection, and the
+    // per-bin profile is one aggregate
+    "quantile_bins" -> ((s, dir) =>
+      graft.operators.Sketches.quantileBins(
+        table(s, dir, "lineitem"),
+        value = floor(col("l_extendedprice") * 100 + 0.5),
+        binWidth = 50000L, qPcts = Seq(25L, 50L, 75L))),
+
     // grouped histogram quantiles: per-returnflag p50/p99 at histogram
     // cost — cells are (group, bin), window still ≤ #bins per group
     "quantile_hist_grouped" -> ((s, dir) =>
@@ -890,6 +900,30 @@ object QueriesPipeline {
         |SELECT q_pct, min(bin) AS bin, min(bin) * 50000 AS bin_lo
         |FROM q, cum, t WHERE n_le * 100 >= q_pct * total
         |GROUP BY q_pct""".stripMargin,
+    // replays the cut-point derivation at quartiles, then the per-
+    // histogram-bin assignment map and the bin profile
+    "quantile_bins" ->
+      """WITH hb AS MATERIALIZED (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           // 50000 AS hv
+        |  FROM lineitem),
+        |c AS (SELECT hv AS bin, count(*) AS n FROM hb GROUP BY 1),
+        |cum AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT)
+        |          AS n_le FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM hb),
+        |q(q_pct) AS (VALUES (CAST(25 AS BIGINT)), (50), (75)),
+        |cuts AS (SELECT q_pct, min(bin) AS cb
+        |         FROM q, cum, t WHERE n_le * 100 >= q_pct * total
+        |         GROUP BY q_pct),
+        |m AS (SELECT c.bin AS hv,
+        |        (SELECT count(*) FROM cuts WHERE c.bin >= cuts.cb)
+        |          AS bin_id
+        |      FROM c)
+        |SELECT m.bin_id, CAST(count(*) AS BIGINT) AS n,
+        |       min(hb.v) AS v_min, max(hb.v) AS v_max
+        |FROM hb JOIN m USING (hv)
+        |GROUP BY m.bin_id""".stripMargin,
     "quantile_hist_grouped" ->
       """WITH b AS (SELECT l_returnflag AS g,
         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 50000

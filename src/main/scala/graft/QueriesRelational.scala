@@ -365,6 +365,13 @@ object QueriesRelational {
           floor(col("l_discount") * 10000 + 0.5).cast("long")
             .as("disc_bp")),
         Seq("qty", "price_usd", "disc_bp"))),
+    // chi-square independence of nation × market segment — the whole
+    // statistic in scaled int64 long division: per-cell
+    // (O·N − rT·cT)²·scale / (rT·cT·N) as quotient + scaled remainder,
+    // so the cross-cell sum is order-free and exact in both engines
+    "chi_square" -> ((s, dir) =>
+      graft.operators.Stats.chiSquare(
+        table(s, dir, "customer"), "c_nationkey", "c_mktsegment")),
     // association rules from the basket scan: exact integer confidence
     // and lift ppm, top-25 by lift — directed rules over capped baskets
     "assoc_rules" -> ((s, dir) =>
@@ -882,6 +889,25 @@ object QueriesRelational {
         |  FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
         |  GROUP BY x.it, y.it) p
         |ORDER BY cnt DESC, a, b LIMIT 25""".stripMargin,
+    "chi_square" ->
+      """WITH cells AS (SELECT c_nationkey AS ka, c_mktsegment AS kb,
+        |                CAST(count(*) AS BIGINT) AS o
+        |              FROM customer GROUP BY 1, 2),
+        |rt AS (SELECT ka, CAST(sum(o) AS BIGINT) AS ra
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT kb, CAST(sum(o) AS BIGINT) AS cb
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM rt),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_c FROM ct),
+        |cc AS (SELECT (o * n - ra * cb) AS diff, ra * cb * n AS den
+        |       FROM cells JOIN rt USING (ka) JOIN ct USING (kb), tt)
+        |SELECT tt.n, nr.n_r, nc.n_c,
+        |       (nr.n_r - 1) * (nc.n_c - 1) AS dof,
+        |       (SELECT CAST(sum(diff * diff // den * 1000000
+        |          + (diff * diff % den) * 1000000 // den) AS BIGINT)
+        |        FROM cc) AS chi2_scaled
+        |FROM tt, nr, nc""".stripMargin,
     "trend_fit" ->
       """WITH pts AS MATERIALIZED (
         |  SELECT n_name AS nation,

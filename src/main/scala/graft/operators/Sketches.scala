@@ -193,6 +193,33 @@ object Sketches {
         (col("bin") * binWidth).as("bin_lo"))
   }
 
+  /** Quantile BINNING through the histogram cut points — feature
+    * discretization (and the bucket scheme drift monitors compare): each
+    * row is assigned bin_id = how many of the requested quantile cuts
+    * its histogram bin has reached (bin_id ∈ 0..|qPcts|), then bins
+    * aggregate to (bin_id, n, v_min, v_max). Cut points come from
+    * [[histogramQuantiles]] — deterministic at histogram resolution, so
+    * the assignment replays exactly in any engine; no global sort of the
+    * data ever happens (the textbook ntile() formulation is one).
+    *
+    * Scale: the cut table is ≤ |qPcts| rows, folded to ONE array row and
+    * broadcast — assignment is a narrow codegen'd projection over the
+    * data, and the final profile is one hash aggregate to ≤ |qPcts|+1
+    * rows. */
+  def quantileBins(df: DataFrame, value: Column, binWidth: Long,
+                   qPcts: Seq[Long]): DataFrame = {
+    val cuts = histogramQuantiles(df, value, binWidth, qPcts)
+      .agg(sort_array(collect_list(col("bin"))).as("cuts"))
+    df.select(value.cast("long").as("v"))
+      .selectExpr("v", s"v div $binWidth AS hv")
+      .crossJoin(broadcast(cuts))
+      .select(col("v"), size(filter(col("cuts"),
+        c => col("hv") >= c)).cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"))
+  }
+
   /** Per-group twin of [[histogramQuantiles]] — `GROUP BY g,
     * percentile(v, q)` at histogram cost: cells are (group, bin), the
     * cumulative window partitions by group (still ≤ #bins rows per

@@ -65,4 +65,46 @@ object Stats {
     }
     rows.reduce(_ unionByName _)
   }
+
+  /** Chi-square test of independence between two categorical columns —
+    * the feature-selection / drift-detection statistic — computed
+    * EXACTLY as one scaled int64. The textbook per-cell term
+    * (O − E)²/E with E = rowTot·colTot/N rewrites to integers:
+    * (O·N − rowTot·colTot)² / (rowTot·colTot·N); each cell's
+    * scale-multiplied quotient is taken in int64 long division
+    * (quotient·scale + remainder·scale div denominator — exact, no
+    * doubles anywhere), so the cross-cell sum is order-independent and
+    * bit-identical in any engine. Overflow headroom: the squared
+    * numerator is ≤ N⁴ (fits int64 to N ≈ 50k per… the contingency
+    * CELL domain, not the row count — O/rowTot/colTot are cell counts)
+    * and remainder·scale ≤ N³·scale.
+    *
+    * Scale: counts aggregate map-side to ≤ |A|·|B| cells; row/col
+    * totals re-aggregate those cells (never the data), and the grand
+    * total joins back as a broadcast scalar. One data pass total.
+    *
+    * Returns 1 row: (n, n_r, n_c, dof, chi2_scaled) with
+    * chi2_scaled = ⌊χ²·scale⌋-per-cell summed. */
+  def chiSquare(df: DataFrame, a: String, b: String,
+                scale: Long = 1000000L): DataFrame = {
+    val cells = df.groupBy(col(a).as("ka"), col(b).as("kb"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("ka")).agg(sum(col("o")).as("ra"))
+    val colT = cells.groupBy(col("kb")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val nr = rowT.agg(count(lit(1)).as("n_r"))
+    val nc = colT.agg(count(lit(1)).as("n_c"))
+    val contrib = cells.join(rowT, "ka").join(colT, "kb")
+      .crossJoin(broadcast(tot))
+      .select((col("o") * col("n") - col("ra") * col("cb")).as("diff"),
+        (col("ra") * col("cb") * col("n")).as("den"))
+      .selectExpr(s"(diff * diff) div den * $scale" +
+        s" + ((diff * diff) % den) * $scale div den AS cell_scaled")
+    contrib.agg(sum(col("cell_scaled")).as("chi2_scaled"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nr))
+      .crossJoin(broadcast(nc))
+      .select(col("n"), col("n_r"), col("n_c"),
+        ((col("n_r") - 1) * (col("n_c") - 1)).as("dof"),
+        col("chi2_scaled"))
+  }
 }

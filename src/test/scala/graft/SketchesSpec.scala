@@ -142,4 +142,17 @@ class SketchesSpec extends AnyFunSuite {
       .as[Long].collect().head
     assert(est === 12L)
   }
+
+  test("quantileBins: quartile cuts partition 1..100 at exact ranks") {
+    val df = (1L to 100L).toDF("v")
+    val r = Sketches.quantileBins(df, col("v"), binWidth = 1L,
+        qPcts = Seq(25L, 50L, 75L))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // cut bins are 25/50/75 (smallest bin reaching each rank); a value
+    // in the cut's own bin counts as past it
+    assert(r == Map(
+      0L -> ((24L, 1L, 24L)), 1L -> ((25L, 25L, 49L)),
+      2L -> ((25L, 50L, 74L)), 3L -> ((26L, 75L, 100L))))
+  }
 }

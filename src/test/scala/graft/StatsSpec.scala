@@ -42,4 +42,23 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(r == ((3L, 3L, 9L, 13L, 5L)))
   }
+
+  test("chiSquare: balanced 2x2 table matches the hand-computed statistic") {
+    // counts: (a,x)=10 (a,y)=20 (b,x)=20 (b,y)=10; all expected = 15
+    // per cell: (O·N − rT·cT)² / (rT·cT·N) = 90000/54000 → ·10⁶ floored
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r = Stats.chiSquare(rows.toDF("ka", "kb"), "ka", "kb")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((60L, 2L, 2L, 1L, 4L * 1666666L)))
+  }
+
+  test("chiSquare: independent columns score zero") {
+    // perfectly proportional table → every O equals E exactly
+    val rows = for (a <- Seq("a", "b"); x <- Seq("x", "y", "z");
+                    _ <- 0 until 5) yield (a, x)
+    val r = Stats.chiSquare(rows.toDF("ka", "kb"), "ka", "kb")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((30L, 2L, 3L, 2L, 0L)))
+  }
 }
