@@ -470,6 +470,20 @@ object QueriesPipeline {
         key = "user_id", seq = "event_id",
         isDelete = col("event_type") === "error")),
 
+    // snapshot diff between two corpus versions (v2 = v1 minus every 7th
+    // doc, every 10th upper-cased, 20 new ids appended): digest-compare
+    // full-outer join, 4-row audit with exact id checksums
+    "dataset_diff" -> ((s, dir) => {
+      val v1 = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Changelog.datasetDiff(v1, v2, "doc_id", "text")
+    }),
+
     // per-group HLL (the GROUP BY approx_count_distinct shape): distinct
     // users per event type from 32 registers per group
     "sketch_hll_grouped" -> ((s, dir) => {
@@ -1106,6 +1120,24 @@ object QueriesPipeline {
         |  arg_max(value, event_id) AS last_value
         |FROM events GROUP BY user_id
         |HAVING arg_max(event_type, event_id) <> 'error'""".stripMargin,
+    "dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END
+        |           AS text
+        |       FROM documents WHERE doc_id % 7 != 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, text FROM documents
+        |       WHERE doc_id < 20),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS id,
+        |        CASE WHEN a.doc_id IS NULL THEN 'added'
+        |             WHEN b.doc_id IS NULL THEN 'removed'
+        |             WHEN md5(a.text) != md5(b.text) THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(id) AS BIGINT) AS id_checksum
+        |FROM j GROUP BY status""".stripMargin,
     "sketch_bloom" -> bloomOracle,
     "pack_offsets" -> packOracle,
     "sketch_cms" -> cmsOracle,

@@ -283,6 +283,18 @@ object QueriesRelational {
         y = floor(col("o_totalprice") * 100 + 0.5) % 65536,
         bitsPerBlock = 24)),
 
+    // compaction planning over a derived file inventory: cumulative-fill
+    // group assignment per partition — window over file METADATA rows
+    // only, the metastore-listing cardinality, never data rows
+    "compaction_plan" -> ((s, dir) => {
+      val files = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("part"),
+          (col("l_orderkey") % 50).as("file_id"))
+        .agg(sum(col("l_quantity").cast("long")).as("size"))
+      graft.operators.Layout.compactionPlan(files, "part", "file_id",
+        "size", target = 20000L)
+    }),
+
     // time-series regularization: hourly resample per user with forward
     // fill — latest-observation recency by unique event_id (no float
     // arithmetic touches the carried value), grid densified by a
@@ -799,6 +811,16 @@ object QueriesRelational {
         |  min(x) AS x_min, max(x) AS x_max,
         |  min(y) AS y_min, max(y) AS y_max
         |FROM z GROUP BY block""".stripMargin,
+    "compaction_plan" ->
+      """WITH f AS (SELECT l_returnflag AS part, l_orderkey % 50 AS file_id,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS size
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT part, file_id, size,
+        |    CAST(sum(size) OVER (PARTITION BY part ORDER BY file_id)
+        |      AS BIGINT) AS cum
+        |  FROM f)
+        |SELECT part, file_id, size, (cum - size) // 20000 AS group_id
+        |FROM c""".stripMargin,
     // identical oracle to changelog_compact: after draining, the
     // incremental state must equal the batch compaction
     "changelog_stream" ->

@@ -86,4 +86,28 @@ object Changelog {
       .select(col(key) +: payload.map(col) :+
         col("valid_from") :+ col("valid_to"): _*)
   }
+
+  /** Snapshot diff — the audit step between two versions of a dataset
+    * (yesterday's corpus vs today's): per status `added` / `removed` /
+    * `changed` / `unchanged`, the row count and an exact id checksum.
+    * Payload equality is judged on a content digest, never the payload
+    * itself — at 100 TB the full-outer join carries 16-byte hashes, not
+    * documents.
+    *
+    * Scale: one full-outer hash join on the key plus one 4-row
+    * aggregate; both sides project to (id, digest) before shuffling so
+    * the exchange volume is keys + digests regardless of payload size. */
+  def datasetDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+                  payload: String): DataFrame = {
+    val o = oldDf.select(col(id).as("id"), md5(col(payload)).as("h_old"))
+    val n = newDf.select(col(id).as("id"), md5(col(payload)).as("h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_checksum"))
+  }
 }

@@ -47,4 +47,29 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+
+  /** Compaction planning — the small-files problem at table scale:
+    * given a file inventory (partition, file id, size), assign each file
+    * to a merge group so groups approach `target` bytes, scanning files
+    * in id order within a partition (the deterministic order a compactor
+    * would rewrite them). group_id = (bytes before this file) div target
+    * — the standard cumulative-fill plan: every group except a
+    * partition's last reaches `target` once the file that crosses the
+    * boundary lands in it.
+    *
+    * Scale: the window is per table-partition over FILE METADATA (one
+    * row per file, never data rows) — ≤ a partition's file count,
+    * exactly what a metastore listing returns; planning a million-file
+    * table is a million-row job. Returns (partition, file_id, size,
+    * group_id). */
+  def compactionPlan(files: DataFrame, part: String, fileId: String,
+                     size: String, target: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(part)).orderBy(col(fileId))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.select(col(part), col(fileId), col(size).cast("long").as(size))
+      .withColumn("cum", sum(col(size)).over(w))
+      .selectExpr(part, fileId, size,
+        s"(cum - $size) div ${target}L AS group_id")
+  }
 }

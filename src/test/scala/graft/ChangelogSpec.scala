@@ -98,4 +98,15 @@ class ChangelogSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "compaction must not use a window")
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
   }
+
+  test("datasetDiff: every status classified with exact checksums") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val v2 = Seq((2L, "b"), (3L, "x"), (4L, "d")).toDF("id", "t")
+    val r = Changelog.datasetDiff(v1, v2, "id", "t")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(
+      "removed" -> ((1L, 1L)), "unchanged" -> ((1L, 2L)),
+      "changed" -> ((1L, 3L)), "added" -> ((1L, 4L))))
+  }
 }

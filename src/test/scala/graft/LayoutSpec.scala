@@ -52,4 +52,23 @@ class LayoutSpec extends AnyFunSuite {
       assert(xmin % 8 === 0L && ymin % 8 === 0L)
     }
   }
+
+  test("compactionPlan: cumulative fill crosses the target once per group") {
+    val files = Seq(
+      ("p", 1L, 10L), ("p", 2L, 10L), ("p", 3L, 10L),
+      ("p", 4L, 10L), ("p", 5L, 10L),
+      ("q", 1L, 100L), ("q", 2L, 1L))
+      .toDF("part", "file_id", "size")
+    val r = Layout.compactionPlan(files, "part", "file_id", "size",
+        target = 25L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    // p: bytes-before = 0,10,20,30,40 → groups 0,0,0,1,1
+    assert(r == Map(
+      ("p", 1L) -> 0L, ("p", 2L) -> 0L, ("p", 3L) -> 0L,
+      ("p", 4L) -> 1L, ("p", 5L) -> 1L,
+      // q: the oversized first file fills groups 0..3 by itself; the
+      // next file starts from its cumulative offset
+      ("q", 1L) -> 0L, ("q", 2L) -> 4L))
+  }
 }
