@@ -203,6 +203,11 @@ object QueriesPipeline {
     "doc_surprisal" -> ((s, dir) =>
       CorpusTools.docSurprisal(table(s, dir, "documents"), "doc_id",
         "text")),
+    // per-doc top-5 keyword extraction by integer tf·idf — idf is the
+    // exact bit-length log2, the ranking replays bit-identically in SQL
+    "tfidf_terms" -> ((s, dir) =>
+      CorpusTools.tfidfTerms(table(s, dir, "documents"), "doc_id",
+        "text", k = 5)),
     // corpus encoding through the induced vocabulary (OOV → 0):
     // per-doc positional id checksum — the materialize-training-data
     // step after vocab_build
@@ -901,6 +906,26 @@ object QueriesPipeline {
         |       CAST(sum(s) AS BIGINT) AS surprisal_sum,
         |       CAST(sum(s) * 1000 // count(*) AS BIGINT) AS mean_milli
         |FROM sc GROUP BY doc_id""".stripMargin,
+    "tfidf_terms" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents) t WHERE word != ''),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, word, count(*) AS tf FROM tk
+        |  GROUP BY doc_id, word),
+        |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.word,
+        |         tf.tf * length(printf('%b', nn.n // dfc.df)) AS score
+        |       FROM tf JOIN dfc ON tf.word = dfc.word, nn),
+        |r AS (SELECT doc_id, word, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, word) AS rn
+        |      FROM sc)
+        |SELECT doc_id, word, CAST(score AS BIGINT) AS score,
+        |       CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5""".stripMargin,
     // integer rank test n_le·100 ≥ q·N — no ceil, no division, replays
     // exactly; same floor(+0.5) cents as the Spark side
     "quantile_hist" ->

@@ -365,6 +365,42 @@ object CorpusTools {
         expr("surprisal_sum * 1000 div n_tokens").as("mean_milli"))
   }
 
+  /** Per-document top-k keyword extraction by EXACT integer tf·idf:
+    * score = tf(doc, word) · (⌊log₂(N / df(word))⌋ + 1), the idf factor
+    * computed as the bit length of N div df — the same correctly-rounded
+    * integer-log₂ trick as [[docSurprisal]], so the whole ranking replays
+    * bit-exactly in any engine (IEEE ln/log never would). Ubiquitous
+    * words (df → N) get idf 1, singletons get the full ⌊log₂N⌋+1 — the
+    * standard keyword-extraction shape with deterministic arithmetic.
+    * Returns (doc_id, word, score, rn), per-doc rank (score DESC, word
+    * ASC), rn ≤ k.
+    *
+    * Scale: tf is one (doc, word) hash aggregate; df aggregates the tf
+    * table (vocabulary-bounded output); the tf⋈df equi-join broadcasts
+    * the vocabulary side under AQE when it fits; the final rank is the
+    * bounded [[TopK.perKeyStr]] aggregate — k rows per doc per partition
+    * cross the shuffle, never a per-doc window sort. */
+  def tfidfTerms(docs: DataFrame, id: String, text: String,
+                 k: Int = 5): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"),
+        explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfc, "word")
+      .join(broadcast(n), lit(true))
+      .select(col("doc_id"), col("word"),
+        (col("tf") *
+          graft.functions.VectorFunctions.bitLen(expr("n div df")))
+          .as("score"))
+    TopK.perKeyStr(scored, key = "doc_id", ord = "score",
+        payload = "word", k = k)
+      .select(col("doc_id").cast("long").as("doc_id"), col("word"),
+        col("score").cast("long").as("score"), col("rn"))
+  }
+
   /** One counting step of BPE tokenizer training: adjacent character-pair
     * frequencies at the initial (all-characters) stage — the statistic
     * whose argmax becomes the tokenizer's first merge rule.

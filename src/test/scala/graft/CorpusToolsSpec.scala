@@ -288,6 +288,21 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(r == Map(1L -> ((3L, 6L, 2000L)), 2L -> ((2L, 5L, 2500L))))
   }
 
+  test("tfidfTerms: integer tf-idf keyword rank, hand-computed") {
+    // N=3 docs. df: a→3, b→2, c→1. idf = bitlen(N div df):
+    // a → bitlen(1)=1, b → bitlen(1)=1, c → bitlen(3)=2.
+    // doc1 (a a b): a score 2·1=2, b 1·1=1 → rank a(2), b(1)
+    // doc2 (a b c c): c 2·2=4, a 1, b 1 → rank c(4), a(1), b(1)
+    //   (a before b on the word tiebreak at equal score)
+    // doc3 (a): a(1)
+    val docs = Seq((1L, "a a b"), (2L, "a b c c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val r = CorpusTools.tfidfTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(r == Set((1L, "a", 2L, 1L), (1L, "b", 1L, 2L),
+      (2L, "c", 4L, 1L), (2L, "a", 1L, 2L), (3L, "a", 1L, 1L)))
+  }
+
   test("bpePairs: token-weighted pair counts with deterministic ties") {
     // words: hello×2, hi×1 → pairs el/he/ll/lo ×2 (hello), hi ×1;
     // single-char words contribute nothing
