@@ -644,6 +644,13 @@ object QueriesPipeline {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames"), col("n_sampled"), col("sum_y"))),
+    // image dedup by perceptual difference-hash over REAL decoded BMP
+    // pixels: planted pixel twins (seed = doc_id mod 97) collapse to one
+    // hash bucket; 56-bit integer hash replays exactly in SQL
+    "image_dedup_phash" -> ((s, dir) =>
+      Multimodal.dedupByPhash(
+        Multimodal.asSyntheticPhotoSet(table(s, dir, "documents"),
+          "doc_id").toDF())),
     // pseudo-decode fallback surface (opaque binary + fake format): the
     // deterministic stub path for payloads no header parser recognizes
     "multimodal_pseudo" -> ((s, dir) =>
@@ -2107,6 +2114,35 @@ object QueriesPipeline {
         |  n_bytes % 640 + 1 AS width,
         |  n_bytes % 480 + 1 AS height,
         |  checksum
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "image_dedup_phash" -> {
+      // mirrors MediaKernels.dhashBmp over asSyntheticPhotoSet exactly:
+      // seed-derived dims, formula pixels (seed·31 + j) mod 256, integer
+      // gray, nearest-neighbor 8×8 sample, 56-bit gradient pack
+      def gexpr(bxe: String): String = {
+        val j0 = s"(((byy*h//8)*w + ($bxe)*w//8)*3)"
+        s"(((seed*31 + $j0) % 256) + ((seed*31 + $j0 + 1) % 256)" +
+          s" + ((seed*31 + $j0 + 2) % 256)) // 3"
+      }
+      s"""WITH d AS (SELECT doc_id, doc_id % 97 AS seed,
+         |             doc_id % 97 % 16 + 1 AS w,
+         |             doc_id % 97 // 16 % 8 + 1 AS h
+         |           FROM documents),
+         |p AS (SELECT doc_id, seed, w, h, bxs.g AS bx, bys.g AS byy
+         |      FROM d, (SELECT unnest(generate_series(0, 6)) AS g) bxs,
+         |              (SELECT unnest(generate_series(0, 7)) AS g) bys),
+         |bits AS (SELECT doc_id,
+         |           CASE WHEN ${gexpr("bx+1")} > ${gexpr("bx")}
+         |             THEN (CAST(1 AS BIGINT) << (byy*7 + bx))
+         |             ELSE 0 END AS bit
+         |         FROM p),
+         |hs AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+         |       FROM bits GROUP BY doc_id),
+         |g AS (SELECT phash, min(doc_id) AS rep, count(*) AS grp_n
+         |      FROM hs GROUP BY phash)
+         |SELECT hs.doc_id, hs.phash, g.rep,
+         |       CAST(g.grp_n AS BIGINT) AS grp_n
+         |FROM hs JOIN g USING (phash)""".stripMargin
+    }
   )
 }

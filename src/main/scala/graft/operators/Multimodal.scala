@@ -96,6 +96,63 @@ object Multimodal {
       })
   }
 
+  /** Encode the corpus as a photo set with PLANTED duplicates: the pixel
+    * seed is doc_id mod 97, and dimensions derive from the seed (w =
+    * seed%16+1, h = seed/16%8+1), so documents sharing a seed are exact
+    * pixel twins — the ground truth for [[dedupByPhash]]. Containers are
+    * byte-valid 24-bit BMPs via [[MediaKernels.encodeBmp]]. */
+  def asSyntheticPhotoSet(docs: DataFrame, id: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val seed = docId % 97
+        MediaRow(docId,
+          MediaKernels.encodeBmp(seed, (seed % 16).toInt + 1,
+            (seed / 16 % 8).toInt + 1), "bmp")
+      })
+  }
+
+  /** Perceptual difference-hash over REAL decoded pixels — the image-dedup
+    * primitive (the LAION-style near-dup key): parse the BMP, gray each
+    * sampled pixel (integer (b+g+r)/3), nearest-neighbor-sample an 8×8
+    * grid (x = bx·w/8 — exact integer resize, no interpolation floats),
+    * and pack the 56 horizontal gradient comparisons (7 per row × 8 rows)
+    * into one int64. 56 bits keeps the hash positive in two's-complement
+    * engines, so the value replays exactly in SQL. Non-BMP payloads hash
+    * to −1 ("unknown"). Returns (doc_id, format, width, height, phash).
+    *
+    * Scale: pure narrow mapPartitions — the binary column never crosses a
+    * shuffle; downstream grouping ships only (doc_id, 8-byte hash). */
+  def phash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map { r =>
+        val (fmt, w, h, hash) = MediaKernels.dhashBmp(r.content)
+        (r.doc_id, fmt, w.toLong, h.toLong, hash)
+      }
+    }.toDF("doc_id", "format", "width", "height", "phash")
+  }
+
+  /** Exact perceptual-hash image dedup: group by [[phash]] value, elect
+    * the min-doc_id representative per hash bucket. Two images with equal
+    * dHash are visual duplicates (pixel twins always are; near-twins with
+    * identical gradient signs collapse too — that is the point of a
+    * perceptual hash). Returns every image with (doc_id, phash, rep,
+    * grp_n); rows with grp_n > 1 are the duplicate clusters.
+    *
+    * Scale: one hash aggregate over 8-byte keys + an equi-join of the
+    * image table against the (hash, rep, n) buckets — AQE broadcasts the
+    * bucket side when small; never a pair join over images. */
+  def dedupByPhash(media: DataFrame): DataFrame = {
+    val hashes = phash(media).select(col("doc_id"), col("phash"))
+    val groups = hashes.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
+    hashes.join(groups, "phash")
+      .select(col("doc_id"), col("phash"), col("rep"), col("grp_n"))
+  }
+
   /** Encode each document as a REAL PCM WAV — RIFF header, fmt chunk
     * (mono 16-bit), data chunk with formula samples
     * vᵢ = ((doc_id·31 + i) mod 65536) − 32768; any audio player opens
@@ -398,6 +455,45 @@ object Multimodal {
         y += 1
       }
       PixelFeatures(docId, "bmp", w, h, w.toLong * h, sb, sg, sr)
+    }
+
+    /** Difference-hash over a decoded 24-bit BMP: integer gray
+      * (b+g+r)/3, nearest-neighbor 8×8 sample (x = bx·w/8, y = by·h/8),
+      * bit (by·7+bx) set iff gray(bx+1, by) > gray(bx, by) — 56 bits,
+      * always non-negative. Returns (format, width, height, hash); hash
+      * −1 for payloads that are not uncompressed 24-bit BMPs. */
+    def dhashBmp(b: Array[Byte]): (String, Int, Int, Long) = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def u32le(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val isBmp = b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+        u16le(28) == 24 && u32le(30) == 0
+      if (!isBmp) return ("unknown", 0, 0, -1L)
+      val off = u32le(10)
+      val w = u32le(18)
+      val h = u32le(22)
+      val rowSize = (w * 3 + 3) / 4 * 4
+      if (w <= 0 || h <= 0 || off + rowSize.toLong * h > b.length)
+        return ("unknown", 0, 0, -1L)
+      // gray at logical pixel (x, y): bottom-up padded rows on the wire
+      def gray(x: Int, y: Int): Int = {
+        val p = off + (h - 1 - y) * rowSize + x * 3
+        (u8(p) + u8(p + 1) + u8(p + 2)) / 3
+      }
+      var hash = 0L
+      var by = 0
+      while (by < 8) {
+        val y = by * h / 8
+        var bx = 0
+        while (bx < 7) {
+          if (gray((bx + 1) * w / 8, y) > gray(bx * w / 8, y))
+            hash |= 1L << (by * 7 + bx)
+          bx += 1
+        }
+        by += 1
+      }
+      ("bmp", w, h, hash)
     }
 
     /** Real container-header decode: PNG dimensions from the IHDR chunk,

@@ -203,6 +203,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("dhashBmp matches an independent pixel-formula recompute") {
+    val rnd = new scala.util.Random(61)
+    for (_ <- 1 to 20) {
+      val seed = rnd.nextInt(97).toLong
+      val w = (seed % 16).toInt + 1
+      val h = (seed / 16 % 8).toInt + 1
+      val (fmt, dw, dh, hash) = Multimodal.MediaKernels.dhashBmp(
+        Multimodal.MediaKernels.encodeBmp(seed, w, h))
+      assert(fmt == "bmp" && dw == w && dh == h)
+      // recompute from the logical pixel formula, not the wire bytes
+      def gray(x: Int, y: Int): Long = {
+        val j0 = (y.toLong * w + x) * 3
+        ((seed * 31 + j0) % 256 + (seed * 31 + j0 + 1) % 256 +
+          (seed * 31 + j0 + 2) % 256) / 3
+      }
+      var exp = 0L
+      for (by <- 0 until 8; bx <- 0 until 7)
+        if (gray((bx + 1) * w / 8, by * h / 8) > gray(bx * w / 8, by * h / 8))
+          exp |= 1L << (by * 7 + bx)
+      assert(hash == exp)
+      assert(hash >= 0L)       // 56-bit pack: sign bit never set
+    }
+    // non-BMP payload hashes to the unknown sentinel
+    assert(Multimodal.MediaKernels.dhashBmp("not a bmp".getBytes)._4 == -1L)
+  }
+
+  test("dedupByPhash collapses planted pixel twins to one bucket") {
+    // doc_ids 3 and 3+97 share seed 3 → identical bytes → same phash;
+    // seed 0 is the 1×1 image whose gradient hash is exactly 0
+    val docs = Seq(3L, 100L, 0L).map(i => (i, "x")).toDF("doc_id", "text")
+    val r = Multimodal.dedupByPhash(
+        Multimodal.asSyntheticPhotoSet(docs, "doc_id").toDF())
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(3L)._2 == 3L && r(100L)._2 == 3L)   // rep = min of the twins
+    assert(r(3L)._1 == r(100L)._1)               // same phash
+    assert(r(3L)._3 == 2L && r(100L)._3 == 2L)   // grp_n
+    assert(r(0L)._1 == 0L)                       // 1×1 → zero hash
+  }
+
   test("decode runs per-partition (batch contract preserved)") {
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
       .repartition(7)
