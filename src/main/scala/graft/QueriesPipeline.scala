@@ -156,6 +156,12 @@ object QueriesPipeline {
         .select(col("qid"), col("nid"), col("adc"), col("rn"))
     }),
 
+    // greedy k-center diverse-subset selection: farthest-point rounds
+    // over exact int64 quantized distances — coverage-maximizing data
+    // selection (coreset/eval-set picking), deterministic ties
+    "kcenter_select" -> ((s, dir) =>
+      Similarity.kcenterSelect(table(s, dir, "embeddings"), k = 6)),
+
     // ---- corpus preparation ----------------------------------------------
     // deterministic stratified-reportable train/valid/test split: pure
     // integer hash projection, reproducible under retries (rand() isn't)
@@ -1921,6 +1927,37 @@ object QueriesPipeline {
          |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
          |    ORDER BY sim DESC, nid) AS rn FROM s) t
          |WHERE rn <= 5""".stripMargin
+    },
+    "kcenter_select" -> {
+      // mirrors Similarity.kcenterSelect exactly: quantized int64
+      // vectors, min-id seed, then 5 unrolled farthest-point rounds
+      // (argmax of min-distance-to-selected, ties by smaller vec_id)
+      val dimP1 = 65
+      def qd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, $dimP1), " +
+          s"j -> ($a.qv[j] - $b.qv[j]) * ($a.qv[j] - $b.qv[j])))"
+      def rnd(r: Int) =
+        s"""m$r AS (SELECT q.vec_id, any_value(q.qv) AS qv,
+           |         min(${qd("q", "s")}) AS mind
+           |       FROM q, sel${r - 1} s
+           |       WHERE q.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           |       GROUP BY q.vec_id),
+           |s$r AS (SELECT $r AS rn, vec_id, qv, mind FROM m$r
+           |        ORDER BY mind DESC, vec_id LIMIT 1),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+           |          SELECT * FROM s$r)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |          AS qv
+         |      FROM e),
+         |sel1 AS (SELECT 1 AS rn, vec_id, qv, CAST(0 AS BIGINT) AS mind
+         |         FROM q ORDER BY vec_id LIMIT 1),
+         |${(2 to 6).map(rnd).mkString(",\n")}
+         |SELECT CAST(rn AS BIGINT) AS rn, vec_id,
+         |       CAST(mind AS BIGINT) AS mind
+         |FROM sel6""".stripMargin
     },
     "sim_pq" -> {
       // mirrors Similarity.pqTopK exactly: per-subspace quantized k-means

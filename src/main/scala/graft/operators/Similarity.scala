@@ -337,4 +337,59 @@ object Similarity {
         payload = "nid", k = k)
       .select(col("qid"), col("nid"), col("sim"), col("rn"))
   }
+
+  /** Greedy k-center (farthest-point) diverse-subset selection — the
+    * coverage-maximizing counterpart of dedup: pick the corpus row with
+    * the smallest id as the seed, then k−1 times pick the row whose
+    * nearest already-selected center is FARTHEST (exact int64 squared L2
+    * over [[quantized]] vectors; ties → smaller vec_id). The classic
+    * 2-approximation for diverse data selection (coreset seeding,
+    * eval-set picking, k-means++-style init without randomness).
+    * Returns (rn 1..k, vec_id, mind) — mind is the selected row's
+    * distance to its nearest prior center (0 for the seed), a useful
+    * coverage-radius diagnostic.
+    *
+    * Scale: each round is ONE narrow scan + ONE argmax aggregate over
+    * the corpus — the r selected centers ride along as broadcast
+    * literals, and only a single (mind, id, qv) row returns to the
+    * driver per round (bounded by k, never data-sized). The quantized
+    * corpus is persisted across the k scans and released before
+    * returning; the result itself is a k-row local DataFrame. */
+  def kcenterSelect(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (vec_id, mind-at-selection, qv)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Seq[Long])]
+      q.agg(min(struct(col("vec_id"), col("qv"))).as("s"))
+        .where(col("s").isNotNull)           // empty corpus → empty result
+        .select(col("s.vec_id"), col("s.qv"))
+        .as[(Long, Seq[Long])].collect()
+        .foreach { case (id, qv) => selected += ((id, 0L, qv)) }
+      var r = selected.size
+      while (r > 0 && r < k) {
+        val ids = selected.map(_._1).toSeq
+        val mind = selected.map(s => longSqDist(col("qv"), typedlit(s._3)))
+          .reduce(least(_, _))
+        val best = q.where(!col("vec_id").isInCollection(ids))
+          .select(col("vec_id"), col("qv"), mind.as("mind"))
+          .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"),
+            col("qv"))).as("b"))
+          .where(col("b").isNotNull)
+          .select(col("b.mind"), (-col("b.nid")).as("vec_id"), col("b.qv"))
+          .as[(Long, Long, Seq[Long])].collect()
+        if (best.isEmpty) r = 0              // corpus exhausted before k
+        else {
+          selected += ((best.head._2, best.head._1, best.head._3))
+          r = selected.size
+        }
+      }
+      selected.toSeq.zipWithIndex
+        .map { case ((id, mind, _), i) => (i + 1L, id, mind) }
+        .toDF("rn", "vec_id", "mind")
+    } finally q.unpersist(blocking = false)
+  }
 }

@@ -192,4 +192,27 @@ class SimilaritySpec extends AnyFunSuite {
     val inter = 2L * 8000L * 8000L + 2L * 8000L * 8000L
     assert(r(2L) == inter && r(3L) == inter)
   }
+
+  test("kcenterSelect: farthest-point rounds with deterministic ties") {
+    // quantized ×1000: p0=(0,0) p1=(10000,0) p2=(5000,0) p3=(9000,0).
+    // seed = id 0 (min id). round 2: farthest from p0 is p1 (d=10000²).
+    // round 3: mind to {p0,p1} — p2: min(5000², 5000²)=25e6;
+    // p3: min(9000², 1000²)=1e6 → p2 wins.
+    val e = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)),
+      (2L, Array(5f, 0f)), (3L, Array(9f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kcenterSelect(e, k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(r == List((1L, 0L, 0L), (2L, 1L, 100000000L),
+      (3L, 2L, 25000000L)))
+  }
+
+  test("kcenterSelect: k beyond corpus size stops at corpus size") {
+    val e = Seq((7L, Array(1f, 0f)), (9L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kcenterSelect(e, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(r.map(_._2) == List(7L, 9L))
+  }
 }
