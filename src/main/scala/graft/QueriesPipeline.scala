@@ -156,6 +156,30 @@ object QueriesPipeline {
         .select(col("qid"), col("nid"), col("adc"), col("rn"))
     }),
 
+    // embedding outlier detection: top-10 by exact integer distance to
+    // the global floor-mean centroid — the off-distribution row filter
+    "embed_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(table(s, dir, "embeddings"), k = 10)),
+    // matryoshka-style truncation eval: recall@5 of 16-dim-prefix cosine
+    // ranking against the full-64-dim ground truth — the dimension-
+    // shrink serving decision, measured not guessed
+    "sim_truncate_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      def trunc(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+      val full = Similarity.bruteTopK(e, q, k = 5)
+        .select(col("qid"), col("nid"))
+      val tr = Similarity.bruteTopK(trunc(e), trunc(q), k = 5)
+        .select(col("qid").as("tqid"), col("nid").as("tnid"))
+      full.join(tr,
+          col("qid") === col("tqid") && col("nid") === col("tnid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("tnid")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          expr("n_hits * 1000000 div 5").as("recall_ppm"))
+    }),
     // greedy k-center diverse-subset selection: farthest-point rounds
     // over exact int64 quantized distances — coverage-maximizing data
     // selection (coreset/eval-set picking), deterministic ties
@@ -836,6 +860,20 @@ object QueriesPipeline {
     """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce
+      |      FROM embeddings),
+      |s AS (SELECT qid, nid,
+      |        round(list_cosine_similarity(qe, ce), 6) AS sim
+      |      FROM q, c WHERE nid != qid),
+      |r AS (SELECT qid, nid, sim, row_number() OVER (
+      |        PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      |      FROM s)
+      |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5""".stripMargin
+
+  /** 16-dim-prefix twin of [[SimTopkOracle]] for the truncation eval. */
+  private val SimTrunc16Oracle: String =
+    """WITH q AS (SELECT vec_id AS qid, (embedding::DOUBLE[])[1:16] AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS nid, (embedding::DOUBLE[])[1:16] AS ce
       |      FROM embeddings),
       |s AS (SELECT qid, nid,
       |        round(list_cosine_similarity(qe, ce), 6) AS sim
@@ -1928,6 +1966,36 @@ object QueriesPipeline {
          |    ORDER BY sim DESC, nid) AS rn FROM s) t
          |WHERE rn <= 5""".stripMargin
     },
+    "embed_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id,
+        |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+        |          AS qv
+        |      FROM e),
+        |c AS (SELECT j,
+        |        CAST(floor(CAST(sum(qv[j]) AS DOUBLE) / count(*))
+        |          AS BIGINT) AS cj
+        |      FROM q, range(1, 65) t(j) GROUP BY j),
+        |cc AS (SELECT list(cj ORDER BY j) AS qc FROM c),
+        |d AS (SELECT vec_id,
+        |        list_sum(list_transform(range(1, 65),
+        |          j -> (qv[j] - qc[j]) * (qv[j] - qc[j]))) AS d
+        |      FROM q, cc)
+        |SELECT CAST(row_number() OVER (ORDER BY d DESC, vec_id)
+        |         AS BIGINT) AS rn,
+        |       vec_id, CAST(d AS BIGINT) AS d
+        |FROM d ORDER BY d DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_truncate_recall" ->
+      s"""WITH brute AS MATERIALIZED (
+         |  SELECT qid, nid FROM ($SimTopkOracle) t),
+         |tr AS MATERIALIZED (
+         |  SELECT qid, nid FROM ($SimTrunc16Oracle) t)
+         |SELECT b.qid, CAST(count(i.nid) AS BIGINT) AS n_hits,
+         |       CAST(count(i.nid) * 1000000 // 5 AS BIGINT) AS recall_ppm
+         |FROM brute b LEFT JOIN tr i
+         |  ON b.qid = i.qid AND b.nid = i.nid
+         |GROUP BY b.qid""".stripMargin,
     "kcenter_select" -> {
       // mirrors Similarity.kcenterSelect exactly: quantized int64
       // vectors, min-id seed, then 5 unrolled farthest-point rounds

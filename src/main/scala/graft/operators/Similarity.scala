@@ -338,6 +338,35 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rn"))
   }
 
+  /** Embedding outlier detection — the corpus-hygiene filter that flags
+    * mis-embedded or off-distribution rows before training: distance of
+    * every vector to the GLOBAL integer centroid (per-dimension floor
+    * mean over [[quantized]] vectors, the same exact-mean idiom as the
+    * k-means update), ranked top-k by exact int64 squared L2 (ties →
+    * smaller vec_id). Returns (rn 1..k, vec_id, d).
+    *
+    * Scale: the centroid is one (dim-keyed) aggregate; distances are a
+    * narrow map with the 1-row centroid broadcast; the final rank is
+    * orderBy+limit — Spark plans TakeOrdered (per-partition heap of k,
+    * k rows per partition to the driver-side merge), never a full sort
+    * shuffle. */
+  def embeddingOutliers(embeddings: DataFrame, k: Int): DataFrame = {
+    val q = quantized(embeddings)
+    val cent = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("qc"))
+    val top = q.join(broadcast(cent), lit(true))
+      .select(col("vec_id"), longSqDist(col("qv"), col("qc")).as("d"))
+      .orderBy(col("d").desc, col("vec_id")).limit(k)
+    top.withColumn("rn", row_number().over(
+        Window.orderBy(col("d").desc, col("vec_id"))).cast("long"))
+      .select(col("rn"), col("vec_id"), col("d"))
+  }
+
   /** Greedy k-center (farthest-point) diverse-subset selection — the
     * coverage-maximizing counterpart of dedup: pick the corpus row with
     * the smallest id as the seed, then k−1 times pick the row whose

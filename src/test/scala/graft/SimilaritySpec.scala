@@ -193,6 +193,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(2L) == inter && r(3L) == inter)
   }
 
+  test("embeddingOutliers: centroid distance rank, hand-computed") {
+    // quantized ×1000: (0,0) (2000,0) (4000,0) (18000,0) → sums 24000,0;
+    // floor-mean centroid (6000, 0). d: 36e6, 16e6, 4e6, 144e6.
+    val e = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(2f, 0f)),
+      (2L, Array(4f, 0f)), (3L, Array(18f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingOutliers(e, k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(r == List((1L, 3L, 144000000L), (2L, 0L, 36000000L),
+      (3L, 1L, 16000000L)))
+  }
+
   test("kcenterSelect: farthest-point rounds with deterministic ties") {
     // quantized ×1000: p0=(0,0) p1=(10000,0) p2=(5000,0) p3=(9000,0).
     // seed = id 0 (min id). round 2: farthest from p0 is p1 (d=10000²).
