@@ -58,6 +58,29 @@ object QueriesGraphAlgos {
       |SELECT (SELECT count(*) FROM e) AS n_edges,
       |       (SELECT n FROM tri) AS n_triangles""".stripMargin
 
+  /** Same projected graph as [[triangleOracle]]; rectangles via the
+    * orientation-free common-neighbor identity Σ_{u<w} C(λ(u,w), 2) / 2
+    * (each 4-cycle seen once per diagonal), which checks the Spark
+    * side's min-vertex-oriented plan without replicating it. */
+  private val fourCycleOracle: String =
+    """WITH ps AS (SELECT DISTINCT 3000000000 + l_partkey AS part,
+      |                            l_suppkey AS supp
+      |            FROM lineitem WHERE l_partkey % 20 = 0
+      |              AND (2000000000 + l_suppkey) % 3 = 0),
+      |e AS (SELECT DISTINCT p1.part AS a, p2.part AS b
+      |      FROM ps p1 JOIN ps p2
+      |        ON p1.supp = p2.supp AND p1.part < p2.part),
+      |und AS (SELECT a AS u, b AS v FROM e
+      |        UNION ALL SELECT b, a FROM e),
+      |w AS (SELECT u1.v AS x, u2.v AS y
+      |      FROM und u1 JOIN und u2
+      |        ON u1.u = u2.u AND u1.v < u2.v),
+      |c AS (SELECT x, y, count(*) AS cnt FROM w GROUP BY x, y)
+      |SELECT (SELECT count(*) FROM e) AS n_edges,
+      |       CAST(coalesce(sum(cnt * (cnt - 1) // 2), 0) // 2 AS BIGINT)
+      |         AS n_rectangles
+      |FROM c""".stripMargin
+
   /** Same projected graph as [[triangleOracle]]; triangles via the
     * id-ordered wedge join (orientation-invariant, so it checks the
     * degree-ordered plan without replicating it), corners via UNION ALL,
@@ -726,6 +749,21 @@ object QueriesGraphAlgos {
         .distinct()
       GraphAlgos.triangleCount(edges)
     }),
+    // 4-cycle (rectangle) count on the same projected co-supplier part
+    // graph — min-vertex-oriented wedge counting, never Σdeg² from hubs
+    "four_cycles" -> ((s, dir) => {
+      val ps = SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "SUPPLIED_BY" && col("START_ID") % 20 === 0
+          && col("END_ID") % 3 === 0)
+        .select(col("START_ID").as("part"), col("END_ID").as("supp"))
+        .distinct()
+      val edges = ps.as("p1")
+        .join(ps.as("p2"),
+          col("p1.supp") === col("p2.supp") && col("p1.part") < col("p2.part"))
+        .select(col("p1.part").as("a"), col("p2.part").as("b"))
+        .distinct()
+      GraphAlgos.fourCycleCount(edges)
+    }),
     // local clustering coefficient on the same projected co-supplier
     // part graph as triangle_count — per-node triangles via one explode
     // of each closed wedge's corners, coefficient as exact ppm
@@ -951,6 +989,7 @@ object QueriesGraphAlgos {
     "label_prop" -> lpaOracle,
     "pagerank" -> pagerankOracle,
     "triangle_count" -> triangleOracle,
+    "four_cycles" -> fourCycleOracle,
     "clustering_coeff" -> clusteringOracle,
     "bfs_hops" -> bfsOracle,
     "sssp_bf" -> ssspOracle,

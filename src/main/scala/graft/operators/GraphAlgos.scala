@@ -214,6 +214,54 @@ object GraphAlgos {
         sum(col("is_tri")).as("n_triangles"))
   }
 
+  /** 4-cycle (rectangle) count over an undirected simple graph given as
+    * distinct low→high edges (a < b) — the quadrilateral-motif statistic
+    * (bipartite-ish community signal where triangles are rare).
+    *
+    * Chiba–Nishizeki-shaped orientation bound: every rectangle is
+    * counted exactly once at its degree-order-MINIMAL vertex x — wedges
+    * x→v–c are generated only from oriented edges x→v (so v > x in
+    * (deg, id) order) into the center's full adjacency filtered to
+    * c > x, and Σ_{(x,c)} C(paths, 2) then counts each rectangle once
+    * (its two centers both rank above the minimal vertex, its diagonal
+    * partner too — no other vertex can claim the cycle). The wedge set
+    * is the neighbors-of-out-neighbors scan that underlies the classic
+    * O(α·m) bound, instead of the Σ deg² blowup of naive all-wedge
+    * generation from hub centers. Returns one row: (n_edges,
+    * n_rectangles). */
+  def fourCycleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    // orient lower-(deg, id) → higher, keeping the tail's degree for the
+    // endpoint-order filter below
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("x"), col("da").as("dx"), col("b").as("y")))
+          .otherwise(
+            struct(col("b").as("x"), col("db").as("dx"), col("a").as("y")))
+          .as("o"))
+      .select(col("o.x").as("x"), col("o.dx").as("dx"), col("o.y").as("y"))
+    val und = e.select(col("a").as("u"), col("b").as("c"))
+      .union(e.select(col("b").as("u"), col("a").as("c")))
+      .join(deg.select(col("n").as("c"), col("deg").as("dc")), "c")
+    val wedges = oriented.join(und, col("y") === col("u"))
+      .where(col("c") =!= col("x") &&
+        struct(col("dc"), col("c")) > struct(col("dx"), col("x")))
+      .select(col("x"), col("c"))
+    val cnts = wedges.groupBy(col("x"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    // both counts in ONE aggregate over a tagged union — no 1×1 join
+    e.select(lit(1L).as("is_edge"), lit(0L).as("r"))
+      .union(cnts.select(lit(0L).as("is_edge"),
+        expr("cnt * (cnt - 1) div 2").as("r")))
+      .agg(sum(col("is_edge")).as("n_edges"),
+        sum(col("r")).as("n_rectangles"))
+  }
+
   /** Local clustering coefficient per node — triangles(v) against the
     * wedge capacity deg(v)·(deg(v)−1)/2, the per-node cohesion score
     * (GDS exposes it as localClusteringCoefficient). Input: canonical

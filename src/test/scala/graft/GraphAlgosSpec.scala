@@ -49,6 +49,44 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(row == ((6L, 4L)))
   }
 
+  test("fourCycleCount: square, K4, and a pendant") {
+    // a plain square has exactly one 4-cycle; the pendant adds none
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    assert(GraphAlgos.fourCycleCount(square)
+      .as[(Long, Long)].collect().head == ((5L, 1L)))
+    // K4 has 3 rectangles (each pair of disjoint edges closes one)
+    val k4 = (for { i <- 1 to 4; j <- (i + 1) to 4 }
+      yield (i.toLong, j.toLong)).toDF("a", "b")
+    assert(GraphAlgos.fourCycleCount(k4)
+      .as[(Long, Long)].collect().head == ((6L, 3L)))
+    // triangle alone: no 4-cycle
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(GraphAlgos.fourCycleCount(tri)
+      .as[(Long, Long)].collect().head == ((3L, 0L)))
+  }
+
+  test("fourCycleCount matches the brute common-neighbor identity on a random graph") {
+    val rnd = new scala.util.Random(73)
+    val edges = (for {
+      i <- 0L until 30L; j <- (i + 1) until 30L
+      if rnd.nextDouble() < 0.2
+    } yield (i, j)).toList
+    val df = edges.toDF("a", "b")
+    val got = GraphAlgos.fourCycleCount(df)
+      .as[(Long, Long)].collect().head
+    // brute: Σ_{u<w} C(common, 2) / 2
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toList.sorted
+    var s = 0L
+    for (ui <- nodes.indices; wi <- ui + 1 until nodes.size) {
+      val c = (adj(nodes(ui)) & adj(nodes(wi))).size.toLong
+      s += c * (c - 1) / 2
+    }
+    assert(got == ((edges.size.toLong, s / 2)))
+  }
+
   test("clusteringCoefficient: triangle node vs hub vs pendant") {
     // triangle 1-2-3; pendant 4 on 1 → node 1 has deg 3, wedges 3, tri 1
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
