@@ -233,6 +233,23 @@ object QueriesPipeline {
     "doc_surprisal" -> ((s, dir) =>
       CorpusTools.docSurprisal(table(s, dir, "documents"), "doc_id",
         "text")),
+    // token-budget data selection: fill each language's 2000-token
+    // budget with its highest-surprisal docs, whole score classes only —
+    // the distribution-window formulation, never a corpus-wide sort
+    "token_budget_select" -> ((s, dir) =>
+      CorpusTools.tokenBudgetSelect(table(s, dir, "documents"), "doc_id",
+        "text", "lang", budgetTokens = 2000L)),
+    // per-language top-quartile quality filter via the exact integer
+    // percentile rank test (no float quantiles anywhere)
+    "quality_filter_grouped" -> ((s, dir) =>
+      CorpusTools.qualityFilterGrouped(table(s, dir, "documents"),
+        "doc_id", "text", "lang", pct = 75)),
+    // substring search through the char-trigram inverted index; the
+    // oracle is the brute contains-scan, so the gate proves the indexed
+    // path is lossless
+    "trigram_search" -> ((s, dir) =>
+      graft.operators.Retrieval.trigramSearch(table(s, dir, "documents"), "doc_id",
+        "text", Seq("spark table", "slow filter", "quantum flux"))),
     // per-doc top-5 keyword extraction by integer tf·idf — idf is the
     // exact bit-length log2, the ranking replays bit-identically in SQL
     "tfidf_terms" -> ((s, dir) =>
@@ -957,6 +974,66 @@ object QueriesPipeline {
         |       CAST(sum(s) AS BIGINT) AS surprisal_sum,
         |       CAST(sum(s) * 1000 // count(*) AS BIGINT) AS mean_milli
         |FROM sc GROUP BY doc_id""".stripMargin,
+    "token_budget_select" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents) t WHERE word != ''),
+        |c AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM tk GROUP BY word),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+        |s0 AS (SELECT tk.doc_id,
+        |         CAST(length(printf('%b', tt.t // c.cnt)) AS BIGINT) AS s
+        |       FROM tk JOIN c ON tk.word = c.word, tt),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(s) * 1000 // count(*) AS BIGINT) AS mean_milli
+        |       FROM s0 GROUP BY doc_id),
+        |scg AS (SELECT d.lang, sc.doc_id, sc.n_tokens, sc.mean_milli
+        |        FROM sc JOIN documents d USING (doc_id)),
+        |cls AS (SELECT lang, mean_milli,
+        |          sum(n_tokens) AS class_tokens
+        |        FROM scg GROUP BY lang, mean_milli),
+        |cum AS (SELECT lang, mean_milli,
+        |          sum(class_tokens) OVER (PARTITION BY lang
+        |            ORDER BY mean_milli DESC) AS cum
+        |        FROM cls),
+        |kept AS (SELECT lang, mean_milli FROM cum WHERE cum <= 2000)
+        |SELECT scg.lang, scg.doc_id, scg.n_tokens, scg.mean_milli
+        |FROM scg JOIN kept USING (lang, mean_milli)""".stripMargin,
+    "quality_filter_grouped" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents) t WHERE word != ''),
+        |c AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM tk GROUP BY word),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+        |s0 AS (SELECT tk.doc_id,
+        |         CAST(length(printf('%b', tt.t // c.cnt)) AS BIGINT) AS s
+        |       FROM tk JOIN c ON tk.word = c.word, tt),
+        |sc AS (SELECT doc_id,
+        |         CAST(sum(s) * 1000 // count(*) AS BIGINT) AS mean_milli
+        |       FROM s0 GROUP BY doc_id),
+        |scg AS (SELECT d.lang, sc.doc_id, sc.mean_milli
+        |        FROM sc JOIN documents d USING (doc_id)),
+        |dist AS (SELECT lang, mean_milli, count(*) AS cnt
+        |         FROM scg GROUP BY lang, mean_milli),
+        |cum AS (SELECT lang, mean_milli,
+        |          sum(cnt) OVER (PARTITION BY lang
+        |            ORDER BY mean_milli) AS n_le,
+        |          sum(cnt) OVER (PARTITION BY lang) AS n
+        |        FROM dist),
+        |cut AS (SELECT lang, min(mean_milli) AS cutoff FROM cum
+        |        WHERE n_le * 100 >= 75 * n GROUP BY lang)
+        |SELECT scg.lang, scg.doc_id, scg.mean_milli, cut.cutoff
+        |FROM scg JOIN cut USING (lang)
+        |WHERE scg.mean_milli >= cut.cutoff""".stripMargin,
+    "trigram_search" ->
+      """SELECT p.pattern, d.doc_id
+        |FROM documents d,
+        |  (VALUES ('spark table'), ('slow filter'), ('quantum flux'))
+        |    p(pattern)
+        |WHERE contains(d.text, p.pattern)""".stripMargin,
     "tfidf_terms" ->
       """WITH tk AS MATERIALIZED (
         |  SELECT doc_id, word FROM (

@@ -401,6 +401,68 @@ object CorpusTools {
         col("score").cast("long").as("score"), col("rn"))
   }
 
+  /** Token-budget data selection per group (the "data recipe" step: fill
+    * each language's training budget with its highest-quality documents):
+    * rank docs by [[docSurprisal]]'s exact integer mean_milli, take whole
+    * score classes in descending order while the group's cumulative token
+    * count stays ≤ budget. A score class that would overflow the budget
+    * is dropped whole — the all-or-nothing boundary policy keeps the
+    * selection a pure function of the score distribution (no per-doc
+    * sequencing inside a class). Returns kept docs as (group, doc_id,
+    * n_tokens, mean_milli).
+    *
+    * Scale: the running sum is a window over the per-(group, score)
+    * DISTRIBUTION (bounded by distinct score values, ~thousands), never
+    * a corpus-wide per-group window — the one formulation that survives
+    * a group holding billions of documents. Doc selection is then one
+    * equi-join of the corpus against the kept (group, score) classes. */
+  def tokenBudgetSelect(docs: DataFrame, id: String, text: String,
+                        group: String, budgetTokens: Long): DataFrame = {
+    val scored = docSurprisal(docs, id, text)
+      .join(docs.select(col(id).as("doc_id"), col(group)), "doc_id")
+    val classes = scored.groupBy(col(group), col("mean_milli"))
+      .agg(sum(col("n_tokens")).as("class_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("mean_milli").desc)
+    val kept = classes.withColumn("cum", sum(col("class_tokens")).over(w))
+      .where(col("cum") <= budgetTokens)
+      .select(col(group), col("mean_milli"))
+    scored.join(kept, Seq(group, "mean_milli"))
+      .select(col(group), col("doc_id"), col("n_tokens"),
+        col("mean_milli"))
+  }
+
+  /** Per-group quality-percentile filter (keep each language's top
+    * quartile by default): the exact integer rank test — the group's
+    * p-th percentile is the SMALLEST score v with count(score ≤ v)·100 ≥
+    * p·N, computed over the per-(group, score) distribution, and docs at
+    * or above it survive. No floats anywhere, so any engine agrees
+    * bit-for-bit. Returns (group, doc_id, mean_milli, cutoff).
+    *
+    * Scale: same distribution-not-corpus window shape as
+    * [[tokenBudgetSelect]]; the final filter is an equi-join on
+    * (group, score class) + a broadcast-sized cutoff table. */
+  def qualityFilterGrouped(docs: DataFrame, id: String, text: String,
+                           group: String, pct: Int = 75): DataFrame = {
+    val scored = docSurprisal(docs, id, text)
+      .join(docs.select(col(id).as("doc_id"), col(group)), "doc_id")
+    val dist = scored.groupBy(col(group), col("mean_milli"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("mean_milli"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+    val cutoffs = dist
+      .withColumn("n_le", sum(col("cnt")).over(wAsc))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .where(col("n_le") * 100 >= lit(pct) * col("n"))
+      .groupBy(col(group))
+      .agg(min(col("mean_milli")).as("cutoff"))
+    scored.join(broadcast(cutoffs), group)
+      .where(col("mean_milli") >= col("cutoff"))
+      .select(col(group), col("doc_id"), col("mean_milli"), col("cutoff"))
+  }
+
   /** One counting step of BPE tokenizer training: adjacent character-pair
     * frequencies at the initial (all-characters) stage — the statistic
     * whose argmax becomes the tokenizer's first merge rule.

@@ -111,6 +111,44 @@ object Retrieval {
     *                 rn = 1-based rank within that ranking
     * @return (qid, doc_id, rrf, rn) with rn = 1..k by fused score
     */
+  /** Substring search through a character-trigram inverted index — the
+    * scale path for "which documents contain this literal pattern"
+    * (contamination scans, PII pattern sweeps, code-corpus search):
+    * instead of running `contains` over the whole corpus per pattern,
+    * candidates are docs holding ALL of a pattern's distinct trigrams
+    * (one posting-list equi-join + a count filter, work ∝ matched
+    * postings), and only candidates pay the exact `contains`
+    * verification. Patterns must be ≥ 3 chars (shorter ones would need a
+    * full scan regardless — rejected up front). Returns (pattern,
+    * doc_id), exactly the rows a brute contains-scan would produce —
+    * which is what the oracle checks, so the gate proves the index path
+    * is lossless. */
+  def trigramSearch(docs: DataFrame, id: String, text: String,
+                    patterns: Seq[String]): DataFrame = {
+    require(patterns.forall(_.length >= 3),
+      "trigramSearch patterns must be at least 3 chars")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def tris(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(sequence(lit(1), length(c) - 2),
+        i => c.substr(i, lit(3))))
+    val corpus = docs.select(col(id).as("doc_id"), col(text).as("txt"))
+      .where(length(col("txt")) >= 3)
+    val postings = corpus
+      .select(col("doc_id"), explode(tris(col("txt"))).as("tri"))
+    val pats = patterns.toDF("pattern")
+      .select(col("pattern"), explode(tris(col("pattern"))).as("tri"),
+        size(tris(col("pattern"))).as("n_tri"))
+    val cands = postings.join(broadcast(pats), "tri")
+      .groupBy(col("pattern"), col("n_tri"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .where(col("n_hit") === col("n_tri"))
+      .select(col("pattern"), col("doc_id"))
+    cands.join(corpus, "doc_id")
+      .where(col("txt").contains(col("pattern")))
+      .select(col("pattern"), col("doc_id"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Long = 60L,
               scale: Long = 1000000L): DataFrame = {
     val u = rankings

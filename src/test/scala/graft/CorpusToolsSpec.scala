@@ -303,6 +303,48 @@ class CorpusToolsSpec extends AnyFunSuite {
       (2L, "c", 4L, 1L), (2L, "a", 1L, 2L), (3L, "a", 1L, 1L)))
   }
 
+  test("tokenBudgetSelect: whole score classes under the budget, per group") {
+    // One lang. Corpus: "r r" (rare-free), "q q q", "z". counts r:2 q:3
+    // z:1, T=6. s(r)=bitlen(3)=2, s(q)=bitlen(2)=2, s(z)=bitlen(6)=3.
+    // doc1 (r r): n=2 mean=2000; doc2 (q q q): n=3 mean=2000;
+    // doc3 (z): n=1 mean=3000. Classes desc: 3000(1 tok) cum 1;
+    // 2000(5 tok) cum 6. Budget 5 → only the 3000 class fits.
+    val docs = Seq((1L, "en", "r r"), (2L, "en", "q q q"),
+      (3L, "en", "z")).toDF("doc_id", "lang", "text")
+    val r = CorpusTools.tokenBudgetSelect(docs, "doc_id", "text", "lang",
+        budgetTokens = 5L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r == Set(("en", 3L, 1L, 3000L)))
+    // budget 6 admits both classes
+    val r2 = CorpusTools.tokenBudgetSelect(docs, "doc_id", "text", "lang",
+        budgetTokens = 6L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r2.map(_._2) == Set(1L, 2L, 3L))
+  }
+
+  test("qualityFilterGrouped: exact per-group percentile cutoff") {
+    // One lang, 4 docs with distinct means; p75 over 4 docs: smallest v
+    // with n_le·100 ≥ 75·4 → the 3rd-ranked value keeps the top 2? No:
+    // n_le(v3)=3, 300 ≥ 300 → cutoff = 3rd smallest; docs ≥ cutoff = 2.
+    // means: doc1 "a a"→? build distinct word counts per doc so means
+    // differ: use docs of one word each with different corpus counts.
+    // corpus: a×4 b×2 c×1 over docs (1:"a a a a") (2:"b b") (3:"c")
+    // T=7: s(a)=bitlen(1)=1 mean 1000; s(b)=bitlen(3)=2 mean 2000;
+    // s(c)=bitlen(7)=3 mean 3000. n_le: 1000→1, 2000→2, 3000→3; N=3.
+    // p75: n_le·100 ≥ 225 → first v with n_le ≥ 2.25 → 3000.
+    val docs = Seq((1L, "en", "a a a a"), (2L, "en", "b b"),
+      (3L, "en", "c")).toDF("doc_id", "lang", "text")
+    val r = CorpusTools.qualityFilterGrouped(docs, "doc_id", "text",
+        "lang", pct = 75)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r == Set(("en", 3L, 3000L, 3000L)))
+    // pct 50 → cutoff 2000, keeps docs 2 and 3
+    val r2 = CorpusTools.qualityFilterGrouped(docs, "doc_id", "text",
+        "lang", pct = 50)
+      .as[(String, Long, Long, Long)].collect()
+    assert(r2.map(_._2).toSet == Set(2L, 3L))
+  }
+
   test("bpePairs: token-weighted pair counts with deterministic ties") {
     // words: hello×2, hi×1 → pairs el/he/ll/lo ×2 (hello), hi ×1;
     // single-char words contribute nothing

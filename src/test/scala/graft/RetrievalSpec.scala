@@ -73,4 +73,21 @@ class RetrievalSpec extends AnyFunSuite {
     // k bounds the fused list
     assert(Retrieval.rrfFuse(Seq(a, b), k = 1).count() == 1)
   }
+
+  test("trigramSearch: indexed result equals the brute contains-scan") {
+    // doc 3 holds every trigram of "abcd" (abc, bcd) WITHOUT the
+    // substring — the candidate the contains-verification must reject
+    val docs = Seq(
+      (1L, "xx abcd yy"), (2L, "abc only here"),
+      (3L, "abcx then bcdy"), (4L, "nothing"), (5L, "ab")
+    ).toDF("doc_id", "text")
+    val pats = Seq("abcd", "thing")
+    val got = Retrieval.trigramSearch(docs, "doc_id", "text", pats)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("abcd", 1L), ("thing", 4L)))
+    // short patterns are rejected up front, not silently mis-answered
+    intercept[IllegalArgumentException] {
+      Retrieval.trigramSearch(docs, "doc_id", "text", Seq("ab"))
+    }
+  }
 }
