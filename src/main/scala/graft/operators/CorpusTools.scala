@@ -494,6 +494,83 @@ object CorpusTools {
       .select(col("rn"), col("pair"), col("cnt"))
   }
 
+  /** Multi-round BPE tokenizer TRAINING — the full merge-learning loop,
+    * not just [[bpePairs]]' first statistic: per round, (1) count
+    * adjacent symbol pairs token-weighted over the DISTINCT-word table,
+    * (2) adopt the most frequent pair as the round's merge rule (ties:
+    * cnt DESC, lhs ASC, rhs ASC), (3) rewrite every word's symbol list
+    * by greedy LEFT-TO-RIGHT non-overlapping application of that rule
+    * ("aaaa" + rule (a,a) → [aa, aa], never [a, aa, a]) — exactly the
+    * textbook BPE trainer. Returns the learned rules as (rn, lhs, rhs,
+    * cnt).
+    *
+    * The rewrite is a per-row fold (`aggregate` HOF — codegen'd, no
+    * UDF): carry the last unmerged symbol; when (carry, next) matches
+    * the rule emit the merged token and clear the carry. Sequential
+    * greedy semantics in one array-local pass; the oracle replays the
+    * same semantics relationally via run-parity windows, so the gate
+    * checks semantics, not plan shape.
+    *
+    * Scale: the corpus is touched ONCE (word counts); every training
+    * round runs over the vocabulary (10⁵–10⁶ rows), per-round cost one
+    * explode + one bounded argmax (TakeOrdered, 1 row to the driver) +
+    * one narrow rewrite, checkpointed so lineage stays flat — how
+    * production BPE trainers batch the scan, distributed. */
+  def bpeTrain(docs: DataFrame, text: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordCounts = docs
+      .select(explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    var syms = wordCounts.select(col("word"), col("wcnt"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val pairs = syms.select(col("wcnt"),
+          explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("lhs"),
+                element_at(col("syms"), i + 1).as("rhs"))))
+            .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+            .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("wcnt")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).as[(String, String, Long)].collect()
+      if (best.isEmpty) done = true
+      else {
+        val (x, y, cnt) = best.head
+        merges += ((r.toLong, x, y, cnt))
+        syms = syms.select(col("word"), col("wcnt"),
+            aggregate(col("syms"),
+              struct(array().cast("array<string>").as("out"),
+                lit("").as("carry")),
+              (acc, s) =>
+                when(acc.getField("carry") === lit(x) && s === lit(y),
+                  struct(array_append(acc.getField("out"),
+                    lit(x + y)).as("out"), lit("").as("carry")))
+                .when(acc.getField("carry") === lit(""),
+                  struct(acc.getField("out").as("out"), s.as("carry")))
+                .otherwise(struct(array_append(acc.getField("out"),
+                  acc.getField("carry")).as("out"), s.as("carry"))),
+              acc => when(acc.getField("carry") === lit(""),
+                  acc.getField("out"))
+                .otherwise(array_append(acc.getField("out"),
+                  acc.getField("carry"))))
+              .as("syms"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rn", "lhs", "rhs", "cnt")
+  }
+
   /** Exact-k deterministic per-stratum sample: the k docs with the
     * smallest Knuth multiplicative hash in each stratum. Complements
     * [[stratifiedSample]] (rate-based, size varies) with the

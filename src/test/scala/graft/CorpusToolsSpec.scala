@@ -345,6 +345,26 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(r2.map(_._2).toSet == Set(2L, 3L))
   }
 
+  test("bpeTrain: textbook low/lower merges, hand-computed") {
+    // words low×2 lower×1. Round 1 pairs: lo×3, ow×3, we×1, er×1 →
+    // tie (l,o) vs (o,w) breaks lhs-asc → (l,o). Round 2: (lo,w)×3.
+    // Round 3: (low,e)×1 vs (e,r)×1 → lhs asc → (e,r).
+    val docs = Seq((1L, "low low"), (2L, "lower")).toDF("doc_id", "text")
+    val r = CorpusTools.bpeTrain(docs, "text", rounds = 3)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toList
+    assert(r == List((1L, "l", "o", 3L), (2L, "lo", "w", 3L),
+      (3L, "e", "r", 1L)))
+  }
+
+  test("bpeTrain: overlapping runs merge greedily left-to-right") {
+    // "aaaa": round 1 counts (a,a)×3, merge → [aa, aa] (greedy pairs,
+    // never [a, aa, a]); round 2 then finds (aa, aa)×1
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val r = CorpusTools.bpeTrain(docs, "text", rounds = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toList
+    assert(r == List((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
   test("bpePairs: token-weighted pair counts with deterministic ties") {
     // words: hello×2, hi×1 → pairs el/he/ll/lo ×2 (hello), hi ×1;
     // single-char words contribute nothing
