@@ -228,6 +228,11 @@ object QueriesPipeline {
     "bpe_train" -> ((s, dir) =>
       CorpusTools.bpeTrain(table(s, dir, "documents"), "text",
         rounds = 3)),
+    // tokenize the corpus with the learned merges: one vocab equi-join,
+    // exact per-doc BPE token counts
+    "bpe_encode" -> ((s, dir) =>
+      CorpusTools.bpeEncode(table(s, dir, "documents"), "doc_id", "text",
+        rounds = 3)),
     // join-key distribution profile of lineitem's part key — cardinality,
     // frequency percentiles, hottest key, exact integer Gini — the
     // pre-flight statistic that picks a 100 TB join strategy
@@ -878,6 +883,63 @@ object QueriesPipeline {
 
   /** Extracted so [[oracles]]' `ann_recall` can replay both pipelines as
     * subqueries of one recall computation. */
+  /** Shared WITH-body for the BPE oracles: vocabulary + 3 unrolled
+    * training rounds. Mirrors CorpusTools.bpeLoop exactly, with the
+    * greedy left-to-right merge expressed relationally: mark matching
+    * adjacent pairs, group consecutive marks into runs, and a mark is
+    * ACTIVE iff its 1-based index inside its run is odd — the
+    * non-overlapping scan a sequential fold performs. Exposes b1..b3
+    * (per-round best pair) and s3 (final word→symbols). */
+  private val BpeRoundsSql: String = {
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT wcnt,
+         |         syms[CAST(i AS INTEGER)] AS lhs,
+         |         syms[CAST(i AS INTEGER) + 1] AS rhs
+         |       FROM (SELECT wcnt, syms,
+         |               unnest(range(1, len(syms))) AS i
+         |             FROM $prev) t),
+         |b$r AS (SELECT lhs, rhs, CAST(sum(wcnt) AS BIGINT) AS cnt
+         |       FROM p$r GROUP BY lhs, rhs
+         |       ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |e$r AS (SELECT word, wcnt, CAST(i AS INTEGER) AS i,
+         |         syms[CAST(i AS INTEGER)] AS s,
+         |         syms[CAST(i AS INTEGER) + 1] AS s2
+         |       FROM (SELECT word, wcnt, syms,
+         |               unnest(range(1, len(syms) + 1)) AS i
+         |             FROM $prev) t),
+         |m$r AS (SELECT e.*,
+         |         (e.s = b.lhs AND coalesce(e.s2 = b.rhs, false))
+         |           AS mark
+         |       FROM e$r e, b$r b),
+         |q$r AS (SELECT *, coalesce(lag(mark) OVER (PARTITION BY word
+         |           ORDER BY i), false) AS pmark
+         |       FROM m$r),
+         |r$r AS (SELECT *, sum(CASE WHEN mark AND NOT pmark
+         |           THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY word ORDER BY i) AS run_id
+         |       FROM q$r),
+         |x$r AS (SELECT *, row_number() OVER (PARTITION BY word,
+         |           run_id, mark ORDER BY i) AS ridx
+         |       FROM r$r),
+         |a$r AS (SELECT *, (mark AND ridx % 2 = 1) AS active,
+         |         coalesce(lag(mark AND ridx % 2 = 1) OVER (
+         |           PARTITION BY word ORDER BY i), false) AS pactive
+         |       FROM x$r),
+         |s$r AS (SELECT word, any_value(wcnt) AS wcnt,
+         |         list(CASE WHEN active THEN s || s2 ELSE s END
+         |           ORDER BY i) AS syms
+         |       FROM a$r WHERE NOT pactive GROUP BY word)"""
+        .stripMargin
+    }
+    s"""w0 AS (SELECT word, count(*) AS wcnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents) t WHERE word != '' GROUP BY word),
+       |s0 AS (SELECT word, wcnt, string_split(word, '') AS syms
+       |       FROM w0),
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
+  }
+
   private val SimTopkOracle: String =
     """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 10),
@@ -979,66 +1041,23 @@ object QueriesPipeline {
         |       CAST(sum(s) AS BIGINT) AS surprisal_sum,
         |       CAST(sum(s) * 1000 // count(*) AS BIGINT) AS mean_milli
         |FROM sc GROUP BY doc_id""".stripMargin,
-    "bpe_train" -> {
-      // mirrors CorpusTools.bpeTrain exactly, with the greedy
-      // left-to-right merge expressed relationally: mark matching
-      // adjacent pairs, group consecutive marks into runs, and a mark is
-      // ACTIVE iff its 1-based index inside its run is odd — the
-      // non-overlapping scan a sequential fold performs
-      def round(r: Int): String = {
-        val prev = s"s${r - 1}"
-        s"""p$r AS (SELECT wcnt,
-           |         syms[CAST(i AS INTEGER)] AS lhs,
-           |         syms[CAST(i AS INTEGER) + 1] AS rhs
-           |       FROM (SELECT wcnt, syms,
-           |               unnest(range(1, len(syms))) AS i
-           |             FROM $prev) t),
-           |b$r AS (SELECT lhs, rhs, CAST(sum(wcnt) AS BIGINT) AS cnt
-           |       FROM p$r GROUP BY lhs, rhs
-           |       ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-           |e$r AS (SELECT word, wcnt, CAST(i AS INTEGER) AS i,
-           |         syms[CAST(i AS INTEGER)] AS s,
-           |         syms[CAST(i AS INTEGER) + 1] AS s2
-           |       FROM (SELECT word, wcnt, syms,
-           |               unnest(range(1, len(syms) + 1)) AS i
-           |             FROM $prev) t),
-           |m$r AS (SELECT e.*,
-           |         (e.s = b.lhs AND coalesce(e.s2 = b.rhs, false))
-           |           AS mark
-           |       FROM e$r e, b$r b),
-           |q$r AS (SELECT *, coalesce(lag(mark) OVER (PARTITION BY word
-           |           ORDER BY i), false) AS pmark
-           |       FROM m$r),
-           |r$r AS (SELECT *, sum(CASE WHEN mark AND NOT pmark
-           |           THEN 1 ELSE 0 END)
-           |           OVER (PARTITION BY word ORDER BY i) AS run_id
-           |       FROM q$r),
-           |x$r AS (SELECT *, row_number() OVER (PARTITION BY word,
-           |           run_id, mark ORDER BY i) AS ridx
-           |       FROM r$r),
-           |a$r AS (SELECT *, (mark AND ridx % 2 = 1) AS active,
-           |         coalesce(lag(mark AND ridx % 2 = 1) OVER (
-           |           PARTITION BY word ORDER BY i), false) AS pactive
-           |       FROM x$r),
-           |s$r AS (SELECT word, any_value(wcnt) AS wcnt,
-           |         list(CASE WHEN active THEN s || s2 ELSE s END
-           |           ORDER BY i) AS syms
-           |       FROM a$r WHERE NOT pactive GROUP BY word)"""
-          .stripMargin
-      }
-      s"""WITH w0 AS (SELECT word, count(*) AS wcnt FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS word
-         |    FROM documents) t WHERE word != '' GROUP BY word),
-         |s0 AS (SELECT word, wcnt, string_split(word, '') AS syms
-         |       FROM w0),
-         |${(1 to 3).map(round).mkString(",\n")}
+    "bpe_train" ->
+      s"""WITH $BpeRoundsSql
          |SELECT CAST(1 AS BIGINT) AS rn, lhs, rhs, cnt FROM b1
          |UNION ALL
          |SELECT CAST(2 AS BIGINT) AS rn, lhs, rhs, cnt FROM b2
          |UNION ALL
          |SELECT CAST(3 AS BIGINT) AS rn, lhs, rhs, cnt FROM b3"""
-        .stripMargin
-    },
+        .stripMargin,
+    "bpe_encode" ->
+      s"""WITH $BpeRoundsSql,
+         |tk AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents) t WHERE word != '')
+         |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(s3.syms)) AS BIGINT) AS n_tokens
+         |FROM tk JOIN s3 USING (word)
+         |GROUP BY tk.doc_id""".stripMargin,
     "token_budget_select" ->
       """WITH tk AS MATERIALIZED (
         |  SELECT doc_id, word FROM (

@@ -519,6 +519,36 @@ object CorpusTools {
   def bpeTrain(docs: DataFrame, text: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLoop(docs, text, rounds)._1.toDF("rn", "lhs", "rhs", "cnt")
+  }
+
+  /** Tokenize the corpus with the tokenizer [[bpeTrain]] just learned —
+    * the "materialize training tokens" step: every document's word
+    * stream joins the trained (word → merged symbols) table and reports
+    * exact BPE token counts. Returns (doc_id, n_words, n_tokens).
+    *
+    * Scale: the trained symbol table is vocabulary-sized; the encode is
+    * ONE equi-join of the corpus token stream against it (AQE broadcasts
+    * the vocab side when it fits) + one per-doc aggregate. */
+  def bpeEncode(docs: DataFrame, id: String, text: String,
+                rounds: Int): DataFrame = {
+    val syms = bpeLoop(docs, text, rounds)._2
+    val toks = docs.select(col(id).as("doc_id"),
+        explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+    toks.join(syms.select(col("word"), size(col("syms")).as("n_sym")),
+        "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_tokens"))
+  }
+
+  /** Shared trainer core: returns (learned merges, final word→symbols
+    * table). */
+  private def bpeLoop(docs: DataFrame, text: String, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val wordCounts = docs
       .select(explode(words(col(text))).as("word"))
       .where(col("word") =!= "")
@@ -568,7 +598,7 @@ object CorpusTools {
         r += 1
       }
     }
-    merges.toSeq.toDF("rn", "lhs", "rhs", "cnt")
+    (merges.toSeq, syms)
   }
 
   /** Exact-k deterministic per-stratum sample: the k docs with the

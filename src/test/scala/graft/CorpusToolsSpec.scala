@@ -365,6 +365,16 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(r == List((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
   }
 
+  test("bpeEncode: per-doc token counts under the learned merges") {
+    // after 3 rounds on low/lower (l+o, lo+w, e+r): low → [low] (1),
+    // lower → [low, er] (2)
+    val docs = Seq((1L, "low low"), (2L, "lower")).toDF("doc_id", "text")
+    val r = CorpusTools.bpeEncode(docs, "doc_id", "text", rounds = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L))))
+  }
+
   test("bpePairs: token-weighted pair counts with deterministic ties") {
     // words: hello×2, hi×1 → pairs el/he/ll/lo ×2 (hello), hi ×1;
     // single-char words contribute nothing
