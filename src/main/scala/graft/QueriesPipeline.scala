@@ -223,6 +223,11 @@ object QueriesPipeline {
     // corpus never explodes — only distinct words do), top 25
     "bpe_pairs" -> ((s, dir) =>
       CorpusTools.bpePairs(table(s, dir, "documents"), "text", k = 25)),
+    // TextRank corpus keywords: weighted integer PageRank over the
+    // word-adjacency graph, words as node ids, top-20 by rank
+    "textrank_terms" -> ((s, dir) =>
+      CorpusTools.textrankTerms(table(s, dir, "documents"), "text",
+        iters = 2, k = 20)),
     // full BPE merge-learning loop: 3 rounds of pair-count → argmax →
     // greedy left-to-right merge rewrite, trained on the vocab side
     "bpe_train" -> ((s, dir) =>
@@ -1041,6 +1046,43 @@ object QueriesPipeline {
         |       CAST(sum(s) AS BIGINT) AS surprisal_sum,
         |       CAST(sum(s) * 1000 // count(*) AS BIGINT) AS mean_milli
         |FROM sc GROUP BY doc_id""".stripMargin,
+    "textrank_terms" -> {
+      // mirrors CorpusTools.textrankTerms: undirected weighted word
+      // graph, 2 unrolled integer PageRank iterations (150000 base,
+      // 85% damped floor-divided contribs — same arithmetic as the
+      // graph-gate oracle), top-20 (rank DESC, word ASC)
+      def iter(k: Int): String =
+        s"""w$k AS (
+           |  SELECT n.id,
+           |         CAST(150000 + (85 * COALESCE(s.c, 0)) // 100
+           |           AS BIGINT) AS rank
+           |  FROM wnodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r.rank * e.w // e.wsum) AS c
+           |    FROM we e JOIN w${k - 1} r ON r.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      s"""WITH p AS (SELECT ws[CAST(i AS INTEGER)] AS w1,
+         |             ws[CAST(i AS INTEGER) + 1] AS w2
+         |           FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+         |                 FROM (SELECT string_split(text, ' ') AS ws
+         |                       FROM documents) a) b
+         |           WHERE ws[CAST(i AS INTEGER)] != ''
+         |             AND ws[CAST(i AS INTEGER) + 1] != ''),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+         |        SELECT w1 AS src, w2 AS dst FROM p
+         |        UNION ALL SELECT w2, w1 FROM p) t
+         |      GROUP BY src, dst),
+         |wnodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) t),
+         |we AS (SELECT e.src, e.dst, e.w, ws.wsum FROM e
+         |       JOIN (SELECT src, sum(w) AS wsum FROM e GROUP BY 1) ws
+         |         ON ws.src = e.src),
+         |w0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM wnodes),
+         |${(1 to 2).map(iter).mkString(",\n")}
+         |SELECT CAST(row_number() OVER (ORDER BY rank DESC, id)
+         |         AS BIGINT) AS rn,
+         |       id AS word, rank
+         |FROM w2 ORDER BY rank DESC, id LIMIT 20""".stripMargin
+    },
     "bpe_train" ->
       s"""WITH $BpeRoundsSql
          |SELECT CAST(1 AS BIGINT) AS rn, lhs, rhs, cnt FROM b1

@@ -494,6 +494,42 @@ object CorpusTools {
       .select(col("rn"), col("pair"), col("cnt"))
   }
 
+  /** TextRank corpus keywords — PageRank over the word co-occurrence
+    * graph (Mihalcea & Tarau 2004), the graph-based counterpart of
+    * [[tfidfTerms]]: adjacent-word pairs become undirected weighted
+    * edges (weight = corpus co-occurrence count), ranks flow through
+    * [[GraphAlgos.pageRankWeighted]]'s exact integer scheme, and the
+    * top-k words surface. Words are the node ids directly — no interim
+    * id mapping — so the whole computation replays in any engine.
+    * Returns (rn 1..k, word, rank).
+    *
+    * Scale: edge construction is one explode + hash aggregate (the
+    * co-occurrence matrix is vocabulary², sparse, aggregate-bounded);
+    * each PageRank iteration is the standard contribs join+aggregate;
+    * the final top-k is TakeOrdered, never a full sort. */
+  def textrankTerms(docs: DataFrame, text: String, iters: Int = 2,
+                    k: Int = 20): DataFrame = {
+    val ws = words(col(text))
+    val pairs = docs.select(
+        explode(when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => struct(element_at(ws, i).as("w1"),
+              element_at(ws, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val ranks = GraphAlgos.pageRankWeighted(edges, iters)
+    ranks.orderBy(col("rank").desc, col("id")).limit(k)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank").desc, col("id"))).cast("long"))
+      .select(col("rn"), col("id").as("word"), col("rank"))
+  }
+
   /** Multi-round BPE tokenizer TRAINING — the full merge-learning loop,
     * not just [[bpePairs]]' first statistic: per round, (1) count
     * adjacent symbol pairs token-weighted over the DISTINCT-word table,

@@ -345,6 +345,20 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(r2.map(_._2).toSet == Set(2L, 3L))
   }
 
+  test("textrankTerms: hub word outranks leaves on a star corpus") {
+    // "hub x", "hub y", "hub z": hub co-occurs with every leaf — after
+    // any number of iterations hub's rank dominates; ties among leaves
+    // break alphabetically
+    val docs = Seq((1L, "hub x"), (2L, "hub y"), (3L, "hub z"))
+      .toDF("doc_id", "text")
+    val r = CorpusTools.textrankTerms(docs, "text", iters = 2, k = 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    assert(r.head._2 == "hub")
+    assert(r.map(_._2) == List("hub", "x", "y", "z"))
+    // leaves share one exact integer rank
+    assert(r.tail.map(_._3).distinct.size == 1)
+  }
+
   test("bpeTrain: textbook low/lower merges, hand-computed") {
     // words low×2 lower×1. Round 1 pairs: lo×3, ow×3, we×1, er×1 →
     // tie (l,o) vs (o,w) breaks lhs-asc → (l,o). Round 2: (lo,w)×3.
