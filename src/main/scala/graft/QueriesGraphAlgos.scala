@@ -255,6 +255,24 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(lpaRound).mkString(",\n")}
        |SELECT id, lbl FROM l3""".stripMargin
 
+  /** Same label-prop rounds as [[lpaOracle]], then the contraction: map
+    * edge endpoints to final labels, aggregate the community graph. */
+  private val graphContractOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM und),
+       |${(1 to 3).map(lpaRound).mkString(",\n")}
+       |SELECT l1.lbl AS src_c, l2.lbl AS dst_c,
+       |       CAST(count(*) AS BIGINT) AS w,
+       |       CAST(count(*) AS BIGINT) AS n_edges
+       |FROM e JOIN l3 l1 ON l1.id = e.src
+       |       JOIN l3 l2 ON l2.id = e.dst
+       |GROUP BY l1.lbl, l2.lbl""".stripMargin
+
   // -------------------------------------------------- weighted pagerank
 
   /** One unrolled weighted iteration: per-edge floored share of rank. */
@@ -801,6 +819,19 @@ object QueriesGraphAlgos {
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)
       .select(col("id"), col("lbl"))),
+    // community coarsening: contract the membership graph by its
+    // label-prop communities into the community-level weighted graph —
+    // the multi-level (Louvain phase 2) step
+    "graph_contract" -> ((s, dir) => {
+      val rels = SparkEntry.graph(s, dir).rels
+      val e = rels.where(col("TYPE").isin("FROM_NATION", "IN_REGION"))
+        .select(col("START_ID").as("src"), col("END_ID").as("dst"),
+          lit(1L).as("w"))
+      val lbl = GraphAlgos.labelPropagation(rels,
+          Seq("FROM_NATION", "IN_REGION"), rounds = 3)
+        .select(col("id"), col("lbl"))
+      GraphAlgos.contractGraph(e, lbl)
+    }),
     // Weighted PageRank on the order→part graph, weight = quantity:
     // per-edge floored rank shares, 3 iterations.
     "pagerank_weighted" -> ((s, dir) => GraphAlgos.pageRankWeighted(
@@ -987,6 +1018,7 @@ object QueriesGraphAlgos {
     "kcore" -> kcoreOracle,
     "neighbor_sample" -> neighborSampleOracle,
     "label_prop" -> lpaOracle,
+    "graph_contract" -> graphContractOracle,
     "pagerank" -> pagerankOracle,
     "triangle_count" -> triangleOracle,
     "four_cycles" -> fourCycleOracle,

@@ -283,6 +283,15 @@ object QueriesRelational {
         y = floor(col("o_totalprice") * 100 + 0.5) % 65536,
         bitsPerBlock = 24)),
 
+    // range-partition split planner: exact integer rank test over the
+    // VALUE DISTRIBUTION (never a row-level sort) — equi-depth
+    // boundaries for 8 ranges of order totals, in cents
+    "range_split_plan" -> ((s, dir) =>
+      graft.operators.Layout.rangeSplitPlan(
+        table(s, dir, "orders"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+        splits = 8)),
+
     // compaction planning over a derived file inventory: cumulative-fill
     // group assignment per partition — window over file METADATA rows
     // only, the metastore-listing cardinality, never data rows
@@ -325,6 +334,12 @@ object QueriesRelational {
           "view" -> (col("event_type") === "view"),
           "click" -> (col("event_type") === "click"),
           "purchase" -> (col("event_type") === "purchase")))),
+    // first-order Markov transition matrix of event types: one
+    // per-user window + alphabet-bounded aggregates, exact integer ppm
+    "event_transitions" -> ((s, dir) =>
+      graft.operators.EventAnalytics.transitionMatrix(
+        table(s, dir, "events"), entity = "user_id", ts = "ts",
+        tiebreak = "event_id", typ = "event_type")),
     // daily cohort retention triangle: cohort = first-event day, offset
     // = days since; two aggregates + one join, all int64
     "cohort_retention" -> ((s, dir) =>
@@ -867,6 +882,29 @@ object QueriesRelational {
         |       (SELECT count(*) FROM s1) AS n_entities
         |UNION ALL SELECT '2_click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT '3_purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    "event_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t WHERE to_type IS NOT NULL
+        |      GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, sum(cnt) AS tot FROM c
+        |        GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        |       CAST(c.cnt * 1000000 // tot.tot AS BIGINT) AS p_ppm
+        |FROM c JOIN tot USING (from_type)""".stripMargin,
+    "range_split_plan" ->
+      """WITH vals AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+        |    AS BIGINT) AS v FROM orders),
+        |dist AS (SELECT v, count(*) AS cnt FROM vals GROUP BY v),
+        |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS n_le FROM dist),
+        |n AS (SELECT count(*) AS n FROM vals),
+        |r AS (SELECT unnest(range(1, 8)) AS split_i)
+        |SELECT r.split_i, CAST(min(cum.v) AS BIGINT) AS boundary
+        |FROM cum, n, r WHERE cum.n_le * 8 >= r.split_i * n.n
+        |GROUP BY r.split_i""".stripMargin,
     "cohort_retention" ->
       """WITH c AS (SELECT user_id,
         |    min(epoch_us(ts) // 86400000000) AS cohort_period

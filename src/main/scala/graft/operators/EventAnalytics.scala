@@ -117,4 +117,30 @@ object EventAnalytics {
       .orderBy(col("lift_ppm").desc, col("x"), col("y"))
       .limit(k)
   }
+
+  /** First-order Markov transition matrix of event types — the
+    * behavioral-model statistic behind "what happens after a click":
+    * per entity, consecutive event pairs in (ts, tiebreak) order become
+    * (from_type, to_type) transitions; counts row-normalize to exact
+    * integer ppm. Returns (from_type, to_type, cnt, p_ppm).
+    *
+    * Scale: ONE per-entity window (hash-partitioned by the entity key —
+    * billions of small partitions, never a global sort) + two hash
+    * aggregates over the type×type matrix (alphabet-bounded). */
+  def transitionMatrix(events: DataFrame, entity: String, ts: String,
+                       tiebreak: String, typ: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entity)).orderBy(col(ts), col(tiebreak))
+    val trans = events
+      .select(col(entity), col(typ).as("from_type"),
+        lead(col(typ), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).as("tot"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * 1000000 div tot").as("p_ppm"))
+  }
 }

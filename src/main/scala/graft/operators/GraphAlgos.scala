@@ -450,6 +450,26 @@ object GraphAlgos {
     labels
   }
 
+  /** Graph contraction by a community assignment — the coarsening phase
+    * that follows [[labelPropagation]]/[[louvainMove]] in multi-level
+    * community pipelines: every edge maps its endpoints to their
+    * community labels and the community-level multigraph aggregates to
+    * (src_c, dst_c, w = Σ edge weights, n_edges). Self-rows (src_c =
+    * dst_c) carry each community's internal weight — the quantity
+    * modularity tracks across levels.
+    *
+    * Scale: two equi-joins against the (node → label) table + one hash
+    * aggregate to the community graph (communities², sparse). The next
+    * coarsening level runs the same operator on its own output. */
+  def contractGraph(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("id").as("src"), col("lbl").as("src_c")),
+        "src")
+      .join(labels.select(col("id").as("dst"), col("lbl").as("dst_c")),
+        "dst")
+      .groupBy(col("src_c"), col("dst_c"))
+      .agg(sum(col("w")).as("w"), count(lit(1)).as("n_edges"))
+
   /** HITS hubs & authorities, integer-quantized, fixed iterations.
     *
     * auth_k(v) = norm(Σ_{u→v} hub_{k-1}(u)); hub_k(u) = norm(Σ_{u→v}

@@ -62,6 +62,33 @@ object Layout {
     * exactly what a metastore listing returns; planning a million-file
     * table is a million-row job. Returns (partition, file_id, size,
     * group_id). */
+  /** Range-partition split planner — the exact-integer version of the
+    * boundary sampling Spark's RangePartitioner does: the i-th boundary
+    * (i = 1..splits−1) is the SMALLEST value v with
+    * count(rows ≤ v)·splits ≥ i·N, so each of the `splits` ranges holds
+    * ~N/splits rows. The same rank test as the quantile gates — no
+    * floats, any engine agrees. Returns (split_i, boundary).
+    *
+    * Scale: one hash aggregate to the VALUE DISTRIBUTION (bounded by
+    * distinct values, not rows), a cumsum window over that distribution,
+    * and a broadcast join against the splits-1 rank thresholds. */
+  def rangeSplitPlan(df: DataFrame, value: Column,
+                     splits: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dist = df.select(value.as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val cum = dist
+      .withColumn("n_le", sum(col("cnt")).over(w))
+      .join(broadcast(dist.agg(sum(col("cnt")).as("n"))), lit(true))
+    val ranks = (1 until splits).map(_.toLong).toDF("split_i")
+    cum.join(broadcast(ranks),
+        col("n_le") * splits >= col("split_i") * col("n"))
+      .groupBy(col("split_i"))
+      .agg(min(col("v")).as("boundary"))
+  }
+
   def compactionPlan(files: DataFrame, part: String, fileId: String,
                      size: String, target: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

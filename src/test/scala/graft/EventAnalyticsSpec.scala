@@ -99,6 +99,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == brute)
   }
 
+  test("transitionMatrix: hand-computed chain with exact ppm") {
+    // user 1: a→b→a; user 2: a→b. transitions: (a,b)×2, (b,a)×1.
+    // from a: 2/2 to b → 1e6 ppm; from b: 1/1 to a → 1e6 ppm... make it
+    // non-trivial: user 3: a→c. from a: b×2, c×1 → 666666 / 333333 ppm.
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "a"),
+      (4L, 2L, 10L, "a"), (5L, 2L, 20L, "b"),
+      (6L, 3L, 10L, "a"), (7L, 3L, 20L, "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventAnalytics.transitionMatrix(ev, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(r == Map(
+      ("a", "b") -> ((2L, 666666L)), ("a", "c") -> ((1L, 333333L)),
+      ("b", "a") -> ((1L, 1000000L))))
+  }
+
   test("basketPairs: pair counts with the basket-size cap") {
     // b1 {1,2,3}, b2 {2,3} (duplicate item rows collapse), b3 has 6
     // items > cap 5 → dropped whole

@@ -87,6 +87,18 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got == ((edges.size.toLong, s / 2)))
   }
 
+  test("contractGraph: communities collapse with summed weights") {
+    // edges (1→2 w3) (2→1 w1) intra-community {1,2}; (2→5 w2) crosses
+    // to {5}; labels: 1,2 → 1; 5 → 5
+    val e = Seq((1L, 2L, 3L), (2L, 1L, 1L), (2L, 5L, 2L))
+      .toDF("src", "dst", "w")
+    val lbl = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "lbl")
+    val r = GraphAlgos.contractGraph(e, lbl)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(r == Map((1L, 1L) -> ((4L, 2L)), (1L, 5L) -> ((2L, 1L))))
+  }
+
   test("clusteringCoefficient: triangle node vs hub vs pendant") {
     // triangle 1-2-3; pendant 4 on 1 → node 1 has deg 3, wedges 3, tri 1
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")

@@ -71,4 +71,18 @@ class LayoutSpec extends AnyFunSuite {
       // next file starts from its cumulative offset
       ("q", 1L) -> 0L, ("q", 2L) -> 4L))
   }
+
+  test("rangeSplitPlan: equi-depth boundaries by the exact rank test") {
+    // values 1..8, 4 splits: boundary i = smallest v with n_le·4 ≥ i·8
+    // → v=2 (i=1), v=4 (i=2), v=6 (i=3)
+    val df = (1L to 8L).toDF("x")
+    val r = Layout.rangeSplitPlan(df, col("x"), splits = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 2L, 2L -> 4L, 3L -> 6L))
+    // skewed: nine 5s then a 100 — all boundaries land on 5
+    val sk = ((1 to 9).map(_ => 5L) :+ 100L).toDF("x")
+    val r2 = Layout.rangeSplitPlan(sk, col("x"), splits = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 5L, 2L -> 5L, 3L -> 5L))
+  }
 }
