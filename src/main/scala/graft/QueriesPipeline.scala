@@ -570,6 +570,18 @@ object QueriesPipeline {
         table(s, dir, "lineitem"),
         value = floor(col("l_extendedprice") * 100 + 0.5),
         binWidth = 50000L, qPcts = Seq(50L, 90L, 99L))),
+    // sketch-accuracy eval: exact rank-test percentiles vs the histogram
+    // bin floor — the sketch's resolution error, measured exactly
+    "quantile_hist_err" -> ((s, dir) =>
+      graft.operators.Sketches.histQuantileError(
+        table(s, dir, "lineitem"),
+        value = floor(col("l_extendedprice") * 100 + 0.5),
+        binWidth = 50000L, qPcts = Seq(50L, 90L, 99L))),
+    // day-of-week seasonal baseline per event type: two aggregates,
+    // exact integer means
+    "seasonality_dow" -> ((s, dir) =>
+      graft.operators.Timeseries.seasonalProfile(
+        table(s, dir, "events"), key = "event_type", ts = "ts")),
 
     // quantile BINNING through those cut points: quartile feature
     // discretization with no global sort — the cut table folds to one
@@ -628,6 +640,19 @@ object QueriesPipeline {
         .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
         .select(col("doc_id"), col("lang"),
           TextFunctions.langId(col("ws")).as("pred"))),
+    // language-ID evaluation: confusion matrix of the n-gram heuristic
+    // against the labeled lang column, exact per-class rate ppm
+    "langid_confusion" -> ((s, dir) => {
+      val p = table(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.langId(words(col("text"))).as("pred"))
+      val m = p.groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = m.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
+      m.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred"), col("cnt"),
+          expr("cnt * 1000000 div tot").as("rate_ppm"))
+    }),
     "token_count" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),
@@ -1193,6 +1218,36 @@ object QueriesPipeline {
         |SELECT q_pct, min(bin) AS bin, min(bin) * 50000 AS bin_lo
         |FROM q, cum, t WHERE n_le * 100 >= q_pct * total
         |GROUP BY q_pct""".stripMargin,
+    "quantile_hist_err" ->
+      """WITH vv AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+        |    AS BIGINT) AS v FROM lineitem),
+        |d AS (SELECT v, count(*) AS cnt FROM vv GROUP BY v),
+        |dc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT)
+        |         AS n_le FROM d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM vv),
+        |q(q_pct) AS (VALUES (CAST(50 AS BIGINT)), (90), (99)),
+        |ex AS (SELECT q_pct, min(v) AS exact_v
+        |       FROM q, dc, t WHERE n_le * 100 >= q_pct * total
+        |       GROUP BY q_pct),
+        |c AS (SELECT v // 50000 AS bin, count(*) AS n FROM vv
+        |      GROUP BY bin),
+        |cum AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT)
+        |          AS n_le FROM c),
+        |ap AS (SELECT q_pct, min(bin) * 50000 AS bin_lo
+        |       FROM q, cum, t WHERE n_le * 100 >= q_pct * total
+        |       GROUP BY q_pct)
+        |SELECT ex.q_pct, ex.exact_v, ap.bin_lo,
+        |       ex.exact_v - ap.bin_lo AS err
+        |FROM ex JOIN ap USING (q_pct)""".stripMargin,
+    "seasonality_dow" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, day % 7 AS dow,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(cnt) AS BIGINT) AS total,
+        |       CAST(sum(cnt) * 1000 // count(*) AS BIGINT) AS mean_milli
+        |FROM d GROUP BY event_type, dow""".stripMargin,
     // replays the cut-point derivation at quartiles, then the per-
     // histogram-bin assignment map and the bin profile
     "quantile_bins" ->
@@ -2307,6 +2362,31 @@ object QueriesPipeline {
          |SELECT doc_id, lang,
          |       CASE $cases END AS pred
          |FROM b""".stripMargin
+    },
+    "langid_confusion" -> {
+      // same prediction pipeline as the lang_id oracle, aggregated to
+      // the confusion matrix with exact per-class rates
+      val scoreExprs = TextFunctions.LangMarkers.map { case (l, m) =>
+        val list = m.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(ws, x -> list_contains($list, x))) AS s_$l"
+      }.mkString(",\n         ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+        .mkString("\n         ")
+      s"""WITH w AS (SELECT lang, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |sc AS (SELECT lang,
+         |         $scoreExprs
+         |       FROM w),
+         |b AS (SELECT *, $best AS best FROM sc),
+         |p AS (SELECT lang, CASE $cases END AS pred FROM b),
+         |m AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM p GROUP BY lang, pred),
+         |tot AS (SELECT lang, sum(cnt) AS tot FROM m GROUP BY lang)
+         |SELECT m.lang, m.pred, m.cnt,
+         |       CAST(m.cnt * 1000000 // tot.tot AS BIGINT) AS rate_ppm
+         |FROM m JOIN tot USING (lang)""".stripMargin
     },
     "token_count" ->
       s"""SELECT doc_id,

@@ -308,4 +308,31 @@ object Sketches {
       .groupBy(col("word"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Sketch-accuracy evaluation for [[histogramQuantiles]]: the exact
+    * percentile (integer rank test over the exact value distribution)
+    * against the histogram's bin floor — err = exact − bin_lo, bounded
+    * by the bin width, measured not assumed. The exact side costs one
+    * aggregate to the value DISTRIBUTION plus a cumsum window over it
+    * (distinct-value-bounded); the histogram side is the sketch under
+    * eval. Returns (q_pct, exact_v, bin_lo, err). */
+  def histQuantileError(df: DataFrame, value: Column, binWidth: Long,
+                        qPcts: Seq[Long]): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dist = df.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = dist.withColumn("n_le",
+      sum(col("cnt")).over(Window.orderBy(col("v"))))
+    val total = dist.agg(sum(col("cnt")).as("total"))
+    val exact = cum.join(broadcast(total), lit(true))
+      .join(broadcast(qPcts.toDF("q_pct")), lit(true))
+      .where(col("n_le") * 100 >= col("q_pct") * col("total"))
+      .groupBy(col("q_pct")).agg(min(col("v")).as("exact_v"))
+    val approx = histogramQuantiles(df, value, binWidth, qPcts)
+      .select(col("q_pct"), col("bin_lo"))
+    exact.join(approx, "q_pct")
+      .select(col("q_pct"), col("exact_v"), col("bin_lo"),
+        (col("exact_v") - col("bin_lo")).as("err"))
+  }
 }

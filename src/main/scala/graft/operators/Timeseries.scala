@@ -88,6 +88,24 @@ object Timeseries {
     * grid-sized. Leading rows where a lag reaches before the grid hold
     * NULL (the model masks them), the rolling sum shrinks its frame.
     * Returns (entity, bucket, v_cents, lag_<k>… , roll<rollK>_sum). */
+  /** Day-of-week seasonal profile — the seasonal-naive baseline an
+    * anomaly detector compares against: bucket events to days, then for
+    * each (key, day mod 7) report observed day count, total events, and
+    * the exact integer mean (⌊1000·total/n_days⌋). Two hash aggregates,
+    * the second over the key×7 profile — nothing data-sized crosses a
+    * shuffle twice. Returns (key, dow, n_days, total, mean_milli). */
+  def seasonalProfile(events: DataFrame, key: String,
+                      ts: String): DataFrame = {
+    val daily = events
+      .groupBy(col(key),
+        expr(s"unix_micros($ts) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.groupBy(col(key), (col("day") % 7).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
+      .select(col(key), col("dow"), col("n_days"), col("total"),
+        expr("total * 1000 div n_days").as("mean_milli"))
+  }
+
   def lagFeatures(series: DataFrame, entity: String, bucket: String,
                   value: String, lags: Seq[Int], rollK: Int): DataFrame = {
     require(lags.nonEmpty && rollK >= 1, "need lags and rollK >= 1")

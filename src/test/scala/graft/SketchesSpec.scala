@@ -155,4 +155,18 @@ class SketchesSpec extends AnyFunSuite {
       0L -> ((24L, 1L, 24L)), 1L -> ((25L, 25L, 49L)),
       2L -> ((25L, 50L, 74L)), 3L -> ((26L, 75L, 100L))))
   }
+
+  test("histQuantileError: exact minus bin floor, bounded by bin width") {
+    // values 1..100, bins of 10: p50 exact = 50, hist bin = 5 → lo 50,
+    // err 0; p99 exact = 99, bin 9 → lo 90, err 9
+    val df = (1L to 100L).toDF("x")
+    val r = Sketches.histQuantileError(df, col("x"), binWidth = 10L,
+        qPcts = Seq(50L, 99L))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r == Map(50L -> ((50L, 50L, 0L)), 99L -> ((99L, 90L, 9L))))
+    r.values.foreach { case (_, _, err) =>
+      assert(err >= 0L && err < 10L)
+    }
+  }
 }

@@ -95,6 +95,22 @@ class TimeseriesSpec extends AnyFunSuite {
       s"missing: ${brute.diff(out)}, extra: ${out.diff(brute)}")
   }
 
+  test("seasonalProfile: day buckets fold to exact dow means") {
+    // day 0 (dow 0): 2 events; day 7 (dow 0): 1; day 1 (dow 1): 3 —
+    // dow 0: n_days 2, total 3, mean 1500 milli; dow 1: 1 day, 3, 3000
+    val us = 86400000000L
+    val ev = Seq(
+      (1L, "a", 0L), (2L, "a", 1000L), (3L, "a", 7L * us),
+      (4L, "a", us), (5L, "a", us + 5L), (6L, "a", us + 9L)
+    ).map { case (id, t, micros) =>
+      (id, t, new java.sql.Timestamp(micros / 1000L))
+    }.toDF("event_id", "event_type", "ts")
+    val r = Timeseries.seasonalProfile(ev, "event_type", "ts")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._2 -> ((t._3, t._4, t._5))).toMap
+    assert(r == Map(0L -> ((2L, 3L, 1500L)), 1L -> ((1L, 3L, 3000L))))
+  }
+
   test("mergeIntervals: contained interval does not reopen an island") {
     // [1,10] then [2,3] (contained) then [4,20]: all one island — the
     // running-max (not previous-row) end is what prevents a false gap
