@@ -169,6 +169,47 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_outliers and textrank_terms ship top-k via TakeOrderedAndProject") {
+    for (g <- Seq("embed_outliers", "textrank_terms")) {
+      val plan = formatted(SparkEntry.queries(g)(spark, dir))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$g lost the bounded top-k:\n${plan.take(3000)}")
+    }
+  }
+
+  test("trigram search broadcasts the pattern side, never the corpus") {
+    val plan = formatted(SparkEntry.queries("trigram_search")(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      s"pattern side not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("Cartesian") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"trigram search grew a scan-per-pattern join:\n${plan.take(3000)}")
+  }
+
+  test("image phash dedup keeps the binary column out of every shuffle") {
+    // the hash is computed in the narrow mapPartitions stage; only
+    // (doc_id, 8-byte phash) may cross an Exchange
+    val plan = formatted(SparkEntry.queries("image_dedup_phash")(spark, dir))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("content"),
+      s"binary payload crosses a shuffle:\n$exchanges")
+  }
+
+  test("tfidf and budget selection rank through bounded shapes (no corpus window)") {
+    // tfidf_terms ranks via the bounded TopK aggregate
+    val tfidf = formatted(SparkEntry.queries("tfidf_terms")(spark, dir))
+    assert(!tfidf.contains("Window"),
+      s"tfidf_terms ranks through a window:\n${tfidf.take(3000)}")
+    // token_budget_select windows over the (group, score) DISTRIBUTION —
+    // the window input must be the aggregated class table, whose row
+    // count is bounded by distinct scores, not the corpus
+    val plan = SparkEntry.queries("token_budget_select")(spark, dir)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("Window"),
+      s"expected a distribution window:\n${plan.take(2000)}")
+  }
+
   test("dup_spans plan has no pair join (exactly the two aggregates)") {
     // the whole point vs pairwise span dedup: spans group-count then
     // rejoin by span key — no self-join of docs with docs, so no
