@@ -265,6 +265,17 @@ object QueriesPipeline {
     "trigram_search" -> ((s, dir) =>
       graft.operators.Retrieval.trigramSearch(table(s, dir, "documents"), "doc_id",
         "text", Seq("spark table", "slow filter", "quantum flux"))),
+    // Luhn precision stage of PII scanning: deterministic 16-digit
+    // candidates (seeded by doc_id, the multimodal-fixture pattern),
+    // checksum-validated by a pure array-fold — no UDF
+    "pii_luhn" -> ((s, dir) => {
+      val cand = table(s, dir, "documents").select(col("doc_id"),
+        lpad(((col("doc_id") * 2654435761L) % 10000000000000000L)
+          .cast("string"), 16, "0").as("card"))
+      CorpusTools.luhnCheck(cand, "card")
+        .select(col("doc_id"), col("card"),
+          when(col("luhn_valid"), 1L).otherwise(0L).as("luhn_valid"))
+    }),
     // per-doc top-5 keyword extraction by integer tf·idf — idf is the
     // exact bit-length log2, the ranking replays bit-identically in SQL
     "tfidf_terms" -> ((s, dir) =>
@@ -1125,6 +1136,21 @@ object QueriesPipeline {
          |       CAST(sum(len(s3.syms)) AS BIGINT) AS n_tokens
          |FROM tk JOIN s3 USING (word)
          |GROUP BY tk.doc_id""".stripMargin,
+    "pii_luhn" ->
+      """WITH c AS (SELECT doc_id,
+        |    lpad(CAST((doc_id * 2654435761) % 10000000000000000
+        |      AS VARCHAR), 16, '0') AS card
+        |  FROM documents)
+        |SELECT doc_id, card,
+        |  CASE WHEN list_sum(list_transform(range(1, 17), i ->
+        |      CASE WHEN (17 - i) % 2 = 0 THEN
+        |        CASE WHEN CAST(card[CAST(i AS INTEGER)] AS BIGINT) * 2 > 9
+        |          THEN CAST(card[CAST(i AS INTEGER)] AS BIGINT) * 2 - 9
+        |          ELSE CAST(card[CAST(i AS INTEGER)] AS BIGINT) * 2 END
+        |        ELSE CAST(card[CAST(i AS INTEGER)] AS BIGINT) END))
+        |      % 10 = 0
+        |    THEN 1 ELSE 0 END AS luhn_valid
+        |FROM c""".stripMargin,
     "token_budget_select" ->
       """WITH tk AS MATERIALIZED (
         |  SELECT doc_id, word FROM (

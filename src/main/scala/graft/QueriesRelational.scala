@@ -368,6 +368,15 @@ object QueriesRelational {
         table(s, dir, "lineitem"), basket = "l_orderkey",
         item = "l_partkey", maxBasket = 20, k = 25)),
 
+    // A-priori frequent triples grown from the frequent-pair lattice
+    // (collapsed item space so supports are non-trivial at gate SF)
+    "assoc_triples" -> ((s, dir) =>
+      graft.operators.EventAnalytics.assocTriples(
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey"), (col("l_partkey") % 50).as("item")),
+        basket = "l_orderkey", item = "item", maxBasket = 20,
+        minSup = 3L, k = 25)),
+
     // per-nation revenue trend: int64-cent yearly points, OLS slope and
     // intercept from exact moment sums + identical double algebra
     "trend_fit" -> ((s, dir) => {
@@ -949,6 +958,26 @@ object QueriesRelational {
         |  FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
         |  GROUP BY x.it, y.it) p
         |ORDER BY cnt DESC, a, b LIMIT 25""".stripMargin,
+    "assoc_triples" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk,
+        |    l_partkey % 50 AS it FROM lineitem),
+        |ok AS (SELECT i.* FROM items i JOIN (
+        |    SELECT bk FROM items GROUP BY bk HAVING count(*) <= 20) s
+        |    USING (bk)),
+        |p AS (SELECT x.it AS a, y.it AS b, count(*) AS cnt
+        |      FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
+        |      GROUP BY x.it, y.it),
+        |fp AS (SELECT a, b FROM p WHERE cnt >= 3),
+        |po AS (SELECT x.bk, x.it AS a, y.it AS b
+        |       FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
+        |       JOIN fp ON fp.a = x.it AND fp.b = y.it),
+        |tr AS (SELECT po.a, po.b, z.it AS c, count(*) AS cnt
+        |       FROM po JOIN ok z ON z.bk = po.bk AND z.it > po.b
+        |       JOIN fp f2 ON f2.a = po.a AND f2.b = z.it
+        |       JOIN fp f3 ON f3.a = po.b AND f3.b = z.it
+        |       GROUP BY po.a, po.b, z.it)
+        |SELECT a, b, c, CAST(cnt AS BIGINT) AS cnt FROM tr
+        |WHERE cnt >= 3 ORDER BY cnt DESC, a, b, c LIMIT 25""".stripMargin,
     "chi_square" ->
       """WITH cells AS (SELECT c_nationkey AS ka, c_mktsegment AS kb,
         |                CAST(count(*) AS BIGINT) AS o

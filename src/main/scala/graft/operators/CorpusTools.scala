@@ -92,6 +92,32 @@ object CorpusTools {
       .withColumn("n_redacted",
         size(expr(s"regexp_extract_all($text, '[0-9]+', 0)")).cast("long"))
 
+  /** Luhn-checksum validation of card-number-like digit runs — the
+    * precision stage a PII scanner runs AFTER the regex sweep (most
+    * 16-digit runs are ids, not cards; the Luhn check is what separates
+    * them). For each candidate digit string: double every second digit
+    * from the right, subtract 9 when doubling overflows, valid iff the
+    * digit sum ≡ 0 (mod 10). Pure array-fold column algebra (`aggregate`
+    * HOF over the reversed digit list — codegen'd, no UDF), one narrow
+    * projection. Returns the input plus `luhn_valid`.
+    *
+    * @param candidate a string column of decimal digit runs */
+  def luhnCheck(df: DataFrame, candidate: String): DataFrame = {
+    val digits = transform(reverse(split(col(candidate), "")),
+      c => c.cast("long"))
+    val summed = aggregate(
+      digits,
+      struct(lit(0L).as("s"), lit(0L).as("i")),
+      (acc, d) => {
+        val dd = when(acc.getField("i") % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        struct((acc.getField("s") + dd).as("s"),
+          (acc.getField("i") + 1).as("i"))
+      },
+      acc => acc.getField("s"))
+    df.withColumn("luhn_valid", (summed % 10 === 0))
+  }
+
   /** Fixed-size word-window chunking with overlap — context-window
     * packing for training. Chunk starts at 1, 1+step, 1+2·step … where
     * step = size−overlap; n_chunks = 1 + ⌈max(0, len−size)/step⌉ (pure

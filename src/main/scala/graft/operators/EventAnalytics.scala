@@ -118,6 +118,44 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** A-priori level-3: frequent triples grown ONLY from frequent pairs —
+    * the candidate-pruning step that makes large-scale itemset mining
+    * tractable (counting all C(b,3) triples per basket is the naive
+    * blowup; growing from the frequent-pair lattice bounds the scan by
+    * frequent-pair occurrences). Pipeline: frequent pairs (support ≥
+    * minSup) → pair occurrences semi-joined to them → extend by a third
+    * item (c > b) → A-priori prune ((a,c) AND (b,c) must be frequent) →
+    * count, keep support ≥ minSup, top-k (cnt DESC, a, b, c).
+    * Returns (a, b, c, cnt). */
+  def assocTriples(df: DataFrame, basket: String, item: String,
+                   maxBasket: Int, minSup: Long, k: Int): DataFrame = {
+    val ok = cappedItems(df, basket, item, maxBasket).localCheckpoint(true)
+    val pairs = ok.as("x").join(ok.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val fp = pairs.where(col("cnt") >= minSup)
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val pairOcc = ok.as("x").join(ok.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .select(col("x.bk").as("bk"), col("x.it").as("a"),
+        col("y.it").as("b"))
+      .join(fp, Seq("a", "b"), "left_semi")
+    pairOcc.as("po").join(ok.as("z"),
+        col("po.bk") === col("z.bk") && col("z.it") > col("po.b"))
+      .select(col("po.bk"), col("po.a").as("a"), col("po.b").as("b"),
+        col("z.it").as("c"))
+      .join(fp.select(col("a"), col("b").as("c")), Seq("a", "c"),
+        "left_semi")
+      .join(fp.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"),
+        "left_semi")
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minSup)
+      .orderBy(col("cnt").desc, col("a"), col("b"), col("c"))
+      .limit(k)
+  }
+
   /** First-order Markov transition matrix of event types — the
     * behavioral-model statistic behind "what happens after a click":
     * per entity, consecutive event pairs in (ts, tiebreak) order become

@@ -345,6 +345,19 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(r2.map(_._2).toSet == Set(2L, 3L))
   }
 
+  test("luhnCheck: known-valid and known-invalid card numbers") {
+    val df = Seq(
+      (1L, "4532015112830366"),   // valid (standard test number)
+      (2L, "4532015112830367"),   // last digit off by one
+      (3L, "0000000000000000"),   // degenerate, sum 0 → valid
+      (4L, "79927398713")         // classic Luhn example, odd length
+    ).toDF("id", "card")
+    val r = CorpusTools.luhnCheck(df, "card")
+      .as[(Long, String, Boolean)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
   test("textrankTerms: hub word outranks leaves on a star corpus") {
     // "hub x", "hub y", "hub z": hub co-occurs with every leaf — after
     // any number of iterations hub's rank dominates; ties among leaves

@@ -99,6 +99,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == brute)
   }
 
+  test("assocTriples: a-priori growth finds the planted frequent triple") {
+    // baskets 1..3 all hold {1,2,3}; basket 4 holds {1,2,9} — triple
+    // (1,2,3) support 3; every pair of it is frequent; (1,2,9) support 1
+    // falls below minSup
+    val rows = (1L to 3L).flatMap(b => Seq((b, 1L), (b, 2L), (b, 3L))) ++
+      Seq((4L, 1L), (4L, 2L), (4L, 9L))
+    val df = rows.toDF("bk", "it")
+    val r = EventAnalytics.assocTriples(df, "bk", "it", maxBasket = 5,
+        minSup = 3L, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(r == List((1L, 2L, 3L, 3L)))
+  }
+
   test("transitionMatrix: hand-computed chain with exact ppm") {
     // user 1: a→b→a; user 2: a→b. transitions: (a,b)×2, (b,a)×1.
     // from a: 2/2 to b → 1e6 ppm; from b: 1/1 to a → 1e6 ppm... make it
