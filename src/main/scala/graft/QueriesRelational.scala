@@ -283,6 +283,15 @@ object QueriesRelational {
         y = floor(col("o_totalprice") * 100 + 0.5) % 65536,
         bitsPerBlock = 24)),
 
+    // column-encoding advisor: exact distinct/run statistics within
+    // 1000-row write groups → dict/rle/plain recommendation per column
+    "encoding_advisor" -> ((s, dir) =>
+      graft.operators.Layout.encodingAdvisor(
+        table(s, dir, "orders"), order = col("o_orderkey"),
+        rowGroup = expr("o_orderkey div 1000"),
+        cols = Seq("o_orderstatus", "o_orderpriority",
+          "o_custkey"))),
+
     // range-partition split planner: exact integer rank test over the
     // VALUE DISTRIBUTION (never a row-level sort) — equi-depth
     // boundaries for 8 ranges of order totals, in cents
@@ -904,6 +913,26 @@ object QueriesRelational {
         |SELECT c.from_type, c.to_type, c.cnt,
         |       CAST(c.cnt * 1000000 // tot.tot AS BIGINT) AS p_ppm
         |FROM c JOIN tot USING (from_type)""".stripMargin,
+    "encoding_advisor" -> {
+      def one(c: String): String =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           |  CAST(sum(chg) AS BIGINT) AS n_runs,
+           |  CAST(sum(length(v)) AS BIGINT) AS total_len
+           |FROM (SELECT v, CASE WHEN lag(v) OVER (PARTITION BY rg
+           |        ORDER BY ord) IS DISTINCT FROM v THEN 1 ELSE 0 END
+           |        AS chg
+           |      FROM (SELECT o_orderkey // 1000 AS rg,
+           |              o_orderkey AS ord, CAST($c AS VARCHAR) AS v
+           |            FROM orders) a) b""".stripMargin
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      s"""WITH stats AS (${cols.map(one).mkString("\nUNION ALL\n")})
+         |SELECT col_name, n, n_distinct, n_runs, total_len,
+         |  CASE WHEN n_distinct * 20 <= n THEN 'dict'
+         |       WHEN n_runs * 4 <= n THEN 'rle'
+         |       ELSE 'plain' END AS suggestion
+         |FROM stats""".stripMargin
+    },
     "range_split_plan" ->
       """WITH vals AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
         |    AS BIGINT) AS v FROM orders),

@@ -89,6 +89,42 @@ object Layout {
       .agg(min(col("v")).as("boundary"))
   }
 
+  /** Column-encoding advisor — the write-path statistic a lakehouse
+    * writer consults before choosing parquet encodings: per column,
+    * exact row count, distinct count, RUN count (value changes within
+    * each row group, in write order), and total string length; the
+    * suggestion is dictionary when distinct·20 ≤ n, RLE when runs·4 ≤ n,
+    * plain otherwise — integer thresholds, no estimates. Non-null
+    * columns only (TPC-H columns are). Returns (col_name, n,
+    * n_distinct, n_runs, total_len, suggestion), one row per column.
+    *
+    * Scale: run counting windows WITHIN row groups (bounded partitions,
+    * the writer's actual memory unit), never a global sort; each column
+    * is one aggregate; k columns union k one-row results. */
+  def encodingAdvisor(df: DataFrame, order: Column, rowGroup: Column,
+                      cols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rg")).orderBy(col("ord"))
+    val parts = cols.map { c =>
+      df.select(rowGroup.as("rg"), order.as("ord"),
+          col(c).cast("string").as("v"))
+        .withColumn("chg",
+          when(lag(col("v"), 1).over(w).isNull ||
+            lag(col("v"), 1).over(w) =!= col("v"), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("v")).as("n_distinct"),
+          sum(col("chg")).as("n_runs"),
+          sum(length(col("v"))).as("total_len"))
+        .select(lit(c).as("col_name"), col("n"), col("n_distinct"),
+          col("n_runs"), col("total_len"))
+    }
+    parts.reduce(_ unionByName _)
+      .withColumn("suggestion",
+        when(col("n_distinct") * 20 <= col("n"), "dict")
+          .when(col("n_runs") * 4 <= col("n"), "rle")
+          .otherwise("plain"))
+  }
+
   def compactionPlan(files: DataFrame, part: String, fileId: String,
                      size: String, target: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

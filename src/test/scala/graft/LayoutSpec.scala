@@ -72,6 +72,22 @@ class LayoutSpec extends AnyFunSuite {
       ("q", 1L) -> 0L, ("q", 2L) -> 4L))
   }
 
+  test("encodingAdvisor: distinct/run statistics drive the suggestion") {
+    // one row group; k: 8 rows of 2 values in long runs → rle is beaten
+    // by dict (2·20 ≤ 8 false → 2*20=40 > 8 → not dict; runs=2, 2·4=8
+    // ≤ 8 → rle). u: all distinct, alternating → plain.
+    val df = Seq(
+      (1L, "a", "x1"), (2L, "a", "x2"), (3L, "a", "x3"), (4L, "a", "x4"),
+      (5L, "b", "x5"), (6L, "b", "x6"), (7L, "b", "x7"), (8L, "b", "x8")
+    ).toDF("id", "k", "u")
+    val r = Layout.encodingAdvisor(df, order = col("id"),
+        rowGroup = lit(0L), cols = Seq("k", "u"))
+      .as[(String, Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._6))).toMap
+    assert(r("k") == ((8L, 2L, 2L, "rle")))
+    assert(r("u") == ((8L, 8L, 8L, "plain")))
+  }
+
   test("rangeSplitPlan: equi-depth boundaries by the exact rank test") {
     // values 1..8, 4 splits: boundary i = smallest v with n_le·4 ≥ i·8
     // → v=2 (i=1), v=4 (i=2), v=6 (i=3)
