@@ -377,6 +377,20 @@ object QueriesRelational {
         table(s, dir, "lineitem"), basket = "l_orderkey",
         item = "l_partkey", maxBasket = 20, k = 25)),
 
+    // top user journeys: per (user, day) ordered type sequence (first 4
+    // events), counted corpus-wide — array-local sort, TakeOrdered rank
+    "event_paths" -> ((s, dir) =>
+      graft.operators.EventAnalytics.topPaths(
+        table(s, dir, "events"), entity = "user_id", ts = "ts",
+        tiebreak = "event_id", typ = "event_type", maxLen = 4, k = 15)),
+    // popularity^(3/4) negative sampling via the bucketed interval join
+    // — deterministic hash draws, no rand()
+    "neg_sample_weighted" -> ((s, dir) =>
+      graft.operators.CorpusTools.weightedNegSample(
+        table(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("tid"))
+          .agg(count(lit(1)).as("cnt")),
+        id = "tid", cnt = "cnt", nSamples = 200)),
     // A-priori frequent triples grown from the frequent-pair lattice
     // (collapsed item space so supports are non-trivial at gate SF)
     "assoc_triples" -> ((s, dir) =>
@@ -987,6 +1001,29 @@ object QueriesRelational {
         |  FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
         |  GROUP BY x.it, y.it) p
         |ORDER BY cnt DESC, a, b LIMIT 25""".stripMargin,
+    "event_paths" ->
+      """WITH s AS (SELECT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS d,
+        |    list(event_type ORDER BY ts, event_id) AS types
+        |  FROM events GROUP BY u, d),
+        |p AS (SELECT array_to_string(types[1:4], '>') AS path FROM s)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY path ORDER BY n DESC, path LIMIT 15""".stripMargin,
+    "neg_sample_weighted" ->
+      """WITH c AS (SELECT l_partkey AS tid, count(*) AS cnt
+        |           FROM lineitem GROUP BY l_partkey),
+        |wt AS (SELECT tid,
+        |         CAST(floor(sqrt(sqrt(CAST(cnt*cnt*cnt AS DOUBLE))))
+        |           AS BIGINT) AS w
+        |       FROM c),
+        |r AS (SELECT tid, w, sum(w) OVER (ORDER BY tid) AS hi
+        |      FROM wt WHERE w > 0),
+        |rr AS (SELECT tid, hi - w AS lo, hi FROM r),
+        |t AS (SELECT max(hi) AS t FROM rr),
+        |s AS (SELECT j, (j * 2654435761 + 12345) % t.t AS r
+        |      FROM range(0, 200) q(j), t)
+        |SELECT s.j, s.r, rr.tid
+        |FROM s JOIN rr ON s.r >= rr.lo AND s.r < rr.hi""".stripMargin,
     "assoc_triples" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS bk,
         |    l_partkey % 50 AS it FROM lineitem),

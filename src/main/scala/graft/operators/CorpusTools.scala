@@ -92,6 +92,49 @@ object CorpusTools {
       .withColumn("n_redacted",
         size(expr(s"regexp_extract_all($text, '[0-9]+', 0)")).cast("long"))
 
+  /** Popularity-weighted negative sampling (the word2vec unigram^(3/4)
+    * table): item weight = cnt^(3/4) computed as two nested IEEE sqrts
+    * (each correctly rounded, so both engines produce the IDENTICAL
+    * double and the floor agrees even where it differs from exact
+    * isqrt); items lay out on a cumulative weight line, and sample j
+    * draws r = (j·2654435761 + 12345) mod total — a deterministic hash
+    * draw, reproducible under retries where rand() is not. The interval
+    * lookup is a BUCKETED equi-join: each item's [lo, hi) range explodes
+    * into ~1/1024-mass buckets (a hot item spans many buckets — it
+    * should, it owns that sample mass; at most ~1024 rows per item), so
+    * no range-predicate join ever touches the full item table. Returns
+    * (j, r, tid).
+    *
+    * Scale: the cumulative line is a window over the ITEM VOCABULARY
+    * (not the corpus); samples and the 1-row total broadcast. */
+  def weightedNegSample(items: DataFrame, id: String, cnt: String,
+                        nSamples: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val w = floor(sqrt(sqrt(
+        (col(cnt) * col(cnt) * col(cnt)).cast("double")))).cast("long")
+    val base = items.select(col(id).as("tid"), w.as("w"))
+      .where(col("w") > 0)
+    val win = org.apache.spark.sql.expressions.Window.orderBy(col("tid"))
+    val ranged = base.withColumn("hi", sum(col("w")).over(win))
+      .withColumn("lo", col("hi") - col("w"))
+    val tot = ranged.agg(max(col("hi")).as("t"))
+    val ranges = ranged.join(broadcast(tot), lit(true))
+      .withColumn("bsz", greatest(expr("t div 1024"), lit(1L)))
+      .select(col("tid"), col("lo"), col("hi"),
+        explode(sequence(expr("lo div bsz"), expr("(hi - 1) div bsz")))
+          .as("bucket"))
+    val samples = spark.range(nSamples).toDF("j")
+      .join(broadcast(tot), lit(true))
+      .withColumn("bsz", greatest(expr("t div 1024"), lit(1L)))
+      .select(col("j"), expr("(j * 2654435761L + 12345L) % t").as("r"),
+        col("bsz"))
+      .withColumn("bucket", expr("r div bsz"))
+    samples.join(ranges, "bucket")
+      .where(col("r") >= col("lo") && col("r") < col("hi"))
+      .select(col("j"), col("r"), col("tid"))
+  }
+
   /** Luhn-checksum validation of card-number-like digit runs — the
     * precision stage a PII scanner runs AFTER the regex sweep (most
     * 16-digit runs are ids, not cards; the Luhn check is what separates

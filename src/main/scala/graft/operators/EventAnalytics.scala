@@ -156,6 +156,29 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Top event paths ("user journeys"): per (entity, day) session, the
+    * ordered sequence of the first `maxLen` event types joined with
+    * ">", counted corpus-wide, top-k (count DESC, path ASC). The
+    * per-session list is collected ONCE and sorted array-locally
+    * ((ts, tiebreak) struct sort — deterministic under any partitioning
+    * or retry); sessions are bounded by per-entity-per-day activity, so
+    * the collected array never scales with the corpus. Final rank via
+    * TakeOrdered. Returns (path, n). */
+  def topPaths(events: DataFrame, entity: String, ts: String,
+               tiebreak: String, typ: String, maxLen: Int,
+               k: Int): DataFrame = {
+    val sessions = events
+      .groupBy(col(entity).as("u"),
+        expr(s"unix_micros($ts) div 86400000000L").as("d"))
+      .agg(concat_ws(">",
+        slice(transform(
+          sort_array(collect_list(struct(col(ts).as("t1"),
+            col(tiebreak).as("t2"), col(typ).as("t3")))),
+          s => s.getField("t3")), 1, maxLen)).as("path"))
+    sessions.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** First-order Markov transition matrix of event types — the
     * behavioral-model statistic behind "what happens after a click":
     * per entity, consecutive event pairs in (ts, tiebreak) order become

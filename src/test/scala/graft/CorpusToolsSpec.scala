@@ -345,6 +345,28 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(r2.map(_._2).toSet == Set(2L, 3L))
   }
 
+  test("weightedNegSample: draws land in cumulative ranges, heavy items dominate") {
+    // weights: cnt 16 → 16^0.75 = 8; cnt 1 → 1. total = 9.
+    // ranges (by tid): tid 1 [0,8), tid 2 [8,9).
+    val items = Seq((1L, 16L), (2L, 1L)).toDF("tid", "cnt")
+    val r = CorpusTools.weightedNegSample(items, "tid", "cnt",
+        nSamples = 50)
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == 50)
+    // every draw resolves to exactly one item, consistent with its r
+    r.foreach { case (_, rv, tid) =>
+      assert(if (rv < 8) tid == 1L else tid == 2L)
+    }
+    // the heavy item owns ~8/9 of draws; with hash draws over 50 it
+    // must appear far more often
+    val heavy = r.count(_._3 == 1L)
+    assert(heavy > 30, s"heavy item drew $heavy of 50")
+    // deterministic: same call, same draws
+    val again = CorpusTools.weightedNegSample(items, "tid", "cnt",
+        nSamples = 50).as[(Long, Long, Long)].collect()
+    assert(r.sortBy(_._1).toList == again.sortBy(_._1).toList)
+  }
+
   test("luhnCheck: known-valid and known-invalid card numbers") {
     val df = Seq(
       (1L, "4532015112830366"),   // valid (standard test number)

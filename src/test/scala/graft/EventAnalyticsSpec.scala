@@ -99,6 +99,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == brute)
   }
 
+  test("topPaths: ordered journeys truncate at maxLen and count exactly") {
+    val us = 86400000000L
+    // user 1 day 0: a>b>c>d>e (truncates to a>b>c>d); user 2 day 0:
+    // a>b>c>d; user 3 day 0: b>a
+    val ev = (Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L), ("e", 5L))
+        .map { case (t, i) => (i, 1L, i * 1000L, t) } ++
+      Seq(("a", 11L), ("b", 12L), ("c", 13L), ("d", 14L))
+        .map { case (t, i) => (i, 2L, (i - 10) * 1000L, t) } ++
+      Seq(("b", 21L), ("a", 22L))
+        .map { case (t, i) => (i, 3L, (i - 20) * 1000L, t) })
+      .map { case (id, u, micros, t) =>
+        (id, u, new java.sql.Timestamp(micros / 1000L), t)
+      }.toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventAnalytics.topPaths(ev, "user_id", "ts", "event_id",
+        "event_type", maxLen = 4, k = 5)
+      .as[(String, Long)].collect().toList
+    assert(r == List(("a>b>c>d", 2L), ("b>a", 1L)))
+    val _ = us
+  }
+
   test("assocTriples: a-priori growth finds the planted frequent triple") {
     // baskets 1..3 all hold {1,2,3}; basket 4 holds {1,2,9} — triple
     // (1,2,3) support 3; every pair of it is frequent; (1,2,9) support 1
