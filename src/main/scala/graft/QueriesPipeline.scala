@@ -495,6 +495,29 @@ object QueriesPipeline {
         .select(col("k"), col("might_contain").cast("long").as("hit"))
     }),
 
+    // Runtime-filter join END TO END: the fact side's keys are screened
+    // by the broadcast bloom BEFORE the join's exchange — keys the
+    // filter rejects are provably absent from the build side and never
+    // shuffle; the exact equi-join that follows kills the false
+    // positives. The oracle is the PLAIN join: pruning must be lossless,
+    // and this gate proves it on real keys.
+    "bloom_join_prune" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .where(col("c_acctbal") < 0).select(col("c_custkey"))
+      val built = graft.operators.Sketches.bloomBuild(
+        cust.select(col("c_custkey").as("k")), "k", mBits = 16384L)
+      val keep = graft.operators.Sketches.bloomMightContain(built,
+          table(s, dir, "orders").select(col("o_custkey").as("k")),
+          "k", mBits = 16384L)
+        .where(col("might_contain")).select(col("k").as("o_custkey"))
+      table(s, dir, "orders").join(keep, Seq("o_custkey"))
+        .join(cust.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_custkey")).as("cust_checksum"))
+    }),
+
     // int8 embedding quantization (the 4×-compression serving format):
     // per-vector max-abs scale, ⌊x·127/scale + ½⌋ codes — a pure narrow
     // projection, no shuffle; gate checks exact integer code aggregates
@@ -593,6 +616,13 @@ object QueriesPipeline {
     "seasonality_dow" -> ((s, dir) =>
       graft.operators.Timeseries.seasonalProfile(
         table(s, dir, "events"), key = "event_type", ts = "ts")),
+
+    // MAD anomaly days per event type: events collapse to the (key, day)
+    // profile in the first aggregate; exact rank-test medians over that
+    // profile only — nothing event-volume-sized reaches a window.
+    "anomaly_mad" -> ((s, dir) =>
+      graft.operators.Timeseries.anomalyMad(
+        table(s, dir, "events"), key = "event_type", ts = "ts", k = 2L)),
 
     // quantile BINNING through those cut points: quartile feature
     // discretization with no global sort — the cut table folds to one
@@ -1274,6 +1304,31 @@ object QueriesPipeline {
         |       CAST(sum(cnt) AS BIGINT) AS total,
         |       CAST(sum(cnt) * 1000 // count(*) AS BIGINT) AS mean_milli
         |FROM d GROUP BY event_type, dow""".stripMargin,
+    // replays both exact rank-test lower medians (value at row_number
+    // (n+1)//2 under the same deterministic order) and the strict
+    // k·MAD flag
+    "anomaly_mad" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, day),
+        |r1 AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |m1 AS (SELECT event_type, day, cnt,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+        |      OVER (PARTITION BY event_type) AS med FROM r1),
+        |dv AS (SELECT *, abs(cnt - med) AS dev FROM m1),
+        |r2 AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY dev, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM dv),
+        |m2 AS (SELECT event_type, day, cnt, med, dev,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+        |      OVER (PARTITION BY event_type) AS mad FROM r2)
+        |SELECT event_type, day, cnt, med, mad, dev
+        |FROM m2 WHERE dev > 2 * mad""".stripMargin,
     // replays the cut-point derivation at quartiles, then the per-
     // histogram-bin assignment map and the bin profile
     "quantile_bins" ->
@@ -1499,6 +1554,15 @@ object QueriesPipeline {
         |       CAST(sum(id) AS BIGINT) AS id_checksum
         |FROM j GROUP BY status""".stripMargin,
     "sketch_bloom" -> bloomOracle,
+    // the plain join IS the oracle: the bloom-pruned path must be
+    // lossless (rejected keys provably absent, false positives removed
+    // by the exact join), so both engines compute the same aggregate
+    "bloom_join_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_checksum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal < 0
+        |GROUP BY o_orderpriority""".stripMargin,
     "pack_offsets" -> packOracle,
     "sketch_cms" -> cmsOracle,
     "join_cardinality" ->

@@ -106,6 +106,43 @@ object Timeseries {
         expr("total * 1000 div n_days").as("mean_milli"))
   }
 
+  /** Daily-count anomaly detection by median absolute deviation — the
+    * robust outlier flag for volume monitoring (a mean/stddev z-score is
+    * dragged toward the very spikes it hunts; medians are not). All
+    * arithmetic is int64-exact: lower medians by the exact rank test
+    * (value at row_number (n+1) div 2 under a deterministic order), flag
+    * days where |cnt − med| > k·MAD strictly — so MAD = 0 still flags
+    * every deviating day of an otherwise-constant series.
+    *
+    * Scale: the corpus-sized input collapses in the FIRST aggregate to
+    * one row per (key, day); both median windows run over that profile,
+    * bounded by keys × days, never by event volume. Returns flagged
+    * (key, day, cnt, med, mad, dev). */
+  def anomalyMad(events: DataFrame, key: String, ts: String,
+                 k: Long = 3L): DataFrame = {
+    val daily = events
+      .groupBy(col(key),
+        expr(s"unix_micros($ts) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wKey = Window.partitionBy(col(key))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val ranked = df.withColumn("rn",
+          row_number().over(wKey.orderBy(col(v), col("day"))))
+        .withColumn("n", count(lit(1)).over(wKey))
+      ranked
+        .withColumn(out,
+          max(when(col("rn") === expr("(n + 1) div 2"), col(v)))
+            .over(wKey))
+        .drop("rn", "n")
+    }
+    val withMed = lowerMedian(daily, "cnt", "med")
+      .withColumn("dev", abs(col("cnt") - col("med")))
+    lowerMedian(withMed, "dev", "mad")
+      .where(col("dev") > lit(k) * col("mad"))
+      .select(col(key), col("day"), col("cnt"), col("med"), col("mad"),
+        col("dev"))
+  }
+
   def lagFeatures(series: DataFrame, entity: String, bucket: String,
                   value: String, lags: Seq[Int], rollK: Int): DataFrame = {
     require(lags.nonEmpty && rollK >= 1, "need lags and rollK >= 1")

@@ -156,6 +156,23 @@ class SketchesSpec extends AnyFunSuite {
       2L -> ((25L, 50L, 74L)), 3L -> ((26L, 75L, 100L))))
   }
 
+  test("bloom-pruned join is lossless against the brute join") {
+    // 200 fact keys, 17 build keys (some absent from facts); the pruned
+    // path (screen → exact join) must return exactly the brute join
+    val facts = (0L until 200L).map(i => (i, i * 37L % 101L))
+      .toDF("fact_id", "k")
+    val dim = (0L until 17L).map(i => i * 13L % 120L).toDF("k").distinct()
+    val built = Sketches.bloomBuild(dim, "k", mBits = 512L)
+    val keep = Sketches.bloomMightContain(built, facts.select("k"), "k",
+        mBits = 512L)
+      .where(col("might_contain")).select("k")
+    val pruned = facts.join(keep, Seq("k")).join(dim, Seq("k"))
+      .select("fact_id").as[Long].collect().sorted.toList
+    val brute = facts.join(dim, Seq("k"))
+      .select("fact_id").as[Long].collect().sorted.toList
+    assert(pruned == brute && brute.nonEmpty)
+  }
+
   test("histQuantileError: exact minus bin floor, bounded by bin width") {
     // values 1..100, bins of 10: p50 exact = 50, hist bin = 5 → lo 50,
     // err 0; p99 exact = 99, bin 9 → lo 90, err 9

@@ -111,6 +111,24 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(r == Map(0L -> ((2L, 3L, 1500L)), 1L -> ((1L, 3L, 3000L))))
   }
 
+  test("anomalyMad flags the spike day via exact rank-test medians") {
+    // "a": counts 5×6 then 50 → med 5, MAD 0, spike flagged (strict >)
+    // "b": counts 1,2,3,4,100 → med 3, MAD 1; only dev 97 > 2·MAD
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    var id = 0L
+    val rows = for {
+      (t, counts) <- Seq("a" -> Seq(5, 5, 5, 5, 5, 5, 50),
+        "b" -> Seq(1, 2, 3, 4, 100))
+      (n, d) <- counts.zipWithIndex
+      _ <- 1 to n
+    } yield { id += 1; (id, t, day(d)) }
+    val ev = rows.toDF("event_id", "event_type", "ts")
+    val out = Timeseries.anomalyMad(ev, "event_type", "ts", k = 2L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(("a", 6L, 50L, 5L, 0L, 45L),
+      ("b", 4L, 100L, 3L, 1L, 97L)))
+  }
+
   test("mergeIntervals: contained interval does not reopen an island") {
     // [1,10] then [2,3] (contained) then [4,20]: all one island — the
     // running-max (not previous-row) end is what prevents a false gap
