@@ -624,6 +624,24 @@ object QueriesPipeline {
       graft.operators.Timeseries.anomalyMad(
         table(s, dir, "events"), key = "event_type", ts = "ts", k = 2L)),
 
+    // CUSUM changepoint day per event type — the cumulative-sum peak
+    // against the exact integer mean; same profile-first scale shape
+    "changepoint_cusum" -> ((s, dir) =>
+      graft.operators.Timeseries.changepointCusum(
+        table(s, dir, "events"), key = "event_type", ts = "ts")),
+
+    // 2-D Pareto front over orders — the biggest-and-earliest frontier
+    // (maximize price cents, minimize epoch day); the table collapses to
+    // its distinct value pairs before the single ordered window
+    "pareto_front" -> ((s, dir) =>
+      graft.operators.Stats.paretoFront(
+        table(s, dir, "orders"),
+        maxCol = floor(col("o_totalprice") * 100 + 0.5),
+        // o_orderdate reads as TIMESTAMP_NTZ; the session is UTC so the
+        // cast to instant is identity
+        minCol = expr(
+          "unix_micros(cast(o_orderdate as timestamp)) div 86400000000L"))),
+
     // quantile BINNING through those cut points: quartile feature
     // discretization with no global sort — the cut table folds to one
     // broadcast array row, assignment is a narrow projection, and the
@@ -1329,6 +1347,38 @@ object QueriesPipeline {
         |      OVER (PARTITION BY event_type) AS mad FROM r2)
         |SELECT event_type, day, cnt, med, mad, dev
         |FROM m2 WHERE dev > 2 * mad""".stripMargin,
+    // replays the milli-scaled running sum against the exact integer
+    // mean and the (|cusum| desc, day asc) argmax
+    "changepoint_cusum" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, day),
+        |m AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |c AS (SELECT event_type, day, n,
+        |    CAST(sum(cnt * 1000 - (total * 1000 // n))
+        |      OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS cusum FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day ASC) AS rn FROM c)
+        |SELECT event_type, day AS cp_day, cusum AS cusum_at_cp,
+        |       CAST(n AS BIGINT) AS n_days
+        |FROM r WHERE rn = 1""".stripMargin,
+    // replays the distinct-pair collapse and the running-min frontier
+    // test under the same (p desc, d asc) order
+    "pareto_front" ->
+      """WITH pairs AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p,
+        |         epoch_us(o_orderdate) // 86400000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY p, d),
+        |w AS (SELECT *, min(d) OVER (ORDER BY p DESC, d ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS d_prev_min FROM pairs)
+        |SELECT p, d, n_rows FROM w
+        |WHERE d_prev_min IS NULL OR d < d_prev_min""".stripMargin,
     // replays the cut-point derivation at quartiles, then the per-
     // histogram-bin assignment map and the bin profile
     "quantile_bins" ->

@@ -107,4 +107,30 @@ object Stats {
         ((col("n_r") - 1) * (col("n_c") - 1)).as("dof"),
         col("chi2_scaled"))
   }
+
+  /** 2-D Pareto front (skyline): the rows no other row beats on BOTH
+    * axes — maximize `maxCol`, minimize `minCol`, domination requiring
+    * at least one strict inequality (the classic Börzsönyi et al. 2001
+    * skyline operator). Integer ordinates only.
+    *
+    * Scale: the table first collapses to its DISTINCT (max, min) value
+    * pairs with a count — bounded by the value domain, not the row
+    * count — and the single ordered window runs over that distribution.
+    * Sorted by (p desc, d asc), a pair is on the front iff its d is
+    * strictly below every preceding d: preceding rows have higher p (or
+    * equal p with smaller d), exactly the dominators. Returns frontier
+    * (p, d, n_rows). */
+  def paretoFront(df: DataFrame, maxCol: Column, minCol: Column)
+      : DataFrame = {
+    val pairs = df.select(maxCol.cast("long").as("p"),
+        minCol.cast("long").as("d"))
+      .groupBy(col("p"), col("d")).agg(count(lit(1)).as("n_rows"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p").desc, col("d").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    pairs.withColumn("d_prev_min", min(col("d")).over(wPrev))
+      .where(col("d_prev_min").isNull || col("d") < col("d_prev_min"))
+      .select(col("p"), col("d"), col("n_rows"))
+  }
 }

@@ -143,6 +143,38 @@ object Timeseries {
         col("dev"))
   }
 
+  /** CUSUM changepoint detection over daily counts: per key, the day
+    * maximizing |Σ_{i≤t} (cnt_i·1000 − mean_milli)| — the cumulative-sum
+    * statistic peaks where the series' level shifts (Page 1954). All
+    * int64: counts milli-scaled against the exact integer mean so the
+    * running sum never sees a fraction; ties broken to the earliest day.
+    *
+    * Scale: same shape as [[anomalyMad]] — events collapse to the
+    * (key, day) profile first; the running-sum window and the argmax
+    * aggregate run over that profile only. Returns one row per key:
+    * (key, cp_day, cusum_at_cp, n_days). */
+  def changepointCusum(events: DataFrame, key: String, ts: String)
+      : DataFrame = {
+    val daily = events
+      .groupBy(col(key),
+        expr(s"unix_micros($ts) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wKey = Window.partitionBy(col(key))
+    val wRun = wKey.orderBy(col("day"))
+    val withMean = daily
+      .withColumn("total", sum(col("cnt")).over(wKey))
+      .withColumn("n_days", count(lit(1)).over(wKey))
+      .withColumn("mean_milli", expr("total * 1000 div n_days"))
+    val cusum = withMean.withColumn("cusum",
+      sum(col("cnt") * 1000L - col("mean_milli")).over(wRun))
+    cusum.groupBy(col(key))
+      .agg(max(struct(abs(col("cusum")).as("a"), (-col("day")).as("nd"),
+          col("cusum").as("c"))).as("best"),
+        max(col("n_days")).as("n_days"))
+      .select(col(key), (-col("best.nd")).as("cp_day"),
+        col("best.c").as("cusum_at_cp"), col("n_days"))
+  }
+
   def lagFeatures(series: DataFrame, entity: String, bucket: String,
                   value: String, lags: Seq[Int], rollK: Int): DataFrame = {
     require(lags.nonEmpty && rollK >= 1, "need lags and rollK >= 1")

@@ -61,4 +61,18 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(r == ((30L, 2L, 3L, 2L, 0L)))
   }
+
+  test("paretoFront matches the brute domination test") {
+    import org.apache.spark.sql.functions.col
+    val pts = Seq((10L, 5L), (10L, 3L), (9L, 1L), (8L, 2L), (7L, 0L),
+      (7L, 6L), (10L, 3L)) // duplicate pair folds to n_rows = 2
+    val out = Stats.paretoFront(pts.toDF("p", "d"), col("p"), col("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((10L, 3L, 2L), (9L, 1L, 1L), (7L, 0L, 1L)))
+    // brute: a kept pair is dominated by no other distinct pair
+    val distinct = pts.distinct
+    for ((p, d, _) <- out; (p2, d2) <- distinct)
+      assert(!(p2 >= p && d2 <= d && (p2 > p || d2 < d)),
+        s"($p,$d) dominated by ($p2,$d2)")
+  }
 }

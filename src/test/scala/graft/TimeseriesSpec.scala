@@ -129,6 +129,21 @@ class TimeseriesSpec extends AnyFunSuite {
       ("b", 4L, 100L, 3L, 1L, 97L)))
   }
 
+  test("changepointCusum peaks at the level shift") {
+    // counts 10,10,10,20,20,20 → mean 15: cusum −5k,−10k,−15k,−10k,−5k,0
+    // peaks (|·|) at day 2, the last pre-shift day
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    var id = 0L
+    val rows = for {
+      (n, d) <- Seq(10, 10, 10, 20, 20, 20).zipWithIndex
+      _ <- 1 to n
+    } yield { id += 1; (id, "a", day(d)) }
+    val out = Timeseries.changepointCusum(
+        rows.toDF("event_id", "event_type", "ts"), "event_type", "ts")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(out == List(("a", 2L, -15000L, 6L)))
+  }
+
   test("mergeIntervals: contained interval does not reopen an island") {
     // [1,10] then [2,3] (contained) then [4,20]: all one island — the
     // running-max (not previous-row) end is what prevents a false gap
