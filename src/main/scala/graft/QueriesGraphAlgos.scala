@@ -711,6 +711,42 @@ object QueriesGraphAlgos {
        |UNION ALL SELECT id, 2 FROM mism2
        |UNION ALL SELECT id, 3 FROM mism3""".stripMargin
 
+  /** One unrolled matching round k: per-vertex minimum incident edge by
+    * (key, a, b), edges minimal at BOTH endpoints commit, matched
+    * vertices' edges drop out. */
+  private def matchRound(k: Int): String =
+    s"""mmv$k AS (SELECT n, a, b FROM (
+       |    SELECT n, a, b, row_number() OVER (PARTITION BY n
+       |      ORDER BY key, a, b) AS rn
+       |    FROM (SELECT a AS n, key, a, b FROM mmlive${k - 1}
+       |          UNION ALL SELECT b, key, a, b FROM mmlive${k - 1}) i) t
+       |  WHERE rn = 1),
+       |mmm$k AS MATERIALIZED (
+       |  SELECT l.a, l.b FROM mmlive${k - 1} l
+       |  JOIN mmv$k x ON x.n = l.a AND x.a = l.a AND x.b = l.b
+       |  JOIN mmv$k y ON y.n = l.b AND y.a = l.a AND y.b = l.b),
+       |mmlive$k AS MATERIALIZED (
+       |  SELECT l.a, l.b, l.key FROM mmlive${k - 1} l
+       |  WHERE l.a NOT IN (SELECT a FROM mmm$k
+       |                    UNION ALL SELECT b FROM mmm$k)
+       |    AND l.b NOT IN (SELECT a FROM mmm$k
+       |                    UNION ALL SELECT b FROM mmm$k))""".stripMargin
+
+  private val matchingOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |mme AS MATERIALIZED (
+       |  SELECT DISTINCT least(start_id, end_id) AS a,
+       |                  greatest(start_id, end_id) AS b
+       |  FROM rels WHERE type IN ('FROM_NATION', 'IN_REGION')
+       |    AND start_id != end_id),
+       |mmlive0 AS MATERIALIZED (
+       |  SELECT a, b, ((a % 1000003) * (b % 1000003) % 1000003 * 31
+       |    + (a + b) % 1000003) % 1000003 AS key FROM mme),
+       |${(1 to 3).map(matchRound).mkString(",\n")}
+       |SELECT a, b, CAST(1 AS BIGINT) AS match_round FROM mmm1
+       |UNION ALL SELECT a, b, 2 FROM mmm2
+       |UNION ALL SELECT a, b, 3 FROM mmm3""".stripMargin
+
   // ----------------------------------------------------- link predict
 
   private val linkPredictOracle: String =
@@ -969,6 +1005,14 @@ object QueriesGraphAlgos {
     "mis_luby" -> ((s, dir) => GraphAlgos.misLuby(
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)),
+    // Parallel greedy maximal matching, 3 rounds, over the membership
+    // graph — per round the locally-minimum incident edge of BOTH
+    // endpoints commits; winners are vertex-disjoint by construction.
+    "max_matching" -> ((s, dir) => GraphAlgos.maximalMatching(
+      SparkEntry.graph(s, dir).rels
+        .where(col("TYPE").isin("FROM_NATION", "IN_REGION"))
+        .select(col("START_ID").as("a"), col("END_ID").as("b")),
+      rounds = 3)),
     // Resource-Allocation-index link prediction on the thinned
     // co-supplier part graph: top-25 non-edges by Σ ⌊1e6/deg(c)⌋ over
     // common neighbors, hub centers capped at deg ≤ 50.
@@ -1036,6 +1080,7 @@ object QueriesGraphAlgos {
     "assortativity" -> assortativityOracle,
     "link_predict" -> linkPredictOracle,
     "mis_luby" -> misOracle,
+    "max_matching" -> matchingOracle,
     "neg_sample" ->
       s"""WITH ${SparkEntry.RelsCte},
          |nse AS MATERIALIZED (

@@ -349,6 +349,13 @@ object QueriesRelational {
       graft.operators.EventAnalytics.transitionMatrix(
         table(s, dir, "events"), entity = "user_id", ts = "ts",
         tiebreak = "event_id", typ = "event_type")),
+    // temporal precedence matrix: entities whose FIRST a strictly
+    // precedes their first b — events collapse per (entity, type)
+    // before the alphabet-bounded per-entity self-join
+    "precedence_pairs" -> ((s, dir) =>
+      graft.operators.EventAnalytics.precedencePairs(
+        table(s, dir, "events"), entity = "user_id", ts = "ts",
+        typ = "event_type")),
     // daily cohort retention triangle: cohort = first-event day, offset
     // = days since; two aggregates + one join, all int64
     "cohort_retention" -> ((s, dir) =>
@@ -927,6 +934,15 @@ object QueriesRelational {
         |SELECT c.from_type, c.to_type, c.cnt,
         |       CAST(c.cnt * 1000000 // tot.tot AS BIGINT) AS p_ppm
         |FROM c JOIN tot USING (from_type)""".stripMargin,
+    "precedence_pairs" ->
+      """WITH f AS (SELECT user_id, event_type,
+        |    min(epoch_us(ts)) AS first_us
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |       CAST(count(*) AS BIGINT) AS n_entities
+        |FROM f x JOIN f y ON x.user_id = y.user_id
+        |  AND x.first_us < y.first_us
+        |GROUP BY type_a, type_b""".stripMargin,
     "encoding_advisor" -> {
       def one(c: String): String =
         s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,

@@ -204,4 +204,25 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("cnt"),
         expr("cnt * 1000000 div tot").as("p_ppm"))
   }
+
+  /** Temporal precedence matrix: for each ordered type pair (a, b), how
+    * many entities saw a STRICTLY before b — first occurrences compared,
+    * unlike [[transitionMatrix]]'s adjacent steps, so "signup precedes
+    * purchase" counts however many events sit between them. Ties (equal
+    * first-occurrence micros) are skipped: neither order is evidenced.
+    *
+    * Scale: events collapse per (entity, type) to the first-occurrence
+    * row — bounded by entities × type alphabet — and the self-join is
+    * per-entity, at most |alphabet|² pairs each. Returns
+    * (type_a, type_b, n_entities). */
+  def precedencePairs(events: DataFrame, entity: String, ts: String,
+                      typ: String): DataFrame = {
+    val first = events
+      .groupBy(col(entity), col(typ))
+      .agg(min(expr(s"unix_micros($ts)")).as("first_us"))
+    first.as("x").join(first.as("y"), col(s"x.$entity") === col(s"y.$entity"))
+      .where(col("x.first_us") < col("y.first_us"))
+      .groupBy(col(s"x.$typ").as("type_a"), col(s"y.$typ").as("type_b"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
 }

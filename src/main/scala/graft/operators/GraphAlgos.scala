@@ -1028,6 +1028,54 @@ object GraphAlgos {
     mis
   }
 
+  /** Parallel greedy maximal matching (Israeli–Itai shape): per round an
+    * edge joins the matching iff it is the minimum-priority incident
+    * edge of BOTH its endpoints — such local minima are vertex-disjoint
+    * by construction, so a whole round commits with no coordination;
+    * matched vertices and their edges then drop out. Priority is a
+    * deterministic quadratic hash with (a, b) as the total-order
+    * tie-break, same symmetry-breaking family as [[misLuby]].
+    *
+    * Scale: each round is one per-vertex min aggregate + two equi-joins
+    * over the live edge set, which shrinks monotonically; rounds are
+    * localCheckpoint barriers like every iterative algorithm here.
+    * Input (a, b) directed or undirected — canonicalized and
+    * deduplicated internally. Returns (a, b, match_round). */
+  def maximalMatching(edges: DataFrame, rounds: Int): DataFrame = {
+    val p = 1000003L
+    var live = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .withColumn("key",
+        expr(s"((a % $p) * (b % $p) % $p * 31 + (a + b) % $p) % $p"))
+      .localCheckpoint(true)
+    var matched: DataFrame = null
+    for (r <- 1 to rounds) {
+      val inc = live.select(col("a").as("n"), col("key"), col("a"),
+          col("b"))
+        .union(live.select(col("b").as("n"), col("key"), col("a"),
+          col("b")))
+      val vmin = inc.groupBy(col("n"))
+        .agg(min(struct(col("key"), col("a"), col("b"))).as("m"))
+      val me = struct(col("key"), col("a"), col("b"))
+      val won = live
+        .join(vmin.select(col("n").as("a"), col("m").as("ma")), "a")
+        .join(vmin.select(col("n").as("b"), col("m").as("mb")), "b")
+        .where(me === col("ma") && me === col("mb"))
+        .select(col("a"), col("b"), lit(r.toLong).as("match_round"))
+        .localCheckpoint(true)
+      matched = if (matched == null) won else matched.union(won)
+      val mv = won.select(col("a").as("n"))
+        .union(won.select(col("b").as("n"))).distinct()
+      live = live
+        .join(mv.select(col("n").as("a")), Seq("a"), "left_anti")
+        .join(mv.select(col("n").as("b")), Seq("b"), "left_anti")
+        .localCheckpoint(true)
+    }
+    matched
+  }
+
   /** Link prediction by the Resource-Allocation index: for each
     * non-adjacent pair (a, b) with common neighbors,
     * ra = Σ_{c ∈ Γ(a)∩Γ(b)} ⌊scale / deg(c)⌋ (Zhou–Lü–Zhang 2009;

@@ -160,4 +160,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
       maxBasket = 5, k = 10).as[(Long, Long, Long)].collect().toList
     assert(out == List((2L, 3L, 2L), (1L, 2L, 1L), (1L, 3L, 1L)))
   }
+
+  test("precedencePairs compares first occurrences and skips ties") {
+    // u1: view@1, click@3, view@5 (repeat ignored) → view<click only;
+    // u2: view@2 and click@2 tie → no evidence either way;
+    // u3: click@1, view@4 → click<view
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(3), "click"), (1L, ts(5), "view"),
+      (2L, ts(2), "view"), (2L, ts(2), "click"),
+      (3L, ts(1), "click"), (3L, ts(4), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.precedencePairs(ev, "user_id", "ts",
+        "event_type")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("view", "click", 1L), ("click", "view", 1L)))
+  }
 }

@@ -554,4 +554,21 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(m == Map(
       1L -> ((3L, 3L, 7L, 178571L)), 4L -> ((3L, 3L, 7L, 178571L))))
   }
+
+  test("maximalMatching is a matching and maximal on a random graph") {
+    // deterministic pseudo-random graph: 60 edges over 30 nodes
+    val es = (0L until 60L)
+      .map(i => (i * 37L % 30L, i * 53L % 30L))
+      .filter { case (a, b) => a != b }
+    val out = GraphAlgos.maximalMatching(es.toDF("a", "b"), rounds = 10)
+      .as[(Long, Long, Long)].collect()
+    val touched = out.flatMap(e => Seq(e._1, e._2))
+    // matching: no vertex appears twice
+    assert(touched.distinct.length == touched.length)
+    // maximal: every edge has a matched endpoint
+    val t = touched.toSet
+    es.foreach { case (a, b) =>
+      assert(t.contains(a) || t.contains(b), s"augmenting edge ($a,$b)")
+    }
+  }
 }
