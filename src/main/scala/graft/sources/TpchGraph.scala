@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders that derive the canonical property graph (the reference's data
   * model — nodes with labels + typed properties, directed typed
@@ -32,16 +33,29 @@ object TpchGraph {
   val NationBase   = 5000000000L
   val RegionBase   = 6000000000L
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads via
-    // spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench/tests).
-    // Convert to micros TimestampType with integer division (exact — the
-    // raw int64 ns exceeds a double's 2^53 mantissa, so no float division).
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Normalize the driver parquet's timestamp encodings — which have varied
+    * across testdata drops — to session-zone TimestampType micros:
+    *  - `ts` as raw int64 NANOS (older drops; readable only via
+    *    spark.sql.legacy.parquet.nanosAsLong, still set in Verify/Bench/
+    *    tests) → integer `div 1000` then timestamp_micros. Exact: the int64
+    *    ns magnitude exceeds a double's 2^53 mantissa, so no float division.
+    *  - parquet TIMESTAMP(US, isAdjustedToUTC=false) (current drops; loads
+    *    as TIMESTAMP_NTZ) → cast to TimestampType. The cast reinterprets the
+    *    wall-clock in the session zone; every entrypoint pins UTC, so the
+    *    stored micros value is unchanged and matches DuckDB's epoch_us. */
+  def normalizeTimestamps(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
+    }
 
   /** Register all raw tables as temp views (for the Spark-SQL "cypher.read"
     * analog — SURVEY.md §2.1 S3: arbitrary query delegated to the SQL

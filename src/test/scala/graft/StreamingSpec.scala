@@ -233,10 +233,9 @@ class StreamingSpec extends AnyFunSuite {
       src.resolve("events.parquet"))
     val batch = graft.sources.TpchGraph.table(spark,
       "/root/testdata/sf0.001", "events")
-    val raw = spark.read.parquet(src.toString)   // ts as nanos long
-    val stream = spark.readStream.schema(raw.schema).parquet(src.toString)
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(src.toString)   // ts encoding varies by drop
+    val stream = graft.sources.TpchGraph.normalizeTimestamps(
+      spark.readStream.schema(raw.schema).parquet(src.toString))
     val q = EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("file_hourly")
       .outputMode("complete").start()
