@@ -547,6 +547,30 @@ object QueriesPipeline {
       est.join(broadcast(exact), lit(true))
     }),
 
+    // KMV/theta sketch set ops: click-users vs view-users sketched
+    // independently (k = 64 minima each), then union/intersection
+    // cardinalities estimated from the merged k-sets — the audience-
+    // overlap question HLL cannot answer; exact counts ride along
+    "sketch_theta" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = table(s, dir, "events")
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id"))
+      val k = 64
+      val est = Sketches.kmvSetOps(
+        Sketches.kmvBuild(side("click"), "user_id", k),
+        Sketches.kmvBuild(side("view"), "user_id", k), k)
+      val ca = side("click").distinct()
+      val cb = side("view").distinct()
+      val exact = ca.agg(count(lit(1)).as("n_a_exact"))
+        .join(cb.agg(count(lit(1)).as("n_b_exact")), lit(true))
+        .join(ca.join(cb, "user_id")
+          .agg(count(lit(1)).as("n_intersect_exact")), lit(true))
+        .join(ca.unionByName(cb).distinct()
+          .agg(count(lit(1)).as("n_union_exact")), lit(true))
+      est.join(broadcast(exact), lit(true))
+    }),
+
     // CDC compaction: latest state per user from the event changelog —
     // ONE hash aggregate (max over a seq-led struct), no window sort of
     // the key's full history; users whose newest record is a tombstone
@@ -1542,6 +1566,49 @@ object QueriesPipeline {
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin,
     "sketch_hll" -> hllOracle,
+    "sketch_theta" ->
+      """WITH a0 AS (SELECT user_id % 1000000007 AS x FROM events
+        |            WHERE event_type = 'click'),
+        |a1 AS (SELECT (x * x + x * 31 + 7) % 1000000007 AS y FROM a0),
+        |a2 AS (SELECT (y * y + y * 37 + 11) % 1000000007 AS z FROM a1),
+        |a3 AS (SELECT DISTINCT (z * z + z * 41 + 13) % 1000000007 AS h
+        |       FROM a2),
+        |sa AS (SELECT h FROM a3 ORDER BY h LIMIT 64),
+        |b0 AS (SELECT user_id % 1000000007 AS x FROM events
+        |       WHERE event_type = 'view'),
+        |b1 AS (SELECT (x * x + x * 31 + 7) % 1000000007 AS y FROM b0),
+        |b2 AS (SELECT (y * y + y * 37 + 11) % 1000000007 AS z FROM b1),
+        |b3 AS (SELECT DISTINCT (z * z + z * 41 + 13) % 1000000007 AS h
+        |       FROM b2),
+        |sb AS (SELECT h FROM b3 ORDER BY h LIMIT 64),
+        |ta AS (SELECT CASE WHEN count(*) >= 64 THEN max(h)
+        |              ELSE 1000000007 END AS ta FROM sa),
+        |tb AS (SELECT CASE WHEN count(*) >= 64 THEN max(h)
+        |              ELSE 1000000007 END AS tb FROM sb),
+        |th AS (SELECT least(ta, tb) AS theta FROM ta, tb),
+        |u AS (SELECT h, max(ia) AS ia, max(ib) AS ib, theta
+        |      FROM (SELECT h, 1 AS ia, 0 AS ib FROM sa
+        |            UNION ALL SELECT h, 0, 1 FROM sb) x, th
+        |      WHERE h < theta GROUP BY h, theta),
+        |est AS (SELECT theta,
+        |    CAST(sum(ia) * 1000000007 // theta AS BIGINT) AS n_a_est,
+        |    CAST(sum(ib) * 1000000007 // theta AS BIGINT) AS n_b_est,
+        |    CAST(sum(ia * ib) * 1000000007 // theta AS BIGINT)
+        |      AS n_intersect_est,
+        |    CAST(count(*) * 1000000007 // theta AS BIGINT) AS n_union_est
+        |  FROM u GROUP BY theta),
+        |ca AS (SELECT DISTINCT user_id FROM events
+        |       WHERE event_type = 'click'),
+        |cb AS (SELECT DISTINCT user_id FROM events
+        |       WHERE event_type = 'view'),
+        |ex AS (SELECT
+        |    (SELECT count(*) FROM ca) AS n_a_exact,
+        |    (SELECT count(*) FROM cb) AS n_b_exact,
+        |    (SELECT count(*) FROM ca JOIN cb USING (user_id))
+        |      AS n_intersect_exact,
+        |    (SELECT count(*) FROM (SELECT * FROM ca UNION SELECT * FROM cb))
+        |      AS n_union_exact)
+        |SELECT est.*, ex.* FROM est, ex""".stripMargin,
     "corpus_mix_apply" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
         |           GROUP BY lang),

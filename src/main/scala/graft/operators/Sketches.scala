@@ -335,4 +335,88 @@ object Sketches {
       .select(col("q_pct"), col("exact_v"), col("bin_lo"),
         (col("exact_v") - col("bin_lo")).as("err"))
   }
+
+  // ------------------------------------------------------- KMV / theta
+
+  /** KMV ("k minimum values") / theta sketch build over an int64 key
+    * column — the distinct-count sketch that, unlike HLL, supports SET
+    * OPERATIONS (Beyer et al. 2007; the Apache DataSketches theta
+    * family): the k smallest DISTINCT hash values of a key set both
+    * estimate its cardinality (the k-th minimum sits ≈ k/n of the way
+    * into the hash space) and — because two sides' min-k sets are
+    * comparable below a common threshold — estimate the cardinality of
+    * INTERSECTIONS, which HLL registers structurally cannot (max-merge
+    * gives unions only). Hash: the same 3-round quadratic chain as
+    * [[hllBuild]] (nonlinear mod p = 1e9+7, affine-resistant), so every
+    * value is int64-exact in any engine. Returns ≤ k rows (h),
+    * ascending-unique — a mergeable summary: union two sketches' rows,
+    * re-distinct, re-cut to k.
+    *
+    * Scale: the distinct aggregate combines map-side (shuffle ≤
+    * per-partition distinct hashes) and the k-minimum cut is a bounded
+    * TakeOrdered (k rows per partition cross the final exchange). For
+    * REPEATED sketching of a growing corpus — the monitoring shape this
+    * sketch exists for — pass `prefilter` = the previous epoch's theta:
+    * only hashes below it can enter the new k-set, so ~(1 − k/n) of
+    * rows drop in the scan BEFORE the distinct shuffle and the
+    * aggregate moves O(k) rows per partition at any corpus size. */
+  def kmvBuild(keys: DataFrame, key: String, k: Int,
+               prefilter: Option[Long] = None): DataFrame = {
+    val p = 1000000007L
+    val hashed = keys
+      .withColumn("_x", col(key) % p)
+      .withColumn("_y", (col("_x") * col("_x") + col("_x") * 31L + 7L) % p)
+      .withColumn("_z", (col("_y") * col("_y") + col("_y") * 37L + 11L) % p)
+      .select(((col("_z") * col("_z") + col("_z") * 41L + 13L) % p).as("h"))
+    val pre = prefilter.fold(hashed)(t => hashed.where(col("h") < t))
+    pre.distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Collapse one [[kmvBuild]] k-set to its distinct-count estimate. A
+    * FULL sketch (k values) uses the unbiased KMV estimator
+    * (k−1)·M div θ with θ = the k-th minimum; a sketch with fewer
+    * values kept every distinct hash, so its count IS the cardinality
+    * (hash collisions at these densities are negligible and would only
+    * undercount by the collision count). One row:
+    * (n_vals, theta, est_distinct) — exact integer arithmetic. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_vals"),
+        coalesce(max(col("h")), lit(0L)).as("theta"))
+      .select(col("n_vals"), col("theta"),
+        when(col("n_vals") >= k,
+          expr(s"(${k - 1} * 1000000007L) div theta"))
+          .otherwise(col("n_vals")).as("est_distinct"))
+
+  /** Theta-sketch set operations over two [[kmvBuild]] k-sets:
+    * θ = min of the two sides' thresholds (a side with < k values is
+    * exact — its threshold is the full hash space M), both k-sets are
+    * cut to h < θ, and every retained hash witnesses M/θ keys:
+    * est = cnt · M div θ for each of A, B, A∩B and A∪B. Note the
+    * smaller-θ side's own k-th value is excluded by the strict cut, so
+    * a full sketch's side estimate is exactly the unbiased
+    * (k−1)·M div θ. One row: (theta, n_a_est, n_b_est,
+    * n_intersect_est, n_union_est); all int64-exact (cnt ≤ 2k, so
+    * cnt·M < 2^63 for any practical k). Both inputs are ≤ k rows —
+    * every join below broadcasts. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val M = 1000000007L
+    def thresh(s: DataFrame, as: String) = s.agg(
+      when(count(lit(1)) >= k, max(col("h"))).otherwise(lit(M)).as(as))
+    val theta = thresh(a, "ta").join(thresh(b, "tb"), lit(true))
+      .select(least(col("ta"), col("tb")).as("theta"))
+    a.select(col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(b.select(col("h"), lit(0L).as("ia"), lit(1L).as("ib")))
+      .join(broadcast(theta), lit(true))
+      .where(col("h") < col("theta"))
+      .groupBy(col("h"), col("theta"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .groupBy(col("theta"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"),
+        sum(col("ia") * col("ib")).as("ci"), count(lit(1)).as("cu"))
+      .select(col("theta"),
+        expr(s"ca * ${M}L div theta").as("n_a_est"),
+        expr(s"cb * ${M}L div theta").as("n_b_est"),
+        expr(s"ci * ${M}L div theta").as("n_intersect_est"),
+        expr(s"cu * ${M}L div theta").as("n_union_est"))
+  }
 }

@@ -186,4 +186,59 @@ class SketchesSpec extends AnyFunSuite {
       assert(err >= 0L && err < 10L)
     }
   }
+
+  test("kmv: sub-k sketch is exact; full sketch estimates within tolerance") {
+    val small = (1L to 20L).toDF("k")
+    val (nVals, _, est) = Sketches.kmvEstimate(
+      Sketches.kmvBuild(small, "k", k = 64), k = 64)
+      .as[(Long, Long, Long)].head()
+    assert(nVals === 20L && est === 20L)  // < k distinct → count is exact
+
+    val big = (1L to 10000L).toDF("k")
+    val (nB, _, estB) = Sketches.kmvEstimate(
+      Sketches.kmvBuild(big, "k", k = 64), k = 64)
+      .as[(Long, Long, Long)].head()
+    assert(nB === 64L)
+    // RSE ≈ 1/√(k−2) ≈ 12.7%; 4σ bound keeps the test deterministic-safe
+    assert(math.abs(estB - 10000L) < 5000L, s"est $estB vs 10000")
+  }
+
+  test("kmv set ops: overlap estimated, exact when both sides sub-k") {
+    // sub-k sides: every estimate must be EXACT (theta = full space)
+    val a = (1L to 30L).toDF("k")
+    val b = (21L to 50L).toDF("k")
+    val r = Sketches.kmvSetOps(
+      Sketches.kmvBuild(a, "k", 64), Sketches.kmvBuild(b, "k", 64), 64)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r === ((1000000007L, 30L, 30L, 10L, 50L)))
+
+    // full sketches: planted 50% overlap, 4σ tolerance on each estimate
+    val ba = (1L to 1000L).toDF("k")
+    val bb = (501L to 1500L).toDF("k")
+    val (_, ea, eb, ei, eu) = Sketches.kmvSetOps(
+      Sketches.kmvBuild(ba, "k", 64), Sketches.kmvBuild(bb, "k", 64), 64)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(math.abs(ea - 1000L) < 500L, s"a $ea")
+    assert(math.abs(eb - 1000L) < 500L, s"b $eb")
+    assert(math.abs(eu - 1500L) < 750L, s"union $eu")
+    // intersection keeps at most min(|A'∩B'|) ≤ k witnesses — wider band
+    assert(ei > 0L && math.abs(ei - 500L) < 450L, s"intersect $ei")
+  }
+
+  test("kmv is mergeable and prefilter-stable") {
+    val a = (1L to 400L).toDF("k")
+    val b = (301L to 700L).toDF("k")
+    val whole = Sketches.kmvBuild(a.unionByName(b), "k", 64)
+      .as[Long].collect().toSeq
+    // merge = union rows, re-distinct, re-cut to k
+    val merged = Sketches.kmvBuild(a, "k", 64)
+      .unionByName(Sketches.kmvBuild(b, "k", 64))
+      .distinct().orderBy(col("h")).limit(64).as[Long].collect().toSeq
+    assert(whole === merged)
+    // prefilter at the previous theta reproduces the identical k-set
+    val theta = whole.max
+    val pre = Sketches.kmvBuild(a.unionByName(b), "k", 64,
+      prefilter = Some(theta + 1)).as[Long].collect().toSeq
+    assert(pre === whole)
+  }
 }
