@@ -547,6 +547,18 @@ object QueriesPipeline {
       est.join(broadcast(exact), lit(true))
     }),
 
+    // word2vec-style skip-gram pair counts, window 2, top-100 by
+    // (cnt DESC, center, context) — the co-occurrence matrix cut
+    "skipgram_pairs" -> ((s, dir) =>
+      CorpusTools.skipgramPairs(table(s, dir, "documents"), "text",
+        window = 2, k = 100)),
+
+    // hashing-trick featurization (signed, d = 1024): per-doc sparse
+    // vector folded to exact (nnz, l1, checksum) invariants
+    "hash_features" -> ((s, dir) =>
+      CorpusTools.hashFeatures(table(s, dir, "documents"), "doc_id",
+        "text", d = 1024)),
+
     // KMV/theta sketch set ops: click-users vs view-users sketched
     // independently (k = 64 minima each), then union/intersection
     // cardinalities estimated from the merged k-sets — the audience-
@@ -1566,6 +1578,33 @@ object QueriesPipeline {
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin,
     "sketch_hll" -> hllOracle,
+    "skipgram_pairs" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |p1 AS (SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM w),
+        |p2 AS (SELECT ws, i, unnest([-2, -1, 1, 2]) AS o FROM p1),
+        |pr AS (SELECT ws[i] AS center, ws[i + o] AS context
+        |       FROM p2 WHERE i + o >= 1 AND i + o <= len(ws))
+        |SELECT center, context, count(*) AS cnt
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY cnt DESC, center, context LIMIT 100""".stripMargin,
+    "hash_features" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |t2 AS (SELECT doc_id, word FROM t WHERE word <> ''),
+        |h AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(word, ''),
+        |                           c -> CAST(ascii(c) AS BIGINT))),
+        |          (a, c) -> (a * 31 + c) % 1000000007) AS ph
+        |      FROM t2),
+        |c AS (SELECT doc_id, ph % 1024 AS idx,
+        |        ((ph // 1024) % 2) * 2 - 1 AS sign FROM h),
+        |v AS (SELECT doc_id, idx, sum(sign) AS v FROM c GROUP BY 1, 2),
+        |nz AS (SELECT * FROM v WHERE v <> 0)
+        |SELECT doc_id, count(*) AS nnz,
+        |       CAST(sum(abs(v)) AS BIGINT) AS l1,
+        |       CAST(sum((idx + 1) * v) AS BIGINT) AS checksum
+        |FROM nz GROUP BY doc_id""".stripMargin,
     "sketch_theta" ->
       """WITH a0 AS (SELECT user_id % 1000000007 AS x FROM events
         |            WHERE event_type = 'click'),

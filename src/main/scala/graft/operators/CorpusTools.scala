@@ -809,4 +809,65 @@ object CorpusTools {
         .orderBy(col("cnt").desc, col("word"))).cast("long"))
       .select(col("vocab_id"), col("word"), col("cnt"))
   }
+
+  /** Skip-gram (center, context) pair counts — the word2vec/GloVe
+    * training-pair generator: every ordered pair of words at distance
+    * 1..`window` within a document, counted corpus-wide; top `k` pairs by
+    * (cnt DESC, center, context) — fully deterministic ties.
+    *
+    * Scale: the pair stream is generated INSIDE one array expression per
+    * document (nested transform + flatten — no positional self-join, no
+    * per-token row carrying the whole doc array) and collapses straight
+    * into a count aggregate with map-side combine: the shuffle carries
+    * the co-occurrence MATRIX (sparse vocab², the thing GloVe feeds on),
+    * not the 2w×token-volume pair stream; the cut is a bounded
+    * TakeOrdered. */
+  def skipgramPairs(docs: DataFrame, text: String, window: Int,
+                    k: Int): DataFrame = {
+    val pairs = docs
+      .select(words(col(text)).as("ws"))
+      .select(flatten(transform(sequence(lit(1), size(col("ws"))),
+        i => filter(
+          transform(sequence(lit(-window), lit(window)),
+            o => when(o =!= 0 && i + o >= 1 && i + o <= size(col("ws")),
+              struct(element_at(col("ws"), i).as("center"),
+                element_at(col("ws"), i + o).as("context")))
+              .otherwise(lit(null))),
+          x => x.isNotNull))).as("prs"))
+      .select(explode(col("prs")).as("pr"))
+      .select(col("pr.center").as("center"), col("pr.context").as("context"))
+    val counts = pairs.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("center"), col("context")).limit(k)
+  }
+
+  /** Feature hashing ("the hashing trick") — fixed-dimension sparse
+    * bag-of-words vectorization with no vocabulary pass: index =
+    * polyHash(word) mod d, sign = parity of polyHash(word) div d (the
+    * signed variant that keeps collisions mean-zero, Weinberger et al.
+    * 2009). Emitted compactly per document:
+    * (doc_id, nnz, l1, checksum = Σ (idx+1)·val over nonzero cells) —
+    * all int64-exact; the full sparse vector is the (doc_id, idx, val)
+    * aggregate this folds, exposed the same way a serving path would
+    * explode it.
+    *
+    * Scale: one explode to tokens, one (doc_id, idx) aggregate with
+    * map-side combine (cells per doc ≤ min(d, doc length)), one per-doc
+    * fold — shuffle bounded by nnz, never d·|docs|. No vocabulary
+    * build, no broadcast: the property that makes hashing the ONLY
+    * featurizer that works on an unbounded vocabulary at 100 TB. */
+  def hashFeatures(docs: DataFrame, id: String, text: String,
+                   d: Int): DataFrame =
+    docs
+      .select(col(id).as("doc_id"), explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+      .select(col("doc_id"), polyHash(col("word")).as("ph"))
+      .select(col("doc_id"), (col("ph") % d).as("idx"),
+        (expr(s"(ph div $d) % 2") * 2L - 1L).as("sign"))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("sign")).as("v"))
+      .where(col("v") =!= 0L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"), sum(abs(col("v"))).as("l1"),
+        sum((col("idx") + 1L) * col("v")).as("checksum"))
 }

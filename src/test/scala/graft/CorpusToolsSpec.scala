@@ -434,4 +434,36 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(r == List((1L, "el", 2L), (2L, "he", 2L), (3L, "ll", 2L),
       (4L, "lo", 2L), (5L, "hi", 1L)))
   }
+
+  test("skipgramPairs: exact window pairs, ordered deterministically") {
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val w1 = CorpusTools.skipgramPairs(docs, "text", window = 1, k = 100)
+      .as[(String, String, Long)].collect().toSet
+    // adjacent pairs only, both directions; (a,b) occurs in both docs
+    assert(w1 === Set(("a", "b", 2L), ("b", "a", 2L),
+      ("b", "c", 1L), ("c", "b", 1L)))
+    val w2 = CorpusTools.skipgramPairs(docs, "text", window = 2, k = 100)
+      .as[(String, String, Long)].collect().toSet
+    assert(w2 === w1 ++ Set(("a", "c", 1L), ("c", "a", 1L)))
+    // k cuts on (cnt DESC, center, context): top-2 is the (a,b)/(b,a) tie
+    val top = CorpusTools.skipgramPairs(docs, "text", window = 1, k = 2)
+      .as[(String, String, Long)].collect().toList
+    assert(top === List(("a", "b", 2L), ("b", "a", 2L)))
+  }
+
+  test("hashFeatures: exact signed-hash invariants, cancellations dropped") {
+    def ph(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val d = 1024
+    def idx(s: String) = ph(s) % d
+    def sign(s: String) = (ph(s) / d % 2) * 2 - 1
+    val docs = Seq((1L, "x y x"), (2L, "z")).toDF("doc_id", "text")
+    val out = CorpusTools.hashFeatures(docs, "doc_id", "text", d)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: cell(x) = 2·sign(x), cell(y) = sign(y) (no idx collision)
+    assert(idx("x") !== idx("y"))
+    assert(out(1L) === ((1L, 2L, 3L,
+      (idx("x") + 1) * 2 * sign("x") + (idx("y") + 1) * sign("y"))))
+    assert(out(2L) === ((2L, 1L, 1L, (idx("z") + 1) * sign("z"))))
+  }
 }
