@@ -219,4 +219,35 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoop"),
       s"dup_spans plan grew a pair join:\n${plan.take(4000)}")
   }
+
+  test("skipgram pairs: generator + aggregate, no join and no window") {
+    // pairs must come from the per-doc array expression, never a
+    // positional self-join; the cut is a bounded TakeOrdered
+    val plan = formatted(SparkEntry.queries("skipgram_pairs")(spark, dir))
+    assert(!plan.contains("Join"), s"pair join appeared:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), s"window rank:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k cut is not bounded:\n${plan.take(3000)}")
+  }
+
+  test("hash features: aggregates only — no vocabulary join or broadcast") {
+    // the hashing trick's defining property: zero vocabulary pass
+    val plan = formatted(SparkEntry.queries("hash_features")(spark, dir))
+    assert(!plan.contains("Join"),
+      s"vocabulary join appeared:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"),
+      s"expected hash aggregates:\n${plan.take(3000)}")
+  }
+
+  test("kmv sketch build cuts via bounded TakeOrdered after partial distinct") {
+    val plan = formatted(graft.operators.Sketches.kmvBuild(
+      graft.sources.TpchGraph.table(spark, dir, "events")
+        .select(org.apache.spark.sql.functions.col("user_id")),
+      "user_id", k = 64))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-minimum cut is not bounded:\n${plan.take(3000)}")
+    // the distinct must partially aggregate map-side before its exchange
+    assert(plan.contains("HashAggregate"),
+      s"no partial distinct aggregate:\n${plan.take(3000)}")
+  }
 }
