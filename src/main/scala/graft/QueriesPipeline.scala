@@ -547,6 +547,17 @@ object QueriesPipeline {
       est.join(broadcast(exact), lit(true))
     }),
 
+    // distribution drift across dataset versions (v2 = dataset_diff's
+    // mutation: every 7th doc dropped, every 10th upper-cased): top-50
+    // words by absolute ppm rate change — the TV-distance contributors
+    "vocab_drift" -> ((s, dir) => {
+      val v1 = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 7 =!= 0)
+        .select(when(col("doc_id") % 10 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      CorpusTools.vocabDrift(v1, v2, "text", k = 50)
+    }),
+
     // word2vec-style skip-gram pair counts, window 2, top-100 by
     // (cnt DESC, center, context) — the co-occurrence matrix cut
     "skipgram_pairs" -> ((s, dir) =>
@@ -1578,6 +1589,28 @@ object QueriesPipeline {
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin,
     "sketch_hll" -> hllOracle,
+    "vocab_drift" ->
+      """WITH v1 AS (SELECT text FROM documents),
+        |v2 AS (SELECT CASE WHEN doc_id % 10 = 0 THEN upper(text)
+        |              ELSE text END AS text
+        |       FROM documents WHERE doc_id % 7 <> 0),
+        |wa AS (SELECT unnest(string_split(text, ' ')) AS word FROM v1),
+        |ca AS (SELECT word, count(*) AS c_a FROM wa WHERE word <> ''
+        |       GROUP BY word),
+        |wb AS (SELECT unnest(string_split(text, ' ')) AS word FROM v2),
+        |cb AS (SELECT word, count(*) AS c_b FROM wb WHERE word <> ''
+        |       GROUP BY word),
+        |j AS (SELECT coalesce(ca.word, cb.word) AS word,
+        |        coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.word = cb.word),
+        |t AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM j),
+        |r AS (SELECT word, c_a, c_b,
+        |        CAST(c_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+        |        CAST(c_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm
+        |      FROM j, t)
+        |SELECT word, c_a, c_b, rate_a_ppm, rate_b_ppm,
+        |       abs(rate_a_ppm - rate_b_ppm) AS delta_ppm
+        |FROM r ORDER BY delta_ppm DESC, word LIMIT 50""".stripMargin,
     "skipgram_pairs" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |p1 AS (SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM w),

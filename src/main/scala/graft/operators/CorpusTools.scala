@@ -810,6 +810,44 @@ object CorpusTools {
       .select(col("vocab_id"), col("word"), col("cnt"))
   }
 
+  /** Vocabulary drift between two corpus versions — the distribution-
+    * shift monitor a training pipeline runs when a dataset is refreshed:
+    * per-word occurrence rates (ppm of each side's token volume) joined
+    * across versions, ranked by absolute rate change. The Σ|Δ| over the
+    * whole vocabulary is 2·10⁶ × the total-variation distance between
+    * the two word distributions; this returns the top-`k` contributing
+    * words (delta_ppm DESC, word ASC — deterministic ties):
+    * (word, c_a, c_b, rate_a_ppm, rate_b_ppm, delta_ppm), all exact
+    * integer arithmetic (rates are floor-div ppm).
+    *
+    * Scale: two corpus token aggregates (vocabulary-bounded, map-side
+    * combine), one vocabulary-sized full-outer hash join, two 1-row
+    * totals broadcast, and a bounded TakeOrdered cut — nothing scales
+    * with document count except the initial scans. Token-volume bound:
+    * c·10⁶ stays in int64 up to ~9×10¹² occurrences of one word; past
+    * that, pre-aggregate per shard and drift the shard sums. */
+  def vocabDrift(a: DataFrame, b: DataFrame, text: String,
+                 k: Int): DataFrame = {
+    def counts(d: DataFrame, as: String) =
+      d.select(explode(words(col(text))).as("word"))
+        .where(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as(as))
+    val ca = counts(a, "c_a")
+    val cb = counts(b, "c_b")
+    val joined = ca.join(cb, Seq("word"), "full_outer")
+      .select(col("word"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = joined.agg(sum(col("c_a")).as("n_a"),
+      sum(col("c_b")).as("n_b"))
+    joined.join(broadcast(totals), lit(true))
+      .select(col("word"), col("c_a"), col("c_b"),
+        expr("c_a * 1000000 div n_a").as("rate_a_ppm"),
+        expr("c_b * 1000000 div n_b").as("rate_b_ppm"))
+      .withColumn("delta_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
+      .orderBy(col("delta_ppm").desc, col("word"))
+      .limit(k)
+  }
+
   /** Skip-gram (center, context) pair counts — the word2vec/GloVe
     * training-pair generator: every ordered pair of words at distance
     * 1..`window` within a document, counted corpus-wide; top `k` pairs by

@@ -435,6 +435,18 @@ class CorpusToolsSpec extends AnyFunSuite {
       (4L, "lo", 2L), (5L, "hi", 1L)))
   }
 
+  test("vocabDrift: exact ppm deltas, ranked by contribution") {
+    val a = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val b = Seq((1L, "a b b")).toDF("doc_id", "text")
+    val r = CorpusTools.vocabDrift(a, b, "text", k = 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    // nA=4: a 500000, b 250000, c 250000; nB=3: a 333333, b 666666, c 0
+    assert(r === List(
+      ("b", 1L, 2L, 250000L, 666666L, 416666L),
+      ("c", 1L, 0L, 250000L, 0L, 250000L),
+      ("a", 2L, 1L, 500000L, 333333L, 166667L)))
+  }
+
   test("skipgramPairs: exact window pairs, ordered deterministically") {
     val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
     val w1 = CorpusTools.skipgramPairs(docs, "text", window = 1, k = 100)
