@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{CorpusTools, Dedup, Multimodal, Similarity, Skew}
+import graft.operators.{CorpusTools, Dedup, Multimodal, Quality, Similarity, Skew}
 import graft.sources.TpchGraph.table
 
 /** North-star LLM-training-data pipeline operators over the `documents` /
@@ -546,6 +546,14 @@ object QueriesPipeline {
       val exact = li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
       est.join(broadcast(exact), lit(true))
     }),
+
+    // privacy screen: k-anonymity (k=10) and l-diversity (l=5) over the
+    // (nation, segment) quasi-identifier with acctbal as the sensitive
+    // attribute — equivalence-class audit in two aggregates
+    "anonymity_audit" -> ((s, dir) =>
+      Quality.anonymityAudit(table(s, dir, "customer"),
+        qi = Seq("c_nationkey", "c_mktsegment"), sensitive = "c_acctbal",
+        k = 10L, l = 5L)),
 
     // distribution drift across dataset versions (v2 = dataset_diff's
     // mutation: every 7th doc dropped, every 10th upper-cased): top-50
@@ -1589,6 +1597,20 @@ object QueriesPipeline {
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin,
     "sketch_hll" -> hllOracle,
+    "anonymity_audit" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |             count(DISTINCT c_acctbal) AS ndist
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_below_k,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_k,
+        |  CAST(min(n) AS BIGINT) AS min_group_size,
+        |  CAST(sum(CASE WHEN ndist < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_below_l,
+        |  CAST(min(ndist) AS BIGINT) AS min_l_diversity
+        |FROM g""".stripMargin,
     "vocab_drift" ->
       """WITH v1 AS (SELECT text FROM documents),
         |v2 AS (SELECT CASE WHEN doc_id % 10 = 0 THEN upper(text)

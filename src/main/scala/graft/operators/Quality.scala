@@ -30,4 +30,33 @@ object Quality {
         .select(lit(name).as("relation"), col("n_rows"), col("n_dangling"))
     }.reduce(_ unionByName _)
   }
+
+  /** k-anonymity / l-diversity audit — the privacy screen a pipeline
+    * runs before releasing or training on person-adjacent tables:
+    * group rows by the quasi-identifier columns (the combination an
+    * attacker can look up) and flag equivalence classes smaller than
+    * `k` (re-identifiable) or with fewer than `l` distinct values of
+    * the sensitive column (attribute-disclosing even when k holds —
+    * Machanavajjhala et al. 2007). One summary row:
+    * (n_groups, n_groups_below_k, n_rows_below_k, min_group_size,
+    * n_groups_below_l, min_l_diversity).
+    *
+    * Scale: one hash aggregate to the equivalence-class table (bounded
+    * by distinct QI combinations, with map-side combine; the
+    * countDistinct expands to one Expand×2 two-phase aggregate) and a
+    * 1-row fold over it — nothing scales with row count beyond the
+    * scan. */
+  def anonymityAudit(df: DataFrame, qi: Seq[String], sensitive: String,
+                     k: Long, l: Long): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("ndist"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_groups_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L))
+          .as("n_rows_below_k"),
+        min(col("n")).as("min_group_size"),
+        sum(when(col("ndist") < l, 1L).otherwise(0L))
+          .as("n_groups_below_l"),
+        min(col("ndist")).as("min_l_diversity"))
 }

@@ -20,4 +20,16 @@ class QualitySpec extends AnyFunSuite {
     assert(out("child.fk") === (("child.fk", 5L, 2L)))  // fks 9 and 8 dangle
     assert(out("clean.fk") === (("clean.fk", 1L, 0L)))
   }
+
+  test("anonymityAudit: exact k-anonymity and l-diversity flags") {
+    // QI (city): "a" has 3 rows / 2 distinct salaries; "b" has 1 row / 1
+    val rows = Seq(
+      ("a", 100L), ("a", 100L), ("a", 200L),
+      ("b", 300L)).toDF("city", "salary")
+    val r = Quality.anonymityAudit(rows, Seq("city"), "salary",
+        k = 2L, l = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // 2 groups; "b" below k (1 row); min size 1; "b" below l; min l 1
+    assert(r === ((2L, 1L, 1L, 1L, 1L, 1L)))
+  }
 }
