@@ -35,6 +35,66 @@ object QueriesRelational {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Shared harness for the stream-stream OUTER-join gates: stages the
+    * events as three mtime-ordered source files (real data, then two
+    * far-future SELF-NON-MATCHING sentinel click/purchase pairs under
+    * user −1, 10 days apart) read with maxFilesPerTrigger = 1, so batch
+    * 2 advances both sides' watermarks past every real event's horizon
+    * and batch 3 flushes the remaining outer state — the
+    * watermark-driven null-side emission a single-batch run never
+    * exercises. Runs purchaseAttribution under `joinType` and returns
+    * the joined memory-sink table (sentinels NOT yet filtered — callers
+    * drop user_id < 0). */
+  private def streamJoinStaged(s: SparkSession, dir: String,
+                               joinType: String, tag: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val e = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"))
+    val maxTs = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(
+      e.agg(max(col("ts"))).head().getTimestamp(0).getTime))
+    def sentinels(offsetDays: Int) = {
+      import s.implicits._
+      Seq(
+        (-1L, -1L, "click",
+          new java.sql.Timestamp(maxTs.getTime + offsetDays * 86400000L)),
+        (-2L, -1L, "purchase",
+          new java.sql.Timestamp(maxTs.getTime +
+            (offsetDays + 10) * 86400000L)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+    }
+    val base = s"/tmp/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    Paths.get(src).toFile.listFiles.foreach(_.delete())
+    def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val tmp = s"$base/stage$n"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Paths.get(tmp).toFile.listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dest = Paths.get(src, f"$n%02d.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      // strictly increasing mtimes: FileStreamSource orders by mtime
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * n))
+    }
+    stage(e, 1); stage(sentinels(20), 2); stage(sentinels(40), 3)
+    def stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val joined = graft.streaming.EventStreams.purchaseAttribution(
+      stream.where(col("event_type") === "click"),
+      stream.where(col("event_type") === "purchase"),
+      joinType = joinType)
+    val qname = s"graft_stream_join_${tag}_${System.nanoTime()}"
+    withShufflePartitions(s, 8) {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+  }
+
   /** Watermark delay for the streaming sessionization gates: wider than
     * the whole event-time range, so correctness does NOT depend on the
     * file source packing everything into one microbatch — if the sentinel
@@ -627,60 +687,33 @@ object QueriesRelational {
     // watermark past every real click's horizon, batch 3 flushes the
     // outer state. Sentinels are self-non-matching (10 days apart) and
     // filtered from the result; the oracle is the batch LEFT JOIN.
-    "stream_join_outer" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      import java.nio.file.attribute.FileTime
-      val e = table(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts"))
-      val maxTs = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(
-        e.agg(max(col("ts"))).head().getTimestamp(0).getTime))
-      def sentinels(offsetDays: Int) = {
-        import s.implicits._
-        Seq(
-          (-1L, -1L, "click",
-            new java.sql.Timestamp(maxTs.getTime + offsetDays * 86400000L)),
-          (-2L, -1L, "purchase",
-            new java.sql.Timestamp(maxTs.getTime +
-              (offsetDays + 10) * 86400000L)))
-          .toDF("event_id", "user_id", "event_type", "ts")
-      }
-      val base = s"/tmp/graft_sjo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val src = s"$base/src"
-      Files.createDirectories(Paths.get(src))
-      Paths.get(src).toFile.listFiles.foreach(_.delete())
-      def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
-        val tmp = s"$base/stage$n"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Paths.get(tmp).toFile.listFiles
-          .find(_.getName.endsWith(".parquet")).get.toPath
-        val dest = Paths.get(src, f"$n%02d.parquet")
-        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-        // strictly increasing mtimes: FileStreamSource orders by mtime
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * n))
-      }
-      stage(e, 1); stage(sentinels(20), 2); stage(sentinels(40), 3)
-      def stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-      val joined = graft.streaming.EventStreams.purchaseAttribution(
-        stream.where(col("event_type") === "click"),
-        stream.where(col("event_type") === "purchase"),
-        joinType = "leftOuter")
-      val qname = s"graft_stream_join_outer_${System.nanoTime()}"
-      withShufflePartitions(s, 8) {
-        val q = joined.writeStream.format("memory").queryName(qname)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(qname).where(col("user_id") >= 0L)
+    // STREAM-STREAM FULL OUTER join — the join matrix's last cell
+    // (inner + leftOuter above): unmatched CLICKS and unmatched
+    // PURCHASES both emit null-other-side rows once the watermark
+    // passes their horizon; same three-staged-micro-batch harness as
+    // stream_join_outer, same batch FULL JOIN oracle
+    "stream_join_full" -> ((s, dir) =>
+      streamJoinStaged(s, dir, "fullOuter", "sjf")
+        .where(col("user_id") >= 0L)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("click_id").isNotNull &&
+            col("purchase_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+          sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+            .as("n_unmatched_clicks"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L))
+            .as("n_unmatched_purchases"),
+          sum(coalesce(col("click_id"), lit(0L)) * 100003L +
+            coalesce(col("purchase_id"), lit(0L))).as("checksum"))),
+
+    "stream_join_outer" -> ((s, dir) =>
+      streamJoinStaged(s, dir, "leftOuter", "sjo")
+        .where(col("user_id") >= 0L)
         .groupBy(col("user_id"))
         .agg(count(col("purchase_id")).as("n_matched"),
           sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
             .as("n_unmatched"),
           sum(col("click_id") * 100003L +
-            coalesce(col("purchase_id"), lit(0L))).as("checksum"))
-    }),
+            coalesce(col("purchase_id"), lit(0L))).as("checksum"))),
     // same contract through Spark 4's transformWithState (typed named
     // state + event-time timers on RocksDB column families) — the
     // successor API to flatMapGroupsWithState, under the same oracle
@@ -1208,6 +1241,28 @@ object QueriesRelational {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
     "sessionize_stream" -> SessionStreamOracle,
+    "stream_join_full" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |             epoch_us(ts) AS ctus
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+        |        epoch_us(ts) AS ptus
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.click_id,
+        |        coalesce(c.user_id, p.p_user) AS user_id, p.purchase_id
+        |      FROM c FULL JOIN p ON c.user_id = p.p_user
+        |        AND p.ptus >= c.ctus AND p.ptus <= c.ctus + 3600000000)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN click_id IS NOT NULL
+        |                      AND purchase_id IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_unmatched_clicks,
+        |       CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_unmatched_purchases,
+        |       CAST(sum(COALESCE(click_id, 0) * 100003
+        |         + COALESCE(purchase_id, 0)) AS BIGINT) AS checksum
+        |FROM j GROUP BY user_id""".stripMargin,
     "stream_join_outer" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
         |             epoch_us(ts) AS ctus

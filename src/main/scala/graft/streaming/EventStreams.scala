@@ -56,8 +56,12 @@ object EventStreams {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
       joinType)
-      .select(col("click_id"), col("user_id"), col("click_ts"),
-        col("purchase_id"), col("purchase_ts"))
+      // coalesce is a no-op for inner/leftOuter (the click side is always
+      // present); under fullOuter it carries the user for purchase-only
+      // rows, which have no click columns
+      .select(col("click_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_ts"), col("purchase_id"), col("purchase_ts"))
   }
 
   /** Stream-static enrichment: every streaming event joined to a static
