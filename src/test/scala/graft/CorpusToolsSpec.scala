@@ -463,6 +463,53 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(top === List(("a", "b", 2L), ("b", "a", 2L)))
   }
 
+  test("skipgramPairs matches a driver-side brute force on random docs") {
+    val rnd = new scala.util.Random(73)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val texts = (1L to 40L).map { i =>
+      i -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val w = 3
+    val brute = texts.flatMap { case (_, ws) =>
+      for {
+        i <- ws.indices; o <- -w to w
+        j = i + o
+        if o != 0 && j >= 0 && j < ws.size
+      } yield (ws(i), ws(j))
+    }.groupBy(identity).map { case (p, v) => (p._1, p._2, v.size.toLong) }
+      .toSet
+    val got = CorpusTools.skipgramPairs(
+        texts.map { case (i, ws) => (i, ws.mkString(" ")) }
+          .toDF("doc_id", "text"), "text", window = w, k = 10000)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === brute)
+  }
+
+  test("hashFeatures matches a driver-side brute force on random docs") {
+    def ph(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val d = 64  // small grid → real collisions and cancellations
+    val rnd = new scala.util.Random(91)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val texts = (1L to 30L).map { i =>
+      i -> Seq.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val brute = texts.flatMap { case (i, ws) =>
+      val cells = ws.groupBy(w => ph(w) % d).map { case (idx, g) =>
+        idx -> g.map(w => (ph(w) / d % 2) * 2 - 1).sum
+      }.filter(_._2 != 0L)
+      if (cells.isEmpty) None
+      else Some((i, cells.size.toLong, cells.values.map(math.abs).sum,
+        cells.map { case (idx, v) => (idx + 1) * v }.sum))
+    }.toSet
+    val got = CorpusTools.hashFeatures(
+        texts.map { case (i, ws) => (i, ws.mkString(" ")) }
+          .toDF("doc_id", "text"), "doc_id", "text", d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === brute)
+  }
+
   test("hashFeatures: exact signed-hash invariants, cancellations dropped") {
     def ph(s: String): Long =
       s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)

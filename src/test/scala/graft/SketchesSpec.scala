@@ -225,6 +225,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(ei > 0L && math.abs(ei - 500L) < 450L, s"intersect $ei")
   }
 
+  test("kmv k-set matches the driver-side hash chain on random keys") {
+    val p = 1000000007L
+    def chain(key: Long): Long = {
+      val x = key % p
+      val y = (x * x + x * 31 + 7) % p
+      val z = (y * y + y * 37 + 11) % p
+      (z * z + z * 41 + 13) % p
+    }
+    val rnd = new scala.util.Random(57)
+    val keys = Seq.fill(5000)(rnd.nextLong(1000000L))
+    val expected = keys.map(chain).distinct.sorted.take(64)
+    val got = Sketches.kmvBuild(keys.toDF("k"), "k", k = 64)
+      .as[Long].collect().toSeq
+    assert(got === expected)
+  }
+
   test("kmv is mergeable and prefilter-stable") {
     val a = (1L to 400L).toDF("k")
     val b = (301L to 700L).toDF("k")
