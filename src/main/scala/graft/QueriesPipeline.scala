@@ -820,6 +820,19 @@ object QueriesPipeline {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"))),
+    // REAL compressed-image decode: byte-valid PNGs (zlib IDAT, every
+    // row a different filter type, RGB and RGBA alternating by doc_id
+    // parity) inflated + unfiltered by the JDK-only decoder; the oracle
+    // replays the formula pixel sums over the channel raster
+    "multimodal_png_pixels" -> ((s, dir) =>
+      Multimodal.decodePixels(
+        Multimodal.asSyntheticPngs(table(s, dir, "documents"),
+          "doc_id", "text").toDF())
+        .toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"))),
     // REAL audio decode: byte-valid PCM WAV containers (RIFF chunk walk,
     // int16 LE samples) — the audio twin of multimodal_bmp, sample sums
     // replayed exactly by the oracle
@@ -1661,14 +1674,16 @@ object QueriesPipeline {
         |       CAST(sum((idx + 1) * v) AS BIGINT) AS checksum
         |FROM nz GROUP BY doc_id""".stripMargin,
     "sketch_theta" ->
-      """WITH a0 AS (SELECT user_id % 1000000007 AS x FROM events
+      """WITH a0 AS (SELECT (user_id % 1000000007 + 1000000007)
+        |              % 1000000007 AS x FROM events
         |            WHERE event_type = 'click'),
         |a1 AS (SELECT (x * x + x * 31 + 7) % 1000000007 AS y FROM a0),
         |a2 AS (SELECT (y * y + y * 37 + 11) % 1000000007 AS z FROM a1),
         |a3 AS (SELECT DISTINCT (z * z + z * 41 + 13) % 1000000007 AS h
         |       FROM a2),
         |sa AS (SELECT h FROM a3 ORDER BY h LIMIT 64),
-        |b0 AS (SELECT user_id % 1000000007 AS x FROM events
+        |b0 AS (SELECT (user_id % 1000000007 + 1000000007)
+        |         % 1000000007 AS x FROM events
         |       WHERE event_type = 'view'),
         |b1 AS (SELECT (x * x + x * 31 + 7) % 1000000007 AS y FROM b0),
         |b2 AS (SELECT (y * y + y * 37 + 11) % 1000000007 AS z FROM b1),
@@ -2756,6 +2771,28 @@ object QueriesPipeline {
         |  CAST(sum(CASE WHEN j % 3 = 1 THEN (doc_id*31 + j) % 256
         |           ELSE 0 END) AS BIGINT) AS sum_g,
         |  CAST(sum(CASE WHEN j % 3 = 2 THEN (doc_id*31 + j) % 256
+        |           ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // PNG raster is RGB(A) order — channel j % ch: 0=R, 1=G, 2=B (3=A,
+    // decoded but unsummed); odd doc_ids are RGBA (ch=4), even RGB (ch=3)
+    "multimodal_png_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 16 + 1 AS w,
+        |         octet_length(encode(text)) % 8 + 1 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, ch,
+        |         unnest(generate_series(0, ch*w*h - 1)) AS j
+        |       FROM m)
+        |SELECT doc_id, 'png' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w*h AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN j % ch = 2 THEN (doc_id*31 + j) % 256
+        |           ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN j % ch = 1 THEN (doc_id*31 + j) % 256
+        |           ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN j % ch = 0 THEN (doc_id*31 + j) % 256
         |           ELSE 0 END) AS BIGINT) AS sum_r
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "multimodal_wav" ->

@@ -65,7 +65,11 @@ object QueriesRelational {
             (offsetDays + 10) * 86400000L)))
         .toDF("event_id", "user_id", "event_type", "ts")
     }
-    val base = s"/tmp/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // per-run unique staging base: two concurrent runs of the same gate
+    // on the same sfDir (e.g. parallel Verify invocations) must not
+    // interleave each other's staged files
+    val base = s"/tmp/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_${System.nanoTime()}"
     val src = s"$base/src"
     Files.createDirectories(Paths.get(src))
     Paths.get(src).toFile.listFiles.foreach(_.delete())
@@ -92,6 +96,12 @@ object QueriesRelational {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    // staged files are consumed; drop the per-run dir so unique-suffixed
+    // runs don't accumulate in /tmp
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete()
+    }
+    rm(new java.io.File(base))
     s.table(qname)
   }
 

@@ -125,50 +125,62 @@ object SparkEntry {
     // per-hub output rows dedup locally, no global distinct. Checksum uses
     // mod-100003 terms so per-origin sums of ~40k hub edges stay well
     // inside int64 in both engines.
-    "khop_dense" -> ((s, dir) => graft.operators.KHop.twoHopEdgesSkew(
+    // The gate runs through the withTwoHopEdgesSkew BRACKET (r5 verdict
+    // #5): the ≤|suppliers|-row aggregate is materialized eagerly inside
+    // (localCheckpoint) so the build caches accelerate the whole job and
+    // are released before the gate returns — the reference harness itself
+    // demonstrates leak-free usage (KHopSpec asserts no surviving cache).
+    "khop_dense" -> ((s, dir) => graft.operators.KHop.withTwoHopEdgesSkew(
         graph(s, dir).rels
           .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
         hotThreshold = 256,
-        originPred = Some(col("origin").between(2000000000L, 2999999999L)))
-      .groupBy(col("origin"))
-      .agg(count(lit(1)).as("n_edges"),
-        sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
-          .as("checksum"))),
+        originPred = Some(col("origin").between(2000000000L, 2999999999L))) {
+      _.groupBy(col("origin"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
+            .as("checksum"))
+        .localCheckpoint(true)
+    }),
     // same dense subgraph with hotThreshold=0: every node with a
     // qualifying origin classifies hot, so the whole query runs the flat
     // supernode fallback (broadcast hot set → two equi-joins → distinct)
     // end-to-end against the same oracle semantics. Origin set thinned to
     // 1/20 of the suppliers to keep the flat path's global distinct
     // proportionate in the bench.
-    "khop_dense_hot" -> ((s, dir) => graft.operators.KHop.twoHopEdgesSkew(
+    "khop_dense_hot" -> ((s, dir) => graft.operators.KHop.withTwoHopEdgesSkew(
         graph(s, dir).rels
           .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
         hotThreshold = 0,
         originPred = Some(col("origin").between(2000000000L, 2999999999L) &&
-          col("origin") % 20 === 0))
-      .groupBy(col("origin"))
-      .agg(count(lit(1)).as("n_edges"),
-        sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
-          .as("checksum"))),
+          col("origin") % 20 === 0)) {
+      _.groupBy(col("origin"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
+            .as("checksum"))
+        .localCheckpoint(true)
+    }),
     // §2.3 generalized k ON the dense subgraph — k=3 over the
     // part/supplier hubs, through the skew-split frontier build
     // (kHopEdgesSkew): suppliers (~600-part fan-out) classify hot at
     // threshold 256, so their adjacency streams against the broadcast hot
     // reach rows in every frontier/incidence join instead of shuffling to
-    // one reducer. Origins thinned to 1/50 of the suppliers: k=3 reach
-    // saturates most orders, so output ≈ origins × |E| is the operator's
-    // INHERENT complexity — the thinning keeps the bench proportionate
-    // (at 1/20 this one gate was 46 s, 20% of the whole suite).
-    "khop_3_dense" -> ((s, dir) => graft.operators.KHop.kHopEdgesSkew(
+    // one reducer. Origins thinned via % 500 < 20: 20 qualifying suppliers
+    // at the sf0.01 verify gate (r5 verdict #3: the old % 50 = 0 left only
+    // 2 there) and 40 at the sf0.1 bench — k=3 reach saturates most
+    // orders, so output ≈ origins × |E| is the operator's INHERENT
+    // complexity and the thinning keeps the bench proportionate.
+    "khop_3_dense" -> ((s, dir) => graft.operators.KHop.withKHopEdgesSkew(
         graph(s, dir).rels
           .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
         k = 3, hotThreshold = 256,
         originPred = Some(col("origin").between(2000000000L, 2999999999L) &&
-          col("origin") % 50 === 0))
-      .groupBy(col("origin"))
-      .agg(count(lit(1)).as("n_edges"),
-        sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
-          .as("checksum"))),
+          col("origin") % 500 < 20)) {
+      _.groupBy(col("origin"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
+            .as("checksum"))
+        .localCheckpoint(true)
+    }),
     // P6: write-path null/NaN property skip (NodeInputIterator.java:97,
     // 135-142 skips null cells and non-finite floats). NaN/null injected
     // deterministically, filtered, aggregated to prove the skip.
@@ -628,10 +640,10 @@ object SparkEntry {
          |u AS (SELECT src AS a, dst AS b FROM e
          |      UNION SELECT dst, src FROM e),
          |r1 AS (SELECT a AS origin, b AS node FROM u
-         |       WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 50 = 0),
+         |       WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 500 < 20),
          |reach AS (
          |  SELECT DISTINCT a AS origin, a AS node FROM u
-         |  WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 50 = 0
+         |  WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 500 < 20
          |  UNION SELECT origin, node FROM r1
          |  UNION SELECT DISTINCT r1.origin, u.b
          |        FROM r1 JOIN u ON u.a = r1.node),

@@ -25,6 +25,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(deleteRecursively))
+      p.delete()
+    }
+    // SWEEP HYGIENE (the one red row in round 5 was a stale cross-SF
+    // artifact, not a code bug — two sweeps at different SFs shared one
+    // outdir and one query's result dir survived from the wrong SF):
+    // 1. an exclusive file lock serializes concurrent sweeps on the same
+    //    outdir (auto-released on JVM exit, so a crashed run never wedges);
+    // 2. an _SFDIR marker records which sfDir the artifacts came from, and
+    //    a mismatch wipes every stale result dir before this run writes;
+    // 3. each query writes to a hidden tmp dir, then renames into place —
+    //    a reader never sees a half-written result.
+    val lockCh = java.nio.channels.FileChannel.open(
+      Paths.get(s"$outDir/_LOCK"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    val sfMarker = Paths.get(s"$outDir/_SFDIR.txt")
+    val prevSf =
+      if (Files.exists(sfMarker)) Files.readString(sfMarker).trim else sfDir
+    if (prevSf != sfDir)
+      Option(new java.io.File(outDir).listFiles).foreach(_.foreach { f =>
+        if (f.isDirectory) deleteRecursively(f)
+      })
+    Files.writeString(sfMarker, sfDir + "\n")
     // a failed query must be LOUD: delete its (possibly stale) result dir
     // so the gate reports it MISSING → FAIL, and record it in a marker
     // file. Without the delete, a previous run's matching parquet would
@@ -32,17 +58,21 @@ object Verify {
     // would still read as failed.
     Files.deleteIfExists(Paths.get(s"$outDir/_FAILED.txt"))
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    def deleteRecursively(p: java.io.File): Unit = {
-      Option(p.listFiles).foreach(_.foreach(deleteRecursively))
-      p.delete()
-    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val tmp = s"$outDir/.tmp_$name"
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
+        try Files.move(Paths.get(tmp), Paths.get(s"$outDir/$name"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(Paths.get(tmp), Paths.get(s"$outDir/$name"))
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        deleteRecursively(new java.io.File(tmp))
         deleteRecursively(new java.io.File(s"$outDir/$name"))
         failures += name
       }
@@ -65,6 +95,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    lock.release(); lockCh.close()
     spark.stop()
   }
 }

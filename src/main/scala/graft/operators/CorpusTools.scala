@@ -105,18 +105,37 @@ object CorpusTools {
     * no range-predicate join ever touches the full item table. Returns
     * (j, r, tid).
     *
-    * Scale: the cumulative line is a window over the ITEM VOCABULARY
-    * (not the corpus); samples and the 1-row total broadcast. */
+    * Scale: the cumulative line is built by the same DISTRIBUTED prefix
+    * sum as [[GraphRef.csrOffsets]] — range-partition by tid, a
+    * per-partition running sum, then per-partition bases from a window
+    * over the (≤ #partitions)-row partition totals. No single task ever
+    * holds the whole vocabulary; samples and the 1-row total broadcast. */
   def weightedNegSample(items: DataFrame, id: String, cnt: String,
                         nSamples: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val w = floor(sqrt(sqrt(
         (col(cnt) * col(cnt) * col(cnt)).cast("double")))).cast("long")
+    // localCheckpoint pins the sampled range boundaries: the local-cumsum
+    // and bases branches below must see the SAME pid assignment (two
+    // independent evaluations could re-sample different boundaries and
+    // mis-base the offsets)
     val base = items.select(col(id).as("tid"), w.as("w"))
       .where(col("w") > 0)
-    val win = org.apache.spark.sql.expressions.Window.orderBy(col("tid"))
-    val ranged = base.withColumn("hi", sum(col("w")).over(win))
+      .repartitionByRange(col("tid"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val withLocal = base.withColumn("local_cum",
+      sum(col("w")).over(Window.partitionBy(col("pid")).orderBy(col("tid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bases = base.groupBy(col("pid")).agg(sum(col("w")).as("ptotal"))
+      .withColumn("pbase",
+        coalesce(sum(col("ptotal")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("pbase"))
+    val ranged = withLocal.join(broadcast(bases), "pid")
+      .withColumn("hi", col("pbase") + col("local_cum"))
       .withColumn("lo", col("hi") - col("w"))
     val tot = ranged.agg(max(col("hi")).as("t"))
     val ranges = ranged.join(broadcast(tot), lit(true))
@@ -837,8 +856,11 @@ object CorpusTools {
     val joined = ca.join(cb, Seq("word"), "full_outer")
       .select(col("word"), coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    val totals = joined.agg(sum(col("c_a")).as("n_a"),
-      sum(col("c_b")).as("n_b"))
+    // guard the totals: a zero-token side (empty corpus → NULL/0 sum)
+    // must yield 0-ppm rates, not NULL rates with undefined ordering
+    val totals = joined.agg(
+      greatest(coalesce(sum(col("c_a")), lit(0L)), lit(1L)).as("n_a"),
+      greatest(coalesce(sum(col("c_b")), lit(0L)), lit(1L)).as("n_b"))
     joined.join(broadcast(totals), lit(true))
       .select(col("word"), col("c_a"), col("c_b"),
         expr("c_a * 1000000 div n_a").as("rate_a_ppm"),

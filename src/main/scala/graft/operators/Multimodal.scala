@@ -4,13 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` columns with typed
-  * metadata, processed by per-partition batch kernels. The container
-  * HEADER parsing is real — [[MediaKernels.decode]] reads PNG IHDR and
-  * JPEG SOF dimensions from the raw bytes with no external library —
-  * while full pixel decoding (which would need an image codec that does
-  * not ship in this environment) falls back to a clearly-marked
-  * deterministic pseudo-decode for non-image payloads; swap the fallback
-  * for a real codec (e.g. TwelveMonkeys/JavaCV) without touching the plan
+  * metadata, processed by per-partition batch kernels. Container HEADER
+  * parsing is real ([[MediaKernels.decode]] reads PNG IHDR and JPEG SOF
+  * dimensions from the raw bytes), and full PIXEL decode is real for
+  * uncompressed BMP ([[MediaKernels.decodeBmpPixels]]) and for compressed
+  * PNG ([[MediaKernels.decodePngPixels]] — IDAT is zlib, so the JDK's
+  * `Inflater` plus the five-filter unfilter pass needs no external
+  * library). Only JPEG pixel decode (entropy coding) still falls back to
+  * the clearly-marked deterministic pseudo-decode; swap that branch for a
+  * real codec (e.g. TwelveMonkeys/JavaCV) without touching the plan
   * shape.
   *
   * Scale design: decode/feature kernels run via `mapPartitions` so a real
@@ -93,6 +95,31 @@ object Multimodal {
         val n = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
         MediaRow(docId,
           MediaKernels.encodeBmp(docId, n % 16 + 1, n % 8 + 1), "bmp")
+      })
+  }
+
+  /** Encode each document as a REAL compressed PNG — signature, IHDR,
+    * zlib-deflated filtered scanlines in (possibly multiple) IDAT chunks
+    * with correct CRC32s, IEND; any image viewer opens the bytes. Row y
+    * uses filter type y mod 5, so one image exercises every PNG filter
+    * (None/Sub/Up/Average/Paeth). Dimensions derive from the text's byte
+    * length (w = n%16+1, h = n%8+1); odd doc_ids encode RGBA (color type
+    * 6), even RGB (color type 2). Pixel byte j of the channel raster is
+    * (doc_id·31 + j) mod 256 — the same formula contract as
+    * [[asSyntheticBitmaps]], replayed exactly by the gate oracle, so
+    * [[decodePixels]]' inflate + unfilter path is verified
+    * byte-for-byte. */
+  def asSyntheticPngs(docs: DataFrame, id: String,
+                      text: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, t) =>
+        val n = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        MediaRow(docId,
+          MediaKernels.encodePng(docId, n % 16 + 1, n % 8 + 1,
+            alpha = docId % 2 != 0), "png")
       })
   }
 
@@ -221,14 +248,21 @@ object Multimodal {
   }
 
   /** Full pixel decode (true pixel-level features, no codec library
-    * needed for uncompressed BMP): per-channel byte sums + pixel count.
-    * Non-BMP payloads report format "unknown" with zeroed features — the
-    * swap point for a real codec, same as [[decodeFeatures]]. */
+    * needed for uncompressed BMP; for PNG: JDK `Inflater` zlib decode +
+    * per-row unfilter — see [[MediaKernels.decodePngPixels]]): per-channel
+    * byte sums + pixel count. Payloads that are neither report format
+    * "unknown" with zeroed features — the swap point for a real codec
+    * (JPEG entropy decode), same as [[decodeFeatures]]. */
   def decodePixels(media: DataFrame): Dataset[PixelFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { batch =>
-      batch.map(r => MediaKernels.decodeBmpPixels(r.doc_id, r.content))
+      batch.map { r =>
+        val b = r.content
+        if (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P')
+          MediaKernels.decodePngPixels(r.doc_id, b)
+        else MediaKernels.decodeBmpPixels(r.doc_id, b)
+      }
     }
   }
 
@@ -423,6 +457,205 @@ object Multimodal {
       }
       WavFeatures(docId, "wav", rate, channels, bits, n.toLong, sumAbs,
         sumVal)
+    }
+
+    /** PNG Paeth predictor (the spec's exact tie-break order: left,
+      * above, upper-left). */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a)
+      val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Byte-valid compressed PNG with formula pixels: channel-raster byte
+      * j = (seed·31 + j) mod 256 (RGB when !alpha, RGBA otherwise), row y
+      * filtered with type y mod 5 — one image exercises all five PNG
+      * filters — then zlib-deflated and split into ≤256-byte IDAT chunks
+      * (so the decoder's multi-IDAT concatenation is exercised too). All
+      * chunk CRC32s are correct. */
+    def encodePng(seed: Long, w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+      val bpp = if (alpha) 4 else 3
+      val stride = w * bpp
+      val raw = new Array[Byte](stride * h)
+      var j = 0
+      while (j < raw.length) {
+        raw(j) = ((seed * 31 + j) % 256).toByte
+        j += 1
+      }
+      val filtered = new Array[Byte](h * (1 + stride))
+      var y = 0
+      while (y < h) {
+        val ft = y % 5
+        val o = y * (1 + stride)
+        filtered(o) = ft.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = raw(y * stride + x) & 0xff
+          val left = if (x >= bpp) raw(y * stride + x - bpp) & 0xff else 0
+          val up = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
+          val ul =
+            if (y > 0 && x >= bpp) raw((y - 1) * stride + x - bpp) & 0xff
+            else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case _ => paeth(left, up, ul)
+          }
+          filtered(o + 1 + x) = ((cur - pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      val zOut = new java.io.ByteArrayOutputStream()
+      defl.setInput(filtered)
+      defl.finish()
+      val zBuf = new Array[Byte](512)
+      while (!defl.finished()) {
+        val k = defl.deflate(zBuf)
+        zOut.write(zBuf, 0, k)
+      }
+      defl.end()
+      val z = zOut.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(PngSig, 0, PngSig.length)
+      def writeChunk(typ: String, data: Array[Byte], from: Int,
+                     len: Int): Unit = {
+        def be32(v: Int): Array[Byte] = Array((v >> 24).toByte,
+          (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+        val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32()
+        crc.update(t)
+        crc.update(data, from, len)
+        out.write(be32(len), 0, 4)
+        out.write(t, 0, 4)
+        out.write(data, from, len)
+        out.write(be32(crc.getValue.toInt), 0, 4)
+      }
+      val ihdr = new Array[Byte](13)
+      def be32At(a: Array[Byte], i: Int, v: Int): Unit = {
+        a(i) = (v >> 24).toByte; a(i + 1) = (v >> 16).toByte
+        a(i + 2) = (v >> 8).toByte; a(i + 3) = v.toByte
+      }
+      be32At(ihdr, 0, w); be32At(ihdr, 4, h)
+      ihdr(8) = 8                              // bit depth
+      ihdr(9) = if (alpha) 6 else 2            // color type RGBA / RGB
+      // compression 0, filter 0, interlace 0 already zeroed
+      writeChunk("IHDR", ihdr, 0, 13)
+      var off = 0
+      while (off < z.length) {
+        val len = math.min(256, z.length - off)
+        writeChunk("IDAT", z, off, len)
+        off += len
+      }
+      writeChunk("IEND", Array.emptyByteArray, 0, 0)
+      out.toByteArray
+    }
+
+    /** REAL PNG pixel decode with zero external dependencies: chunk walk
+      * (multi-IDAT concatenation), zlib inflate via the JDK's
+      * `java.util.zip.Inflater` (PNG IDAT is zlib — no codec library
+      * needed), then per-row unfiltering of all five filter types
+      * (None/Sub/Up/Average/Paeth) for 8-bit RGB (color type 2) and RGBA
+      * (color type 6). Per-channel sums cover R/G/B; alpha is decoded but
+      * not summed, matching [[PixelFeatures]]' BMP contract. Truncated,
+      * corrupt, interlaced, paletted, or sub-8-bit payloads report
+      * "unknown" rather than throwing — a poisoned row must not kill the
+      * partition at 100 TB. */
+    def decodePngPixels(docId: Long, b: Array[Byte]): PixelFeatures = {
+      val bad = PixelFeatures(docId, "unknown", 0, 0, 0L, 0L, 0L, 0L)
+      def u8(i: Int): Int = b(i) & 0xff
+      def u32(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if (b.length < 45 ||
+        !java.util.Arrays.equals(b, 0, 8, PngSig, 0, 8)) return bad
+      var i = 8
+      var w = 0; var h = 0
+      var bitDepth = -1; var colorType = -1; var interlace = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var ok = true; var ended = false
+      while (ok && !ended && i + 8 <= b.length) {
+        val len = u32(i)
+        if (len < 0 || i + 12 + len.toLong > b.length) ok = false
+        else {
+          val typ = new String(b, i + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          typ match {
+            case "IHDR" if len >= 13 =>
+              w = u32(i + 8); h = u32(i + 12)
+              bitDepth = u8(i + 16); colorType = u8(i + 17)
+              interlace = u8(i + 20)
+            case "IHDR" => ok = false
+            case "IDAT" => idat.write(b, i + 8, len)
+            case "IEND" => ended = true
+            case _ => ()
+          }
+          i += 12 + len
+        }
+      }
+      if (!ok || w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 ||
+        (colorType != 2 && colorType != 6)) return bad
+      val bpp = if (colorType == 6) 4 else 3
+      val stride = w * bpp
+      // declared dims bound the inflate target exactly — a mismatched
+      // or bomb payload fails the size check instead of allocating more
+      if (stride.toLong * h + h > Int.MaxValue - 8) return bad
+      val expect = h * (1 + stride)
+      val data = new Array[Byte](expect)
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        var stalled = false
+        while (got < expect && !infl.finished() && !stalled) {
+          val k = infl.inflate(data, got, expect - got)
+          if (k == 0 && (infl.needsInput() || infl.needsDictionary()))
+            stalled = true
+          got += k
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException => return bad
+      } finally infl.end()
+      if (got != expect) return bad
+      // unfilter in place: each row's recon bytes overwrite its filtered
+      // bytes (offset o+1..o+stride); `up` reads the PREVIOUS row's recon
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        val o = y * (1 + stride)
+        val ft = data(o) & 0xff
+        if (ft > 4) return bad
+        var x = 0
+        while (x < stride) {
+          val cur = data(o + 1 + x) & 0xff
+          val left = if (x >= bpp) data(o + 1 + x - bpp) & 0xff else 0
+          val up = if (y > 0) data(o - stride + x) & 0xff else 0
+          val ul =
+            if (y > 0 && x >= bpp) data(o - stride + x - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case _ => paeth(left, up, ul)
+          }
+          val recon = (cur + pred) & 0xff
+          data(o + 1 + x) = recon.toByte
+          (x % bpp: @annotation.switch) match {
+            case 0 => sr += recon
+            case 1 => sg += recon
+            case 2 => sb += recon
+            case _ => ()                     // alpha: decoded, not summed
+          }
+          x += 1
+        }
+        y += 1
+      }
+      PixelFeatures(docId, "png", w, h, w.toLong * h, sb, sg, sr)
     }
 
     /** Full uncompressed-BMP pixel decode: walks the bottom-up padded rows

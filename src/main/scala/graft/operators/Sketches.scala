@@ -363,8 +363,10 @@ object Sketches {
   def kmvBuild(keys: DataFrame, key: String, k: Int,
                prefilter: Option[Long] = None): DataFrame = {
     val p = 1000000007L
+    // pmod, not %: a negative int64 key would otherwise hash negative,
+    // breaking the k-minimum ordering and theta semantics
     val hashed = keys
-      .withColumn("_x", col(key) % p)
+      .withColumn("_x", pmod(col(key), lit(p)))
       .withColumn("_y", (col("_x") * col("_x") + col("_x") * 31L + 7L) % p)
       .withColumn("_z", (col("_y") * col("_y") + col("_y") * 37L + 11L) % p)
       .select(((col("_z") * col("_z") + col("_z") * 41L + 13L) % p).as("h"))
@@ -379,13 +381,16 @@ object Sketches {
     * (hash collisions at these densities are negligible and would only
     * undercount by the collision count). One row:
     * (n_vals, theta, est_distinct) — exact integer arithmetic. */
-  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    // k = 1 degenerates the (k−1)·M estimator to 0; k ≤ 0 is meaningless
+    require(k >= 2, s"kmvEstimate needs k >= 2, got $k")
     sketch.agg(count(lit(1)).as("n_vals"),
         coalesce(max(col("h")), lit(0L)).as("theta"))
       .select(col("n_vals"), col("theta"),
         when(col("n_vals") >= k,
           expr(s"(${k - 1} * 1000000007L) div theta"))
           .otherwise(col("n_vals")).as("est_distinct"))
+  }
 
   /** Theta-sketch set operations over two [[kmvBuild]] k-sets:
     * θ = min of the two sides' thresholds (a side with < k values is

