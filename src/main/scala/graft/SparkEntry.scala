@@ -106,6 +106,34 @@ object SparkEntry {
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
+    // §2.7 streaming × §2.3: CONTINUOUS 2-hop maintenance over a rel
+    // changelog — the streaming analog of the reference's long-running
+    // ticketed k-hop export (its one surface with no streaming twin until
+    // now). The supplier FROM_NATION + IN_REGION subgraph replays as a
+    // 3-batch staged changelog through a stream-stream self-join whose
+    // state IS the adjacency store (GraphStreams.twoHopEdgesPlan); the
+    // oracle replays the BATCH 2-hop semantics, so the gate proves
+    // incremental-stream ≡ batch-recompute.
+    "stream_khop_2" -> ((s, dir) => {
+      val edges = graph(s, dir).rels
+        .where(col("TYPE") === "IN_REGION" ||
+          (col("TYPE") === "FROM_NATION" &&
+            col("START_ID").between(2000000000L, 2999999999L)))
+        .select(col("START_ID").as("src"), col("END_ID").as("dst"))
+      val base = s"/tmp/graft_stream_khop_" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
+      val src = graft.streaming.GraphStreams
+        .stageEdgeChangelog(edges, base, nSlices = 3)
+      val pairs = graft.streaming.GraphStreams
+        .twoHopOverChangelog(s, src, "gate")
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(new java.io.File(base))
+      pairs.groupBy(col("origin"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("src") * lit(100003L) + col("dst")).as("checksum"))
+    }),
     // §2.3 generalized: k=3 (reach = distance ≤ 2) — beyond the
     // reference's fixed 2-hop, same aggregate check shape. Origins bounded
     // to suppliers: exercises the full reach pipeline at 1/16 the output.
@@ -585,6 +613,26 @@ object SparkEntry {
          |SELECT CAST(length(CAST(deg AS VARCHAR)) AS BIGINT) AS bucket,
          |       count(*) AS n_nodes
          |FROM d GROUP BY 1""".stripMargin,
+    // identical 2-hop semantics as khop_2, restricted to the staged
+    // changelog's edge subset: the stream must reconstruct exactly what a
+    // batch engine computes from the final edge table
+    "stream_khop_2" ->
+      s"""WITH $RelsCte,
+         |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type = 'IN_REGION'
+         |         OR (type = 'FROM_NATION'
+         |             AND start_id BETWEEN 2000000000 AND 2999999999)),
+         |nb AS (SELECT src AS origin, dst AS n FROM e
+         |       UNION
+         |       SELECT dst, src FROM e),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT nb.origin, e.src, e.dst FROM nb JOIN e ON e.src = nb.n
+         |        UNION ALL
+         |        SELECT nb.origin, e.src, e.dst FROM nb JOIN e ON e.dst = nb.n
+         |      ) AS u)
+         |SELECT origin, count(*) AS n_edges,
+         |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
+         |FROM k GROUP BY origin""".stripMargin,
     "khop_2" ->
       s"""WITH $RelsCte,
          |e AS (SELECT start_id AS src, end_id AS dst FROM rels

@@ -226,6 +226,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(view.toSeq === Seq((1L, 40L, 7.0)))
   }
 
+  test("streaming 2-hop over a staged changelog equals the batch golden") {
+    // the KHOP.md sample graph replayed as a 2-batch edge changelog: the
+    // incremental stream-stream join must reconstruct exactly the batch
+    // 2-hop edge sets (KHopSpec's golden), proving Δ-maintenance — later
+    // batches' edges pair with earlier batches' join state
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (1L, 2L),
+      (1L, 3L), (4L, 1L), (5L, 4L)).toDF("src", "dst")
+    val base = s"/tmp/graft_stream_khop_spec_${System.nanoTime()}"
+    val src = graft.streaming.GraphStreams
+      .stageEdgeChangelog(edges, base, nSlices = 2)
+    val got = graft.streaming.GraphStreams
+      .twoHopOverChangelog(spark, src, "spec")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.operators.KHop.twoHopEdges(
+        edges.toDF("START_ID", "END_ID")
+          .withColumn("TYPE",
+            org.apache.spark.sql.functions.lit("E")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete()
+    }
+    rm(new java.io.File(base))
+  }
+
   test("file-stream hourly counts on real events match the batch twin") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_stream_src")

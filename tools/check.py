@@ -64,7 +64,8 @@ def main():
     # (the rows-only queries would otherwise vanish from the denominator
     # entirely once Verify deletes their stale result dir)
     result_dirs = {n for n in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, n))}
+                   if os.path.isdir(os.path.join(out_dir, n))
+                   and not n.startswith(".")}  # .tmp_* = crashed rename
     failed_marker = os.path.join(out_dir, "_FAILED.txt")
     failed = set()
     if os.path.exists(failed_marker):
@@ -129,6 +130,11 @@ def main():
             bad += 1
         print(f"{flag:4} {k}: {v}")
     print(f"\n{len(results) - bad}/{len(results)} pass")
+    # optional 3rd arg: write the per-query verdict map as JSON (consumed
+    # by tools/sweep_all.py to build the combined cross-SF artifact)
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(1 if bad else 0)
 
 
