@@ -833,6 +833,20 @@ object QueriesPipeline {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"))),
+    // REAL JPEG decode: byte-valid baseline JPEGs (embedded Huffman
+    // tables, entropy-coded scan) decoded by the dependency-free
+    // Huffman + IDCT kernel; constant 8×8 blocks + unit quantization
+    // make the lossy format exactly lossless HERE, so the oracle
+    // replays the decoded pixel sums in closed form
+    "multimodal_jpeg_pixels" -> ((s, dir) =>
+      Multimodal.decodePixels(
+        Multimodal.asSyntheticJpegs(table(s, dir, "documents"),
+          "doc_id", "text").toDF())
+        .toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"))),
     // REAL audio decode: byte-valid PCM WAV containers (RIFF chunk walk,
     // int16 LE samples) — the audio twin of multimodal_bmp, sample sums
     // replayed exactly by the oracle
@@ -2795,6 +2809,25 @@ object QueriesPipeline {
         |  CAST(sum(CASE WHEN j % ch = 0 THEN (doc_id*31 + j) % 256
         |           ELSE 0 END) AS BIGINT) AS sum_r
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // gray decodes replicate to all three channel sums; block b of the
+    // bw×bh grid is constant (doc_id·31 + b) mod 256 over 64 pixels
+    "multimodal_jpeg_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 4 + 1 AS bw,
+        |         octet_length(encode(text)) % 2 + 1 AS bh
+        |  FROM documents),
+        |blk AS (SELECT doc_id, bw, bh,
+        |          unnest(generate_series(0, bw*bh - 1)) AS b
+        |        FROM m),
+        |s AS (SELECT doc_id, bw, bh,
+        |        CAST(sum(64 * ((doc_id*31 + b) % 256)) AS BIGINT) AS sgray
+        |      FROM blk GROUP BY doc_id, bw, bh)
+        |SELECT doc_id, 'jpeg' AS format,
+        |  CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
+        |  CAST(64*bw*bh AS BIGINT) AS n_pixels,
+        |  sgray AS sum_b, sgray AS sum_g, sgray AS sum_r
+        |FROM s""".stripMargin,
     "multimodal_wav" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -187,6 +187,106 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG decoder inverts the formula encode exactly (lossless case)") {
+    import graft.operators.Multimodal.MediaKernels
+    for ((seed, w, h) <- Seq((7L, 8, 8), (42L, 32, 16), (255L, 16, 8),
+        (123456789L, 24, 16), (0L, 8, 16))) {
+      val jpg = MediaKernels.encodeJpeg(seed, w, h)
+      var want = 0L
+      for (b <- 0 until (w / 8) * (h / 8))
+        want += 64L * ((seed * 31 + b) % 256)
+      val f = MediaKernels.decodeJpegPixels(seed, jpg)
+      assert(f.format == "jpeg" && f.width == w && f.height == h &&
+        f.n_pixels == w.toLong * h && f.sum_r == want &&
+        f.sum_g == want && f.sum_b == want, s"seed=$seed $w x $h: $f")
+    }
+  }
+
+  test("encoded JPEGs are spec-valid: javax.imageio decodes them exactly") {
+    // the JDK's OWN JPEG decoder is an independent reference: the
+    // byte streams we emit must decode to the formula pixels in a real
+    // third-party decoder, not just in our twin kernel
+    import graft.operators.Multimodal.MediaKernels
+    for ((seed, w, h) <- Seq((7L, 8, 8), (42L, 32, 16),
+        (123456789L, 24, 16))) {
+      val jpg = MediaKernels.encodeJpeg(seed, w, h)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpg))
+      assert(img != null, s"imageio rejected seed=$seed")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y / 8) * (w / 8) + (x / 8)
+        val want = ((seed * 31 + b) % 256).toInt
+        // raw raster sample, not getRGB (which gamma-maps gray to sRGB)
+        assert(img.getRaster.getSample(x, y, 0) == want,
+          s"seed=$seed px($x,$y)")
+      }
+    }
+  }
+
+  test("JPEG decoder matches javax.imageio on a real-world-shaped stream") {
+    // an ImageIO-WRITTEN grayscale JPEG: standard Huffman tables,
+    // non-unit quantization, real AC coefficients. Two correct IDCTs may
+    // round single pixels differently, so agreement is pinned to ±1 per
+    // pixel via the sum over 960 pixels.
+    import graft.operators.Multimodal.MediaKernels
+    val src = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 40)
+      src.getRaster.setSample(x, y, 0, (x * 7 + y * 13 + (x * y) % 31) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(src, null, null), p)
+    wr.dispose()
+    val jpg = bos.toByteArray
+    val mine = MediaKernels.decodeJpegPixels(1L, jpg)
+    assert(mine.format == "jpeg" && mine.width == 40 && mine.height == 24)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var refSum = 0L
+    for (y <- 0 until 24; x <- 0 until 40)
+      refSum += ref.getRaster.getSample(x, y, 0)
+    assert(math.abs(mine.sum_r - refSum) <= 960,
+      s"our ${mine.sum_r} vs imageio $refSum")
+  }
+
+  test("JPEG decoder rejects corrupt, truncated, and non-baseline input") {
+    import graft.operators.Multimodal.MediaKernels
+    val jpg = MediaKernels.encodeJpeg(42L, 16, 16)
+    assert(MediaKernels.decodeJpegPixels(1L,
+      jpg.take(jpg.length / 2)).format == "unknown")
+    assert(MediaKernels.decodeJpegPixels(1L,
+      "not a jpeg".getBytes).format == "unknown")
+    // flip SOF0 (FFC0) to progressive (FFC2): must report unknown, not
+    // mis-decode
+    val prog = jpg.clone()
+    val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xFF &&
+      i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    assert(MediaKernels.decodeJpegPixels(1L, prog).format == "unknown")
+  }
+
+  test("synthetic JPEGs round-trip the block formula via decodePixels") {
+    val docs = Seq((1L, "ab"), (2L, "abcdefg"), (4L, "xyzzy"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.decodePixels(
+        Multimodal.asSyntheticJpegs(docs, "doc_id", "text").toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    for ((docId, t) <- Seq((1L, "ab"), (2L, "abcdefg"), (4L, "xyzzy"))) {
+      val n = t.length
+      val (w, h) = (8 * (n % 4 + 1), 8 * (n % 2 + 1))
+      var want = 0L
+      for (b <- 0 until (w / 8) * (h / 8))
+        want += 64L * ((docId * 31 + b) % 256)
+      val f = got(docId)
+      assert(f.format == "jpeg" && f.width == w && f.height == h &&
+        f.sum_r == want, s"doc $docId: $f")
+    }
+  }
+
   test("synthetic WAVs round-trip the sample formula end-to-end") {
     val docs = Seq((1L, "x" * 20), (2L, "y" * 33)).toDF("doc_id", "text")
     val got = Multimodal.decodeAudio(
