@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bucketing, ScaleOps}
+import graft.sources.TpchGraph.table
+
+/** Storage-layout / maintenance gates — the decisions that dominate cost
+  * at 100 TB, each demonstrated end-to-end on real files and replayed by
+  * a DuckDB oracle over the base tables:
+  *
+  *   - `bucket_join`       co-located (bucketed) join, zero exchanges
+  *   - `partition_prune`   hive-partitioned write + partition-pruned read
+  *   - `schema_evolution`  mergeSchema read across two drop generations
+  *   - `file_skipping`     zone-map audit of two candidate sort layouts
+  *   - `incr_agg`          incremental aggregate (partials merge) ≡ rescan
+  *
+  * The staged writes derive deterministically from the base tables, so
+  * every oracle replays from the SAME parquet the driver mounts — the
+  * staging is the thing under test, never the source of truth. */
+object QueriesScale {
+
+  private def san(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Scope a SQL conf to `body`, restoring the previous value. */
+  private def withConf[T](s: SparkSession, key: String, v: String)
+      (body: => T): T = {
+    val prev = s.conf.get(key)
+    s.conf.set(key, v)
+    try body finally s.conf.set(key, prev)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Bucketed co-located join: both sides written bucketBy(8, key) +
+    // sortBy(key), so the sort-merge join's required distribution AND
+    // ordering are satisfied by the scan itself — the plan is REQUIRED
+    // below to contain no Exchange. At 100 TB this is the join you
+    // pre-pay once at write time and then never shuffle again;
+    // auto-broadcast is disabled for the plan check because at target
+    // scale neither side fits (at gate scale it would short-circuit the
+    // very thing under test). Unique table names per run: gates must
+    // tolerate concurrent sweeps (r5's one red row was exactly such a
+    // race on a shared staging path).
+    "bucket_join" -> ((s, dir) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt " +
+        "LOCATION '/tmp/graft_warehouse'")
+      val tok = s"${san(dir)}_${System.nanoTime()}"
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      Bucketing.writeBucketed(o, s"graft_bkt.orders_$tok", "o_orderkey", 8)
+      Bucketing.writeBucketed(l, s"graft_bkt.lineitem_$tok", "o_orderkey", 8)
+      withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val j = Bucketing.colocatedJoin(s, s"graft_bkt.orders_$tok",
+          s"graft_bkt.lineitem_$tok", "o_orderkey")
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$plan")
+        j.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+      }
+    }),
+
+    // Hive-style partitioned write + pruned read: the scan of a
+    // partition-filtered query must touch ONE directory, not the table —
+    // the plan is REQUIRED to show PartitionCount: 1. This is coarse
+    // file skipping (partition pruning); `file_skipping` below audits
+    // the fine-grained (zone-map) kind.
+    "partition_prune" -> ((s, dir) => {
+      val base = s"/tmp/graft_part_${san(dir)}_${System.nanoTime()}"
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(base)
+      val r = s.read.parquet(base).where(col("event_type") === "click")
+      // PartitionFilters (not DataFilters) is the pruning mechanism: the
+      // predicate prunes the file index BEFORE split listing, so only the
+      // event_type=click directory is ever read
+      val plan = r.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [isnotnull(event_type") &&
+        plan.contains("= click)"),
+        s"partition filter must reach the file index:\n$plan")
+      r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Schema evolution: generation 1 wrote (doc_id, lang); generation 2
+    // added (n_chars, source). mergeSchema reconciles the footers and
+    // the old generation's new columns read as NULL — count(n_chars)
+    // vs count(*) makes the null-fill visible and oracle-checked.
+    // At 100 TB schema changes are rolling, never rewrite-the-world.
+    "schema_evolution" -> ((s, dir) => {
+      val base = s"/tmp/graft_evo_${san(dir)}_${System.nanoTime()}"
+      val d = table(s, dir, "documents")
+      d.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.parquet(s"$base/gen=1")
+      d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .write.parquet(s"$base/gen=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Zone-map audit: same table, same predicate
+    // (o_orderkey BETWEEN 256 AND 767), two candidate physical orders —
+    // date-clustered (how facts usually arrive) vs key-clustered. The
+    // audit computes exact per-256-row-block min/max stats and how many
+    // blocks a zone-map reader scans under each layout; the key-clustered
+    // layout's rows_scanned collapses to ~the matching rows while the
+    // date-clustered one scans nearly everything. Global block ranks use
+    // the DISTRIBUTED prefix-sum rank (ScaleOps.globalRank), not a
+    // single-partition window.
+    "file_skipping" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      ScaleOps.zoneMapAudit(o, "by_date",
+          Seq(col("o_orderdate"), col("o_orderkey")),
+          col("o_orderkey"), 256L, 767L, 256L)
+        .unionByName(ScaleOps.zoneMapAudit(o, "by_key",
+          Seq(col("o_orderkey")), col("o_orderkey"), 256L, 767L, 256L))
+    }),
+
+    // Incremental aggregate maintenance: the base partial (90% of
+    // events) and the delta partial (10%) are aggregated independently
+    // and MERGED — count/sum/min/max are monoids, so the combined result
+    // is exact and the base never rescans when the next delta lands.
+    // Values quantized floor(value·1000) so every sum is int64-exact in
+    // any engine and any partition order.
+    "incr_agg" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(col("user_id"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      val base = ScaleOps.partialAgg(
+        e.where(col("user_id") % 10 =!= 0), "user_id", col("v"))
+      val delta = ScaleOps.partialAgg(
+        e.where(col("user_id") % 10 === 0), "user_id", col("v"))
+      ScaleOps.mergePartialAggs(Seq(base, delta), "user_id")
+        .select(col("user_id"), col("n"), col("sum_v"), col("min_v"),
+          col("max_v"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+    "schema_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n_docs, count(n_chars) AS n_with_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY 1""".stripMargin,
+    "file_skipping" -> {
+      def layout(name: String, ord: String) =
+        s"""SELECT '$name' AS layout,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  count(*) AS n_blocks,
+           |  CAST(sum(CASE WHEN mn <= 767 AND mx >= 256 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS blocks_scanned,
+           |  CAST(sum(CASE WHEN mn <= 767 AND mx >= 256 THEN n ELSE 0 END)
+           |    AS BIGINT) AS rows_scanned,
+           |  CAST(sum(hit) AS BIGINT) AS rows_matched
+           |FROM (
+           |  SELECT (rk - 1) // 256 AS blk, min(v) AS mn, max(v) AS mx,
+           |         count(*) AS n,
+           |         sum(CASE WHEN v BETWEEN 256 AND 767 THEN 1 ELSE 0 END)
+           |           AS hit
+           |  FROM (SELECT o_orderkey AS v,
+           |          row_number() OVER (ORDER BY $ord) AS rk FROM orders)
+           |  GROUP BY 1)""".stripMargin
+      layout("by_date", "o_orderdate, o_orderkey") + "\nUNION ALL\n" +
+        layout("by_key", "o_orderkey")
+    },
+    "incr_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_v,
+        |  min(CAST(floor(value * 1000) AS BIGINT)) AS min_v,
+        |  max(CAST(floor(value * 1000) AS BIGINT)) AS max_v
+        |FROM events GROUP BY 1""".stripMargin)
+}

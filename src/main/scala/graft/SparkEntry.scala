@@ -32,12 +32,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreGraphQueries ++ QueriesRelational.queries ++
       QueriesPipeline.queries ++ QueriesTpch.queries ++
-      QueriesGraphAlgos.queries
+      QueriesGraphAlgos.queries ++ QueriesScale.queries
 
   def oracleSql: Map[String, String] =
     coreGraphOracles ++ QueriesRelational.oracles ++
       QueriesPipeline.oracles ++ QueriesTpch.oracles ++
-      QueriesGraphAlgos.oracles
+      QueriesGraphAlgos.oracles ++ QueriesScale.oracles
 
   /** SURVEY.md §2.1/§2.2/§2.3/§2.5 — the reference's own operator surface. */
   private def coreGraphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

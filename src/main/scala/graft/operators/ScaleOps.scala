@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage-layout and maintenance operators for the 100 TB regime — the
+  * patterns that decide whether a petabyte job reads a petabyte or a few
+  * terabytes: zone-map (min/max block statistics) file skipping, global
+  * physical ordering without a single-partition sort, and incremental
+  * aggregate maintenance that folds a day's delta into yesterday's
+  * partials instead of rescanning the base. These generalize the
+  * reference's write-side layout concerns (its GDS store keeps nodes and
+  * adjacency on one dense-id layout, `GdsWriteJob.java:448-537`) to the
+  * durable, file-backed form a Spark lake uses. */
+object ScaleOps {
+
+  /** Exact global 1-based rank of every row under `order` — WITHOUT a
+    * global window. A bare `row_number() OVER (ORDER BY ...)` moves the
+    * whole table through ONE task; here the plan is: range-repartition on
+    * the order key (so partitions tile the sort order), a per-partition
+    * running count, and each partition's base offset = sum of prior
+    * partitions' row counts — a #partitions-row table, broadcast back.
+    * Same distributed-prefix-sum shape as `GraphRef.csrOffsets`.
+    *
+    * `order` must be a total order (tie-free) for the rank to be
+    * deterministic; pass a unique tie-breaker as the last column.
+    * Output: input columns + `_rank`. Range boundaries come from
+    * sampling and vary run to run; the OUTPUT is partition-invariant
+    * because the global rank is. */
+  def globalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
+    // localCheckpoint pins the sampled range boundaries: the row stream
+    // and the per-partition totals below must see ONE pid assignment
+    val part = df.repartitionByRange(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val withLocal = part.withColumn("_local_rn",
+      row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(order: _*)))
+    val bases = part.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_ptotal"))
+      .withColumn("_base",
+        coalesce(sum(col("_ptotal")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_base"))
+    withLocal.join(broadcast(bases), "_pid")
+      .withColumn("_rank", col("_base") + col("_local_rn"))
+      .drop("_pid", "_local_rn", "_base")
+  }
+
+  /** Zone-map (min/max block statistics) audit: how many row-blocks of
+    * `blockRows` rows would a reader skip for the predicate
+    * `value BETWEEN lo AND hi`, if the table were physically ordered by
+    * `order`? This is the question behind EVERY clustering decision at
+    * 100 TB — parquet row-group pruning, Delta/Iceberg data skipping,
+    * Z-ordering — answered from the data itself before paying for a
+    * rewrite. Run it once per candidate sort order and compare
+    * `rows_scanned` (see the `file_skipping` gate: date-clustered vs
+    * key-clustered layouts on the same predicate).
+    *
+    * Blocks are exact: global rank under `order` (distributed, see
+    * [[globalRank]]), block i = ranks [i·blockRows, (i+1)·blockRows); a
+    * block is scanned iff its [min,max] value interval intersects
+    * [lo,hi] — precisely the zone-map test. One row out:
+    * (layout, n_rows, n_blocks, blocks_scanned, rows_scanned,
+    * rows_matched) — all int64. */
+  def zoneMapAudit(df: DataFrame, layout: String, order: Seq[Column],
+                   value: Column, lo: Long, hi: Long,
+                   blockRows: Long): DataFrame = {
+    val r = globalRank(df.withColumn("_v", value.cast("long")), order)
+      // div, not /: Column./ on longs is double division
+      .withColumn("_block", expr(s"(_rank - 1) div ${blockRows}L"))
+    val blocks = r.groupBy(col("_block"))
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
+        count(lit(1)).as("_n"),
+        sum(when(col("_v").between(lo, hi), 1L).otherwise(0L)).as("_hit"))
+    blocks.agg(
+      sum(col("_n")).as("n_rows"),
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("_mn") <= hi && col("_mx") >= lo, 1L).otherwise(0L))
+        .as("blocks_scanned"),
+      sum(when(col("_mn") <= hi && col("_mx") >= lo, col("_n"))
+        .otherwise(0L)).as("rows_scanned"),
+      sum(col("_hit")).as("rows_matched"))
+      .select(lit(layout).as("layout"), col("n_rows"), col("n_blocks"),
+        col("blocks_scanned"), col("rows_scanned"), col("rows_matched"))
+  }
+
+  /** Incremental aggregate maintenance: merge pre-aggregated PARTIALS
+    * (per-key `n` / `sum_v` / `min_v` / `max_v`) from any number of
+    * increments into the combined aggregate — the materialized-view
+    * pattern where yesterday's 100 TB base is never rescanned: today's
+    * delta is aggregated alone (tiny) and FOLDED in. count/sum/min/max
+    * are commutative monoids, so union + ONE hash aggregate (map-side
+    * partial combine, single shuffle on the key) is both the correct and
+    * the minimal plan; avg = sum_v/n at read time. */
+  def mergePartialAggs(parts: Seq[DataFrame], key: String): DataFrame = {
+    require(parts.nonEmpty, "mergePartialAggs needs at least one partial")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col(key))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
+
+  /** The per-increment partial for [[mergePartialAggs]]: per-key
+    * (n, sum_v, min_v, max_v) over `value`. */
+  def partialAgg(df: DataFrame, key: String, value: Column): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("n"), sum(value).as("sum_v"),
+      min(value).as("min_v"), max(value).as("max_v"))
+}

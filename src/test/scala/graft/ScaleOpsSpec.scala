@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleOps
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("globalRank equals a global window row_number, without one") {
+    val df = Seq(30L, 5L, 17L, 2L, 99L, 41L, 8L, 63L).toDF("v")
+      .repartition(4)
+    val got = ScaleOps.globalRank(df, Seq(col("v")))
+      .select("v", "_rank").as[(Long, Long)].collect().toMap
+    val want = Seq(2L, 5L, 8L, 17L, 30L, 41L, 63L, 99L)
+      .zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap
+    assert(got == want)
+    // the plan must not contain a partition-less (global) window sort:
+    // every Window's partition spec is the _pid column
+    val plan = ScaleOps.globalRank(df, Seq(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(v#"),
+      s"global window detected:\n$plan")
+  }
+
+  test("globalRank breaks ties by the trailing tie-breaker column") {
+    val df = Seq((1L, 10L), (1L, 3L), (0L, 7L), (1L, 1L))
+      .toDF("k", "id").repartition(3)
+    val got = ScaleOps.globalRank(df, Seq(col("k"), col("id")))
+      .select("id", "_rank").as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 1L, 1L -> 2L, 3L -> 3L, 10L -> 4L))
+  }
+
+  test("zoneMapAudit: hand-computed blocks on a crafted layout") {
+    // 8 rows, blocks of 4, values 0..7; clustered layout: block 0 holds
+    // 0-3, block 1 holds 4-7; predicate [2,5] touches both blocks but a
+    // shuffled layout can't skip either — counts are exact either way
+    val clustered = (0L to 7L).toDF("v")
+    val a = ScaleOps.zoneMapAudit(clustered, "clustered", Seq(col("v")),
+      col("v"), 2L, 5L, 4L).head()
+    assert(a.getString(0) == "clustered")
+    assert(a.getLong(1) == 8L)   // n_rows
+    assert(a.getLong(2) == 2L)   // n_blocks
+    assert(a.getLong(3) == 2L)   // blocks_scanned ([0,3] and [4,7] both hit)
+    assert(a.getLong(4) == 8L)   // rows_scanned
+    assert(a.getLong(5) == 4L)   // rows_matched (2,3,4,5)
+    // narrow predicate [0,1]: only block 0 scans
+    val b = ScaleOps.zoneMapAudit(clustered, "clustered", Seq(col("v")),
+      col("v"), 0L, 1L, 4L).head()
+    assert(b.getLong(3) == 1L && b.getLong(4) == 4L && b.getLong(5) == 2L)
+    // interleaved layout (order by v % 2, v): every block spans the full
+    // value range -> zero skipping for [0,1]
+    val c = ScaleOps.zoneMapAudit(clustered, "interleaved",
+      Seq(col("v") % 2, col("v")), col("v"), 0L, 1L, 4L).head()
+    assert(c.getLong(3) == 2L && c.getLong(4) == 8L && c.getLong(5) == 2L)
+  }
+
+  test("mergePartialAggs over split inputs equals the full recompute") {
+    val e = Seq((1L, 10L), (1L, -4L), (2L, 7L), (3L, 0L), (2L, 2L),
+      (1L, 5L)).toDF("k", "v")
+    val parts = Seq(
+      ScaleOps.partialAgg(e.where(col("v") > 0), "k", col("v")),
+      ScaleOps.partialAgg(e.where(col("v") <= 0), "k", col("v")))
+    val merged = ScaleOps.mergePartialAggs(parts, "k")
+      .orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    val full = ScaleOps.partialAgg(e, "k", col("v"))
+      .orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    assert(merged.sameElements(full))
+    assert(merged.toSeq == Seq((1L, 3L, 11L, -4L, 10L),
+      (2L, 2L, 9L, 2L, 7L), (3L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("schema evolution read: old generation null-fills new columns") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_evo_spec").toString
+    Seq((1L, "en")).toDF("id", "lang").write.parquet(s"$base/gen=1")
+    Seq((2L, "de", 42L)).toDF("id", "lang", "extra")
+      .write.parquet(s"$base/gen=2")
+    val r = spark.read.option("mergeSchema", "true").parquet(base)
+      .select("id", "lang", "extra").orderBy("id").collect()
+    assert(r(0).getLong(0) == 1L && r(0).isNullAt(2))
+    assert(r(1).getLong(0) == 2L && r(1).getLong(2) == 42L)
+  }
+}
