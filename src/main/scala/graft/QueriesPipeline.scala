@@ -70,6 +70,18 @@ object QueriesPipeline {
       Dedup.embeddingNearDup(table(s, dir, "embeddings"), threshold = 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(table(s, dir, "embeddings"), threshold = 0.4)),
+    // cluster resolution by QUALITY, not min-id: per near-dup component
+    // keep the argmax-n_chars doc (ties → smaller id); singletons kept
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(
+        Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.3, maxDf = 50),
+        table(s, dir, "documents"), "doc_id", col("n_chars"))),
+    // SemDeDup: k-means cells → within-cell near-pairs → components →
+    // keep the copy FARTHEST from its centroid; int64-exact end to end
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(table(s, dir, "embeddings"),
+        maxSqDist = 1500000L, iters = 1)),
 
     // ---- the full pipeline, end-to-end ----------------------------------
     // quality filter → exact dedup (keep min id per content hash) →
@@ -324,6 +336,24 @@ object QueriesPipeline {
       CorpusTools.decontaminate(table(s, dir, "documents"),
         "doc_id", "text", benchPred = col("doc_id") % 50 === 0,
         n = 4, maxDf = 50)),
+    // the normalized companion: per-train-doc share of its distinct
+    // 4-grams that appear in the benchmark slice, exact ppm — the
+    // full overlap DISTRIBUTION, zero-overlap docs included
+    "contamination_ratio" -> ((s, dir) =>
+      CorpusTools.contaminationRatio(table(s, dir, "documents"),
+        "doc_id", "text", benchPred = col("doc_id") % 50 === 0,
+        n = 4, maxDf = 50)),
+    // Gopher-style rule battery: six structural quality rules, failures
+    // as a bitmask, all-integer ppm/milli stats — one narrow projection
+    "quality_gopher" -> ((s, dir) =>
+      CorpusTools.gopherQuality(table(s, dir, "documents"),
+        "doc_id", "text")),
+    // interpolated Kneser–Ney bigram LM fluency, integer-exact: discount
+    // 0.75 carried as ppm arithmetic so the trained model AND the
+    // per-doc scores replay bit-identically in the oracle
+    "lm_kn_bigram" -> ((s, dir) =>
+      CorpusTools.knBigramScore(table(s, dir, "documents"),
+        "doc_id", "text")),
     // deterministic per-language sampling (hash-gated keep, no RNG):
     // per-lang totals, kept counts, and kept-id checksum
     "sample_stratified" -> ((s, dir) =>
@@ -1962,6 +1992,80 @@ object QueriesPipeline {
         |SELECT tr.doc_id, count(DISTINCT b.bench_id) AS n_bench_docs,
         |       count(DISTINCT tr.s) AS n_shared_ngrams
         |FROM tr JOIN b ON tr.s = b.s GROUP BY 1""".stripMargin,
+    "contamination_ratio" ->
+      """WITH w AS (SELECT doc_id, doc_id % 50 = 0 AS b,
+        |             string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, b,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+        |                || ws[i+3]))) AS s
+        |       FROM w WHERE len(ws) >= 4),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |bench AS (SELECT DISTINCT sh.s FROM sh JOIN df USING (s)
+        |          WHERE b AND df <= 50),
+        |tr AS (SELECT doc_id, sh.s,
+        |         CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |       FROM sh LEFT JOIN bench USING (s) WHERE NOT b)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(hit) AS BIGINT) AS n_hit,
+        |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS contam_ppm
+        |FROM tr GROUP BY 1""".stripMargin,
+    "quality_gopher" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |t AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(ws, x -> len(x))) * 1000
+        |    // len(ws) AS BIGINT) AS mwl_milli,
+        |  CAST(len(list_distinct(ws)) * 1000000 // len(ws) AS BIGINT)
+        |    AS ttr_ppm,
+        |  CAST(len(list_filter(ws,
+        |      x -> list_contains(['the','a','of','and'], x))) AS BIGINT)
+        |    AS n_stop,
+        |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+        |    * 1000000 // len(ws) AS BIGINT) AS alpha_ppm,
+        |  CAST(list_max(list_transform(list_distinct(ws),
+        |      w2 -> len(list_filter(ws, x -> x = w2))))
+        |    * 1000000 // len(ws) AS BIGINT) AS top_word_ppm
+        |FROM w)
+        |SELECT *,
+        |  CAST(CASE WHEN n_words < 20 OR n_words > 80 THEN 1 ELSE 0 END +
+        |   CASE WHEN mwl_milli < 3000 OR mwl_milli > 10000 THEN 2
+        |     ELSE 0 END +
+        |   CASE WHEN ttr_ppm < 400000 THEN 4 ELSE 0 END +
+        |   CASE WHEN n_stop < 2 THEN 8 ELSE 0 END +
+        |   CASE WHEN alpha_ppm < 800000 THEN 16 ELSE 0 END +
+        |   CASE WHEN top_word_ppm > 200000 THEN 32 ELSE 0 END AS BIGINT)
+        |    AS reasons,
+        |  (CASE WHEN n_words < 20 OR n_words > 80 THEN 1 ELSE 0 END +
+        |   CASE WHEN mwl_milli < 3000 OR mwl_milli > 10000 THEN 2
+        |     ELSE 0 END +
+        |   CASE WHEN ttr_ppm < 400000 THEN 4 ELSE 0 END +
+        |   CASE WHEN n_stop < 2 THEN 8 ELSE 0 END +
+        |   CASE WHEN alpha_ppm < 800000 THEN 16 ELSE 0 END +
+        |   CASE WHEN top_word_ppm > 200000 THEN 32 ELSE 0 END) = 0
+        |    AS pass
+        |FROM t""".stripMargin,
+    "lm_kn_bigram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |         i -> {'w1': ws[i], 'w2': ws[i+1]}), recursive := true)
+        |       FROM w WHERE len(ws) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |         count(*) AS n1_fwd FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1_bwd FROM c12 GROUP BY 1),
+        |b AS (SELECT count(*) AS btypes FROM c12),
+        |model AS (SELECT w1, w2,
+        |    CAST(greatest(c12 * 1000 - 750, 0) * 1000 // c1 +
+        |      (750 * n1_fwd // c1) * (1000000 * n1_bwd // btypes)
+        |        // 1000000 AS BIGINT) AS p_ppm
+        |  FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN b)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(p_ppm) AS BIGINT) AS sum_p_ppm,
+        |  CAST(sum(p_ppm) AS BIGINT) // count(*) AS mean_p_ppm
+        |FROM bg JOIN model USING (w1, w2) GROUP BY 1""".stripMargin,
     "sample_stratified" ->
       """WITH k AS (SELECT lang, doc_id,
         |    (doc_id * 2654435761) % 1000000007 % 100 <
@@ -2066,6 +2170,97 @@ object QueriesPipeline {
         |)
         |SELECT node AS doc_id, min(lbl) AS rep
         |FROM reach GROUP BY node""".stripMargin,
+    "dedup_keep_best" ->
+      // the dedup_clusters component CTEs + quality-argmax resolution:
+      // per component keep the max-n_chars doc (ties → min doc_id);
+      // docs outside every component are singleton components
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
+        |        WHERE df > 50),
+        |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM shp a JOIN shp b
+        |            ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
+        |      FROM pairs
+        |      JOIN cnt ca ON ca.doc_id = doc_a
+        |      JOIN cnt cb ON cb.doc_id = doc_b),
+        |p2 AS (SELECT doc_a AS x, doc_b AS y FROM j WHERE jac >= 0.3),
+        |edges AS (SELECT x AS a, y AS b FROM p2 UNION SELECT y, x FROM p2),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |comp AS (SELECT node AS doc_id, min(lbl) AS component
+        |         FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |  d.n_chars AS q,
+        |  (row_number() OVER (
+        |     PARTITION BY coalesce(c.component, d.doc_id)
+        |     ORDER BY d.n_chars DESC, d.doc_id)) = 1 AS keep
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    "dedup_semantic" -> {
+      // mirrors Similarity.semanticDedup exactly: 1 Lloyd iteration of
+      // integer k-means (same CTEs as sim_ivf_trained), within-cell
+      // pair generation by integer sq distance, min-label components,
+      // keep = farthest-from-centroid per duplicate group
+      val dimP1 = 65
+      def qd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, $dimP1), " +
+          s"j -> ($a.qv[j] - $b.qc[j]) * ($a.qv[j] - $b.qc[j])))"
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |          AS qv
+         |      FROM e),
+         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id % 97 = 0),
+         |a1 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT q.vec_id, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${qd("q", "c")}, c.cid) AS rn
+         |  FROM q, c0 c) t WHERE rn = 1),
+         |u1 AS (SELECT cid, j,
+         |  CAST(floor(CAST(sum(qv[j]) AS DOUBLE) / count(*)) AS BIGINT)
+         |    AS cj
+         |  FROM a1, range(1, $dimP1) t(j) GROUP BY cid, j),
+         |c1 AS (SELECT cid, list(cj ORDER BY j) AS qc FROM u1 GROUP BY cid),
+         |af AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT q.vec_id, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${qd("q", "c")}, c.cid) AS rn
+         |  FROM q, c1 c) t WHERE rn = 1),
+         |wd AS (SELECT a.vec_id, a.qv, a.cid, ${qd("a", "c")} AS dc
+         |       FROM af a JOIN c1 c USING (cid)),
+         |p2 AS (SELECT a.vec_id AS x, b.vec_id AS y FROM wd a JOIN wd b
+         |       ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |       AND list_sum(list_transform(range(1, $dimP1),
+         |         j -> (a.qv[j] - b.qv[j]) * (a.qv[j] - b.qv[j])))
+         |         <= 1500000),
+         |edges AS (SELECT x AS a, y AS b FROM p2 UNION SELECT y, x FROM p2),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e2.b, r.lbl FROM reach r JOIN edges e2 ON e2.a = r.node),
+         |comp AS (SELECT node AS vec_id, min(lbl) AS grp
+         |         FROM reach GROUP BY node)
+         |SELECT wd.vec_id, wd.cid, coalesce(comp.grp, wd.vec_id) AS grp,
+         |  wd.dc,
+         |  (row_number() OVER (
+         |     PARTITION BY coalesce(comp.grp, wd.vec_id)
+         |     ORDER BY wd.dc DESC, wd.vec_id)) = 1 AS keep
+         |FROM wd LEFT JOIN comp USING (vec_id)""".stripMargin
+    },
     "dedup_minhash" -> {
       // mirrors Dedup.minhashLshPortable exactly: word-level polyHash,
       // rolling shingle combine, numeric band-key folds

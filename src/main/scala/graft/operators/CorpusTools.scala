@@ -930,4 +930,142 @@ object CorpusTools {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nnz"), sum(abs(col("v"))).as("l1"),
         sum((col("idx") + 1L) * col("v")).as("checksum"))
+
+  /** Gopher-style rule-battery quality filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — public paper): a document
+    * passes only if EVERY structural rule holds; failures are reported
+    * as a bitmask so the pipeline can audit WHICH rule fired without a
+    * per-rule pass (one narrow projection computes all six). Ratios are
+    * exact integer ppm/milli (div), so the oracle replays bit-for-bit.
+    *
+    * Rules (bit set = VIOLATED): 1 word count ∉ [minWords, maxWords];
+    * 2 mean word length ∉ [3.0, 10.0]; 4 type-token ratio < 0.4;
+    * 8 stopword hits < 2; 16 alpha-word ratio < 0.8; 32 max single-word
+    * share > 0.2 (the word-level repetition analog of Gopher's dup-line
+    * caps). A pure per-row map: no shuffle, composes under any corpus
+    * partitioning at 100 TB. */
+  def gopherQuality(docs: DataFrame, id: String, text: String,
+                    minWords: Long = 20, maxWords: Long = 80): DataFrame =
+    docs
+      .select(col(id).as("doc_id"), words(col(text)).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        col("ws"))
+      .select(col("doc_id"), col("n_words"),
+        // milli/ppm stats, all integer div on int64
+        expr("aggregate(transform(ws, w -> length(w)), 0L, " +
+          "(a, x) -> a + x) * 1000 div n_words").as("mwl_milli"),
+        expr("size(array_distinct(ws)) * 1000000 div n_words")
+          .as("ttr_ppm"),
+        size(filter(col("ws"),
+          w => w.isin("the", "a", "of", "and"))).cast("long")
+          .as("n_stop"),
+        expr("size(filter(ws, w -> w rlike '[a-zA-Z]')) * 1000000 " +
+          "div n_words").as("alpha_ppm"),
+        expr("aggregate(transform(array_distinct(ws), " +
+          "w -> size(filter(ws, x -> x = w))), 0L, " +
+          "(a, x) -> greatest(a, CAST(x AS BIGINT))) * 1000000 " +
+          "div n_words").as("top_word_ppm"))
+      .select(col("doc_id"), col("n_words"), col("mwl_milli"),
+        col("ttr_ppm"), col("n_stop"), col("alpha_ppm"),
+        col("top_word_ppm"),
+        (when(col("n_words") < minWords || col("n_words") > maxWords,
+          1L).otherwise(0L) +
+         when(col("mwl_milli") < 3000L || col("mwl_milli") > 10000L,
+           2L).otherwise(0L) +
+         when(col("ttr_ppm") < 400000L, 4L).otherwise(0L) +
+         when(col("n_stop") < 2L, 8L).otherwise(0L) +
+         when(col("alpha_ppm") < 800000L, 16L).otherwise(0L) +
+         when(col("top_word_ppm") > 200000L, 32L).otherwise(0L))
+          .as("reasons"))
+      .withColumn("pass", col("reasons") === 0L)
+
+  /** Per-document contamination RATIO against a benchmark subset — the
+    * normalized companion to [[decontaminate]] (which flags any overlap,
+    * this scores HOW MUCH): for every training doc, the share of its
+    * distinct word n-grams that also appear in any benchmark doc, in
+    * exact ppm. The GPT-3/PaLM-style decontamination reports are
+    * exactly this per-doc overlap distribution.
+    *
+    * Same inverted-index shape as [[decontaminate]] — train and bench
+    * meet in ONE equi-join on the n-gram, never train×bench — with the
+    * same `maxDf` boilerplate cap bounding join fan-out (a capped gram
+    * counts toward the denominator but never the numerator; at 100 TB
+    * the cap is what keeps a stop-phrase from fanning out |train|·|bench|
+    * rows). Zero-overlap docs ARE reported (ppm = 0): the artifact is
+    * the full distribution, not just the offenders. */
+  def contaminationRatio(docs: DataFrame, id: String, text: String,
+                         benchPred: Column, n: Int = 4,
+                         maxDf: Int = 50): DataFrame = {
+    val sh = docs.select(col(id).as("d"), benchPred.as("b"),
+      explode(shingles(words(col(text)), n)).as("s"))
+    val bench = sh.where(col("b")).select(col("s")).distinct()
+      .join(sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf), "s")
+      .select(col("s"), lit(1L).as("hit"))
+    sh.where(!col("b"))
+      .join(bench, Seq("s"), "left")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("d").as("doc_id"), col("n_grams"), col("n_hit"),
+        expr("n_hit * 1000000 div n_grams").as("contam_ppm"))
+  }
+
+  /** Interpolated Kneser–Ney bigram language model, integer-exact: the
+    * classic smoothing (Kneser & Ney 1995; Chen & Goodman 1998 — public
+    * literature) with absolute discount D = 0.75 carried as exact
+    * integer milli/ppm arithmetic so both engines agree to the last bit
+    * (float KN probabilities would differ in the last ulp and flip
+    * nothing visible — until a hash compare).
+    *
+    *   p_kn(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+    *               + D·N1+(w1·)/c(w1) · N1+(·w2)/B
+    *
+    * in ppm: main = max(1000·c12 − 750, 0)·1000 div c1;
+    * λ·pcont = (750·N1+(w1·) div c1) · (10⁶·N1+(·w2) div B) div 10⁶.
+    *
+    * Returns per-document fluency: (doc_id, n_bigrams, sum_p_ppm,
+    * mean_p_ppm) — scoring the training corpus itself, so every scored
+    * bigram has c12 ≥ 1 (no OOV path; the discount still redistributes
+    * mass, which is what the score measures).
+    *
+    * Scale shape: counts are hash aggregates with map-side combine
+    * (shuffles ∝ distinct bigrams, not corpus); the two model joins key
+    * on w1 / w2 — vocabulary-sized dimension tables; per-doc scoring is
+    * one postings-shaped join + one aggregate keyed by doc. */
+  def knBigramScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val bg = docs
+      .select(col(id).as("doc_id"), words(col(text)).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), " +
+          "(w, i) -> named_struct('w1', w, 'w2', element_at(ws, i + 2)))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // c12 feeds four consumers (c1, cont, B, and the model join);
+    // localCheckpoint materializes it ONCE so all four read the counted
+    // table instead of re-scanning the corpus — c12 is bounded by the
+    // distinct-bigram count (vocab-shaped), orders of magnitude below
+    // corpus size, so the checkpoint is cheap at any scale. The only
+    // other corpus scan left is the scoring join itself (plan-audited).
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1_fwd"))          // N1+(w1·): distinct w2 after w1
+    val cont = c12.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1_bwd"))     // N1+(·w2): distinct w1 before w2
+    val b = c12.agg(count(lit(1)).as("btypes"))
+    val model = c12
+      .join(c1, "w1").join(cont, "w2").join(broadcast(b), lit(true))
+      .select(col("w1"), col("w2"),
+        (expr("greatest(c12 * 1000 - 750, 0) * 1000 div c1") +
+          expr("(750 * n1_fwd div c1) * (1000000 * n1_bwd div btypes) " +
+            "div 1000000")).as("p_ppm"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_p_ppm"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_p_ppm"),
+        expr("sum_p_ppm div n_bigrams").as("mean_p_ppm"))
+  }
 }

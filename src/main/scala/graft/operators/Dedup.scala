@@ -660,4 +660,32 @@ object Dedup {
         round(cosineFast(col("va"), col("vb")), 6).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Quality-aware representative selection: instead of [[clusters]]'
+    * keep-the-min-id convention, keep the BEST document of every near-dup
+    * component — argmax on a caller-supplied quality column, ties to the
+    * smaller id. This is how production dedup actually resolves clusters
+    * (drop the truncated scrape, keep the clean copy); min-id keeps
+    * whichever happened to be crawled first.
+    *
+    * Input: a near-dup pair list (any of the candidate generators here)
+    * and the doc table carrying the quality signal. Components via
+    * [[clusters]]; the per-component argmax is a window partitioned by
+    * component — bounded by component size, never corpus size. Docs in
+    * no component are singletons: trivially kept, reported with their own
+    * id as the component. Returns (doc_id, component, q, keep). */
+  def keepBest(pairs: DataFrame, docs: DataFrame, id: String,
+               quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = clusters(pairs)
+      .select(col("doc_id"), col("rep").as("component"))
+    docs.select(col(id).as("doc_id"), quality.cast("long").as("q"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("q").desc, col("doc_id"))))
+      .select(col("doc_id"), col("component"), col("q"),
+        (col("rn") === 1).as("keep"))
+  }
 }

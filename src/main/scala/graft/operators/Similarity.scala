@@ -421,4 +421,49 @@ object Similarity {
         .toDF("rn", "vec_id", "mind")
     } finally q.unpersist(blocking = false)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public paper): k-means-cluster the embedding
+    * corpus, call two documents semantic duplicates when their
+    * embeddings are close WITHIN a cluster, and keep exactly one per
+    * duplicate group — the one FARTHEST from its centroid (the paper's
+    * choice: the most atypical copy preserves diversity; the near-
+    * centroid copies are the redundant mass).
+    *
+    * Everything is exact int64: [[kmeansQuantized]] centroids,
+    * assignment and closeness by integer squared L2 ([[quantized]]
+    * space), so the full train→assign→pair→component→argmax pipeline
+    * replays bit-identically in the DuckDB oracle.
+    *
+    * Scale shape (the paper's own): pairwise comparison happens ONLY
+    * inside a cluster — the self-join keys on cid, so each cluster is an
+    * independent partition-local quadratic of size n/k, tuned by k; the
+    * components and the per-group argmax window are bounded by duplicate
+    * -group size. Returns (vec_id, cid, grp, dc, keep) — cluster,
+    * duplicate group (singleton ⇒ own id), distance-to-centroid, and
+    * the keep verdict. */
+  def semanticDedup(embeddings: DataFrame, maxSqDist: Long,
+                    iters: Int = 1, initMod: Int = 97): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = kmeansQuantized(embeddings, iters, initMod)
+    val assigned = assignQuantized(quantized(embeddings), cent)
+    val withD = assigned.join(broadcast(cent), "cid")
+      .select(col("vec_id"), col("qv"), col("cid"),
+        qdist(col("qv"), col("qc")).as("dc"))
+    val pairs = withD.as("a").join(withD.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(qdist(col("a.qv"), col("b.qv")) <= maxSqDist)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val comp = Dedup.clusters(pairs, "vec_a", "vec_b")
+      .select(col("doc_id").as("vec_id"), col("rep").as("grp"))
+    withD.join(comp, Seq("vec_id"), "left")
+      .withColumn("grp", coalesce(col("grp"), col("vec_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("dc").desc, col("vec_id"))))
+      .select(col("vec_id"), col("cid"), col("grp"), col("dc"),
+        (col("rn") === 1).as("keep"))
+  }
 }

@@ -525,4 +525,64 @@ class CorpusToolsSpec extends AnyFunSuite {
       (idx("x") + 1) * 2 * sign("x") + (idx("y") + 1) * sign("y"))))
     assert(out(2L) === ((2L, 1L, 1L, (idx("z") + 1) * sign("z"))))
   }
+
+  test("gopherQuality: each rule bit fires on its crafted violator") {
+    val good = (1L, ("the a of and " + (1 to 46).map(i => s"word$i")
+      .mkString(" ")))                       // 50 words, all distinct
+    val short = (2L, "the a of and tiny")    // n_words < 20 -> bit 1
+    val longw = (3L, ("the a of and " + (1 to 46)
+      .map(i => "verylongword" + "x" * 10 + i).mkString(" ")))
+                                             // mwl > 10 -> bit 2
+    val repet = (4L, ("the a of and " + Seq.fill(46)("dup")
+      .mkString(" ")))                       // ttr<0.4 + top-share -> 4|32
+    val nostop = (5L, (1 to 50).map(i => s"w$i").mkString(" "))
+                                             // no stopwords -> bit 8
+    val numeric = (6L, ("the a of and " + (1 to 46).map(_.toString)
+      .mkString(" ")))                       // alpha ratio 4/50 -> 16|2
+    val docs = Seq(good, short, longw, repet, nostop, numeric)
+      .toDF("doc_id", "text")
+    val out = CorpusTools.gopherQuality(docs, "doc_id", "text")
+      .select("doc_id", "reasons", "pass")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 && out(1L)._2 == 0L)
+    assert((out(2L)._2 & 1L) != 0 && !out(2L)._3)
+    assert((out(3L)._2 & 2L) != 0)
+    assert((out(4L)._2 & 4L) != 0 && (out(4L)._2 & 32L) != 0)
+    assert((out(5L)._2 & 8L) != 0)
+    assert((out(6L)._2 & 16L) != 0)
+  }
+
+  test("contaminationRatio: exact ppm overlap, capped grams excluded") {
+    // bench doc 0 shares the 4-gram "a b c d" with train doc 1 (5 of its
+    // grams) and nothing with doc 2; doc 3 is all-overlap
+    val docs = Seq(
+      (0L, "a b c d e f"),                  // bench: grams abcd bcde cdef
+      (1L, "x a b c d y z w"),              // train: 5 grams, 1 hit
+      (2L, "p q r s t u"),                  // train: 3 grams, 0 hits
+      (3L, "a b c d e")                     // train: 2 grams, 2 hits
+    ).toDF("doc_id", "text")
+    val out = CorpusTools.contaminationRatio(docs, "doc_id", "text",
+        benchPred = col("doc_id") === 0L, n = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 5L, 1L, 200000L)))
+    assert(out(2L) === ((2L, 3L, 0L, 0L)))
+    assert(out(3L) === ((3L, 2L, 2L, 1000000L)))
+  }
+
+  test("knBigramScore: hand-computed KN probabilities on a 2-doc corpus") {
+    // corpus bigrams: d1 = (a b), (b a), (a b); d2 = (a c)
+    // c12: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3 (n1_fwd 2), b=1 (n1_fwd 1)
+    // cont: b<-1, a<-1, c<-1; btypes=3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = CorpusTools.knBigramScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // p(a,b) = (2000-750)*1000 div 3 + (750*2 div 3)*(1e6 div 3) div 1e6
+    //        = 416666 + 500*333333 div 1e6 = 416666+166 = 416832
+    // p(b,a) = (1000-750)*1000 div 1 + (750*1 div 1)*(333333) div 1e6
+    //        = 250000 + 249 = 250249  [750*333333 div 1e6 = 249]
+    // p(a,c) = (1000-750)*1000 div 3 + 166 = 83333 + 166 = 83499
+    val d1 = 416832L + 250249L + 416832L
+    assert(out(1L) === ((1L, 3L, d1, d1 / 3)))
+    assert(out(2L) === ((2L, 1L, 83499L, 83499L)))
+  }
 }

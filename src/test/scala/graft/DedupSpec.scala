@@ -322,4 +322,15 @@ class DedupSpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  test("keepBest: component argmax on quality, ties to min id, singletons kept") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.keepBest(pairs, docs, "doc_id",
+        org.apache.spark.sql.functions.col("n_chars"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 1L, 5L, false), (2L, 1L, 9L, true),
+      (3L, 1L, 9L, false), (4L, 4L, 7L, true)))
+  }
 }

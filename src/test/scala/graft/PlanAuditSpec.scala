@@ -266,4 +266,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"),
       s"no partial distinct aggregate:\n${plan.take(3000)}")
   }
+
+  test("gopher quality battery is a pure narrow projection (no shuffle)") {
+    val plan = formatted(SparkEntry.queries("quality_gopher")(spark, dir))
+    assert(!plan.contains("Exchange"), s"shuffle in rule battery:\n$plan")
+    assert(!plan.contains("Window"), s"window in rule battery:\n$plan")
+  }
+
+  test("incremental agg merge is union + aggregate — no join over partials") {
+    val plan = formatted(SparkEntry.queries("incr_agg")(spark, dir))
+    assert(!plan.contains("Join"),
+      s"partials must merge via union+aggregate, not a join:\n$plan")
+    assert(plan.contains("Union"), s"no union of partials:\n$plan")
+  }
+
+  test("contamination ratio joins the inverted index, never train×bench") {
+    val plan = formatted(
+      SparkEntry.queries("contamination_ratio")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"doc×doc join in decontamination scorer:\n$plan")
+  }
+
+  test("KN bigram scoring scans the corpus once; the model reads c12") {
+    // four consumers of the bigram-count aggregate read the ONE
+    // materialized c12 (localCheckpoint -> ExistingRDD scans); the only
+    // parquet scan left is the scoring join's own corpus pass
+    val plan = formatted(SparkEntry.queries("lm_kn_bigram")(spark, dir))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans")
+    assert(plan.contains("ExistingRDD"),
+      s"model not reading the materialized c12:\n${plan.take(3000)}")
+  }
+
+  test("semantic dedup pairs only within a cell — no vector cartesian") {
+    // the one BroadcastNestedLoopJoin allowed is the k-row centroid
+    // broadcast; the vector×vector pair join must key on cid
+    val plan = formatted(SparkEntry.queries("dedup_semantic")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in semantic dedup:\n${plan.take(4000)}")
+  }
 }

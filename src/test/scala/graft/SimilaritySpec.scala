@@ -228,4 +228,25 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toList
     assert(r.map(_._2) == List(7L, 9L))
   }
+
+  test("semanticDedup: hand-computed clusters, groups, and keep verdicts") {
+    // init centroids = ids 0, 97 (vec_id % 97 == 0); after 1 Lloyd round
+    // c[0] = floor-mean(0, 100, 200) = (100, 0),
+    // c[97] = floor-mean(100000, 100100, 120000) = (106700, 0).
+    // maxSqDist 10000 pairs (0,1) (1,2) (97,98) -> groups {0,1,2} {97,98};
+    // 99 is a singleton. Keep = farthest from centroid, ties to min id:
+    // group 0 -> dc (10000, 0, 10000) keeps id 0; group 97 keeps 97.
+    val e = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0.1f, 0f)), (2L, Array(0.2f, 0f)),
+      (97L, Array(100f, 0f)), (98L, Array(100.1f, 0f)),
+      (99L, Array(120f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(e, maxSqDist = 10000L, iters = 1)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toList
+    assert(got == List(
+      (0L, 0L, 0L, 10000L, true), (1L, 0L, 0L, 0L, false),
+      (2L, 0L, 0L, 10000L, false), (97L, 97L, 97L, 44890000L, true),
+      (98L, 97L, 97L, 43560000L, false),
+      (99L, 97L, 99L, 176890000L, true)))
+  }
 }
