@@ -694,6 +694,54 @@ object QueriesGraphAlgos {
        |    AND l.id NOT IN (SELECT e.v FROM misund e
        |                     JOIN mism$k m ON e.u = m.id))""".stripMargin
 
+  /** One unrolled Jones–Plassmann round k: priority maxima among the
+    * still-uncolored go ready; each takes the mex of its colored
+    * neighbors' colors (range(0, |cs|+1) always holds a missing value;
+    * the [1] element of the filtered list is the least). */
+  private def jpRound(k: Int): String = {
+    val prevColored =
+      if (k == 1) "SELECT NULL::BIGINT AS id, NULL::BIGINT AS color " +
+        "WHERE false"
+      else s"SELECT id, color FROM jpall${k - 1}"
+    val allK =
+      if (k == 1) s"SELECT id, color, CAST(1 AS BIGINT) AS color_round " +
+        s"FROM jpw1"
+      else s"SELECT * FROM jpall${k - 1} UNION ALL " +
+        s"SELECT id, color, $k FROM jpw$k"
+    s"""jpr$k AS MATERIALIZED (
+       |  SELECT l.id FROM jplive${k - 1} l LEFT JOIN (
+       |    SELECT e.v AS id, max(l2.key) AS mk
+       |    FROM jpund e JOIN jplive${k - 1} l2 ON e.u = l2.id
+       |    GROUP BY e.v) nb ON nb.id = l.id
+       |  WHERE nb.mk IS NULL OR l.key > nb.mk),
+       |jpw$k AS MATERIALIZED (
+       |  SELECT r.id, CAST(coalesce(list_filter(range(0, len(nc.cs) + 1),
+       |      c -> NOT list_contains(nc.cs, c))[1], 0) AS BIGINT) AS color
+       |  FROM jpr$k r LEFT JOIN (
+       |    SELECT e.v AS id, list_distinct(list(c.color)) AS cs
+       |    FROM jpund e JOIN ($prevColored) c ON c.id = e.u
+       |    GROUP BY e.v) nc ON nc.id = r.id),
+       |jpall$k AS MATERIALIZED ($allK),
+       |jplive$k AS MATERIALIZED (
+       |  SELECT l.id, l.key FROM jplive${k - 1} l
+       |  WHERE l.id NOT IN (SELECT id FROM jpw$k))""".stripMargin
+  }
+
+  private val jpOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |jpe AS (SELECT start_id AS a, end_id AS b FROM rels
+       |        WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |jpund AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT a AS u, b AS v FROM jpe
+       |    UNION ALL SELECT b, a FROM jpe) t WHERE u != v),
+       |jplive0 AS MATERIALIZED (
+       |  SELECT id, ((id % 1000003) * (id % 1000003) % 1000003 * 31
+       |    + id % 1000003) % 1000003 * 10000000000 + id AS key
+       |  FROM (SELECT DISTINCT u AS id FROM jpund) n),
+       |${(1 to 3).map(jpRound).mkString(",\n")}
+       |SELECT id, color, color_round FROM jpall3""".stripMargin
+
   private val misOracle: String =
     s"""WITH ${SparkEntry.RelsCte},
        |mise AS (SELECT start_id AS a, end_id AS b FROM rels
@@ -1005,6 +1053,13 @@ object QueriesGraphAlgos {
     "mis_luby" -> ((s, dir) => GraphAlgos.misLuby(
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)),
+    // Jones–Plassmann greedy coloring, 3 rounds: local priority maxima
+    // color themselves with the smallest color absent from their
+    // colored neighborhood — winners are adjacent-free per round, so
+    // the coloring is proper by construction.
+    "graph_coloring" -> ((s, dir) => GraphAlgos.jpColoring(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)),
     // Parallel greedy maximal matching, 3 rounds, over the membership
     // graph — per round the locally-minimum incident edge of BOTH
     // endpoints commits; winners are vertex-disjoint by construction.
@@ -1080,6 +1135,7 @@ object QueriesGraphAlgos {
     "assortativity" -> assortativityOracle,
     "link_predict" -> linkPredictOracle,
     "mis_luby" -> misOracle,
+    "graph_coloring" -> jpOracle,
     "max_matching" -> matchingOracle,
     "neg_sample" ->
       s"""WITH ${SparkEntry.RelsCte},

@@ -1028,6 +1028,70 @@ object GraphAlgos {
     mis
   }
 
+  /** Jones–Plassmann greedy graph coloring (Jones & Plassmann 1993,
+    * "A parallel graph coloring heuristic" — public literature): a node
+    * colors itself in the round where it holds the highest priority
+    * among its still-uncolored neighbors, taking the smallest color
+    * absent from its already-colored neighborhood (mex). Priorities are
+    * the same deterministic quadratic hash as [[misLuby]] with id as
+    * total-order tie-break, so winners of one round are adjacent-free
+    * by construction and the result is a PROPER coloring — no two
+    * adjacent colored nodes ever share a color, in any round count.
+    *
+    * Scale: per round one per-vertex max aggregate over live edges
+    * (who's ready), one neighbor-color collect bounded by the colors
+    * used so far (≤ max degree + 1, tiny even for hubs), and anti-join
+    * removal; rounds are localCheckpoint barriers like every iterative
+    * algorithm here. Like [[misLuby]], a fixed round budget colors the
+    * top of the priority order; uncolored remainder is simply absent
+    * (same bounded-round contract as the mis_round gate). Returns
+    * (id, color, color_round). */
+  def jpColoring(rels: DataFrame, types: Seq[String],
+                 rounds: Int): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val keyExpr = expr(
+      "((id % 1000003) * (id % 1000003) % 1000003 * 31 + id % 1000003)" +
+        " % 1000003 * 10000000000 + id")
+    var uncolored = und.select(col("u").as("id")).distinct()
+      .withColumn("key", keyExpr).localCheckpoint(true)
+    var colored: DataFrame = null
+    for (r <- 1 to rounds) {
+      val nbMax = und
+        .join(uncolored.select(col("id").as("u"), col("key").as("nk")),
+          "u")
+        .groupBy(col("v").as("id")).agg(max(col("nk")).as("mk"))
+      val ready = uncolored.join(nbMax, Seq("id"), "left")
+        .where(col("mk").isNull || col("key") > col("mk"))
+        .select(col("id"))
+      val ncs =
+        if (colored == null) ready.limit(0)
+          .select(col("id"), array().cast("array<bigint>").as("cs"))
+        else und.select(col("v").as("id"), col("u").as("nb"))
+          .join(ready, Seq("id"))
+          .join(colored.select(col("id").as("nb"), col("color")),
+            Seq("nb"))
+          .groupBy(col("id"))
+          .agg(array_sort(collect_set(col("color"))).as("cs"))
+      val won = ready.join(ncs, Seq("id"), "left")
+        .withColumn("cs",
+          coalesce(col("cs"), array().cast("array<bigint>")))
+        // mex: sequence(0, size) always holds >= 1 value missing from a
+        // size-element distinct set; filter keeps them, [0] is least
+        .select(col("id"),
+          expr("filter(transform(sequence(0, size(cs)), " +
+            "c -> CAST(c AS BIGINT)), c -> NOT array_contains(cs, c))[0]")
+            .as("color"),
+          lit(r.toLong).as("color_round"))
+        .localCheckpoint(true)
+      colored = if (colored == null) won else colored.union(won)
+      uncolored = uncolored.join(won.select(col("id")), Seq("id"),
+        "left_anti").localCheckpoint(true)
+    }
+    colored
+  }
+
   /** Parallel greedy maximal matching (Israeli–Itai shape): per round an
     * edge joins the matching iff it is the minimum-priority incident
     * edge of BOTH its endpoints — such local minima are vertex-disjoint

@@ -477,6 +477,56 @@ class GraphAlgosSpec extends AnyFunSuite {
       (a == v && mis(b)) || (b == v && mis(a)) }), "not maximal")
   }
 
+  test("jpColoring matches a driver-side JP reference and is proper") {
+    val rnd = new scala.util.Random(23)
+    val n = 14
+    val es = (1 to 26).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val g = es.map { case (a, b) => (a, b, "E") }
+      .toDF("START_ID", "END_ID", "TYPE")
+    val got = GraphAlgos.jpColoring(g, Seq("E"), rounds = n)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    // driver-side reference: same priorities, same mex, sequential rounds
+    def key(id: Long) =
+      ((id % 1000003) * (id % 1000003) % 1000003 * 31 +
+        id % 1000003) % 1000003 * 10000000000L + id
+    val nbr = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var uncolored = nbr.keySet
+    val ref = scala.collection.mutable.Map[Long, (Long, Long)]()
+    var r = 0L
+    while (uncolored.nonEmpty) {
+      r += 1
+      val ready = uncolored.filter(v =>
+        nbr(v).filter(uncolored).forall(u => key(u) < key(v)))
+      for (v <- ready) {
+        val used = nbr(v).flatMap(u => ref.get(u).map(_._1))
+        val mex = (0L to used.size.toLong).find(!used.contains(_)).get
+        ref(v) = (mex, r)
+      }
+      uncolored = uncolored -- ready
+    }
+    assert(got == ref.toMap)
+    // proper coloring: no edge shares a color
+    assert(!es.exists { case (a, b) => got(a)._1 == got(b)._1 })
+  }
+
+  test("jpColoring: path graph hand trace") {
+    // keys ordered 1 < 2 < 3 (same hash family as misLuby's path test):
+    // round 1: node 3 is the only local max -> color 0; round 2: node 2
+    // (neighbor 3 colored, beats 1) -> mex{0} = 1; round 3: node 1 ->
+    // neighbor colors {1} -> mex = 0
+    val g = Seq((1L, 2L, "E"), (2L, 3L, "E"))
+      .toDF("START_ID", "END_ID", "TYPE")
+    val r = GraphAlgos.jpColoring(g, Seq("E"), rounds = 3)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    assert(r == Map(3L -> ((0L, 1L)), 2L -> ((1L, 2L)), 1L -> ((0L, 3L))))
+  }
+
   test("negativeSample: hash-indexed candidates, positives excluded") {
     // domain [10,12): src 1 draws 11,10,11 for i=0,1,2 — slot i=1 hits
     // its true edge (1→10) and drops; src 2 draws 10,11,10 — slot i=1
