@@ -82,6 +82,15 @@ object QueriesPipeline {
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(table(s, dir, "embeddings"),
         maxSqDist = 1500000L, iters = 1)),
+    // nearest-class-mean confusion matrix: one integer prototype per
+    // label, broadcast; exact-argmin assignment; label×pred counts
+    "class_prototypes" -> ((s, dir) =>
+      Similarity.nearestClassMean(table(s, dir, "embeddings"))),
+    // contrastive hard negatives: per query (vec_id < 10) the 5 nearest
+    // DIFFERENT-label vectors by exact integer distance, bounded top-k
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(table(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 10, k = 5)),
 
     // ---- the full pipeline, end-to-end ----------------------------------
     // quality filter → exact dedup (keep min id per content hash) →
@@ -2260,6 +2269,51 @@ object QueriesPipeline {
          |     PARTITION BY coalesce(comp.grp, wd.vec_id)
          |     ORDER BY wd.dc DESC, wd.vec_id)) = 1 AS keep
          |FROM wd LEFT JOIN comp USING (vec_id)""".stripMargin
+    },
+    "class_prototypes" -> {
+      val dimP1 = 65
+      def qd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, $dimP1), " +
+          s"j -> ($a.qv[j] - $b.qc[j]) * ($a.qv[j] - $b.qc[j])))"
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |        embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, label,
+         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |          AS qv
+         |      FROM e),
+         |u AS (SELECT label, j,
+         |  CAST(floor(CAST(sum(qv[j]) AS DOUBLE) / count(*)) AS BIGINT)
+         |    AS cj
+         |  FROM q, range(1, $dimP1) t(j) GROUP BY label, j),
+         |proto AS (SELECT label AS plabel, list(cj ORDER BY j) AS qc
+         |          FROM u GROUP BY label),
+         |a AS (SELECT vec_id, label, plabel AS pred FROM (
+         |  SELECT q.vec_id, q.label, p.plabel,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${qd("q", "p")}, p.plabel) AS rn
+         |  FROM q, proto p) t WHERE rn = 1)
+         |SELECT label, pred, count(*) AS n FROM a GROUP BY 1, 2"""
+        .stripMargin
+    },
+    "hard_negatives" -> {
+      val dimP1 = 65
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |        embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, label,
+         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |          AS qv
+         |      FROM e),
+         |qq AS (SELECT vec_id AS qid, label AS qlabel, qv AS qprobe
+         |       FROM q WHERE vec_id < 10),
+         |s AS (SELECT qq.qid, q.vec_id AS nid,
+         |        list_sum(list_transform(range(1, $dimP1),
+         |          j -> (q.qv[j] - qq.qprobe[j]) * (q.qv[j] - qq.qprobe[j])))
+         |          AS d
+         |      FROM q, qq WHERE q.label != qq.qlabel)
+         |SELECT qid, nid, d, rn FROM (
+         |  SELECT qid, nid, d, row_number() OVER (PARTITION BY qid
+         |    ORDER BY d, nid) AS rn FROM s) t
+         |WHERE rn <= 5""".stripMargin
     },
     "dedup_minhash" -> {
       // mirrors Dedup.minhashLshPortable exactly: word-level polyHash,

@@ -127,6 +127,18 @@ object QueriesScale {
           Seq(col("o_orderkey")), col("o_orderkey"), 256L, 767L, 256L))
     }),
 
+    // Per-block Bloom skipping vs zone maps for POINT lookups on a
+    // column uncorrelated with the physical order: the zone map scans
+    // ~every block (each covers the full key range), the 2520-bit block
+    // bloom scans ~matching blocks + the false-positive tail, and an
+    // absent key (987654) scans ~nothing. The bitmap table is the
+    // persistent skipping index.
+    "bloom_skipping" -> ((s, dir) =>
+      ScaleOps.bloomSkippingAudit(table(s, dir, "orders"),
+        order = Seq(col("o_orderdate"), col("o_orderkey")),
+        value = col("o_custkey"),
+        probes = Seq(750L, 1499L, 987654L), blockRows = 256L)),
+
     // Incremental aggregate maintenance: the base partial (90% of
     // events) and the delta partial (10%) are aggregated independently
     // and MERGED — count/sum/min/max are monoids, so the combined result
@@ -186,6 +198,38 @@ object QueriesScale {
            |  GROUP BY 1)""".stripMargin
       layout("by_date", "o_orderdate, o_orderkey") + "\nUNION ALL\n" +
         layout("by_key", "o_orderkey")
+    },
+    "bloom_skipping" -> {
+      def branch(p: Long): String = {
+        val h1 = p % 2520L
+        val h2 = (p * 31L + 7L) % 2520L
+        val (w1, b1) = (h1 / 63L, 1L << (h1 % 63L).toInt)
+        val (w2, b2) = (h2 / 63L, 1L << (h2 % 63L).toInt)
+        s"""SELECT CAST($p AS BIGINT) AS probe,
+           |  (SELECT count(*) FROM stats) AS n_blocks,
+           |  (SELECT count(*) FROM (
+           |     SELECT b1.blk FROM bits b1 JOIN bits b2 ON b2.blk = b1.blk
+           |     WHERE b1.w = $w1 AND (b1.bits & $b1) != 0
+           |       AND b2.w = $w2 AND (b2.bits & $b2) != 0) t)
+           |    AS blocks_bloom,
+           |  (SELECT count(*) FROM stats WHERE mn <= $p AND mx >= $p)
+           |    AS blocks_zonemap,
+           |  (SELECT count(*) FROM rb WHERE v = $p) AS rows_matched"""
+          .stripMargin
+      }
+      s"""WITH ranked AS (SELECT o_custkey AS v,
+         |    row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rk
+         |  FROM orders),
+         |rb AS (SELECT v, (rk - 1) // 256 AS blk FROM ranked),
+         |bits AS (SELECT blk, h // 63 AS w,
+         |    bit_or(1::BIGINT << CAST(h % 63 AS INT)) AS bits
+         |  FROM (SELECT blk, unnest([v % 2520, (v * 31 + 7) % 2520]) AS h
+         |        FROM rb) t
+         |  GROUP BY 1, 2),
+         |stats AS (SELECT blk, min(v) AS mn, max(v) AS mx FROM rb
+         |          GROUP BY 1)
+         |${Seq(750L, 1499L, 987654L).map(branch).mkString("\nUNION ALL\n")}"""
+        .stripMargin
     },
     "incr_agg" ->
       """SELECT user_id, count(*) AS n,

@@ -86,6 +86,67 @@ object ScaleOps {
         col("blocks_scanned"), col("rows_scanned"), col("rows_matched"))
   }
 
+  /** Per-block Bloom-filter skipping audit — the point-lookup companion
+    * of [[zoneMapAudit]]: min/max zones are useless for an equality
+    * probe on a column UNCORRELATED with the sort order (every block's
+    * range covers the probe), but a small per-block Bloom filter skips
+    * almost everything. This is the data-skipping index design question
+    * (Parquet bloom filters, Delta/Iceberg point-lookup stats) answered
+    * from the data: for each probe key, how many blocks does each
+    * mechanism scan?
+    *
+    * The filter is exact integer arithmetic, replayable cross-engine:
+    * per value two hash bits h ∈ {v mod 2520, (31v+7) mod 2520} set in a
+    * 40-word × 63-bit block bitmap (~10 bits/key at the default 256-row
+    * block); a block passes a probe iff both probe bits are set. Values
+    * must be NON-NEGATIVE (mod, not pmod, so the oracle's % matches).
+    *
+    * Scale: the ranked table materializes once (localCheckpoint) and
+    * feeds the bitmap build and the block stats; both are hash
+    * aggregates keyed by block. The bitmap table IS the persistent
+    * skipping index: n/blockRows × ≤40 words, ~0.03% of an int64
+    * column's size. One row per probe:
+    * (probe, n_blocks, blocks_bloom, blocks_zonemap, rows_matched). */
+  def bloomSkippingAudit(df: DataFrame, order: Seq[Column],
+                         value: Column, probes: Seq[Long],
+                         blockRows: Long = 256L): DataFrame = {
+    val ranked = globalRank(df.withColumn("_v", value.cast("long")), order)
+      .withColumn("_block", expr(s"(_rank - 1) div ${blockRows}L"))
+      .select(col("_block"), col("_v"))
+      .localCheckpoint(true)
+    val bits = ranked
+      .select(col("_block"), explode(array(
+        pmod(col("_v"), lit(2520L)),
+        pmod(col("_v") * 31L + 7L, lit(2520L)))).as("_h"))
+      .select(col("_block"), expr("_h div 63").as("_w"),
+        expr("shiftleft(1L, CAST(_h % 63 AS INT))").as("_b"))
+      .groupBy(col("_block"), col("_w"))
+      .agg(expr("bit_or(_b)").as("bits"))
+      .localCheckpoint(true)
+    val stats = ranked.groupBy(col("_block"))
+      .agg(min(col("_v")).as("mn"), max(col("_v")).as("mx"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    probes.map { p =>
+      val h1 = p % 2520L
+      val h2 = (p * 31L + 7L) % 2520L
+      def pass(h: Long) = bits
+        .where(col("_w") === h / 63L &&
+          (col("bits").bitwiseAND(lit(1L << (h % 63L).toInt)) =!= 0L))
+        .select(col("_block"))
+      val bloomOk = pass(h1).intersect(pass(h2))
+        .agg(count(lit(1)).as("blocks_bloom"))
+      val zone = stats.agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("mn") <= p && col("mx") >= p, 1L).otherwise(0L))
+          .as("blocks_zonemap"))
+      val matched = ranked.agg(
+        sum(when(col("_v") === p, 1L).otherwise(0L)).as("rows_matched"))
+      zone.join(bloomOk, lit(true)).join(matched, lit(true))
+        .select(lit(p).as("probe"), col("n_blocks"), col("blocks_bloom"),
+          col("blocks_zonemap"), col("rows_matched"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Incremental aggregate maintenance: merge pre-aggregated PARTIALS
     * (per-key `n` / `sum_v` / `min_v` / `max_v`) from any number of
     * increments into the combined aggregate — the materialized-view

@@ -422,6 +422,70 @@ object Similarity {
     } finally q.unpersist(blocking = false)
   }
 
+  /** Nearest-class-mean (prototype) classification over the embedding
+    * corpus: one integer floor-mean prototype per label (the same exact
+    * Lloyd-update arithmetic as [[kmeansQuantized]], keyed by the GIVEN
+    * label instead of a learned cell), every vector assigned to its
+    * nearest prototype by exact integer L2, and the label×prediction
+    * confusion matrix returned — the standard embedding-quality probe
+    * (how linearly separable are the classes?) and the cheapest useful
+    * classifier over a labeled corpus.
+    *
+    * Scale: prototypes are |labels| rows (broadcast); assignment is one
+    * narrow map with a map-side argmin collapse; the confusion matrix is
+    * one hash aggregate. Nothing pairwise anywhere. */
+  def nearestClassMean(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1000).cast("long")).as("qv"))
+    val proto = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("qc"))
+      .withColumnRenamed("label", "plabel")
+    q.join(broadcast(proto), lit(true))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(qdist(col("qv"), col("qc")).as("d"),
+        col("plabel").as("pred"))).as("best"),
+        first(col("label")).as("label"))
+      .select(col("label"), col("best.pred").as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Hard-negative mining: for every query vector, the k nearest corpus
+    * vectors carrying a DIFFERENT label — the contrastive-training
+    * companion of [[bruteTopK]] (easy negatives are free; the hard ones
+    * near the decision boundary are what the loss needs). Exact integer
+    * distances, ranked ascending with nid tie-break through the bounded
+    * [[TopK.perKey]] aggregate — k rows per query per partition cross
+    * the shuffle, never the scored corpus. Queries broadcast, corpus
+    * streams: the 100 TB shape. Returns (qid, nid, d, rn). */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column,
+                    k: Int): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1000).cast("long")).as("qv"))
+    val queries = q.where(queryPred)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("qv").as("qq"))
+    val scored = q.join(broadcast(queries),
+        col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (-qdist(col("qv"), col("qq"))).as("negd"))
+    TopK.perKey(scored, key = "qid", ord = "negd", tiebreak = "nid",
+        payload = "nid", k = k)
+      .select(col("qid"), col("nid"), (-col("negd")).cast("long").as("d"),
+        col("rn"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication" — public paper): k-means-cluster the embedding

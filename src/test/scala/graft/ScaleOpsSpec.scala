@@ -57,6 +57,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(c.getLong(3) == 2L && c.getLong(4) == 8L && c.getLong(5) == 2L)
   }
 
+  test("bloomSkippingAudit: hand-computed bits, present and absent probes") {
+    // 4 rows, one block: values 10, 20, 30, 40; probe 20 present ->
+    // bloom passes, zone passes; probe 25 absent but inside [10,40] ->
+    // zone scans, bloom (almost surely) skips — verify exactly by
+    // computing the bits: h(25) = {25, 782}, none of the rows hashes to
+    // both words/bits of 25
+    val df = Seq(10L, 20L, 30L, 40L).toDF("v")
+    val out = ScaleOps.bloomSkippingAudit(df, Seq(col("v")), col("v"),
+        probes = Seq(20L, 25L), blockRows = 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(20L) == ((1L, 1L, 1L, 1L)))
+    // row hashes: v and 31v+7 mod 2520 = {10,317},{20,627},{30,937},
+    // {40,1247}; probe 25 needs bits 25 and 782 — absent
+    assert(out(25L) == ((1L, 0L, 1L, 0L)))
+  }
+
   test("mergePartialAggs over split inputs equals the full recompute") {
     val e = Seq((1L, 10L), (1L, -4L), (2L, 7L), (3L, 0L), (2L, 2L),
       (1L, 5L)).toDF("k", "v")

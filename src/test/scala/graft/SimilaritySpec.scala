@@ -229,6 +229,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.map(_._2) == List(7L, 9L))
   }
 
+  test("nearestClassMean: prototypes and confusion matrix by hand") {
+    // label 0 at x≈0 (0, 200 -> proto 100), label 1 at x≈1000
+    // (1000 -> proto 1000); outlier (900, label 0) predicts 1:
+    // confusion (0,0)=2 (0,1)=1 (1,1)=1
+    val e = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0.2f, 0f), 0),
+      (3L, Array(0.9f, 0f), 0), (4L, Array(1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestClassMean(e)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toList
+    // proto(0) = floor((0+200+900)/3) = 366; proto(1) = 1000
+    // d(3 -> p0) = (900-366)^2 = 285156 > d(3 -> p1) = 100^2
+    assert(got == List((0L, 0L, 2L), (0L, 1L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("hardNegatives: nearest different-label by hand, ascending ties") {
+    val e = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(0.1f, 0f), 0),
+      (2L, Array(0.2f, 0f), 1), (3L, Array(0.3f, 0f), 1),
+      (4L, Array(1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(e, queryPred = col("vec_id") < 1,
+        k = 2).as[(Long, Long, Long, Long)].collect().sortBy(_._4).toList
+    // query 0 (label 0): negatives 2 (d=200²), 3 (d=300²), 4 (d=1000²)
+    assert(got == List((0L, 2L, 40000L, 1L), (0L, 3L, 90000L, 2L)))
+  }
+
   test("semanticDedup: hand-computed clusters, groups, and keep verdicts") {
     // init centroids = ids 0, 97 (vec_id % 97 == 0); after 1 Lloyd round
     // c[0] = floor-mean(0, 100, 200) = (100, 0),
