@@ -413,6 +413,16 @@ object QueriesRelational {
           "view" -> (col("event_type") === "view"),
           "click" -> (col("event_type") === "click"),
           "purchase" -> (col("event_type") === "purchase")))),
+    // multi-touch attribution: every click in the 7 days before a
+    // purchase shares the credit (linear ppm split); first/last-touch
+    // ids from the same aggregate; organic purchases kept with 0
+    "attribution_touch" -> ((s, dir) =>
+      graft.operators.EventAnalytics.attribution(
+        table(s, dir, "events"), entity = "user_id", ts = "ts",
+        id = "event_id",
+        touchPred = col("event_type") === "click",
+        convPred = col("event_type") === "purchase",
+        lookbackUs = 7L * 86400L * 1000000L)),
     // first-order Markov transition matrix of event types: one
     // per-user window + alphabet-bounded aggregates, exact integer ppm
     "event_transitions" -> ((s, dir) =>
@@ -600,6 +610,35 @@ object QueriesRelational {
           org.apache.spark.sql.expressions.Window.partitionBy(col("hour"))
             .orderBy(col("n").desc, col("event_type"))).cast("long"))
         .where(col("rn") <= 3)
+    }),
+    // the STREAMING twin of incr_agg: the same per-key
+    // count/sum/min/max materialized aggregate maintained continuously
+    // by Structured Streaming's own state (update-by-monoid is exactly
+    // what a streaming agg does per micro-batch); two source files force
+    // a multi-batch run so state genuinely carries across batches, and
+    // the oracle is the identical batch group-by over all events
+    "stream_incr_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = table(s, dir, "events").select(col("user_id"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      val tmp =
+        s"/tmp/graft_sincr_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      e.where(col("user_id") % 10 =!= 0).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      e.where(col("user_id") % 10 === 0).coalesce(1)
+        .write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val qname = s"graft_stream_incr_${System.nanoTime()}"
+      withShufflePartitions(s, 8) {
+        val q = stream.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(qname)
     }),
     // STREAM-STATIC enrichment under the gate: events flow through a
     // file stream and broadcast-join the static customer dimension per
@@ -964,6 +1003,39 @@ object QueriesRelational {
         |       (SELECT count(*) FROM s1) AS n_entities
         |UNION ALL SELECT '2_click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT '3_purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    // identical to incr_agg's oracle: the streaming state must land on
+    // exactly the batch group-by
+    "stream_incr_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_v,
+        |  min(CAST(floor(value * 1000) AS BIGINT)) AS min_v,
+        |  max(CAST(floor(value * 1000) AS BIGINT)) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
+    "attribution_touch" ->
+      """WITH t AS (SELECT user_id AS e, epoch_us(ts) AS tus,
+        |             event_id AS tid FROM events
+        |           WHERE event_type = 'click'),
+        |c AS (SELECT user_id AS e, epoch_us(ts) AS cus,
+        |        event_id AS conv_id FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT c.conv_id, c.cus, t.tus, t.tid,
+        |        (t.tus IS NOT NULL AND t.tus < c.cus AND
+        |         t.tus >= c.cus - 604800000000) AS inw
+        |      FROM c LEFT JOIN t ON t.e = c.e),
+        |a AS (SELECT conv_id,
+        |        CAST(sum(CASE WHEN inw THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_touches,
+        |        min(CASE WHEN inw
+        |            THEN struct_pack(a := tus, b := tid) END) AS f,
+        |        max(CASE WHEN inw
+        |            THEN struct_pack(a := tus, b := tid) END) AS l
+        |      FROM j GROUP BY 1)
+        |SELECT conv_id, n_touches,
+        |  CAST(CASE WHEN n_touches > 0 THEN 1000000 // n_touches
+        |       ELSE 0 END AS BIGINT) AS weight_ppm,
+        |  f.b AS first_touch, l.b AS last_touch
+        |FROM a""".stripMargin,
     "event_transitions" ->
       """WITH t AS (SELECT user_id, event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id

@@ -225,4 +225,39 @@ object EventAnalytics {
       .groupBy(col(s"x.$typ").as("type_a"), col(s"y.$typ").as("type_b"))
       .agg(count(lit(1)).as("n_entities"))
   }
+
+  /** Multi-touch attribution over a conversion lookback window: for each
+    * conversion event, every touch by the same entity in the
+    * `lookbackUs`-microsecond window strictly before it shares the
+    * credit — linear weight = ⌊10⁶ / n_touches⌋ ppm each, plus the
+    * first- and last-touch ids (the two single-touch models come free
+    * from the same aggregate; ties broken by event id). Conversions with
+    * no touch in window are reported with n_touches = 0 — the
+    * "organic" bucket an inner join would silently drop.
+    *
+    * One equi-join on the entity key restricted by the time band (the
+    * per-entity touch set is the join's unit of work — no windows over
+    * the global stream, no per-entity event lists), then one aggregate
+    * keyed by conversion. Returns (conv_id, n_touches, weight_ppm,
+    * first_touch, last_touch). */
+  def attribution(events: DataFrame, entity: String, ts: String,
+                  id: String, touchPred: Column, convPred: Column,
+                  lookbackUs: Long): DataFrame = {
+    val t = events.where(touchPred).select(col(entity).as("_e"),
+      expr(s"unix_micros($ts)").as("_tus"), col(id).as("_tid"))
+    val c = events.where(convPred).select(col(entity).as("_e"),
+      expr(s"unix_micros($ts)").as("_cus"), col(id).as("conv_id"))
+    c.join(t, Seq("_e"), "left")
+      .withColumn("_in", col("_tus").isNotNull &&
+        col("_tus") < col("_cus") &&
+        col("_tus") >= col("_cus") - lookbackUs)
+      .groupBy(col("conv_id"))
+      .agg(sum(when(col("_in"), 1L).otherwise(0L)).as("n_touches"),
+        min(when(col("_in"), struct(col("_tus"), col("_tid")))).as("_f"),
+        max(when(col("_in"), struct(col("_tus"), col("_tid")))).as("_l"))
+      .select(col("conv_id"), col("n_touches"),
+        when(col("n_touches") > 0,
+          expr("1000000 div n_touches")).otherwise(0L).as("weight_ppm"),
+        col("_f._tid").as("first_touch"), col("_l._tid").as("last_touch"))
+  }
 }

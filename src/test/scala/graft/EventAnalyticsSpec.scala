@@ -175,4 +175,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSet
     assert(out == Set(("view", "click", 1L), ("click", "view", 1L)))
   }
+
+  test("attribution: linear split, first/last ids, organic kept") {
+    def ev(id: Long, u: Long, t: Long, ty: String) =
+      (id, u, new Timestamp(t), ty)
+    // user 1: clicks at 1000, 2000 then purchase at 3000 (both in the
+    // 5-second window); user 2: purchase with no clicks; user 3: click
+    // AFTER the purchase only
+    val e = Seq(
+      ev(11L, 1L, 1000L, "click"), ev(12L, 1L, 2000L, "click"),
+      ev(13L, 1L, 3000L, "purchase"),
+      ev(20L, 2L, 1000L, "purchase"),
+      ev(31L, 3L, 2000L, "purchase"), ev(32L, 3L, 3000L, "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.attribution(e, "user_id", "ts", "event_id",
+        touchPred = col("event_type") === "click",
+        convPred = col("event_type") === "purchase",
+        lookbackUs = 5000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out(13L) == ((2L, 500000L, 11L, 12L)))
+    assert(out(20L) == ((0L, 0L, -1L, -1L)))
+    assert(out(31L) == ((0L, 0L, -1L, -1L)))
+  }
 }
