@@ -1060,6 +1060,23 @@ object QueriesGraphAlgos {
     "graph_coloring" -> ((s, dir) => GraphAlgos.jpColoring(
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)),
+    // incremental 2-hop view maintenance (delta-join rule): a 10% edge
+    // delta folds into the materialized base 2-hop via three delta-keyed
+    // joins — base⋈base never recomputes; result must equal the full
+    // recompute (the oracle) pair-for-pair
+    "incr_khop2" -> ((s, dir) => {
+      val e = SparkEntry.graph(s, dir).rels
+        .where(col("TYPE").isin("FROM_NATION", "IN_REGION"))
+        .select(col("START_ID").as("src"), col("END_ID").as("dst"))
+        .distinct()
+      val delta = e.where((col("src") + col("dst")) % 10 === 0)
+      val base = e.where((col("src") + col("dst")) % 10 =!= 0)
+      graft.operators.KHop.incrementalTwoHop(base, delta,
+          graft.operators.KHop.twoHopPairs(base))
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c") * 100003L + 7L).as("checksum"))
+    }),
     // Parallel greedy maximal matching, 3 rounds, over the membership
     // graph — per round the locally-minimum incident edge of BOTH
     // endpoints commits; winners are vertex-disjoint by construction.
@@ -1136,6 +1153,15 @@ object QueriesGraphAlgos {
     "link_predict" -> linkPredictOracle,
     "mis_luby" -> misOracle,
     "graph_coloring" -> jpOracle,
+    "incr_khop2" ->
+      s"""WITH ${SparkEntry.RelsCte},
+         |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+         |h AS (SELECT DISTINCT a.src AS a, b.dst AS c
+         |      FROM e a JOIN e b ON a.dst = b.src)
+         |SELECT a, count(*) AS n_pairs,
+         |       CAST(sum(c * 100003 + 7) AS BIGINT) AS checksum
+         |FROM h GROUP BY 1""".stripMargin,
     "max_matching" -> matchingOracle,
     "neg_sample" ->
       s"""WITH ${SparkEntry.RelsCte},

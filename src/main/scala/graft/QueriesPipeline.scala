@@ -363,6 +363,11 @@ object QueriesPipeline {
     "lm_kn_bigram" -> ((s, dir) =>
       CorpusTools.knBigramScore(table(s, dir, "documents"),
         "doc_id", "text")),
+    // padding-waste accounting for three packing strategies at S=128 —
+    // the integer that prices a packing decision at corpus scale
+    "padding_waste" -> ((s, dir) =>
+      CorpusTools.paddingWaste(table(s, dir, "documents"),
+        "doc_id", "text", seqLen = 128, buckets = 4)),
     // deterministic per-language sampling (hash-gated keep, no RNG):
     // per-lang totals, kept counts, and kept-id checksum
     "sample_stratified" -> ((s, dir) =>
@@ -2055,6 +2060,30 @@ object QueriesPipeline {
         |   CASE WHEN top_word_ppm > 200000 THEN 32 ELSE 0 END) = 0
         |    AS pass
         |FROM t""".stripMargin,
+    "padding_waste" ->
+      """WITH t AS (SELECT doc_id,
+        |    (doc_id * 2654435761) % 1000000007 % 4 AS b,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |s1 AS (SELECT 'one_doc_per_seq' AS strategy, count(*) AS n_docs,
+        |         CAST(sum(n) AS BIGINT) AS n_tokens,
+        |         CAST(sum((n + 127) // 128) AS BIGINT) AS n_seqs
+        |       FROM t),
+        |s2 AS (SELECT 'concat_global', count(*),
+        |         CAST(sum(n) AS BIGINT),
+        |         CAST((sum(n) + 127) // 128 AS BIGINT) FROM t),
+        |s3 AS (SELECT 'concat_sharded', CAST(sum(d) AS BIGINT),
+        |         CAST(sum(tk) AS BIGINT),
+        |         CAST(sum((tk + 127) // 128) AS BIGINT)
+        |       FROM (SELECT b, count(*) AS d, sum(n) AS tk FROM t
+        |             GROUP BY b) sh),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3)
+        |SELECT strategy, n_docs, n_tokens, n_seqs,
+        |  n_seqs * 128 - n_tokens AS pad_tokens,
+        |  CAST((n_seqs * 128 - n_tokens) * 1000000 // (n_seqs * 128)
+        |    AS BIGINT) AS pad_ppm
+        |FROM u""".stripMargin,
     "lm_kn_bigram" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),

@@ -931,6 +931,48 @@ object CorpusTools {
       .agg(count(lit(1)).as("nnz"), sum(abs(col("v"))).as("l1"),
         sum((col("idx") + 1L) * col("v")).as("checksum"))
 
+  /** Padding-waste audit for sequence packing: for a fixed training
+    * sequence length S, how many pad tokens does each packing strategy
+    * burn? Three strategies, exact integer accounting per strategy:
+    *
+    *   - `one_doc_per_seq`: each doc alone, padded to ⌈n/S⌉·S — the
+    *     naive loader every pipeline starts with;
+    *   - `concat_global`:   all docs concatenated end-to-end (the
+    *     boundary-crossing GPT-style stream) — padding only in the
+    *     final sequence, the lower bound;
+    *   - `concat_sharded`:  concatenation within `buckets` hash shards
+    *     (the distributed reality — [[packOffsets]]' layout): one
+    *     partial tail per shard.
+    *
+    * Output (strategy, n_docs, n_tokens, n_seqs, pad_tokens, pad_ppm).
+    * The audit is aggregates only — counts and sums with map-side
+    * combine; the shard tails are ≤ `buckets` rows. This is the number
+    * that prices a packing decision at 100 TB: pad_ppm × corpus tokens
+    * × cost-per-token. */
+  def paddingWaste(docs: DataFrame, id: String, text: String, seqLen: Int,
+                   buckets: Int): DataFrame = {
+    val t = docs.select(col(id).as("_id"),
+      ((col(id) * 2654435761L) % 1000000007L % buckets).as("_bucket"),
+      size(words(col(text))).cast("long").as("n"))
+    def shape(tag: String, agg: DataFrame): DataFrame =
+      agg.select(lit(tag).as("strategy"), col("n_docs"), col("n_tokens"),
+        col("n_seqs"), (col("n_seqs") * seqLen - col("n_tokens"))
+          .as("pad_tokens"))
+        .withColumn("pad_ppm",
+          expr(s"pad_tokens * 1000000 div (n_seqs * ${seqLen}L)"))
+    val perDoc = shape("one_doc_per_seq", t.agg(
+      count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+      sum(expr(s"(n + ${seqLen - 1}L) div ${seqLen}L")).as("n_seqs")))
+    val global = shape("concat_global", t.agg(
+      count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+      expr(s"(sum(n) + ${seqLen - 1}L) div ${seqLen}L").as("n_seqs")))
+    val sharded = shape("concat_sharded", t.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("tk"))
+      .agg(sum(col("d")).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        sum(expr(s"(tk + ${seqLen - 1}L) div ${seqLen}L")).as("n_seqs")))
+    perDoc.unionByName(global).unionByName(sharded)
+  }
+
   /** Gopher-style rule-battery quality filter (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", §A1.1 — public paper): a document
     * passes only if EVERY structural rule holds; failures are reported

@@ -526,6 +526,25 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out(2L) === ((2L, 1L, 1L, (idx("z") + 1) * sign("z"))))
   }
 
+  test("paddingWaste: exact seq/pad accounting for all three strategies") {
+    // seqLen 4, one bucket: docs of 3, 5, 6 tokens (14 total)
+    // one_doc: seqs 1+2+2 = 5 -> pad 20-14 = 6
+    // concat_global: ceil(14/4) = 4 -> pad 2
+    // concat_sharded (1 bucket) == global
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e"),
+      (3L, "a b c d e f")).toDF("doc_id", "text")
+    val out = CorpusTools.paddingWaste(docs, "doc_id", "text", seqLen = 4,
+        buckets = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("one_doc_per_seq") ==
+      (("one_doc_per_seq", 3L, 14L, 5L, 6L, 300000L)))
+    assert(out("concat_global") ==
+      (("concat_global", 3L, 14L, 4L, 2L, 125000L)))
+    assert(out("concat_sharded") ==
+      (("concat_sharded", 3L, 14L, 4L, 2L, 125000L)))
+  }
+
   test("gopherQuality: each rule bit fires on its crafted violator") {
     val good = (1L, ("the a of and " + (1 to 46).map(i => s"word$i")
       .mkString(" ")))                       // 50 words, all distinct

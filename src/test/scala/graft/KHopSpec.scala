@@ -253,4 +253,20 @@ class KHopSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incrementalTwoHop equals the full recompute on random deltas") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 3) {
+      val es = (1 to 40).map(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)).distinct
+      val all = es.toDF("src", "dst")
+      val delta = all.where((col("src") + col("dst")) % 3 === 0)
+      val base = all.where((col("src") + col("dst")) % 3 =!= 0)
+      val inc = KHop.incrementalTwoHop(base, delta,
+          KHop.twoHopPairs(base))
+        .as[(Long, Long)].collect().toSet
+      val full = KHop.twoHopPairs(all).as[(Long, Long)].collect().toSet
+      assert(inc == full)
+    }
+  }
 }
