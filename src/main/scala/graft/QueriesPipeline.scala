@@ -91,6 +91,16 @@ object QueriesPipeline {
     "hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(table(s, dir, "embeddings"),
         queryPred = col("vec_id") < 10, k = 5)),
+    // top principal direction via 2 matrix-free power-iteration rounds
+    // (C·v = Σ (qv·v)·qv) — integer normalization both engines share
+    "embed_pca_power" -> ((s, dir) =>
+      Similarity.pcaPowerDirection(table(s, dir, "embeddings"),
+        iters = 2)),
+    // pairs-free intra-class spread: Σ_{i<j}||xi−xj||² per label (and
+    // corpus-wide as label −1) via n·S2 − ||S1||² — two aggregates,
+    // never a pair join
+    "class_separation" -> ((s, dir) =>
+      Similarity.classSeparation(table(s, dir, "embeddings"))),
 
     // ---- the full pipeline, end-to-end ----------------------------------
     // quality filter → exact dedup (keep min id per content hash) →
@@ -2344,6 +2354,58 @@ object QueriesPipeline {
          |    ORDER BY d, nid) AS rn FROM s) t
          |WHERE rn <= 5""".stripMargin
     },
+    "embed_pca_power" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id,
+        |        list_transform(v, x -> CAST(round(x*1000) AS BIGINT))
+        |          AS qv FROM e),
+        |s1r AS (SELECT vec_id, qv,
+        |          CAST(list_sum(list_transform(range(1,65),
+        |            j -> qv[j] * 1000)) AS BIGINT) AS s FROM q),
+        |a1 AS (SELECT j, CAST(sum(qv[j] * s) AS BIGINT) AS acc
+        |       FROM s1r, range(1,65) t(j) GROUP BY 1),
+        |mx1 AS (SELECT greatest(max(abs(acc)), 1) AS m FROM a1),
+        |v1 AS (SELECT j, ((acc + m) * 1000) // m - 1000 AS val
+        |       FROM a1, mx1),
+        |s2r AS (SELECT q.vec_id, q.qv,
+        |          CAST(sum(q.qv[v1.j] * v1.val) AS BIGINT) AS s
+        |        FROM q CROSS JOIN v1 GROUP BY q.vec_id, q.qv),
+        |a2 AS (SELECT j, CAST(sum(qv[j] * s) AS BIGINT) AS acc
+        |       FROM s2r, range(1,65) t(j) GROUP BY 1),
+        |mx2 AS (SELECT greatest(max(abs(acc)), 1) AS m FROM a2),
+        |v2 AS (SELECT j, ((acc + m) * 1000) // m - 1000 AS val
+        |       FROM a2, mx2)
+        |SELECT j - 1 AS pos, CAST(val AS BIGINT) AS v FROM v2"""
+        .stripMargin,
+    "class_separation" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |        list_transform(v, x -> CAST(round(x*1000) AS BIGINT))
+        |          AS qv FROM e),
+        |m2 AS (SELECT label, count(*) AS n,
+        |         CAST(sum(list_sum(list_transform(range(1,65),
+        |           j -> qv[j]*qv[j]))) AS BIGINT) AS s2
+        |       FROM q GROUP BY 1),
+        |px AS (SELECT label, j, CAST(sum(qv[j]) AS BIGINT) AS sx
+        |       FROM q, range(1,65) t(j) GROUP BY 1, 2),
+        |m1 AS (SELECT label, CAST(sum(sx*sx) AS BIGINT) AS s1sq
+        |       FROM px GROUP BY 1),
+        |g2 AS (SELECT count(*) AS n,
+        |         CAST(sum(list_sum(list_transform(range(1,65),
+        |           j -> qv[j]*qv[j]))) AS BIGINT) AS s2 FROM q),
+        |gx AS (SELECT j, CAST(sum(qv[j]) AS BIGINT) AS sx
+        |       FROM q, range(1,65) t(j) GROUP BY 1),
+        |g1 AS (SELECT CAST(sum(sx*sx) AS BIGINT) AS s1sq FROM gx),
+        |u AS (SELECT label, n, s2, s1sq FROM m2 JOIN m1 USING (label)
+        |      UNION ALL SELECT -1, n, s2, s1sq FROM g2, g1)
+        |SELECT label, n, n * (n - 1) // 2 AS n_pairs,
+        |  n * s2 - s1sq AS sqdist_sum,
+        |  CAST(CASE WHEN n > 1
+        |    THEN (n * s2 - s1sq) // (n * (n - 1) // 2)
+        |    ELSE 0 END AS BIGINT) AS mean_sqdist
+        |FROM u""".stripMargin,
     "dedup_minhash" -> {
       // mirrors Dedup.minhashLshPortable exactly: word-level polyHash,
       // rolling shingle combine, numeric band-key folds

@@ -486,6 +486,82 @@ object Similarity {
         col("rn"))
   }
 
+  /** Top principal direction of the embedding corpus by fixed-round
+    * power iteration over the UNCENTERED second-moment matrix — WITHOUT
+    * materializing the d×d matrix: C·v = Σ_rows (qv·v)·qv, so a round
+    * is one codegen dot per row, one positional explode, and one d-row
+    * aggregate; the d-row collect per round is bounded driver data
+    * (same contract as [[kmeansQuantized]]'s centroid table). The
+    * anisotropy/drift diagnostic for embedding corpora.
+    *
+    * Integer-exact normalization: v ← ((a + m)·1000 div m) − 1000 with
+    * m = max|a| — the shift keeps the division non-negative, where
+    * truncating (Spark div) and flooring (DuckDB //) integer division
+    * agree, so both engines iterate bit-identically. int64 bounds hold
+    * for |x|≤2·10³ quantized components and corpora to ~10⁷ rows per
+    * power step; beyond that, rescale s (documented, not silent).
+    * Returns (pos, v) with ‖v‖∞ = 1000, pos 0-based. */
+  def pcaPowerDirection(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings).localCheckpoint(true)
+    try {
+      val dim = q.select(size(col("qv"))).head().getInt(0)
+      var v: Seq[Long] = Seq.fill(dim)(1000L)
+      for (_ <- 1 to iters) {
+        val acc = q
+          .select(col("qv"), longDot(col("qv"), typedlit(v)).as("s"))
+          .select(posexplode(col("qv")).as(Seq("pos", "x")), col("s"))
+          .groupBy(col("pos")).agg(sum(col("x") * col("s")).as("acc"))
+          .orderBy(col("pos")).collect().map(_.getLong(1))
+        val m = math.max(acc.map(math.abs).max, 1L)
+        v = acc.toSeq.map(a => ((a + m) * 1000L) / m - 1000L)
+      }
+      v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pos", "v")
+    } finally { q.unpersist(blocking = false); () }
+  }
+
+  /** Pairs-free class-separation statistics: the exact sum of squared
+    * distances over ALL within-label pairs via the moment identity
+    *
+    *   Σ_{i<j} ‖x_i − x_j‖² = n·Σ‖x_i‖² − ‖Σ x_i‖²
+    *
+    * so the O(n²) pairwise panel collapses to two aggregates per label
+    * (second moment + per-dimension sums) — THE way to measure
+    * intra/inter-class spread at 100 TB, where a pair join is
+    * impossible by construction. A label = −1 row carries the same
+    * statistics over the whole corpus; inter-class spread is the
+    * difference. All int64-exact on quantized embeddings. Returns
+    * (label, n, n_pairs, sqdist_sum, mean_sqdist). */
+  def classSeparation(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1000).cast("long")).as("qv"))
+    def sep(keys: Seq[String], tag: Column): DataFrame = {
+      val kc = keys.map(col)
+      val m2 = q.select(kc :+ longDot(col("qv"), col("qv")).as("sq"): _*)
+        .groupBy(kc: _*)
+        .agg(count(lit(1)).as("n"), sum(col("sq")).as("s2"))
+      val m1 = q
+        .select(kc :+ posexplode(col("qv")).as(Seq("pos", "x")): _*)
+        .groupBy((keys :+ "pos").map(col): _*)
+        .agg(sum(col("x")).as("sx"))
+        .groupBy(kc: _*)
+        .agg(sum(col("sx") * col("sx")).as("s1sq"))
+      val j = if (keys.isEmpty) m2.join(m1, lit(true))
+        else m2.join(m1, keys)
+      j.select(tag.as("label"), col("n"),
+          expr("n * (n - 1) div 2").as("n_pairs"),
+          (col("n") * col("s2") - col("s1sq")).as("sqdist_sum"))
+        .withColumn("mean_sqdist",
+          when(col("n_pairs") > 0, expr("sqdist_sum div n_pairs"))
+            .otherwise(lit(0L)))
+    }
+    sep(Seq("label"), col("label"))
+      .unionByName(sep(Nil, lit(-1L)))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication" — public paper): k-means-cluster the embedding

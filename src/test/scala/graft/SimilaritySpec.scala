@@ -256,6 +256,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == List((0L, 2L, 40000L, 1L), (0L, 3L, 90000L, 2L)))
   }
 
+  test("pcaPowerDirection: hand-traced two rounds in 2-D") {
+    // quantized rows (1000,0) ×2 and (0,2000); v0 = (1000,1000)
+    // iter1: s = (1e6, 1e6, 2e6); acc = (2e9, 4e9); m = 4e9
+    //   v1 = (((2e9+4e9)*1000)/4e9 − 1000, 1000) = (500, 1000)
+    // iter2: s = (5e5, 5e5, 2e6); acc = (1e9, 4e9) → v2 = (250, 1000)
+    val e = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 2f))).toDF("vec_id", "embedding")
+    val got = Similarity.pcaPowerDirection(e, iters = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((0L, 250L), (1L, 1000L)))
+  }
+
+  test("classSeparation: moment identity equals brute-force pair sums") {
+    // label 0: (0,0) and (2,0) → one pair, d² = 4e6; label 1: single
+    // vector → 0 pairs; global: pairs 4e6 + 1e6 + 5e6 = 10e6
+    val e = Seq((1L, Array(0f, 0f), 0), (2L, Array(2f, 0f), 0),
+      (3L, Array(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.classSeparation(e)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 2L, 1L, 4000000L, 4000000L)))
+    assert(got(1L) == ((1L, 1L, 0L, 0L, 0L)))
+    assert(got(-1L) == ((-1L, 3L, 3L, 10000000L, 3333333L)))
+  }
+
   test("semanticDedup: hand-computed clusters, groups, and keep verdicts") {
     // init centroids = ids 0, 97 (vec_id % 97 == 0); after 1 Lloyd round
     // c[0] = floor-mean(0, 100, 200) = (100, 0),
