@@ -101,6 +101,26 @@ object QueriesPipeline {
     // never a pair join
     "class_separation" -> ((s, dir) =>
       Similarity.classSeparation(table(s, dir, "embeddings"))),
+    // label-noise screening: per vector, the share of its 5 nearest
+    // same-cell neighbors with a DIFFERENT label — cell-local kNN,
+    // never a global pair join
+    "label_noise_knn" -> ((s, dir) =>
+      Similarity.labelNoiseKnn(table(s, dir, "embeddings"), k = 5)),
+    // tokenizer fertility by language: tokens-per-word and
+    // chars-per-token in exact milli — the tokenizer-equity metric
+    "token_fertility" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("chars"),
+          size(words(col("text"))).cast("long").as("nw"),
+          bpeTokenCount(col("text")).as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("n_chars"),
+          sum(col("nw")).as("n_words"), sum(col("nt")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000 div n_words").as("fertility_milli"),
+          expr("n_chars * 1000 div n_tokens")
+            .as("chars_per_token_milli"))),
 
     // ---- the full pipeline, end-to-end ----------------------------------
     // quality filter → exact dedup (keep min id per content hash) →
@@ -2354,6 +2374,75 @@ object QueriesPipeline {
          |    ORDER BY d, nid) AS rn FROM s) t
          |WHERE rn <= 5""".stripMargin
     },
+    "label_noise_knn" -> {
+      val dimP1 = 65
+      def qd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, $dimP1), " +
+          s"j -> ($a.qv[j] - $b.qv[j]) * ($a.qv[j] - $b.qv[j])))"
+      def qc(a: String, b: String) =
+        s"list_sum(list_transform(range(1, $dimP1), " +
+          s"j -> ($a.qv[j] - $b.qc[j]) * ($a.qv[j] - $b.qc[j])))"
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |        embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, label,
+         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |          AS qv
+         |      FROM e),
+         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id % 97 = 0),
+         |a1 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT q.vec_id, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${qc("q", "c")}, c.cid) AS rn
+         |  FROM q, c0 c) t WHERE rn = 1),
+         |u1 AS (SELECT cid, j,
+         |  CAST(floor(CAST(sum(qv[j]) AS DOUBLE) / count(*)) AS BIGINT)
+         |    AS cj
+         |  FROM a1, range(1, $dimP1) t(j) GROUP BY cid, j),
+         |c1 AS (SELECT cid, list(cj ORDER BY j) AS qc FROM u1 GROUP BY cid),
+         |af AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT q.vec_id, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${qc("q", "c")}, c.cid) AS rn
+         |  FROM q, c1 c) t WHERE rn = 1),
+         |al AS (SELECT af.vec_id, af.qv, af.cid, q.label
+         |       FROM af JOIN q USING (vec_id)),
+         |knn AS (SELECT vid, nid FROM (
+         |  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${qd("a", "b")}, b.vec_id) AS rn
+         |  FROM al a JOIN al b ON a.cid = b.cid
+         |    AND a.vec_id != b.vec_id) t WHERE rn <= 5),
+         |sc AS (SELECT k.vid, count(*) AS n_nbrs,
+         |         CAST(sum(CASE WHEN bl.label != ql.label THEN 1
+         |              ELSE 0 END) AS BIGINT) AS n_diff
+         |       FROM knn k
+         |       JOIN al ql ON ql.vec_id = k.vid
+         |       JOIN al bl ON bl.vec_id = k.nid
+         |       GROUP BY 1)
+         |SELECT q.vec_id, q.label,
+         |  coalesce(sc.n_nbrs, 0) AS n_nbrs,
+         |  coalesce(sc.n_diff, 0) AS n_diff,
+         |  CAST(CASE WHEN coalesce(sc.n_nbrs, 0) > 0
+         |    THEN coalesce(sc.n_diff, 0) * 1000000 // sc.n_nbrs
+         |    ELSE 0 END AS BIGINT) AS diff_ppm
+         |FROM q LEFT JOIN sc ON sc.vid = q.vec_id""".stripMargin
+    },
+    "token_fertility" ->
+      s"""WITH t AS (SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${graft.functions.TextFunctions.BpeTokenPattern}'))
+         |      AS BIGINT) AS nt
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nt) AS BIGINT) * 1000 // CAST(sum(nw) AS BIGINT)
+         |    AS fertility_milli,
+         |  CAST(sum(chars) AS BIGINT) * 1000 // CAST(sum(nt) AS BIGINT)
+         |    AS chars_per_token_milli
+         |FROM t GROUP BY 1""".stripMargin,
     "embed_pca_power" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |           FROM embeddings),

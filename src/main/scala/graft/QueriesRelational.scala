@@ -413,6 +413,13 @@ object QueriesRelational {
           "view" -> (col("event_type") === "view"),
           "click" -> (col("event_type") === "click"),
           "purchase" -> (col("event_type") === "purchase")))),
+    // RFM segmentation: recency anchored on the corpus max purchase
+    // time (1-row broadcast), cents-exact monetary totals, fixed
+    // 3/2/1 tier thresholds — one aggregate per user, no windows
+    "rfm_scores" -> ((s, dir) =>
+      graft.operators.EventAnalytics.rfmScores(table(s, dir, "events"),
+        entity = "user_id", ts = "ts", value = col("value"),
+        convPred = col("event_type") === "purchase")),
     // multi-touch attribution: every click in the 7 days before a
     // purchase shares the credit (linear ppm split); first/last-touch
     // ids from the same aggregate; organic purchases kept with 0
@@ -1003,6 +1010,29 @@ object QueriesRelational {
         |       (SELECT count(*) FROM s1) AS n_entities
         |UNION ALL SELECT '2_click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT '3_purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    "rfm_scores" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(tus) AS maxt FROM p),
+        |a AS (SELECT user_id, max(tus) AS last_us, count(*) AS f,
+        |        CAST(sum(cents) AS BIGINT) AS m_cents
+        |      FROM p GROUP BY 1),
+        |b AS (SELECT user_id,
+        |        (maxt - last_us) // 86400000000 AS r_days, f, m_cents
+        |      FROM a, mx),
+        |c AS (SELECT *,
+        |   CAST(CASE WHEN r_days <= 2 THEN 3 WHEN r_days <= 7 THEN 2
+        |        ELSE 1 END AS BIGINT) AS r_score,
+        |   CAST(CASE WHEN f >= 15 THEN 3 WHEN f >= 10 THEN 2
+        |        ELSE 1 END AS BIGINT) AS f_score,
+        |   CAST(CASE WHEN m_cents >= 50000 THEN 3
+        |        WHEN m_cents >= 20000 THEN 2
+        |        ELSE 1 END AS BIGINT) AS m_score
+        |  FROM b)
+        |SELECT user_id, r_days, f, m_cents, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM c""".stripMargin,
     // identical to incr_agg's oracle: the streaming state must land on
     // exactly the batch group-by
     "stream_incr_agg" ->

@@ -226,6 +226,38 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** RFM (recency / frequency / monetary) customer scoring — the classic
+    * segmentation every commerce warehouse derives from its purchase
+    * stream. Recency anchors on the CORPUS max purchase time (a 1-row
+    * broadcast), so the scores are a pure function of the data, not of
+    * wall-clock; monetary sums ⌊100·value⌋ cents for engine-exact
+    * integer totals. Fixed threshold tiers (3/2/1 per axis) and the
+    * composite rfm = 100·r + 10·f + m. One filtered aggregate per user
+    * + one broadcast join — no windows, no sorting. Returns (user_id,
+    * r_days, f, m_cents, r_score, f_score, m_score, rfm). */
+  def rfmScores(events: DataFrame, entity: String, ts: String,
+                value: Column, convPred: Column): DataFrame = {
+    val p = events.where(convPred).select(col(entity).as("user_id"),
+      expr(s"unix_micros($ts)").as("tus"),
+      floor(value * 100).cast("long").as("cents"))
+    val maxT = p.agg(max(col("tus")).as("maxt"))
+    p.groupBy(col("user_id"))
+      .agg(max(col("tus")).as("last_us"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m_cents"))
+      .join(broadcast(maxT), lit(true))
+      .select(col("user_id"),
+        expr("(maxt - last_us) div 86400000000").as("r_days"),
+        col("f"), col("m_cents"))
+      .withColumn("r_score", when(col("r_days") <= 2, 3L)
+        .when(col("r_days") <= 7, 2L).otherwise(1L))
+      .withColumn("f_score", when(col("f") >= 15, 3L)
+        .when(col("f") >= 10, 2L).otherwise(1L))
+      .withColumn("m_score", when(col("m_cents") >= 50000L, 3L)
+        .when(col("m_cents") >= 20000L, 2L).otherwise(1L))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
   /** Multi-touch attribution over a conversion lookback window: for each
     * conversion event, every touch by the same entity in the
     * `lookbackUs`-microsecond window strictly before it shares the

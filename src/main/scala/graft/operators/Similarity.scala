@@ -562,6 +562,50 @@ object Similarity {
       .unionByName(sep(Nil, lit(-1L)))
   }
 
+  /** k-NN label-noise screening (confident-learning-lite): for every
+    * vector, the share of its k nearest SAME-CELL neighbors carrying a
+    * different label — high disagreement flags probable mislabels, the
+    * cheap first pass before any human re-annotation. Neighborhoods are
+    * cell-local (same [[kmeansQuantized]] cells as [[semanticDedup]]),
+    * so the pair work is n/cells per row, tuned by k-means granularity
+    * — never a global pair join; ranking through the bounded
+    * [[TopK.perKey]] aggregate. Vectors alone in their cell report
+    * n_nbrs = 0 (no evidence, not clean). Exact integer distances,
+    * nid tie-breaks. Returns (vec_id, label, n_nbrs, n_diff, diff_ppm). */
+  def labelNoiseKnn(embeddings: DataFrame, k: Int = 5,
+                    iters: Int = 1, initMod: Int = 97): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1000).cast("long")).as("qv"))
+    val cent = kmeansQuantized(embeddings, iters, initMod)
+    val assigned = assignQuantized(quantized(embeddings), cent)
+      .join(q.select(col("vec_id"), col("label")), "vec_id")
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vid"), col("b.vec_id").as("nid"),
+        (-qdist(col("a.qv"), col("b.qv"))).as("negd"))
+    val knn = TopK.perKey(pairs, key = "vid", ord = "negd",
+      tiebreak = "nid", payload = "nid", k = k)
+    val scored = knn
+      .join(q.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+        "nid")
+      .join(q.select(col("vec_id").as("vid"), col("label")), "vid")
+      .groupBy(col("vid"), col("label"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("nlabel") =!= col("label"), 1L).otherwise(0L))
+          .as("n_diff"))
+    q.select(col("vec_id").as("vid"), col("label"))
+      .join(scored.drop("label"), Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("label"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        coalesce(col("n_diff"), lit(0L)).as("n_diff"))
+      .withColumn("diff_ppm",
+        when(col("n_nbrs") > 0, expr("n_diff * 1000000 div n_nbrs"))
+          .otherwise(lit(0L)))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication" — public paper): k-means-cluster the embedding

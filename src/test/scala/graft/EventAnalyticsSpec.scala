@@ -176,6 +176,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == Set(("view", "click", 1L), ("click", "view", 1L)))
   }
 
+  test("rfmScores: cents-exact tiers anchored on the corpus max time") {
+    val day = 86400000L // ms
+    val e = Seq(
+      (1L, 1L, new Timestamp(0L), "purchase", 100.0),
+      (2L, 1L, new Timestamp(9 * day), "purchase", 150.0),
+      (3L, 2L, new Timestamp(1 * day), "purchase", 600.0),
+      (4L, 1L, new Timestamp(9 * day), "click", 5.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.rfmScores(e, "user_id", "ts", col("value"),
+        convPred = col("event_type") === "purchase")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    // user 1: last = day 9 (corpus max) -> r_days 0 -> 3; f 2 -> 1;
+    // 25000 cents -> 2 -> rfm 312
+    assert(out(1L) == ((0L, 2L, 25000L, 3L, 1L, 2L, 312L)))
+    // user 2: r_days 8 -> 1; f 1 -> 1; 60000 cents -> 3 -> rfm 113
+    assert(out(2L) == ((8L, 1L, 60000L, 1L, 1L, 3L, 113L)))
+  }
+
   test("attribution: linear split, first/last ids, organic kept") {
     def ev(id: Long, u: Long, t: Long, ty: String) =
       (id, u, new Timestamp(t), ty)

@@ -256,6 +256,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == List((0L, 2L, 40000L, 1L), (0L, 3L, 90000L, 2L)))
   }
 
+  test("labelNoiseKnn: the mislabeled vector inside a cluster is flagged") {
+    // one cell (only id 0 hits the init mod); labels A=0 except id 2=1;
+    // with k=2, id 2's both neighbors are label 0 -> diff_ppm 1e6
+    val e = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(0.1f, 0f), 0),
+      (2L, Array(0.2f, 0f), 1), (3L, Array(0.3f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseKnn(e, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(2L) == ((2L, 1L, 2L, 2L, 1000000L)))
+    assert(got(0L) == ((0L, 0L, 2L, 1L, 500000L)))
+    assert(got(1L) == ((1L, 0L, 2L, 1L, 500000L)))
+    assert(got(3L) == ((3L, 0L, 2L, 1L, 500000L)))
+  }
+
   test("pcaPowerDirection: hand-traced two rounds in 2-D") {
     // quantized rows (1000,0) ×2 and (0,2000); v0 = (1000,1000)
     // iter1: s = (1e6, 1e6, 2e6); acc = (2e9, 4e9); m = 4e9
