@@ -742,6 +742,52 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(jpRound).mkString(",\n")}
        |SELECT id, color, color_round FROM jpall3""".stripMargin
 
+  private val hyperBallOracle: String = {
+    def est(h: Int) =
+      s"""s$h AS (SELECT node, CAST(count(*) AS BIGINT) AS n_present,
+         |  CAST(sum(1::BIGINT << CAST(40 - register AS INTEGER))
+         |    AS BIGINT) AS sum_present
+         |  FROM reg$h GROUP BY 1),
+         |e$h AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(${graft.operators.Sketches.ballEstimateCaseSql(16)})
+         |    AS BIGINT) AS sum_ball
+         |  FROM (SELECT node, n_present,
+         |    sum_present + (16 - n_present) * (1::BIGINT << 40)
+         |      AS sum_term FROM s$h) q)""".stripMargin
+    def round(k: Int) =
+      s"""reg$k AS MATERIALIZED (
+         |  SELECT node, bucket, max(register) AS register FROM (
+         |    SELECT * FROM reg${k - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, r.bucket, r.register
+         |    FROM hbund e JOIN reg${k - 1} r ON r.node = e.u) t
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${SparkEntry.RelsCte},
+       |hbe AS (SELECT start_id AS a, end_id AS b FROM rels
+       |        WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |hbund AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT a AS u, b AS v FROM hbe
+       |    UNION ALL SELECT b, a FROM hbe) t WHERE u != v),
+       |nd AS (SELECT DISTINCT u AS node FROM hbund),
+       |h0 AS (SELECT node, z % 16 AS bucket,
+       |    (z * z + z * 41 + 13) % 1000000007 AS h2 FROM (
+       |      SELECT node, (y * y + y * 37 + 11) % 1000000007 AS z FROM (
+       |        SELECT node, (x * x + x * 31 + 7) % 1000000007 AS y FROM (
+       |          SELECT node, node % 1000000007 AS x FROM nd) t1) t2) t3),
+       |reg0 AS MATERIALIZED (SELECT node, bucket,
+       |    max(CASE WHEN h2 = 0 THEN 40
+       |        ELSE least(bit_count((h2 & -h2) - 1) + 1, 40) END)
+       |      AS register
+       |  FROM h0 GROUP BY 1, 2),
+       |${round(1)}, ${round(2)},
+       |${est(0)}, ${est(1)}, ${est(2)}
+       |SELECT CAST(0 AS BIGINT) AS hop, n_nodes,
+       |       sum_ball AS sum_ball_x1000 FROM e0
+       |UNION ALL SELECT 1, n_nodes, sum_ball FROM e1
+       |UNION ALL SELECT 2, n_nodes, sum_ball FROM e2""".stripMargin
+  }
+
   private val misOracle: String =
     s"""WITH ${SparkEntry.RelsCte},
        |mise AS (SELECT start_id AS a, end_id AS b FROM rels
@@ -1060,6 +1106,13 @@ object QueriesGraphAlgos {
     "graph_coloring" -> ((s, dir) => GraphAlgos.jpColoring(
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)),
+    // HyperBall / ANF: per-node HLL ball sketches max-merged along
+    // edges — the neighborhood-growth curve without materializing any
+    // reachability set; linear-counting small-range correction via a
+    // shared integer lookup, so the curve is int64-exact cross-engine
+    "hyperball_anf" -> ((s, dir) => GraphAlgos.hyperBall(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), hops = 2, m = 16)),
     // incremental 2-hop view maintenance (delta-join rule): a 10% edge
     // delta folds into the materialized base 2-hop via three delta-keyed
     // joins — base⋈base never recomputes; result must equal the full
@@ -1153,6 +1206,7 @@ object QueriesGraphAlgos {
     "link_predict" -> linkPredictOracle,
     "mis_luby" -> misOracle,
     "graph_coloring" -> jpOracle,
+    "hyperball_anf" -> hyperBallOracle,
     "incr_khop2" ->
       s"""WITH ${SparkEntry.RelsCte},
          |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels

@@ -1028,6 +1028,55 @@ object GraphAlgos {
     mis
   }
 
+  /** HyperBall / ANF — the approximate neighborhood function (Boldi,
+    * Rosa & Vigna 2011, "HyperANF"; Palmer et al. 2002, "ANF" — public
+    * literature): every node carries an HLL register set sketching its
+    * h-hop ball; one round max-merges each node's registers with its
+    * neighbors' — registers are a max-monoid, so a round is ONE edge
+    * join + ONE (node, bucket) max aggregate, m rows per node, and the
+    * whole reachability structure is never materialized. THE way to get
+    * neighborhood-growth / effective-diameter curves on graphs where
+    * per-node BFS is impossible.
+    *
+    * Estimates are integer-deterministic cross-engine: raw HLL when all
+    * m registers fill, else linear counting via the precomputed lookup
+    * ([[Sketches.ballEstimateCaseSql]] — identical CASE text in both
+    * engines). Returns one row per hop 0..hops:
+    * (hop, n_nodes, sum_ball_x1000) — the ANF curve as exact int64. */
+  def hyperBall(rels: DataFrame, types: Seq[String], hops: Int,
+                m: Int = 16): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val nodes = und.select(col("u").as("node")).distinct()
+    var reg = Sketches.hllBuildGrouped(
+        nodes.select(col("node"), col("node").as("k")), Seq("node"), "k", m)
+      .localCheckpoint(true)
+    def summarize(h: Int, r: DataFrame): DataFrame =
+      r.groupBy(col("node"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr("shiftleft(1L, cast(40 - register as int))"))
+            .as("sum_present"))
+        .withColumn("sum_term", col("sum_present") +
+          (lit(m.toLong) - col("n_present")) * lit(1L << 40))
+        .withColumn("ball_x1000", expr(Sketches.ballEstimateCaseSql(m)))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("ball_x1000")).as("sum_ball_x1000"))
+        .select(lit(h.toLong).as("hop"), col("n_nodes"),
+          col("sum_ball_x1000"))
+    var out = summarize(0, reg)
+    for (h <- 1 to hops) {
+      val prop = und.join(reg.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), col("bucket"), col("register"))
+      reg = reg.unionByName(prop)
+        .groupBy(col("node"), col("bucket"))
+        .agg(max(col("register")).as("register"))
+        .localCheckpoint(true)
+      out = out.unionByName(summarize(h, reg))
+    }
+    out
+  }
+
   /** Jones–Plassmann greedy graph coloring (Jones & Plassmann 1993,
     * "A parallel graph coloring heuristic" — public literature): a node
     * colors itself in the round where it holds the highest priority

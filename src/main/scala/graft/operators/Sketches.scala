@@ -159,6 +159,24 @@ object Sketches {
         floor(lit(hllAlphaNumerator(m)) / col("sum_term") * 1000.0)
           .cast("long").as("est_x1000")): _*)
 
+  /** Shared SQL text for the HyperBall per-node estimate: HLL raw
+    * formula when all m registers are occupied, else LINEAR COUNTING
+    * m·ln(m/V)·1000 via a precomputed integer lookup on V = m −
+    * n_present (V ≤ m−1 values, tabulated HERE once so both engines
+    * evaluate literally identical CASE arms — no cross-engine ln()
+    * drift can exist). Expects columns n_present, sum_term. */
+  def ballEstimateCaseSql(m: Int): String = {
+    val alpha = String.format(java.util.Locale.ROOT, "%.17g",
+      Double.box(hllAlphaNumerator(m)))
+    val arms = (1 until m).map { v =>
+      val lc = math.floor(m * math.log(m.toDouble / v) * 1000.0).toLong
+      s"WHEN $v THEN $lc"
+    }.mkString(" ")
+    s"CASE WHEN n_present = $m " +
+      s"THEN CAST(floor($alpha / sum_term * 1000.0) AS BIGINT) " +
+      s"ELSE CAST(CASE ($m - n_present) $arms END AS BIGINT) END"
+  }
+
   /** Fixed-bin histogram quantiles — the percentile path that scales.
     * Exact percentiles globally sort the data (or materialize every group
     * in memory — `agg_percentiles` covers that exact form); a fixed-bin

@@ -477,6 +477,57 @@ class GraphAlgosSpec extends AnyFunSuite {
       (a == v && mis(b)) || (b == v && mis(a)) }), "not maximal")
   }
 
+  test("hyperBall matches a driver-side exact-ball HLL reference") {
+    val rnd = new scala.util.Random(31)
+    val n = 12
+    val es = (1 to 22).map(_ =>
+      (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+      .filter { case (a, b) => a != b }.distinct
+    val g = es.map { case (a, b) => (a, b, "E") }
+      .toDF("START_ID", "END_ID", "TYPE")
+    val m = 16
+    val got = GraphAlgos.hyperBall(g, Seq("E"), hops = 2, m = m)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    // reference: exact balls by BFS, then the identical register math
+    val p = 1000000007L
+    def regs(ball: Set[Long]): Map[Long, Long] =
+      ball.groupBy { k =>
+        val x = k % p; val y = (x * x + x * 31 + 7) % p
+        val z = (y * y + y * 37 + 11) % p
+        z % m
+      }.map { case (b, ks) =>
+        b -> ks.map { k =>
+          val x = k % p; val y = (x * x + x * 31 + 7) % p
+          val z = (y * y + y * 37 + 11) % p
+          val h2 = (z * z + z * 41 + 13) % p
+          if (h2 == 0) 40L
+          else math.min(java.lang.Long.numberOfTrailingZeros(h2) + 1L, 40L)
+        }.max
+      }
+    def est(ball: Set[Long]): Long = {
+      val r = regs(ball)
+      val np = r.size
+      val sumTerm = r.values.map(v => 1L << (40 - v)).sum +
+        (m - np).toLong * (1L << 40)
+      if (np == m)
+        math.floor(graft.operators.Sketches.hllAlphaNumerator(m) /
+          sumTerm * 1000.0).toLong
+      else math.floor(m * math.log(m.toDouble / (m - np)) * 1000.0).toLong
+    }
+    val nbr = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = nbr.keySet
+    var balls: Map[Long, Set[Long]] = nodes.map(v => v -> Set(v)).toMap
+    for (h <- 0 to 2) {
+      val expSum = nodes.toSeq.map(v => est(balls(v))).sum
+      assert(got(h.toLong) == ((nodes.size.toLong, expSum)), s"hop $h")
+      balls = balls.map { case (v, s) =>
+        v -> (s ++ s.flatMap(u => nbr(u)))
+      }
+    }
+  }
+
   test("jpColoring matches a driver-side JP reference and is proper") {
     val rnd = new scala.util.Random(23)
     val n = 14
