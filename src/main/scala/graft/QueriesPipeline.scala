@@ -1100,7 +1100,9 @@ object QueriesPipeline {
 
   /** Grouped twin of [[hllOracle]] with the group key carried through
     * every stage; m = 32, α₃₂ numerator embedded the same way. */
-  private val hllGroupedOracle: String = {
+  /** Shared with QueriesRelational's `stream_hll`: the streaming
+    * register state must land on exactly this batch sketch. */
+  private[graft] val hllGroupedOracle: String = {
     val c = String.format(java.util.Locale.ROOT, "%.17g",
       Double.box(graft.operators.Sketches.hllAlphaNumerator(32)))
     s"""WITH x0 AS (SELECT event_type, user_id % 1000000007 AS x

@@ -647,6 +647,34 @@ object QueriesRelational {
       }
       s.table(qname)
     }),
+    // sketches AS streaming state: the per-(group, bucket) HLL register
+    // max IS a streaming aggregate (max is a monoid), so the distinct-
+    // user sketch maintains itself across micro-batches; the batch
+    // estimate read off the sink must equal the batch-built sketch
+    // (sketch_hll_grouped's own oracle, shared text)
+    "stream_hll" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = table(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      val tmp =
+        s"/tmp/graft_shll_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      e.where(col("user_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      e.where(col("user_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val regs = graft.operators.Sketches.hllBuildGrouped(
+        stream, Seq("event_type"), "user_id", m = 32)
+      val qname = s"graft_stream_hll_${System.nanoTime()}"
+      withShufflePartitions(s, 8) {
+        val q = regs.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      graft.operators.Sketches.hllEstimateGrouped(
+        s.table(qname), Seq("event_type"), m = 32)
+    }),
     // STREAM-STATIC enrichment under the gate: events flow through a
     // file stream and broadcast-join the static customer dimension per
     // micro-batch (no state, no watermark needed — the bounded-by-
@@ -1010,6 +1038,9 @@ object QueriesRelational {
         |       (SELECT count(*) FROM s1) AS n_entities
         |UNION ALL SELECT '2_click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT '3_purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    // the streaming register state must land on exactly the batch
+    // sketch — shared oracle text with sketch_hll_grouped
+    "stream_hll" -> QueriesPipeline.hllGroupedOracle,
     "rfm_scores" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS tus,
         |             CAST(floor(value * 100) AS BIGINT) AS cents
