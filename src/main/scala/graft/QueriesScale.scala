@@ -139,6 +139,15 @@ object QueriesScale {
         value = col("o_custkey"),
         probes = Seq(750L, 1499L, 987654L), blockRows = 256L)),
 
+    // Consistent-hashing rebalance: adding shard 9 of 9 moves ~11% of
+    // keys on the ring vs ~89% under mod-hash — the data-placement
+    // decision quantified from the actual key distribution; ring baked
+    // into the plan as a literal, per-key owner lookup fully narrow
+    "shard_rebalance" -> ((s, dir) =>
+      ScaleOps.shardRebalanceAudit(table(s, dir, "orders"),
+        col("o_orderkey"), shardsBefore = 8, shardsAfter = 9,
+        vnodes = 16)),
+
     // Incremental aggregate maintenance: the base partial (90% of
     // events) and the delta partial (10%) are aggregated independently
     // and MERGED — count/sum/min/max are monoids, so the combined result
@@ -230,6 +239,46 @@ object QueriesScale {
          |          GROUP BY 1)
          |${Seq(750L, 1499L, 987654L).map(branch).mkString("\nUNION ALL\n")}"""
         .stripMargin
+    },
+    "shard_rebalance" -> {
+      def ringValues(shards: Int): String =
+        (0 until shards).flatMap { s =>
+          (0 until 16).map { t =>
+            val pos = graft.operators.ScaleOps.rebalanceHash(
+              s.toLong * 100003L + t.toLong * 7919L)
+            s"($pos, $s)"
+          }
+        }.mkString(", ")
+      def owner(tbl: String, out: String): String =
+        s"""$out AS (SELECT kk, shard FROM (
+           |  SELECT hh.kk, r.shard, row_number() OVER (PARTITION BY hh.kk
+           |    ORDER BY (r.pos - hh.h + 1000000007) % 1000000007,
+           |             r.shard) AS rn
+           |  FROM hh, $tbl r) t WHERE rn = 1)""".stripMargin
+      s"""WITH k AS (SELECT o_orderkey AS kk FROM orders),
+         |hh AS (SELECT kk, (y * y + y * 37 + 11) % 1000000007 AS h FROM (
+         |    SELECT kk, (a * a + a * 31 + 7) % 1000000007 AS y FROM (
+         |      SELECT kk, kk % 1000000007 AS a FROM k) t1) t2),
+         |rb(pos, shard) AS (VALUES ${ringValues(8)}),
+         |ra(pos, shard) AS (VALUES ${ringValues(9)}),
+         |${owner("rb", "ob")},
+         |${owner("ra", "oa")},
+         |j AS (SELECT hh.kk, hh.h, ob.shard AS ring_before,
+         |        oa.shard AS ring_after
+         |      FROM hh JOIN ob USING (kk) JOIN oa USING (kk))
+         |SELECT 'mod_hash' AS scheme, count(*) AS n_keys,
+         |  CAST(sum(CASE WHEN h % 8 != h % 9 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved,
+         |  CAST(sum(CASE WHEN h % 8 != h % 9 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS moved_ppm
+         |FROM j
+         |UNION ALL
+         |SELECT 'consistent_ring', count(*),
+         |  CAST(sum(CASE WHEN ring_before != ring_after THEN 1 ELSE 0 END)
+         |    AS BIGINT),
+         |  CAST(sum(CASE WHEN ring_before != ring_after THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT)
+         |FROM j""".stripMargin
     },
     "incr_agg" ->
       """SELECT user_id, count(*) AS n,

@@ -147,6 +147,68 @@ object ScaleOps {
     }.reduce(_.unionByName(_))
   }
 
+  /** The deterministic ring/key hash shared by [[shardRebalanceAudit]]
+    * and its oracle: the same quadratic chain as the sketch hashes,
+    * range [0, 1e9+7). */
+  def rebalanceHash(x: Long): Long = {
+    val p = 1000000007L
+    val a = x % p
+    val y = (a * a + a * 31 + 7) % p
+    (y * y + y * 37 + 11) % p
+  }
+
+  /** Consistent-hashing rebalance audit: when a shard is added, what
+    * fraction of keys MOVE under (a) naive mod-hash placement vs (b) a
+    * consistent-hash ring with `vnodes` virtual nodes per shard?
+    * Mod-hash reshuffles ~everything (owner = h mod n changes for
+    * ~(1 − 1/lcm) of keys — the full-cluster rebalance storm);
+    * the ring moves ~1/(n+1) (only keys whose successor arc the new
+    * shard splits). This is the data-placement decision behind every
+    * shuffle service / object-store partitioner at fleet scale,
+    * quantified from the actual key distribution.
+    *
+    * Everything is exact integer: ring positions come from
+    * [[rebalanceHash]] over (shard·100003 + vnode·7919), owners are
+    * argmin of the clockwise distance (pos − h) mod p with (d, shard)
+    * tie-break, and the per-key owner lookup is a NARROW map over a
+    * ring literal (shards·vnodes structs baked into the plan — nothing
+    * joins, nothing shuffles except the final 2-row count). Returns
+    * (scheme, n_keys, n_moved, moved_ppm). */
+  def shardRebalanceAudit(df: DataFrame, key: Column, shardsBefore: Int,
+                          shardsAfter: Int, vnodes: Int): DataFrame = {
+    val p = 1000000007L
+    def ringSql(shards: Int): String =
+      (0 until shards).flatMap { s =>
+        (0 until vnodes).map { t =>
+          val pos = rebalanceHash(s.toLong * 100003L + t.toLong * 7919L)
+          s"named_struct('pos', ${pos}L, 'shard', ${s}L)"
+        }
+      }.mkString("array(", ", ", ")")
+    def ownerSql(shards: Int): String =
+      s"array_min(transform(${ringSql(shards)}, r -> " +
+        s"named_struct('d', (r.pos - _h + ${p}L) % ${p}L, " +
+        s"'shard', r.shard))).shard"
+    val keyed = df.select(key.cast("long").as("_k"))
+      .withColumn("_h", {
+        val a = pmod(col("_k"), lit(p))
+        val y = (a * a + a * 31L + 7L) % p
+        ((y * y + y * 37L + 11L) % p)
+      })
+    val owners = keyed.select(col("_h"),
+      pmod(col("_h"), lit(shardsBefore.toLong)).as("mod_before"),
+      pmod(col("_h"), lit(shardsAfter.toLong)).as("mod_after"),
+      expr(ownerSql(shardsBefore)).as("ring_before"),
+      expr(ownerSql(shardsAfter)).as("ring_after"))
+    def scheme(tag: String, before: String, after: String): DataFrame =
+      owners.agg(count(lit(1)).as("n_keys"),
+        sum(when(col(before) =!= col(after), 1L).otherwise(0L))
+          .as("n_moved"))
+        .select(lit(tag).as("scheme"), col("n_keys"), col("n_moved"),
+          expr("n_moved * 1000000 div n_keys").as("moved_ppm"))
+    scheme("mod_hash", "mod_before", "mod_after")
+      .unionByName(scheme("consistent_ring", "ring_before", "ring_after"))
+  }
+
   /** Incremental aggregate maintenance: merge pre-aggregated PARTIALS
     * (per-key `n` / `sum_v` / `min_v` / `max_v`) from any number of
     * increments into the combined aggregate — the materialized-view

@@ -74,6 +74,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out(25L) == ((1L, 0L, 1L, 0L)))
   }
 
+  test("shardRebalanceAudit matches a driver reference; ring only moves to the new shard") {
+    import graft.operators.ScaleOps.rebalanceHash
+    val p = 1000000007L
+    val vn = 8
+    def ring(shards: Int): Seq[(Long, Long)] =
+      for (s <- 0 until shards; t <- 0 until vn)
+        yield (rebalanceHash(s.toLong * 100003L + t.toLong * 7919L),
+          s.toLong)
+    def owner(h: Long, r: Seq[(Long, Long)]): Long =
+      r.map { case (pos, s) => ((pos - h + p) % p, s) }.min._2
+    val keys = (0L until 500L).toSeq
+    val hs = keys.map(rebalanceHash)
+    val movedMod = hs.count(h => h % 4 != h % 5)
+    val before = ring(4); val after = ring(5)
+    val ringOwners = hs.map(h => (owner(h, before), owner(h, after)))
+    val movedRing = ringOwners.count { case (a, b) => a != b }
+    // the defining property of consistent hashing: every moved key is
+    // claimed by the NEW shard — nothing reshuffles between survivors
+    assert(ringOwners.filter { case (a, b) => a != b }.forall(_._2 == 4L))
+    assert(movedRing < movedMod)
+    val out = graft.operators.ScaleOps.shardRebalanceAudit(
+        keys.toDF("k"), col("k"), 4, 5, vn)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("mod_hash") ==
+      (("mod_hash", 500L, movedMod.toLong, movedMod * 1000000L / 500)))
+    assert(out("consistent_ring") ==
+      (("consistent_ring", 500L, movedRing.toLong,
+        movedRing * 1000000L / 500)))
+  }
+
   test("mergePartialAggs over split inputs equals the full recompute") {
     val e = Seq((1L, 10L), (1L, -4L), (2L, 7L), (3L, 0L), (2L, 2L),
       (1L, 5L)).toDF("k", "v")
