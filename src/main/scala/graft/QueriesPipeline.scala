@@ -106,6 +106,26 @@ object QueriesPipeline {
     // never a global pair join
     "label_noise_knn" -> ((s, dir) =>
       Similarity.labelNoiseKnn(table(s, dir, "embeddings"), k = 5)),
+    // leave-one-out source influence WITHOUT per-source rescans: the
+    // corpus aggregate is a monoid, so LOO(source) = global minus the
+    // source's partial — one per-source aggregate + one 1-row broadcast
+    // prices every source's removal (data-valuation-lite)
+    "loo_source_influence" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+      val per = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("sum_s"))
+      val tot = d.agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_all"))
+      per.join(broadcast(tot), lit(true))
+        .select(col("source"), col("n_s"),
+          expr("sum_s * 1000 div n_s").as("mean_milli"),
+          expr("(sum_all - sum_s) * 1000 div (n - n_s)")
+            .as("loo_mean_milli"),
+          (expr("sum_all * 1000 div n") -
+            expr("(sum_all - sum_s) * 1000 div (n - n_s)"))
+            .as("influence_milli"))
+    }),
     // tokenizer fertility by language: tokens-per-word and
     // chars-per-token in exact milli — the tokenizer-equity metric
     "token_fertility" -> ((s, dir) =>
@@ -2429,6 +2449,18 @@ object QueriesPipeline {
          |    ELSE 0 END AS BIGINT) AS diff_ppm
          |FROM q LEFT JOIN sc ON sc.vid = q.vec_id""".stripMargin
     },
+    "loo_source_influence" ->
+      """WITH per AS (SELECT source, count(*) AS n_s,
+        |        CAST(sum(n_chars) AS BIGINT) AS sum_s
+        |      FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT)
+        |          AS sum_all FROM documents)
+        |SELECT source, n_s,
+        |  sum_s * 1000 // n_s AS mean_milli,
+        |  (sum_all - sum_s) * 1000 // (n - n_s) AS loo_mean_milli,
+        |  sum_all * 1000 // n - (sum_all - sum_s) * 1000 // (n - n_s)
+        |    AS influence_milli
+        |FROM per, tot""".stripMargin,
     "token_fertility" ->
       s"""WITH t AS (SELECT lang, CAST(length(text) AS BIGINT) AS chars,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,

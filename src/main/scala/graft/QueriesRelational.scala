@@ -413,6 +413,21 @@ object QueriesRelational {
           "view" -> (col("event_type") === "view"),
           "click" -> (col("event_type") === "click"),
           "purchase" -> (col("event_type") === "purchase")))),
+    // exponentially time-decayed engagement: weight = 1e6 >> age_weeks
+    // (power-of-two decay stays int64-exact in any engine; a float
+    // exp() would drift in the last ulp) — the recency-weighted
+    // activity score, one narrow map + one aggregate
+    "decayed_engagement" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"))
+      val maxT = e.agg(max(col("tus")).as("maxt"))
+      e.join(broadcast(maxT), lit(true))
+        .select(col("user_id"),
+          expr("shiftright(1000000L, CAST(least(" +
+            "(maxt - tus) div 604800000000, 40) AS INT))").as("w"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("w")).as("engagement"))
+    }),
     // RFM segmentation: recency anchored on the corpus max purchase
     // time (1-row broadcast), cents-exact monetary totals, fixed
     // 3/2/1 tier thresholds — one aggregate per user, no windows
@@ -1041,6 +1056,14 @@ object QueriesRelational {
     // the streaming register state must land on exactly the batch
     // sketch — shared oracle text with sketch_hll_grouped
     "stream_hll" -> QueriesPipeline.hllGroupedOracle,
+    "decayed_engagement" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |mx AS (SELECT max(tus) AS maxt FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(1000000 >> CAST(least(
+        |    (maxt - tus) // 604800000000, 40) AS INTEGER)) AS BIGINT)
+        |    AS engagement
+        |FROM e, mx GROUP BY 1""".stripMargin,
     "rfm_scores" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS tus,
         |             CAST(floor(value * 100) AS BIGINT) AS cents

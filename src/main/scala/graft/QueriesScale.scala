@@ -139,6 +139,22 @@ object QueriesScale {
         value = col("o_custkey"),
         probes = Seq(750L, 1499L, 987654L), blockRows = 256L)),
 
+    // The Z-ORDER payoff measured: the same zone-map audit over a
+    // Morton-interleaved (custkey, orderkey) layout vs a plain
+    // orderkey sort, for a predicate on custkey ALONE — the multi-
+    // dimensional clustering keeps custkey locality a single-column
+    // sort destroys, and rows_scanned shows exactly how much
+    "zorder_skipping" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val zkey = graft.operators.Layout.mortonKey(
+        col("o_custkey") % 65536, col("o_orderkey") % 65536)
+      ScaleOps.zoneMapAudit(o, "by_morton",
+          Seq(zkey, col("o_orderkey")), col("o_custkey"), 256L, 511L,
+          256L)
+        .unionByName(ScaleOps.zoneMapAudit(o, "by_orderkey",
+          Seq(col("o_orderkey")), col("o_custkey"), 256L, 511L, 256L))
+    }),
+
     // Consistent-hashing rebalance: adding shard 9 of 9 moves ~11% of
     // keys on the ring vs ~89% under mod-hash — the data-placement
     // decision quantified from the actual key distribution; ring baked
@@ -239,6 +255,42 @@ object QueriesScale {
          |          GROUP BY 1)
          |${Seq(750L, 1499L, 987654L).map(branch).mkString("\nUNION ALL\n")}"""
         .stripMargin
+    },
+    "zorder_skipping" -> {
+      def layout(name: String, rankedCte: String) =
+        s"""SELECT '$name' AS layout,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  count(*) AS n_blocks,
+           |  CAST(sum(CASE WHEN mn <= 511 AND mx >= 256 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS blocks_scanned,
+           |  CAST(sum(CASE WHEN mn <= 511 AND mx >= 256 THEN n ELSE 0 END)
+           |    AS BIGINT) AS rows_scanned,
+           |  CAST(sum(hit) AS BIGINT) AS rows_matched
+           |FROM (
+           |  SELECT (rk - 1) // 256 AS blk, min(v) AS mn, max(v) AS mx,
+           |         count(*) AS n,
+           |         sum(CASE WHEN v BETWEEN 256 AND 511 THEN 1 ELSE 0 END)
+           |           AS hit
+           |  FROM $rankedCte GROUP BY 1)""".stripMargin
+      s"""WITH d AS (SELECT o_custkey AS v, o_orderkey AS ok,
+         |    o_custkey % 65536 AS x, o_orderkey % 65536 AS y
+         |  FROM orders),
+         |s1 AS (SELECT v, ok, (x | (x << 8)) & 16711935 AS x1,
+         |                     (y | (y << 8)) & 16711935 AS y1 FROM d),
+         |s2 AS (SELECT v, ok, (x1 | (x1 << 4)) & 252645135 AS x2,
+         |                     (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+         |s3 AS (SELECT v, ok, (x2 | (x2 << 2)) & 858993459 AS x3,
+         |                     (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+         |s4 AS (SELECT v, ok, (x3 | (x3 << 1)) & 1431655765 AS x4,
+         |                     (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+         |z AS (SELECT v, ok, x4 | (y4 << 1) AS zkey FROM s4),
+         |rz AS (SELECT v,
+         |    row_number() OVER (ORDER BY zkey, ok) AS rk FROM z),
+         |rk AS (SELECT v,
+         |    row_number() OVER (ORDER BY ok) AS rk FROM z)
+         |${layout("by_morton", "rz")}
+         |UNION ALL
+         |${layout("by_orderkey", "rk")}""".stripMargin
     },
     "shard_rebalance" -> {
       def ringValues(shards: Int): String =

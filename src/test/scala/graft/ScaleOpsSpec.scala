@@ -123,6 +123,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       (2L, 2L, 9L, 2L, 7L), (3L, 1L, 0L, 0L, 0L)))
   }
 
+  test("leave-one-out identity: LOO mean equals recompute without the source") {
+    // monoid subtraction must equal the rescan it replaces
+    val d = Seq(("a", 10L), ("a", 20L), ("b", 40L), ("c", 2L))
+      .toDF("source", "n_chars")
+    val per = d.groupBy("source").agg(count(lit(1)).as("n_s"),
+      sum("n_chars").as("sum_s"))
+    val tot = d.agg(count(lit(1)).as("n"), sum("n_chars").as("sum_all"))
+    val loo = per.join(tot, lit(true))
+      .select(col("source"),
+        expr("(sum_all - sum_s) * 1000 div (n - n_s)").as("loo"))
+      .as[(String, Long)].collect().toMap
+    // without a: (40+2)*1000/2 = 21000; without b: 32*1000/3 = 10666
+    assert(loo == Map("a" -> 21000L, "b" -> 10666L, "c" -> 23333L))
+  }
+
   test("schema evolution read: old generation null-fills new columns") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_evo_spec").toString
