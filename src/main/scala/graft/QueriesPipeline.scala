@@ -106,6 +106,37 @@ object QueriesPipeline {
     // never a global pair join
     "label_noise_knn" -> ((s, dir) =>
       Similarity.labelNoiseKnn(table(s, dir, "embeddings"), k = 5)),
+    // candidate-generation quality of the banded LSH measured against
+    // the exact 3-gram Jaccard truth set: recall of collisions,
+    // precision after the signature-estimate verify — the number that
+    // justifies (or indicts) an LSH config before a 100 TB dedup run
+    "lsh_recall" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val truth = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3,
+          threshold = 0.3, maxDf = 50)
+        .select(col("doc_a"), col("doc_b"))
+      val cand = Dedup.minhashLshPortable(docs, "doc_id", "text", k = 3,
+        numHashes = 16, bands = 4, threshold = 0.0)
+      val verified = cand.where(col("est_jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      def one(df: DataFrame, as: String) =
+        df.agg(count(lit(1)).as(as))
+      one(truth, "n_truth")
+        .join(one(cand, "n_cand"), lit(true))
+        .join(one(verified, "n_verified"), lit(true))
+        .join(one(cand.select(col("doc_a"), col("doc_b"))
+          .join(truth, Seq("doc_a", "doc_b"), "left_semi"), "n_cand_hit"),
+          lit(true))
+        .join(one(verified
+          .join(truth, Seq("doc_a", "doc_b"), "left_semi"), "n_ver_hit"),
+          lit(true))
+        .select(col("n_truth"), col("n_cand"), col("n_verified"),
+          col("n_cand_hit"), col("n_ver_hit"),
+          expr("n_cand_hit * 1000000 div greatest(n_truth, 1)")
+            .as("recall_ppm"),
+          expr("n_ver_hit * 1000000 div greatest(n_verified, 1)")
+            .as("precision_ppm"))
+    }),
     // leave-one-out source influence WITHOUT per-source rescans: the
     // corpus aggregate is a monoid, so LOO(source) = global minus the
     // source's partial — one per-source aggregate + one 1-row broadcast
@@ -828,6 +859,15 @@ object QueriesPipeline {
         ("orders.custkey", table(s, dir, "orders"), "o_custkey",
           table(s, dir, "customer"), "c_custkey")))),
 
+    // functional-dependency audit: the data-contract check before
+    // trusting a key or denormalizing — o_orderkey→o_custkey must hold
+    // (PK), o_custkey→o_orderpriority must not
+    "fd_audit" -> ((s, dir) =>
+      graft.operators.Quality.fdAudit(table(s, dir, "orders"), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus")))),
+
     // ---- text analysis ---------------------------------------------------
     "text_quality" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -1120,6 +1160,59 @@ object QueriesPipeline {
 
   /** Grouped twin of [[hllOracle]] with the group key carried through
     * every stage; m = 32, α₃₂ numerator embedded the same way. */
+  /** Shared WITH-body of the portable-MinHash oracle (word polyHash →
+    * rolling shingles → 16 signature minima → 4 numeric band keys) —
+    * used verbatim by `dedup_minhash` AND `lsh_recall` so the
+    * pipeline under evaluation is literally the pipeline gated. */
+  private val MinhashCtes: String = {
+    val p = "1000000007"
+    val cc = "1000003"
+    val sigExprs = graft.operators.Dedup.MinhashSeeds.take(16).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"list_min(list_transform(hs, x -> (x * $a + $b) % $p)) AS m$i"
+      }.mkString(",\n         ")
+    val keyExprs = (0 until 4).map { bnd =>
+      val fold = (0 until 4).foldLeft(s"CAST($bnd AS BIGINT)") { (acc, r) =>
+        s"(($acc) * $cc + m${bnd * 4 + r}) % $p"
+      }
+      s"$fold AS k$bnd"
+    }.mkString(",\n         ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |wh AS (SELECT doc_id,
+       |         list_transform(ws, s ->
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(string_split(s, ''),
+       |                              c -> CAST(ascii(c) AS BIGINT))),
+       |             (a, c) -> (a * 31 + c) % $p)) AS wh
+       |       FROM w WHERE len(ws) >= 3),
+       |h AS (SELECT doc_id,
+       |        list_distinct(list_transform(range(1, len(wh) - 1),
+       |          i -> ((wh[i] * $cc + wh[i+1]) % $p * $cc + wh[i+2]) % $p))
+       |          AS hs
+       |      FROM wh),
+       |sig AS (SELECT doc_id,
+       |         $sigExprs
+       |        FROM h),
+       |banded AS (SELECT *,
+       |         $keyExprs
+       |        FROM sig)""".stripMargin
+  }
+
+  /** The 4 band self-joins over [[MinhashCtes]]' `banded`, UNION-deduped,
+    * each pair carrying its signature-match estimate. */
+  private val MinhashBandJoins: String = {
+    val matchSum = (0 until 16)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    (0 until 4).map { bnd =>
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       ($matchSum) * 1.0 / 16 AS est_jaccard
+         |FROM banded a JOIN banded b
+         |  ON a.k$bnd = b.k$bnd AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\nUNION\n")
+  }
+
   /** Shared with QueriesRelational's `stream_hll`: the streaming
     * register state must land on exactly this batch sketch. */
   private[graft] val hllGroupedOracle: String = {
@@ -2449,6 +2542,19 @@ object QueriesPipeline {
          |    ELSE 0 END AS BIGINT) AS diff_ppm
          |FROM q LEFT JOIN sc ON sc.vid = q.vec_id""".stripMargin
     },
+    "fd_audit" -> {
+      def cand(x: String, y: String) =
+        s"""SELECT '$x->$y' AS fd,
+           |  count(DISTINCT $x) AS n_x,
+           |  count(DISTINCT ($x, $y)) AS n_xy,
+           |  count(DISTINCT ($x, $y)) - count(DISTINCT $x) AS violations,
+           |  count(DISTINCT ($x, $y)) = count(DISTINCT $x) AS holds
+           |FROM orders""".stripMargin
+      Seq(("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"))
+        .map { case (x, y) => cand(x, y) }.mkString("\nUNION ALL\n")
+    },
     "loo_source_influence" ->
       """WITH per AS (SELECT source, count(*) AS n_s,
         |        CAST(sum(n_chars) AS BIGINT) AS sum_s
@@ -2529,54 +2635,58 @@ object QueriesPipeline {
         |    THEN (n * s2 - s1sq) // (n * (n - 1) // 2)
         |    ELSE 0 END AS BIGINT) AS mean_sqdist
         |FROM u""".stripMargin,
-    "dedup_minhash" -> {
+    "dedup_minhash" ->
       // mirrors Dedup.minhashLshPortable exactly: word-level polyHash,
-      // rolling shingle combine, numeric band-key folds
-      val p = "1000000007"
-      val cc = "1000003"
-      val sigExprs = graft.operators.Dedup.MinhashSeeds.take(16).zipWithIndex
-        .map { case ((a, b), i) =>
-          s"list_min(list_transform(hs, x -> (x * $a + $b) % $p)) AS m$i"
-        }.mkString(",\n         ")
-      val keyExprs = (0 until 4).map { bnd =>
-        val fold = (0 until 4).foldLeft(s"CAST($bnd AS BIGINT)") { (acc, r) =>
-          s"(($acc) * $cc + m${bnd * 4 + r}) % $p"
-        }
-        s"$fold AS k$bnd"
-      }.mkString(",\n         ")
-      val matchSum = (0 until 16)
-        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      val bandJoins = (0 until 4).map { bnd =>
-        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |       ($matchSum) * 1.0 / 16 AS est_jaccard
-           |FROM banded a JOIN banded b
-           |  ON a.k$bnd = b.k$bnd AND a.doc_id < b.doc_id""".stripMargin
-      }.mkString("\nUNION\n")
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-         |           FROM documents),
-         |wh AS (SELECT doc_id,
-         |         list_transform(ws, s ->
-         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |               list_transform(string_split(s, ''),
-         |                              c -> CAST(ascii(c) AS BIGINT))),
-         |             (a, c) -> (a * 31 + c) % $p)) AS wh
-         |       FROM w WHERE len(ws) >= 3),
-         |h AS (SELECT doc_id,
-         |        list_distinct(list_transform(range(1, len(wh) - 1),
-         |          i -> ((wh[i] * $cc + wh[i+1]) % $p * $cc + wh[i+2]) % $p))
-         |          AS hs
-         |      FROM wh),
-         |sig AS (SELECT doc_id,
-         |         $sigExprs
-         |        FROM h),
-         |banded AS (SELECT *,
-         |         $keyExprs
-         |        FROM sig)
+      // rolling shingle combine, numeric band-key folds (shared CTE
+      // body with lsh_recall, which evaluates this very pipeline)
+      s"""WITH $MinhashCtes
          |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard FROM (
-         |$bandJoins
-         |) t WHERE est_jaccard >= 0.5""".stripMargin
-    },
+         |$MinhashBandJoins
+         |) t WHERE est_jaccard >= 0.5""".stripMargin,
+    "lsh_recall" ->
+      // candidate generation quality of the banded-LSH pipeline,
+      // measured against the exact 3-gram Jaccard truth set — the same
+      // shared CTE text as dedup_minhash (threshold 0 = all collisions)
+      s"""WITH $MinhashCtes,
+         |cand AS (SELECT doc_a, doc_b, est_jaccard FROM (
+         |$MinhashBandJoins
+         |) t),
+         |wq AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |       FROM documents),
+         |shq AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |       FROM wq WHERE len(ws) >= 3),
+         |cntq AS (SELECT doc_id, count(*) AS n FROM shq GROUP BY doc_id),
+         |hotq AS (SELECT s FROM
+         |         (SELECT s, count(*) AS df FROM shq GROUP BY s) t
+         |         WHERE df > 50),
+         |shpq AS (SELECT * FROM shq WHERE s NOT IN (SELECT s FROM hotq)),
+         |pairsq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             count(*) AS c
+         |           FROM shpq a JOIN shpq b
+         |             ON a.s = b.s AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
+         |  FROM pairsq
+         |  JOIN cntq ca ON ca.doc_id = doc_a
+         |  JOIN cntq cb ON cb.doc_id = doc_b) j WHERE jac >= 0.3),
+         |st AS (SELECT
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM cand WHERE est_jaccard >= 0.3)
+         |    AS n_verified,
+         |  (SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b))
+         |    AS n_cand_hit,
+         |  (SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)
+         |   WHERE est_jaccard >= 0.3) AS n_ver_hit)
+         |SELECT n_truth, n_cand, n_verified, n_cand_hit, n_ver_hit,
+         |  CAST(n_cand_hit * 1000000 // greatest(n_truth, 1) AS BIGINT)
+         |    AS recall_ppm,
+         |  CAST(n_ver_hit * 1000000 // greatest(n_verified, 1) AS BIGINT)
+         |    AS precision_ppm
+         |FROM st""".stripMargin,
     "dedup_simhash" -> {
       // mirrors Dedup.simhashPortable exactly: polyHash word base, 64
       // universal-hash parity bits, 4 × 16-bit band keys, popcount verify

@@ -59,4 +59,22 @@ object Quality {
         sum(when(col("ndist") < l, 1L).otherwise(0L))
           .as("n_groups_below_l"),
         min(col("ndist")).as("min_l_diversity"))
+
+  /** Functional-dependency audit: does X → Y hold in the data?
+    * violations = |distinct (X, Y)| − |distinct X| — zero iff every X
+    * value maps to exactly one Y (the schema-discovery / data-contract
+    * check run before trusting a join key or denormalizing a column).
+    * One two-phase distinct aggregate per candidate (map-side partial;
+    * nothing scales with row count beyond the scan); candidates audit
+    * independently so the whole batch is one union of 1-row folds.
+    * Returns (fd, n_x, n_xy, violations, holds). */
+  def fdAudit(df: DataFrame,
+              candidates: Seq[(String, String)]): DataFrame =
+    candidates.map { case (x, y) =>
+      df.agg(countDistinct(col(x)).as("n_x"),
+          countDistinct(col(x), col(y)).as("n_xy"))
+        .select(lit(s"$x->$y").as("fd"), col("n_x"), col("n_xy"),
+          (col("n_xy") - col("n_x")).as("violations"),
+          (col("n_xy") === col("n_x")).as("holds"))
+    }.reduce(_.unionByName(_))
 }
