@@ -1106,6 +1106,16 @@ object QueriesGraphAlgos {
     "graph_coloring" -> ((s, dir) => GraphAlgos.jpColoring(
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)),
+    // link-prediction AUC: hold out 10% of FROM_NATION edges, score
+    // them + hash-sampled non-edges by train-graph target popularity,
+    // exact rank-sum AUC with tie handling over the bounded
+    // distinct-score table
+    "link_pred_auc" -> ((s, dir) => GraphAlgos.linkPredAuc(
+      SparkEntry.graph(s, dir).rels
+        .where(col("TYPE") === "FROM_NATION")
+        .select(col("START_ID").as("src"), col("END_ID").as("dst")),
+      testPred = (col("src") + col("dst")) % 10 === 0,
+      k = 3, domainBase = 5000000000L, domainSize = 25L)),
     // HyperBall / ANF: per-node HLL ball sketches max-merged along
     // edges — the neighborhood-growth curve without materializing any
     // reachability set; linear-counting small-range correction via a
@@ -1207,6 +1217,44 @@ object QueriesGraphAlgos {
     "mis_luby" -> misOracle,
     "graph_coloring" -> jpOracle,
     "hyperball_anf" -> hyperBallOracle,
+    "link_pred_auc" ->
+      s"""WITH ${SparkEntry.RelsCte},
+         |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type = 'FROM_NATION'),
+         |test AS (SELECT * FROM e WHERE (src + dst) % 10 = 0),
+         |train AS (SELECT * FROM e WHERE (src + dst) % 10 != 0),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+         |  SELECT src AS node FROM train
+         |  UNION ALL SELECT dst FROM train) t GROUP BY 1),
+         |negp AS (SELECT DISTINCT s.src,
+         |    5000000000 + (s.src % 1000003 * 31 + i.i * 7) % 25 AS dst
+         |  FROM (SELECT DISTINCT src FROM e) s,
+         |       (SELECT unnest(range(0, 3)) AS i) i
+         |  WHERE NOT EXISTS (SELECT 1 FROM e
+         |    WHERE e.src = s.src
+         |      AND e.dst = 5000000000 + (s.src % 1000003 * 31
+         |        + i.i * 7) % 25)),
+         |u AS (
+         |  SELECT coalesce(db.d, 0) AS s, CAST(1 AS BIGINT) AS isp
+         |  FROM test LEFT JOIN deg db ON db.node = test.dst
+         |  UNION ALL
+         |  SELECT coalesce(db.d, 0), 0
+         |  FROM negp LEFT JOIN deg db ON db.node = negp.dst),
+         |g AS (SELECT s, CAST(sum(isp) AS BIGINT) AS np,
+         |        CAST(sum(1 - isp) AS BIGINT) AS nn FROM u GROUP BY s),
+         |c AS (SELECT s, np, nn,
+         |    CAST(coalesce(sum(nn) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cumneg
+         |  FROM g),
+         |f AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |        CAST(sum(nn) AS BIGINT) AS n_neg,
+         |        CAST(sum(np * cumneg) AS BIGINT) AS concordant,
+         |        CAST(sum(np * nn) AS BIGINT) AS ties FROM c)
+         |SELECT n_pos, n_neg, concordant, ties,
+         |  CAST((concordant * 1000000 + ties * 500000)
+         |    // greatest(n_pos * n_neg, 1) AS BIGINT) AS auc_ppm
+         |FROM f""".stripMargin,
     "incr_khop2" ->
       s"""WITH ${SparkEntry.RelsCte},
          |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels

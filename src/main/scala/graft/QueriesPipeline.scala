@@ -106,6 +106,23 @@ object QueriesPipeline {
     // never a global pair join
     "label_noise_knn" -> ((s, dir) =>
       Similarity.labelNoiseKnn(table(s, dir, "embeddings"), k = 5)),
+    // provenance: WHICH sources duplicate WHICH — near-dup pairs
+    // (shared MinHash pipeline, est >= 0.5) joined to both docs'
+    // sources, canonical (min, max) source ordering; the
+    // cross-source copy matrix a licensing/contamination review reads
+    "dup_source_matrix" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashLshPortable(docs, "doc_id", "text", k = 3,
+          numHashes = 16, bands = 4, threshold = 0.5)
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb")), "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
     // candidate-generation quality of the banded LSH measured against
     // the exact 3-gram Jaccard truth set: recall of collisions,
     // precision after the signature-estimate verify — the number that
@@ -136,6 +153,25 @@ object QueriesPipeline {
             .as("recall_ppm"),
           expr("n_ver_hit * 1000000 div greatest(n_verified, 1)")
             .as("precision_ppm"))
+    }),
+    // per-source percentile calibration: a doc's quality percentile
+    // WITHIN its source via a bucketed histogram — the cumulative
+    // window runs over #bins rows per source (a constant), never the
+    // docs; cross-source quality thresholds become comparable
+    "quality_calibrate" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        col("source"), expr("n_chars div 50").as("bin"))
+      val hist = d.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val cum = hist.withColumn("n_le",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("bin"))))
+      val tot = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      d.join(cum.select(col("source"), col("bin"), col("n_le")),
+          Seq("source", "bin"))
+        .join(tot, "source")
+        .select(col("doc_id"), col("source"), col("bin"),
+          expr("n_le * 1000000 div n_src").as("pct_ppm"))
     }),
     // leave-one-out source influence WITHOUT per-source rescans: the
     // corpus aggregate is a monoid, so LOO(source) = global minus the
@@ -2555,6 +2591,19 @@ object QueriesPipeline {
         ("o_orderpriority", "o_orderstatus"))
         .map { case (x, y) => cand(x, y) }.mkString("\nUNION ALL\n")
     },
+    "quality_calibrate" ->
+      """WITH d AS (SELECT doc_id, source, n_chars // 50 AS bin
+        |           FROM documents),
+        |hist AS (SELECT source, bin, count(*) AS n FROM d GROUP BY 1, 2),
+        |cum AS (SELECT source, bin,
+        |    CAST(sum(n) OVER (PARTITION BY source ORDER BY bin)
+        |      AS BIGINT) AS n_le
+        |  FROM hist),
+        |tot AS (SELECT source, count(*) AS n_src FROM d GROUP BY 1)
+        |SELECT doc_id, d.source, d.bin,
+        |  n_le * 1000000 // n_src AS pct_ppm
+        |FROM d JOIN cum USING (source, bin) JOIN tot USING (source)"""
+        .stripMargin,
     "loo_source_influence" ->
       """WITH per AS (SELECT source, count(*) AS n_s,
         |        CAST(sum(n_chars) AS BIGINT) AS sum_s
@@ -2643,6 +2692,18 @@ object QueriesPipeline {
          |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard FROM (
          |$MinhashBandJoins
          |) t WHERE est_jaccard >= 0.5""".stripMargin,
+    "dup_source_matrix" ->
+      s"""WITH $MinhashCtes,
+         |cand AS (SELECT doc_a, doc_b FROM (
+         |$MinhashBandJoins
+         |) t WHERE est_jaccard >= 0.5)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM cand
+         |JOIN documents da ON da.doc_id = cand.doc_a
+         |JOIN documents db ON db.doc_id = cand.doc_b
+         |GROUP BY 1, 2""".stripMargin,
     "lsh_recall" ->
       // candidate generation quality of the banded-LSH pipeline,
       // measured against the exact 3-gram Jaccard truth set — the same

@@ -1028,6 +1028,56 @@ object GraphAlgos {
     mis
   }
 
+  /** Link-prediction AUC by exact rank-sum — the evaluation loop for
+    * any edge scorer: hold out the test edges, score them and a pool
+    * of hash-sampled non-edges by TRAIN-graph target popularity
+    * (deg(dst) — the standard recommendation baseline; a source-side
+    * factor would zero out every held-out degree-1 source and measure
+    * the split, not the scorer), and compute AUC with proper tie
+    * handling:
+    *
+    *   AUC = (concordant + ties/2) / (n_pos · n_neg)
+    *
+    * WITHOUT materializing pos×neg pairs: scores collapse to a
+    * (score → n_pos, n_neg) table first (hash aggregate, map-side
+    * combined; distinct degree products are few), and the rank-sum
+    * reads off a cumulative window over THAT bounded table — the same
+    * trick that makes exact AUC computable over billions of instances.
+    * Missing train degree scores 0 (a held-out node's edges can all be
+    * in test). One row: (n_pos, n_neg, concordant, ties, auc_ppm). */
+  def linkPredAuc(edges: DataFrame, testPred: Column, k: Int,
+                  domainBase: Long, domainSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val test = e.where(testPred)
+    val train = e.where(!testPred)
+    val deg = train.select(col("src").as("node"))
+      .union(train.select(col("dst")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    def scored(pairs: DataFrame, isPos: Int): DataFrame = pairs
+      .join(deg.select(col("node").as("dst"), col("d").as("db")),
+        Seq("dst"), "left")
+      .select(coalesce(col("db"), lit(0L)).as("s"),
+        lit(isPos.toLong).as("isp"))
+    val negPairs = negativeSample(e, k, domainBase, domainSize)
+      .select(col("src"), col("neg").as("dst")).distinct()
+    val u = scored(test, 1).unionByName(scored(negPairs, 0))
+    val g = u.groupBy(col("s"))
+      .agg(sum(col("isp")).as("np"), sum(lit(1L) - col("isp")).as("nn"))
+    // cumulative negatives below each score: a window over the DISTINCT
+    // score table (bounded by distinct degree products), not instances
+    val c = g.withColumn("cumneg",
+      coalesce(sum(col("nn")).over(Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    c.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * col("cumneg")).as("concordant"),
+        sum(col("np") * col("nn")).as("ties"))
+      .select(col("n_pos"), col("n_neg"), col("concordant"), col("ties"),
+        expr("(concordant * 1000000 + ties * 500000) div " +
+          "greatest(n_pos * n_neg, 1)").as("auc_ppm"))
+  }
+
   /** HyperBall / ANF — the approximate neighborhood function (Boldi,
     * Rosa & Vigna 2011, "HyperANF"; Palmer et al. 2002, "ANF" — public
     * literature): every node carries an HLL register set sketching its

@@ -477,6 +477,19 @@ class GraphAlgosSpec extends AnyFunSuite {
       (a == v && mis(b)) || (b == v && mis(a)) }), "not maximal")
   }
 
+  test("linkPredAuc: hand-computed rank-sum with ties") {
+    // train {(1,10),(2,10),(3,11)}; test {(4,10)} -> pos score deg(10)=2
+    // negs (domain [10,12), k=2, hash slots, true edges dropped):
+    // (1,11) s=1, (2,11) s=1, (3,10) s=2, (4,11) s=1
+    // concordant = 1·3, ties = 1·1 -> AUC = (3e6 + 5e5)/4 = 875000
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 10L))
+      .toDF("src", "dst")
+    val r = GraphAlgos.linkPredAuc(e, testPred = col("src") === 4,
+        k = 2, domainBase = 10L, domainSize = 2L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((1L, 4L, 3L, 1L, 875000L)))
+  }
+
   test("hyperBall matches a driver-side exact-ball HLL reference") {
     val rnd = new scala.util.Random(31)
     val n = 12
