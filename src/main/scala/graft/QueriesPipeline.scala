@@ -91,6 +91,10 @@ object QueriesPipeline {
     "hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(table(s, dir, "embeddings"),
         queryPred = col("vec_id") < 10, k = 5)),
+    // per-class centroid drift between the two vec_id-parity halves —
+    // the embedding regression test (two model versions in production)
+    "embed_drift" -> ((s, dir) =>
+      Similarity.embedDrift(table(s, dir, "embeddings"))),
     // top principal direction via 2 matrix-free power-iteration rounds
     // (C·v = Σ (qv·v)·qv) — integer normalization both engines share
     "embed_pca_power" -> ((s, dir) =>
@@ -2632,6 +2636,27 @@ object QueriesPipeline {
          |  CAST(sum(chars) AS BIGINT) * 1000 // CAST(sum(nt) AS BIGINT)
          |    AS chars_per_token_milli
          |FROM t GROUP BY 1""".stripMargin,
+    "embed_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |        vec_id % 2 AS half, embedding::DOUBLE[] AS v
+        |      FROM embeddings),
+        |q AS (SELECT label, half,
+        |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+        |          AS qv FROM e),
+        |u AS (SELECT label, half, j,
+        |  CAST(floor(CAST(sum(qv[j]) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS cj
+        |  FROM q, range(1, 65) t(j) GROUP BY 1, 2, 3),
+        |cent AS (SELECT label, half, list(cj ORDER BY j) AS qc
+        |         FROM u GROUP BY 1, 2),
+        |n AS (SELECT label, half, count(*) AS n FROM q GROUP BY 1, 2)
+        |SELECT a.label, na.n AS n_a, nb.n AS n_b,
+        |  list_sum(list_transform(range(1, 65),
+        |    j -> (a.qc[j] - b.qc[j]) * (a.qc[j] - b.qc[j]))) AS drift_sq
+        |FROM cent a
+        |JOIN cent b ON b.label = a.label AND a.half = 0 AND b.half = 1
+        |JOIN n na ON na.label = a.label AND na.half = 0
+        |JOIN n nb ON nb.label = a.label AND nb.half = 1""".stripMargin,
     "embed_pca_power" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |           FROM embeddings),

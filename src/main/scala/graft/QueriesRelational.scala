@@ -413,6 +413,60 @@ object QueriesRelational {
           "view" -> (col("event_type") === "view"),
           "click" -> (col("event_type") === "click"),
           "purchase" -> (col("event_type") === "purchase")))),
+    // histogram-bin counts are a sum monoid, so the fixed-bin quantile
+    // sketch maintains itself as a STREAMING aggregate; quantiles read
+    // off the sunk histogram must equal the batch rank test
+    "stream_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = table(s, dir, "events").select(col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 500")
+          .as("bin"))
+      val tmp =
+        s"/tmp/graft_squant_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      e.where(col("event_id") % 2 === 0).select(col("bin")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      e.where(col("event_id") % 2 =!= 0).select(col("bin")).coalesce(1)
+        .write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema("bin BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val qname = s"graft_stream_quant_${System.nanoTime()}"
+      withShufflePartitions(s, 8) {
+        val q = stream.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val c = s.table(qname)
+      val cum = c.withColumn("n_le", sum(col("n")).over(
+        Window.orderBy(col("bin"))))  // #bins rows — a constant, bounded
+      val tot = c.agg(sum(col("n")).as("total"))
+      import s.implicits._
+      Seq(50L, 90L, 99L).toDF("q_pct")
+        .join(cum, lit(true)).join(broadcast(tot), lit(true))
+        .where(col("n_le") * 100 >= col("q_pct") * col("total"))
+        .groupBy(col("q_pct")).agg(min(col("bin")).as("bin"))
+        .select(col("q_pct"), col("bin"), (col("bin") * 500).as("bin_lo"))
+    }),
+    // time-to-conversion histogram: per purchase, the FIRST same-user
+    // click in the 7-day lookback; day-bucketed lag counts — the
+    // attribution family's latency distribution
+    "conversion_lag_hist" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val t = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("e"),
+          expr("unix_micros(ts)").as("tus"))
+      val c = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("e"), expr("unix_micros(ts)").as("cus"),
+          col("event_id").as("conv_id"))
+      c.join(t, "e")
+        .where(col("tus") < col("cus") &&
+          col("tus") >= col("cus") - 604800000000L)
+        .groupBy(col("conv_id"))
+        .agg(min(col("tus")).as("ft"), max(col("cus")).as("cus2"))
+        .select(expr("(cus2 - ft) div 86400000000").as("lag_days"))
+        .groupBy(col("lag_days")).agg(count(lit(1)).as("n"))
+    }),
     // exponentially time-decayed engagement: weight = 1e6 >> age_weeks
     // (power-of-two decay stays int64-exact in any engine; a float
     // exp() would drift in the last ulp) — the recency-weighted
@@ -1056,6 +1110,29 @@ object QueriesRelational {
     // the streaming register state must land on exactly the batch
     // sketch — shared oracle text with sketch_hll_grouped
     "stream_hll" -> QueriesPipeline.hllGroupedOracle,
+    "stream_quantile" ->
+      """WITH b AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    // 500 AS bin FROM events),
+        |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |cum AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT)
+        |          AS n_le FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b),
+        |q(q_pct) AS (VALUES (CAST(50 AS BIGINT)), (90), (99))
+        |SELECT q_pct, min(bin) AS bin, min(bin) * 500 AS bin_lo
+        |FROM q, cum, t WHERE n_le * 100 >= q_pct * total
+        |GROUP BY q_pct""".stripMargin,
+    "conversion_lag_hist" ->
+      """WITH t AS (SELECT user_id AS e, epoch_us(ts) AS tus FROM events
+        |           WHERE event_type = 'click'),
+        |c AS (SELECT user_id AS e, epoch_us(ts) AS cus,
+        |        event_id AS conv_id FROM events
+        |      WHERE event_type = 'purchase'),
+        |f AS (SELECT c.conv_id, min(t.tus) AS ft, max(c.cus) AS cus2
+        |      FROM c JOIN t ON t.e = c.e
+        |      WHERE t.tus < c.cus AND t.tus >= c.cus - 604800000000
+        |      GROUP BY 1)
+        |SELECT (cus2 - ft) // 86400000000 AS lag_days, count(*) AS n
+        |FROM f GROUP BY 1""".stripMargin,
     "decayed_engagement" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
         |mx AS (SELECT max(tus) AS maxt FROM e)

@@ -562,6 +562,43 @@ object Similarity {
       .unionByName(sep(Nil, lit(-1L)))
   }
 
+  /** Per-class embedding drift between two deterministic corpus halves
+    * (vec_id parity — in production, two model versions or two time
+    * windows): exact integer squared distance between the halves'
+    * floor-mean centroids per label. The embedding regression test: a
+    * re-embedding that moves a class centroid beyond tolerance fails
+    * CI before it poisons an index. Two aggregates and a |labels|-row
+    * join; labels missing a half drop out (inner join — no centroid,
+    * no comparison). Returns (label, n_a, n_b, drift_sq). */
+  def embedDrift(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(col("label").cast("long").as("label"),
+      (col("vec_id") % 2).as("half"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1000).cast("long")).as("qv"))
+    val cent = q
+      .select(col("label"), col("half"),
+        posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+      .groupBy(col("label"), col("half"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("qc"))
+    val n = q.groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"))
+    cent.where(col("half") === 0)
+      .select(col("label"), col("qc").as("qa"))
+      .join(cent.where(col("half") === 1)
+        .select(col("label"), col("qc").as("qb")), "label")
+      .join(n.where(col("half") === 0)
+        .select(col("label"), col("n").as("n_a")), "label")
+      .join(n.where(col("half") === 1)
+        .select(col("label"), col("n").as("n_b")), "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        longSqDist(col("qa"), col("qb")).as("drift_sq"))
+  }
+
   /** k-NN label-noise screening (confident-learning-lite): for every
     * vector, the share of its k nearest SAME-CELL neighbors carrying a
     * different label — high disagreement flags probable mislabels, the
