@@ -197,6 +197,27 @@ object QueriesPipeline {
             expr("(sum_all - sum_s) * 1000 div (n - n_s)"))
             .as("influence_milli"))
     }),
+    // vocabulary coverage curve: share of corpus TOKENS covered by the
+    // top-k frequency vocabulary at k = 100/500/1000 — the number that
+    // sizes a vocab before training a tokenizer; the rank runs over the
+    // SURVIVING vocabulary (bounded), never the corpus
+    "vocab_coverage_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = table(s, dir, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .where(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val ranked = wc.withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("word"))))
+      val tot = wc.agg(sum(col("c")).as("total"))
+      import s.implicits._
+      Seq(100L, 500L, 1000L).toDF("k")
+        .join(ranked, lit(true)).where(col("rn") <= col("k"))
+        .groupBy(col("k")).agg(sum(col("c")).as("covered"))
+        .join(broadcast(tot), lit(true))
+        .select(col("k"), col("covered"), col("total"),
+          expr("covered * 1000000 div total").as("coverage_ppm"))
+    }),
     // tokenizer fertility by language: tokens-per-word and
     // chars-per-token in exact milli — the tokenizer-equity metric
     "token_fertility" -> ((s, dir) =>
@@ -2620,6 +2641,18 @@ object QueriesPipeline {
         |  sum_all * 1000 // n - (sum_all - sum_s) * 1000 // (n - n_s)
         |    AS influence_milli
         |FROM per, tot""".stripMargin,
+    "vocab_coverage_curve" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |wc AS (SELECT word, count(*) AS c FROM w WHERE word != ''
+        |       GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rn
+        |      FROM wc),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM wc),
+        |k(k) AS (VALUES (CAST(100 AS BIGINT)), (500), (1000))
+        |SELECT k, CAST(sum(c) AS BIGINT) AS covered, total,
+        |  CAST(sum(c) AS BIGINT) * 1000000 // total AS coverage_ppm
+        |FROM k, r, t WHERE rn <= k GROUP BY k, total""".stripMargin,
     "token_fertility" ->
       s"""WITH t AS (SELECT lang, CAST(length(text) AS BIGINT) AS chars,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,

@@ -482,6 +482,25 @@ object QueriesRelational {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("w")).as("engagement"))
     }),
+    // OHLC bars: per (event_type, hour) open/high/low/close in exact
+    // cents — open/close ride ONE struct-min/max aggregate with
+    // (time, event_id) tie-break, the classic market-data rollup
+    "ohlc_bars" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour"),
+        expr("unix_micros(ts)").as("tus"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      e.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("tus"), col("event_id"), col("cents")))
+            .as("_o"),
+          max(struct(col("tus"), col("event_id"), col("cents")))
+            .as("_c"),
+          max(col("cents")).as("high"), min(col("cents")).as("low"))
+        .select(col("event_type"), col("hour"), col("n"),
+          col("_o.cents").as("open"), col("high"), col("low"),
+          col("_c.cents").as("close"))
+    }),
     // RFM segmentation: recency anchored on the corpus max purchase
     // time (1-row broadcast), cents-exact monetary totals, fixed
     // 3/2/1 tier thresholds — one aggregate per user, no windows
@@ -1141,6 +1160,18 @@ object QueriesRelational {
         |    (maxt - tus) // 604800000000, 40) AS INTEGER)) AS BIGINT)
         |    AS engagement
         |FROM e, mx GROUP BY 1""".stripMargin,
+    "ohlc_bars" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hour, epoch_us(ts) AS tus,
+        |    event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, hour, count(*) AS n,
+        |  (min(struct_pack(a := tus, b := event_id, c := cents))).c
+        |    AS open,
+        |  max(cents) AS high, min(cents) AS low,
+        |  (max(struct_pack(a := tus, b := event_id, c := cents))).c
+        |    AS close
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "rfm_scores" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS tus,
         |             CAST(floor(value * 100) AS BIGINT) AS cents
