@@ -1106,6 +1106,11 @@ object QueriesGraphAlgos {
     "graph_coloring" -> ((s, dir) => GraphAlgos.jpColoring(
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), rounds = 3)),
+    // rich-club coefficient: do the hubs wire to each other? φ(k) for
+    // k = 1/4/16 over the membership graph, exact ppm
+    "rich_club" -> ((s, dir) => GraphAlgos.richClub(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), ks = Seq(1L, 4L, 16L))),
     // link-prediction AUC: hold out 10% of FROM_NATION edges, score
     // them + hash-sampled non-edges by train-graph target popularity,
     // exact rank-sum AUC with tie handling over the bounded
@@ -1217,6 +1222,33 @@ object QueriesGraphAlgos {
     "mis_luby" -> misOracle,
     "graph_coloring" -> jpOracle,
     "hyperball_anf" -> hyperBallOracle,
+    "rich_club" -> {
+      def branch(k: Long) =
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  (SELECT count(*) FROM deg WHERE d > $k) AS n_k,
+           |  (SELECT count(*) FROM rce e
+           |   WHERE e.u IN (SELECT node FROM deg WHERE d > $k)
+           |     AND e.v IN (SELECT node FROM deg WHERE d > $k)) AS e_k,
+           |  CAST((SELECT count(*) FROM rce e
+           |     WHERE e.u IN (SELECT node FROM deg WHERE d > $k)
+           |       AND e.v IN (SELECT node FROM deg WHERE d > $k))
+           |    * 2000000 // greatest(
+           |      (SELECT count(*) FROM deg WHERE d > $k) *
+           |      ((SELECT count(*) FROM deg WHERE d > $k) - 1), 1)
+           |    AS BIGINT) AS phi_ppm""".stripMargin
+      s"""WITH ${SparkEntry.RelsCte},
+         |rcb AS (SELECT start_id AS a, end_id AS b FROM rels
+         |        WHERE type IN ('FROM_NATION', 'IN_REGION')),
+         |rcund AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT a AS u, b AS v FROM rcb
+         |    UNION ALL SELECT b, a FROM rcb) t WHERE u != v),
+         |rce AS (SELECT u, v FROM rcund WHERE u < v),
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+         |        FROM rcund GROUP BY 1)
+         |${Seq(1L, 4L, 16L).map(branch).mkString("\nUNION ALL\n")}"""
+        .stripMargin
+    },
     "link_pred_auc" ->
       s"""WITH ${SparkEntry.RelsCte},
          |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels

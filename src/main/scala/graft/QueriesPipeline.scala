@@ -1126,7 +1126,7 @@ object QueriesPipeline {
   /** Replays the whole Count-Min pipeline: polyHash per token, the three
     * row hashes (h·a_i + b_i) mod p mod w, the cell grid, and min-over-
     * rows estimation for the probe set. */
-  private val cmsOracle: String =
+  private[graft] val cmsOracle: String =
     """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word
       |              FROM documents),
       |th AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),

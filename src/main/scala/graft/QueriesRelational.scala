@@ -482,6 +482,58 @@ object QueriesRelational {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("w")).as("engagement"))
     }),
+    // per-user inter-arrival statistics: exact integer mean and lower
+    // median of event gaps — burstiness vs steadiness; windows
+    // partition on the user key (bounded by per-user activity)
+    "interarrival_stats" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("tus"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val gaps = e.withColumn("prev", lag(col("tus"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("user_id"), (col("tus") - col("prev")).as("gap"))
+      val med = gaps
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("gap"))))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .where(expr("rn = (cnt + 1) div 2"))
+        .select(col("user_id"), col("gap").as("median_us"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("sum(gap) div count(1)").as("mean_us"))
+        .join(med, "user_id")
+    }),
+    // the third sketch-as-streaming-state member: Count-Min cells are
+    // sum monoids, so the frequency sketch maintains itself across
+    // micro-batches; probe estimates off the sunk grid must equal the
+    // batch sketch (sketch_cms's own oracle, shared text)
+    "stream_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp =
+        s"/tmp/graft_scms_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      d.where(col("doc_id") % 2 === 0).select(col("text")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      d.where(col("doc_id") % 2 =!= 0).select(col("text")).coalesce(1)
+        .write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema("text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val regs = graft.operators.Sketches.countMinBuild(stream, "text",
+        width = 256)
+      val qname = s"graft_stream_cms_${System.nanoTime()}"
+      withShufflePartitions(s, 8) {
+        val q = regs.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      import s.implicits._
+      val probes = Seq("join", "hash", "row", "batch", "scan", "customer",
+        "the", "xyzzy").toDF("word")
+      graft.operators.Sketches.countMinEstimate(s.table(qname), probes,
+        width = 256)
+    }),
     // OHLC bars: per (event_type, hour) open/high/low/close in exact
     // cents — open/close ride ONE struct-min/max aggregate with
     // (time, event_id) tie-break, the classic market-data rollup
@@ -1160,6 +1212,26 @@ object QueriesRelational {
         |    (maxt - tus) // 604800000000, 40) AS INTEGER)) AS BIGINT)
         |    AS engagement
         |FROM e, mx GROUP BY 1""".stripMargin,
+    // the streaming grid must land on exactly the batch CMS
+    "stream_cms" -> QueriesPipeline.cmsOracle,
+    "interarrival_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+        |           FROM events),
+        |g AS (SELECT user_id, tus - lag(tus) OVER (
+        |        PARTITION BY user_id ORDER BY tus, event_id) AS gap
+        |      FROM e),
+        |g2 AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+        |r AS (SELECT user_id, gap,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY gap)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS cnt FROM g2),
+        |med AS (SELECT user_id, gap AS median_us FROM r
+        |        WHERE rn = (cnt + 1) // 2),
+        |st AS (SELECT user_id, count(*) AS n_gaps,
+        |         CAST(sum(gap) // count(*) AS BIGINT) AS mean_us
+        |       FROM g2 GROUP BY 1)
+        |SELECT st.user_id, n_gaps, mean_us, median_us
+        |FROM st JOIN med USING (user_id)""".stripMargin,
     "ohlc_bars" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 3600000000 AS hour, epoch_us(ts) AS tus,

@@ -1028,6 +1028,32 @@ object GraphAlgos {
     mis
   }
 
+  /** Rich-club coefficient φ(k) (Zhou & Mondragón 2004 — public
+    * literature): among nodes of degree > k, the fraction of possible
+    * edges actually present — do the hubs form their own club? One
+    * degree aggregate + two semi-joins of the edge list against the
+    * (small) club per k; exact integer ppm with the n_k ≤ 1 degenerate
+    * guarded. Returns (k, n_k, e_k, phi_ppm) per requested k. */
+  def richClub(rels: DataFrame, types: Seq[String],
+               ks: Seq[Long]): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val e = und.where(col("u") < col("v"))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    ks.map { k =>
+      val club = deg.where(col("d") > k).select(col("node"))
+      val nk = club.agg(count(lit(1)).as("n_k"))
+      val ek = e.join(club.select(col("node").as("u")), "u")
+        .join(club.select(col("node").as("v")), "v")
+        .agg(count(lit(1)).as("e_k"))
+      nk.join(ek, lit(true))
+        .select(lit(k).as("k"), col("n_k"), col("e_k"),
+          expr("e_k * 2000000 div greatest(n_k * (n_k - 1), 1)")
+            .as("phi_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Link-prediction AUC by exact rank-sum — the evaluation loop for
     * any edge scorer: hold out the test edges, score them and a pool
     * of hash-sampled non-edges by TRAIN-graph target popularity
