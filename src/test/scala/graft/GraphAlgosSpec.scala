@@ -477,6 +477,19 @@ class GraphAlgosSpec extends AnyFunSuite {
       (a == v && mis(b)) || (b == v && mis(a)) }), "not maximal")
   }
 
+  test("richClub: triangle club at k=1, degenerate singleton at k=2") {
+    // triangle {1,2,3} + pendant 4—1: degrees 3,2,2,1.
+    // k=1 club {1,2,3}: all 3 club edges present -> phi = 1e6
+    // k=2 club {1}: no possible pairs -> phi 0 via the guard
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .map { case (a, b) => (a, b, "E") }
+      .toDF("START_ID", "END_ID", "TYPE")
+    val r = GraphAlgos.richClub(g, Seq("E"), ks = Seq(1L, 2L))
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 3L, 3L, 1000000L)))
+    assert(r(2L) == ((2L, 1L, 0L, 0L)))
+  }
+
   test("linkPredAuc: hand-computed rank-sum with ties") {
     // train {(1,10),(2,10),(3,11)}; test {(4,10)} -> pos score deg(10)=2
     // negs (domain [10,12), k=2, hash slots, true edges dropped):

@@ -32,4 +32,16 @@ class QualitySpec extends AnyFunSuite {
     // 2 groups; "b" below k (1 row); min size 1; "b" below l; min l 1
     assert(r === ((2L, 1L, 1L, 1L, 1L, 1L)))
   }
+
+  test("fdAudit: holding and violated dependencies, exact counts") {
+    val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"),
+      (4L, "b", "z")).toDF("id", "g", "v")
+    val r = Quality.fdAudit(df, Seq(("id", "g"), ("g", "v")))
+      .collect().map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3),
+          row.getBoolean(4)))).toMap
+    assert(r("id->g") == ((4L, 4L, 0L, true)))
+    // g=b maps to both y and z: 3 distinct (g,v) vs 2 distinct g
+    assert(r("g->v") == ((2L, 3L, 1L, false)))
+  }
 }
