@@ -588,6 +588,38 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 2L, 2L, 1000000L)))
   }
 
+  test("contaminationRatio matches a driver-side brute force on random docs") {
+    val rnd = new scala.util.Random(77)
+    val n = 4
+    for (_ <- 0 until 3) {
+      val corpus = (0L until 16L).map { id =>
+        val len = 2 + rnd.nextInt(10)
+        id -> Seq.fill(len)(('a' + rnd.nextInt(3)).toChar.toString)
+          .mkString(" ")
+      }
+      def grams(text: String): Set[String] = {
+        val ws = text.split(" ", -1)
+        (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+          .toSet
+      }
+      val all = corpus.map { case (id, t) => id -> grams(t) }
+      val df = all.flatMap(_._2).groupBy(identity)
+        .map { case (g, o) => g -> o.size }
+      val benchSet = all.filter(_._1 % 4 == 0)
+        .flatMap(_._2).filter(g => df(g) <= 5).toSet
+      val expected = all.filter(_._1 % 4 != 0).collect {
+        case (id, gs) if gs.nonEmpty =>
+          val hit = gs.count(benchSet)
+          (id, gs.size.toLong, hit.toLong, hit * 1000000L / gs.size)
+      }.toSet
+      val got = CorpusTools.contaminationRatio(
+          corpus.toDF("doc_id", "text"), "doc_id", "text",
+          benchPred = col("doc_id") % 4 === 0, n = n, maxDf = 5)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected)
+    }
+  }
+
   test("knBigramScore: hand-computed KN probabilities on a 2-doc corpus") {
     // corpus bigrams: d1 = (a b), (b a), (a b); d2 = (a c)
     // c12: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3 (n1_fwd 2), b=1 (n1_fwd 1)

@@ -57,6 +57,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(c.getLong(3) == 2L && c.getLong(4) == 8L && c.getLong(5) == 2L)
   }
 
+  test("zoneMapAudit matches a driver-side brute force on random layouts") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 3) {
+      val vs = Seq.fill(40)(rnd.nextInt(100).toLong)
+        .zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      val (lo, hi) = (20L, 60L)
+      val block = 8L
+      val sorted = vs.sortBy(identity).map(_._1)
+      val blocks = sorted.grouped(block.toInt).toSeq
+      val scanned = blocks.filter(b => b.min <= hi && b.max >= lo)
+      val expected = (vs.size.toLong, blocks.size.toLong,
+        scanned.size.toLong, scanned.map(_.size.toLong).sum,
+        sorted.count(v => v >= lo && v <= hi).toLong)
+      val got = ScaleOps.zoneMapAudit(vs.toDF("v", "id"), "t",
+          Seq(col("v"), col("id")), col("v"), lo, hi, block).head()
+      assert((got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4), got.getLong(5)) == expected)
+    }
+  }
+
   test("bloomSkippingAudit: hand-computed bits, present and absent probes") {
     // 4 rows, one block: values 10, 20, 30, 40; probe 20 present ->
     // bloom passes, zone passes; probe 25 absent but inside [10,40] ->
