@@ -1042,6 +1042,21 @@ object QueriesPipeline {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"))),
+    // REAL COLOR JPEG decode in 4:2:0 — the dominant real-world shape:
+    // per-component sampling factors (Y 2×2, chroma 1×1), interleaved
+    // 6-data-unit MCUs, box chroma upsample, BT.601 YCbCr→RGB with
+    // floor(x+0.5) rounding; DC-only blocks + unit quantization keep
+    // the planted values lossless so the oracle replays the color
+    // transform in closed form
+    "multimodal_jpeg_color" -> ((s, dir) =>
+      Multimodal.decodePixels(
+        Multimodal.asSyntheticColorJpegs(table(s, dir, "documents"),
+          "doc_id", "text").toDF())
+        .toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"))),
     // REAL audio decode: byte-valid PCM WAV containers (RIFF chunk walk,
     // int16 LE samples) — the audio twin of multimodal_bmp, sample sums
     // replayed exactly by the oracle
@@ -1175,7 +1190,8 @@ object QueriesPipeline {
   private val bloomOracle: String =
     """WITH rws(r, a, b) AS (VALUES (0, 31, 7), (1, 37, 11), (2, 41, 13)),
       |ok AS (SELECT DISTINCT o_custkey AS k FROM orders),
-      |wb AS (SELECT ((k % 1000000007) * a + b) % 1000000007 % 16384 AS pos
+      |wb AS (SELECT (((k % 1000000007 + 1000000007) % 1000000007) * a + b)
+      |      % 1000000007 % 16384 AS pos
       |       FROM ok, rws),
       |bloom AS (SELECT pos // 63 AS word_idx,
       |            bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bits
@@ -1183,7 +1199,8 @@ object QueriesPipeline {
       |pk AS (SELECT DISTINCT c_custkey AS k FROM customer),
       |pb AS (SELECT k, pos // 63 AS word_idx,
       |         1::BIGINT << CAST(pos % 63 AS INTEGER) AS bit FROM (
-      |    SELECT k, ((k % 1000000007) * a + b) % 1000000007 % 16384 AS pos
+      |    SELECT k, (((k % 1000000007 + 1000000007) % 1000000007) * a + b)
+      |      % 1000000007 % 16384 AS pos
       |    FROM pk, rws) t)
       |SELECT k, CAST(min(CASE WHEN COALESCE(bloom.bits & pb.bit, 0) <> 0
       |                        THEN 1 ELSE 0 END) AS BIGINT) AS hit
@@ -1197,7 +1214,8 @@ object QueriesPipeline {
   private val hllOracle: String = {
     val c = String.format(java.util.Locale.ROOT, "%.17g",
       Double.box(graft.operators.Sketches.hllAlphaNumerator(256)))
-    s"""WITH x0 AS (SELECT l_partkey % 1000000007 AS x FROM lineitem),
+    s"""WITH x0 AS (SELECT (l_partkey % 1000000007 + 1000000007)
+       |    % 1000000007 AS x FROM lineitem),
        |y0 AS (SELECT (x * x + x * 31 + 7) % 1000000007 AS y FROM x0),
        |z0 AS (SELECT (y * y + y * 37 + 11) % 1000000007 AS z FROM y0),
        |h AS (SELECT z % 256 AS bucket,
@@ -1279,7 +1297,8 @@ object QueriesPipeline {
   private[graft] val hllGroupedOracle: String = {
     val c = String.format(java.util.Locale.ROOT, "%.17g",
       Double.box(graft.operators.Sketches.hllAlphaNumerator(32)))
-    s"""WITH x0 AS (SELECT event_type, user_id % 1000000007 AS x
+    s"""WITH x0 AS (SELECT event_type, (user_id % 1000000007
+       |    + 1000000007) % 1000000007 AS x
        |            FROM events),
        |y0 AS (SELECT event_type, (x * x + x * 31 + 7) % 1000000007 AS y
        |       FROM x0),
@@ -2056,8 +2075,10 @@ object QueriesPipeline {
     "pack_offsets" -> packOracle,
     "sketch_cms" -> cmsOracle,
     "join_cardinality" ->
-      """WITH ka AS (SELECT o_orderkey % 1000000007 AS h FROM orders),
-        |kb AS (SELECT l_orderkey % 1000000007 AS h FROM lineitem),
+      """WITH ka AS (SELECT (o_orderkey % 1000000007 + 1000000007)
+        |             % 1000000007 AS h FROM orders),
+        |kb AS (SELECT (l_orderkey % 1000000007 + 1000000007)
+        |         % 1000000007 AS h FROM lineitem),
         |ga AS MATERIALIZED (
         |  SELECT row, cell, CAST(count(*) AS BIGINT) AS ca FROM (
         |    SELECT 0 AS row, (h*31+7) % 1000000007 % 8192 AS cell FROM ka
@@ -2304,7 +2325,7 @@ object QueriesPipeline {
         |model AS (SELECT w1, w2,
         |    CAST(greatest(c12 * 1000 - 750, 0) * 1000 // c1 +
         |      (750 * n1_fwd // c1) * (1000000 * n1_bwd // btypes)
-        |        // 1000000 AS BIGINT) AS p_ppm
+        |        // 1000 AS BIGINT) AS p_ppm
         |  FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN b)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(p_ppm) AS BIGINT) AS sum_p_ppm,
@@ -2604,12 +2625,17 @@ object QueriesPipeline {
          |FROM q LEFT JOIN sc ON sc.vid = q.vec_id""".stripMargin
     },
     "fd_audit" -> {
+      // null semantics mirror Quality.fdAudit: NULL x rows excluded
+      // from both counts; NULL y under non-null x is a distinct mapping
       def cand(x: String, y: String) =
         s"""SELECT '$x->$y' AS fd,
            |  count(DISTINCT $x) AS n_x,
-           |  count(DISTINCT ($x, $y)) AS n_xy,
-           |  count(DISTINCT ($x, $y)) - count(DISTINCT $x) AS violations,
-           |  count(DISTINCT ($x, $y)) = count(DISTINCT $x) AS holds
+           |  count(DISTINCT CASE WHEN $x IS NOT NULL
+           |    THEN ($x, $y) END) AS n_xy,
+           |  count(DISTINCT CASE WHEN $x IS NOT NULL THEN ($x, $y) END)
+           |    - count(DISTINCT $x) AS violations,
+           |  count(DISTINCT CASE WHEN $x IS NOT NULL THEN ($x, $y) END)
+           |    = count(DISTINCT $x) AS holds
            |FROM orders""".stripMargin
       Seq(("o_orderkey", "o_custkey"),
         ("o_custkey", "o_orderpriority"),
@@ -3520,6 +3546,42 @@ object QueriesPipeline {
         |  CAST(64*bw*bh AS BIGINT) AS n_pixels,
         |  sgray AS sum_b, sgray AS sum_g, sgray AS sum_r
         |FROM s""".stripMargin,
+    // 4:2:0 color: per 16×16 MCU, four constant Y sub-blocks
+    // (doc_id·31 + 4m + j) mod 256 and constant chroma; each sub-block
+    // covers 64 pixels sharing one (yv, cb, cr) triple, so the BT.601
+    // transform + floor(x+0.5) clamp replays per sub-block — the exact
+    // arithmetic the engine-side decoder performs after its (lossless
+    // here) Huffman + IDCT + box-upsample path
+    "multimodal_jpeg_color" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 2 + 1 AS mx,
+        |         octet_length(encode(text)) % 3 + 1 AS my
+        |  FROM documents),
+        |mc AS (SELECT doc_id, mx, my,
+        |         unnest(generate_series(0, mx*my - 1)) AS mcu
+        |       FROM m),
+        |blk AS (SELECT doc_id, mx, my, mcu,
+        |          unnest(generate_series(0, 3)) AS j
+        |        FROM mc),
+        |px AS (SELECT doc_id, mx, my,
+        |         (doc_id*31 + 4*mcu + j) % 256 AS yv,
+        |         (doc_id*17 + 11*mcu) % 256 - 128 AS cb,
+        |         (doc_id*13 + 7*mcu) % 256 - 128 AS cr
+        |       FROM blk)
+        |SELECT doc_id, 'jpeg' AS format,
+        |  CAST(16*mx AS BIGINT) AS width, CAST(16*my AS BIGINT) AS height,
+        |  CAST(256*mx*my AS BIGINT) AS n_pixels,
+        |  CAST(sum(64 * LEAST(255, GREATEST(0,
+        |    CAST(floor(yv + 1.772 * cb + 0.5) AS BIGINT))))
+        |    AS BIGINT) AS sum_b,
+        |  CAST(sum(64 * LEAST(255, GREATEST(0,
+        |    CAST(floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+        |      AS BIGINT)))) AS BIGINT) AS sum_g,
+        |  CAST(sum(64 * LEAST(255, GREATEST(0,
+        |    CAST(floor(yv + 1.402 * cr + 0.5) AS BIGINT))))
+        |    AS BIGINT) AS sum_r
+        |FROM px GROUP BY doc_id, mx, my""".stripMargin,
     "multimodal_wav" ->
       """WITH m AS (
         |  SELECT doc_id,

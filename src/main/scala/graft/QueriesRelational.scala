@@ -105,6 +105,24 @@ object QueriesRelational {
     s.table(qname)
   }
 
+  /** Per-run UNIQUE /tmp staging dir (r6 ADVICE): fixed paths keyed only
+    * by the dataset dir race under concurrent sweeps — one run's
+    * overwrite interleaves another run's streaming read, exactly the
+    * mechanism behind the r5/r6 red rows. Every staged gate takes a
+    * nanoTime-suffixed dir and deletes it via `rmStaging` once the
+    * AvailableNow stream has fully drained (results live in the memory
+    * sink or are checkpointed first, never in the staged files). */
+  private def stagingDir(tag: String, dir: String): String =
+    s"/tmp/graft_${tag}_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_${System.nanoTime()}"
+
+  private def rmStaging(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** Watermark delay for the streaming sessionization gates: wider than
     * the whole event-time range, so correctness does NOT depend on the
     * file source packing everything into one microbatch — if the sentinel
@@ -131,7 +149,7 @@ object QueriesRelational {
     val maxUs = e.agg(max(unix_micros(col("ts")))).as[Long].head()
     val aug = e.unionByName(e.select(col("user_id")).distinct()
       .withColumn("ts", timestamp_micros(lit(maxUs + 2 * gapMs * 1000L))))
-    val tmp = s"/tmp/graft_${tag}_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tmp = stagingDir(tag, dir)
     // ONE part-file: the file source batches at file granularity, so a
     // single file is structurally guaranteed to land in one microbatch —
     // a sentinel processed BEFORE a user's real events would otherwise
@@ -148,6 +166,7 @@ object QueriesRelational {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    rmStaging(tmp)
     s.table(qname)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -421,8 +440,7 @@ object QueriesRelational {
       val e = table(s, dir, "events").select(col("event_id"),
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 500")
           .as("bin"))
-      val tmp =
-        s"/tmp/graft_squant_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = stagingDir("squant", dir)
       e.where(col("event_id") % 2 === 0).select(col("bin")).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       e.where(col("event_id") % 2 =!= 0).select(col("bin")).coalesce(1)
@@ -437,6 +455,7 @@ object QueriesRelational {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      rmStaging(tmp)
       val c = s.table(qname)
       val cum = c.withColumn("n_le", sum(col("n")).over(
         Window.orderBy(col("bin"))))  // #bins rows — a constant, bounded
@@ -512,8 +531,7 @@ object QueriesRelational {
     "stream_cms" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val tmp =
-        s"/tmp/graft_scms_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = stagingDir("scms", dir)
       d.where(col("doc_id") % 2 === 0).select(col("text")).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       d.where(col("doc_id") % 2 =!= 0).select(col("text")).coalesce(1)
@@ -528,6 +546,7 @@ object QueriesRelational {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      rmStaging(tmp)
       import s.implicits._
       val probes = Seq("join", "hash", "row", "batch", "scan", "customer",
         "the", "xyzzy").toDF("word")
@@ -714,7 +733,7 @@ object QueriesRelational {
       val e = table(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("ts"))
       val aug = e.unionByName(e.where(col("event_id") % 10 === 0))
-      val tmp = s"/tmp/graft_dedup_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = stagingDir("dedup", dir)
       aug.coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(aug.schema).parquet(tmp)
       val qname = s"graft_stream_dedup_${System.nanoTime()}"
@@ -725,6 +744,7 @@ object QueriesRelational {
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      rmStaging(tmp)
       s.table(qname).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
     }),
@@ -736,8 +756,7 @@ object QueriesRelational {
       import org.apache.spark.sql.streaming.Trigger
       val e = table(s, dir, "events")
         .select(col("ts"), col("event_type"), col("value"))
-      val tmp =
-        s"/tmp/graft_topn_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = stagingDir("topn", dir)
       e.coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(e.schema).parquet(tmp)
       val qname = s"graft_stream_topn_${System.nanoTime()}"
@@ -752,6 +771,7 @@ object QueriesRelational {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      rmStaging(tmp)
       s.table(qname)
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("hour"))
@@ -768,8 +788,7 @@ object QueriesRelational {
       import org.apache.spark.sql.streaming.Trigger
       val e = table(s, dir, "events").select(col("user_id"),
         floor(col("value") * 1000).cast("long").as("v"))
-      val tmp =
-        s"/tmp/graft_sincr_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = stagingDir("sincr", dir)
       e.where(col("user_id") % 10 =!= 0).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       e.where(col("user_id") % 10 === 0).coalesce(1)
@@ -785,6 +804,7 @@ object QueriesRelational {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      rmStaging(tmp)
       s.table(qname)
     }),
     // sketches AS streaming state: the per-(group, bucket) HLL register
@@ -796,8 +816,7 @@ object QueriesRelational {
       import org.apache.spark.sql.streaming.Trigger
       val e = table(s, dir, "events")
         .select(col("event_type"), col("user_id"))
-      val tmp =
-        s"/tmp/graft_shll_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = stagingDir("shll", dir)
       e.where(col("user_id") % 2 === 0).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       e.where(col("user_id") % 2 =!= 0).coalesce(1)
@@ -812,6 +831,7 @@ object QueriesRelational {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      rmStaging(tmp)
       graft.operators.Sketches.hllEstimateGrouped(
         s.table(qname), Seq("event_type"), m = 32)
     }),
@@ -823,7 +843,7 @@ object QueriesRelational {
       import org.apache.spark.sql.streaming.Trigger
       val e = table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
-      val tmp = s"/tmp/graft_senrich_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = stagingDir("senrich", dir)
       e.coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(e.schema).parquet(tmp)
       val dim = table(s, dir, "customer")
@@ -836,6 +856,7 @@ object QueriesRelational {
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      rmStaging(tmp)
       s.table(qname).groupBy(col("segment"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
     }),
@@ -849,11 +870,9 @@ object QueriesRelational {
       val e = table(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"))
-      val base = s"/tmp/graft_cdc_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(base))   // stale state/checkpoints corrupt runs
+      // per-run unique base: stale state/checkpoints from a concurrent
+      // or crashed run would otherwise corrupt the versioned merge
+      val base = stagingDir("cdc_stream", dir)
       val src = s"$base/src"
       for (i <- 0 until 3)
         e.where(col("event_id") % 3 === i).coalesce(1)
@@ -868,11 +887,16 @@ object QueriesRelational {
         q.awaitTermination()
       }
       val v = graft.streaming.EventStreams.latestVersion(s"$base/state").get
-      s.read.parquet(s"$base/state/v$v")
+      // the result READS the staged state dir — materialize eagerly
+      // before deleting it (memory-sink gates don't need this)
+      val out = s.read.parquet(s"$base/state/v$v")
         .where(!col("_is_delete"))
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"),
           col("value").as("last_value"))
+        .localCheckpoint(true)
+      rmStaging(base)
+      out
     }),
     // STREAM-STREAM interval join under the gate: clicks and purchases
     // read as two file streams, joined per user within [click_ts,
@@ -885,7 +909,7 @@ object QueriesRelational {
       val e = table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"))
-      val tmp = s"/tmp/graft_sjoin_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = stagingDir("sjoin", dir)
       e.coalesce(1).write.mode("overwrite").parquet(tmp)
       def stream = s.readStream.schema(e.schema).parquet(tmp)
       val joined = graft.streaming.EventStreams.purchaseAttribution(
@@ -897,6 +921,7 @@ object QueriesRelational {
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
+      rmStaging(tmp)
       s.table(qname).groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("click_id") * 100003L + col("purchase_id"))

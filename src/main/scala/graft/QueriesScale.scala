@@ -24,6 +24,17 @@ object QueriesScale {
   private def san(dir: String): String =
     dir.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** Delete a staged dir once the gate's result is materialized (r6
+    * verdict #3: unique per-run names fixed the race but left every
+    * sweep's staging behind — 3 SFs × rounds of unbounded /tmp and
+    * warehouse growth). Callers localCheckpoint the result FIRST. */
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** Scope a SQL conf to `body`, restoring the previous value. */
   private def withConf[T](s: SparkSession, key: String, v: String)
       (body: => T): T = {
@@ -54,15 +65,22 @@ object QueriesScale {
         .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
       Bucketing.writeBucketed(o, s"graft_bkt.orders_$tok", "o_orderkey", 8)
       Bucketing.writeBucketed(l, s"graft_bkt.lineitem_$tok", "o_orderkey", 8)
-      withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
-        val j = Bucketing.colocatedJoin(s, s"graft_bkt.orders_$tok",
-          s"graft_bkt.lineitem_$tok", "o_orderkey")
-        val plan = j.queryExecution.executedPlan.toString
-        require(!plan.contains("Exchange"),
-          s"bucketed join must not shuffle:\n$plan")
-        j.groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("n_items"),
-            sum(col("l_quantity").cast("long")).as("sum_qty"))
+      try
+        withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+          val j = Bucketing.colocatedJoin(s, s"graft_bkt.orders_$tok",
+            s"graft_bkt.lineitem_$tok", "o_orderkey")
+          val plan = j.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"bucketed join must not shuffle:\n$plan")
+          // materialize before the finally drops the tables it reads
+          j.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_items"),
+              sum(col("l_quantity").cast("long")).as("sum_qty"))
+            .localCheckpoint(true)
+        }
+      finally {
+        s.sql(s"DROP TABLE IF EXISTS graft_bkt.orders_$tok")
+        s.sql(s"DROP TABLE IF EXISTS graft_bkt.lineitem_$tok")
       }
     }),
 
@@ -76,17 +94,20 @@ object QueriesScale {
       table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
         .write.mode("overwrite").partitionBy("event_type").parquet(base)
-      val r = s.read.parquet(base).where(col("event_type") === "click")
-      // PartitionFilters (not DataFilters) is the pruning mechanism: the
-      // predicate prunes the file index BEFORE split listing, so only the
-      // event_type=click directory is ever read
-      val plan = r.queryExecution.executedPlan.toString
-      require(plan.contains("PartitionFilters: [isnotnull(event_type") &&
-        plan.contains("= click)"),
-        s"partition filter must reach the file index:\n$plan")
-      r.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
-          countDistinct(col("user_id")).as("n_users"))
+      try {
+        val r = s.read.parquet(base).where(col("event_type") === "click")
+        // PartitionFilters (not DataFilters) is the pruning mechanism: the
+        // predicate prunes the file index BEFORE split listing, so only the
+        // event_type=click directory is ever read
+        val plan = r.queryExecution.executedPlan.toString
+        require(plan.contains("PartitionFilters: [isnotnull(event_type") &&
+          plan.contains("= click)"),
+          s"partition filter must reach the file index:\n$plan")
+        r.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+            countDistinct(col("user_id")).as("n_users"))
+          .localCheckpoint(true)
+      } finally rmTree(base)
     }),
 
     // Schema evolution: generation 1 wrote (doc_id, lang); generation 2
@@ -102,11 +123,14 @@ object QueriesScale {
       d.where(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
         .write.parquet(s"$base/gen=2")
-      s.read.option("mergeSchema", "true").parquet(base)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          count(col("n_chars")).as("n_with_chars"),
-          sum(col("n_chars")).as("sum_chars"))
+      try
+        s.read.option("mergeSchema", "true").parquet(base)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_chars")).as("n_with_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+          .localCheckpoint(true)
+      finally rmTree(base)
     }),
 
     // Zone-map audit: same table, same predicate

@@ -238,18 +238,29 @@ object SparkEntry {
     // reference lacks (write-ack race, README.md:196-200).
     "graph_write_roundtrip" -> ((s, dir) => {
       val g = graph(s, dir)
-      val db = s"/tmp/graft_db_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val back = operators.GraphCatalog.bulkImport(g.nodes, g.rels, db)
-      back.nodes
-        .groupBy(element_at(col("LABELS"), 1).as("label"))
-        .agg(count(lit(1)).as("n_nodes"))
-        .join(
-          back.rels.groupBy(col("TYPE").as("label2"))
-            .agg(count(lit(1)).as("n")),
-          col("label") === col("label2"), "full_outer")
-        .select(coalesce(col("label"), col("label2")).as("name"),
-          coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
-          coalesce(col("n"), lit(0L)).as("n_rels"))
+      // per-run unique staging + cleanup (r6 verdict #3): a fixed path
+      // keyed only by dir races concurrent sweeps and accumulates in /tmp
+      val db = s"/tmp/graft_db_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${System.nanoTime()}"
+      try {
+        val back = operators.GraphCatalog.bulkImport(g.nodes, g.rels, db)
+        back.nodes
+          .groupBy(element_at(col("LABELS"), 1).as("label"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .join(
+            back.rels.groupBy(col("TYPE").as("label2"))
+              .agg(count(lit(1)).as("n")),
+            col("label") === col("label2"), "full_outer")
+          .select(coalesce(col("label"), col("label2")).as("name"),
+            coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+            coalesce(col("n"), lit(0L)).as("n_rels"))
+          .localCheckpoint(true)  // materialize before deleting the db
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(db))
+      }
     }),
     // S9 + S5: Arrow IPC egress → ingest round-trip inside the oracle gate
     // (per-partition streams, reference type envelope; counts per label
@@ -281,21 +292,31 @@ object SparkEntry {
     // header parser, checksum against the raw table (id sums + double
     // round-trip through CSV text)
     "csv_import" -> ((s, dir) => {
-      val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      TpchGraph.table(s, dir, "customer")
-        .select(col("c_custkey").as("id:ID(Customer)"),
-          lit("Customer").as(":LABEL"),
-          col("c_name").as("name:string"),
-          col("c_acctbal").as("acctbal:double"))
-        .coalesce(4)
-        .write.mode("overwrite").option("header", "true").csv(tmp)
-      graft.sources.CsvGraphImport.readNodes(s, tmp)
-        .select(col("ID"), element_at(col("LABELS"), 1).as("label"),
-          col("acctbal"))
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("acctbal")), 2).as("sum_acctbal"),
-          sum(col("ID")).as("id_sum"))
+      // per-run unique staging + cleanup (r6 verdict #3)
+      val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${System.nanoTime()}"
+      try {
+        TpchGraph.table(s, dir, "customer")
+          .select(col("c_custkey").as("id:ID(Customer)"),
+            lit("Customer").as(":LABEL"),
+            col("c_name").as("name:string"),
+            col("c_acctbal").as("acctbal:double"))
+          .coalesce(4)
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        graft.sources.CsvGraphImport.readNodes(s, tmp)
+          .select(col("ID"), element_at(col("LABELS"), 1).as("label"),
+            col("acctbal"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("acctbal")), 2).as("sum_acctbal"),
+            sum(col("ID")).as("id_sum"))
+          .localCheckpoint(true)  // materialize before deleting the csv
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      }
     }),
     // S3: "cypher.read" analog — arbitrary query delegated to the SQL engine
     // (the reference delegates to Neo4j, TransactionApiJob.java:56-85; we

@@ -37,7 +37,14 @@ object Verify {
     // 2. an _SFDIR marker records which sfDir the artifacts came from, and
     //    a mismatch wipes every stale result dir before this run writes;
     // 3. each query writes to a hidden tmp dir, then renames into place —
-    //    a reader never sees a half-written result.
+    //    a reader never sees a half-written result;
+    // 4. (r7, reader side) an _SF.txt marker INSIDE each query's result
+    //    dir — written into the tmp dir, so it travels with the atomic
+    //    rename — lets a reader verify per-result provenance: tools/
+    //    check.py takes the same lock SHARED and fails loudly if any
+    //    result dir's _SF.txt disagrees with the sweep-level _SFDIR.txt
+    //    or with the sfDir it is comparing against. A compare can then
+    //    never silently mix SFs even if invoked mid-rewrite.
     val lockCh = java.nio.channels.FileChannel.open(
       Paths.get(s"$outDir/_LOCK"),
       java.nio.file.StandardOpenOption.CREATE,
@@ -64,6 +71,7 @@ object Verify {
       val tmp = s"$outDir/.tmp_$name"
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        Files.writeString(Paths.get(s"$tmp/_SF.txt"), sfDir + "\n")
         deleteRecursively(new java.io.File(s"$outDir/$name"))
         try Files.move(Paths.get(tmp), Paths.get(s"$outDir/$name"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

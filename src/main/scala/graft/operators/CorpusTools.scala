@@ -1034,7 +1034,12 @@ object CorpusTools {
     * counts toward the denominator but never the numerator; at 100 TB
     * the cap is what keeps a stop-phrase from fanning out |train|·|bench|
     * rows). Zero-overlap docs ARE reported (ppm = 0): the artifact is
-    * the full distribution, not just the offenders. */
+    * the full distribution, not just the offenders. Docs with FEWER
+    * than n words have no n-grams, hence no denominator, and are
+    * OMITTED from the output entirely (r6 ADVICE: this is the actual
+    * contract — the explode drops their empty shingle arrays; the
+    * oracle's len(ws) >= n filter mirrors it). Callers wanting every
+    * doc row should left-join the result back to the doc table. */
   def contaminationRatio(docs: DataFrame, id: String, text: String,
                          benchPred: Column, n: Int = 4,
                          maxDf: Int = 50): DataFrame = {
@@ -1064,7 +1069,11 @@ object CorpusTools {
     *               + D·N1+(w1·)/c(w1) · N1+(·w2)/B
     *
     * in ppm: main = max(1000·c12 − 750, 0)·1000 div c1;
-    * λ·pcont = (750·N1+(w1·) div c1) · (10⁶·N1+(·w2) div B) div 10⁶.
+    * λ·pcont: λ in MILLI is 750·N1+(w1·) div c1 and pcont in PPM is
+    * 10⁶·N1+(·w2) div B, so the product is milli·ppm and dividing by
+    * 10³ — not 10⁶ — lands it in ppm alongside the main term. (r6 ADVICE:
+    * the old div 10⁶ under-scaled the continuation mass 1000× so it
+    * mostly truncated to 0, making the score effectively unsmoothed.)
     *
     * Returns per-document fluency: (doc_id, n_bigrams, sum_p_ppm,
     * mean_p_ppm) — scoring the training corpus itself, so every scored
@@ -1103,7 +1112,7 @@ object CorpusTools {
       .select(col("w1"), col("w2"),
         (expr("greatest(c12 * 1000 - 750, 0) * 1000 div c1") +
           expr("(750 * n1_fwd div c1) * (1000000 * n1_bwd div btypes) " +
-            "div 1000000")).as("p_ppm"))
+            "div 1000")).as("p_ppm"))
     bg.join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_p_ppm"))

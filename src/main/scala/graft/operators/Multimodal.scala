@@ -150,6 +150,33 @@ object Multimodal {
       })
   }
 
+  /** Encode each document as a REAL baseline COLOR JPEG in 4:2:0 — the
+    * dominant real-world shape: Y sampled 2×2, Cb/Cr 1×1, one
+    * interleaved scan (4 Y + 1 Cb + 1 Cr data units per 16×16 MCU).
+    * Per MCU m the four Y sub-blocks are constant
+    * (doc_id·31 + 4m + j) mod 256 (j = v·2+h), chroma constant
+    * cb = (doc_id·17 + 11m) mod 256, cr = (doc_id·13 + 7m) mod 256;
+    * all-ones quantization makes the round-trip exactly lossless, so
+    * the gate oracle replays the BT.601 conversion + floor(x+0.5)
+    * clamp in closed form while [[decodePixels]] exercises the full
+    * subsampled path (per-component sampling factors, interleaved MCU
+    * entropy decode, chroma box upsample, color transform).
+    * w = 16·(n%2+1), h = 16·(n%3+1). */
+  def asSyntheticColorJpegs(docs: DataFrame, id: String,
+                            text: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, t) =>
+        val n = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        MediaRow(docId,
+          MediaKernels.encodeJpeg420(docId, 16 * (n % 2 + 1),
+            16 * (n % 3 + 1)),
+          "jpeg")
+      })
+  }
+
   /** Encode the corpus as a photo set with PLANTED duplicates: the pixel
     * seed is doc_id mod 97, and dimensions derive from the seed (w =
     * seed%16+1, h = seed/16%8+1), so documents sharing a seed are exact
@@ -751,6 +778,81 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Byte-valid baseline COLOR JPEG in 4:2:0 (ITU T.81 sequential DCT,
+      * 8-bit, YCbCr, Y sampled 2×2 / chroma 1×1, one interleaved scan).
+      * Each 16×16 MCU m carries four constant Y sub-blocks
+      * ((seed·31 + 4m + j) mod 256, j = v·2+h raster) and constant
+      * chroma (cb = (seed·17 + 11m) mod 256, cr = (seed·13 + 7m)
+      * mod 256). DC-only spectra + all-ones quantization ⇒ lossless;
+      * the shared canonical Huffman pair (12 DC categories at 4 bits,
+      * 1-bit AC EOB) serves all three components. w, h must be
+      * multiples of 16 (whole 4:2:0 MCUs). */
+    def encodeJpeg420(seed: Long, w: Int, h: Int): Array[Byte] = {
+      require(w % 16 == 0 && h % 16 == 0, "whole 4:2:0 MCUs only")
+      val out = new java.io.ByteArrayOutputStream()
+      def b8(v: Int): Unit = out.write(v & 0xff)
+      def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+      b16(0xFFD8)                                  // SOI
+      b16(0xFFDB); b16(2 + 1 + 64); b8(0x00)       // DQT 0: all ones
+      var k = 0
+      while (k < 64) { b8(1); k += 1 }
+      b16(0xFFC0); b16(2 + 6 + 9); b8(8)           // SOF0: 8-bit, 3 comp
+      b16(h); b16(w); b8(3)
+      b8(1); b8(0x22); b8(0)                       // Y: 2×2, quant 0
+      b8(2); b8(0x11); b8(0)                       // Cb: 1×1, quant 0
+      b8(3); b8(0x11); b8(0)                       // Cr: 1×1, quant 0
+      b16(0xFFC4); b16(2 + 1 + 16 + 12); b8(0x00)  // DHT DC 0
+      for (i <- 1 to 16) b8(if (i == 4) 12 else 0) // 12 codes of length 4
+      for (s <- 0 to 11) b8(s)                     // categories 0..11
+      b16(0xFFC4); b16(2 + 1 + 16 + 1); b8(0x10)   // DHT AC 0
+      for (i <- 1 to 16) b8(if (i == 1) 1 else 0)  // one 1-bit code
+      b8(0x00)                                     // = EOB
+      b16(0xFFDA); b16(2 + 1 + 6 + 3); b8(3)       // SOS: 3 components
+      b8(1); b8(0x00); b8(2); b8(0x00); b8(3); b8(0x00)
+      b8(0); b8(63); b8(0)
+      var acc = 0; var nBits = 0
+      def emit(bits: Int, n: Int): Unit = {
+        acc = (acc << n) | (bits & ((1 << n) - 1)); nBits += n
+        while (nBits >= 8) {
+          val byte = (acc >> (nBits - 8)) & 0xff
+          out.write(byte)
+          if (byte == 0xff) out.write(0x00)        // byte stuffing
+          nBits -= 8
+        }
+      }
+      val prevDc = new Array[Int](3)
+      def emitDcOnlyBlock(comp: Int, v: Int): Unit = {
+        val dc = 8 * (v - 128)
+        val diff = dc - prevDc(comp)
+        prevDc(comp) = dc
+        val s =
+          if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        emit(s, 4)                  // canonical code == category value
+        if (s > 0) emit(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        emit(0, 1)                  // AC EOB
+      }
+      val mcus = (w / 16) * (h / 16)
+      var m = 0
+      while (m < mcus) {
+        var j = 0
+        while (j < 4) {             // Y data units, v-then-h raster
+          emitDcOnlyBlock(0, (((seed * 31 + 4 * m + j) % 256 + 256)
+            % 256).toInt)
+          j += 1
+        }
+        emitDcOnlyBlock(1, (((seed * 17 + 11 * m) % 256 + 256) % 256).toInt)
+        emitDcOnlyBlock(2, (((seed * 13 + 7 * m) % 256 + 256) % 256).toInt)
+        m += 1
+      }
+      if (nBits % 8 != 0) {         // pad the final byte with 1-bits
+        val pad = 8 - nBits % 8
+        emit((1 << pad) - 1, pad)
+      }
+      b16(0xFFD9)                                  // EOI
+      out.toByteArray
+    }
+
     /** REAL baseline JPEG pixel decode with zero external dependencies:
       * marker walk (DQT / DHT / SOF0 / DRI / SOS), canonical Huffman
       * decode tables built from the embedded DHT segments, entropy-coded
@@ -758,9 +860,12 @@ object Multimodal {
       * handling, DC prediction, AC run-length (ZRL/EOB) decode in
       * zig-zag order, dequantization, full 2D IDCT (StrictMath.cos
       * basis — bit-stable across JVMs), level shift + clamp. Supports 1
-      * or 3 components with 1×1 sampling in one interleaved scan:
-      * grayscale replicates to the r/g/b sums, 3 components convert
-      * YCbCr→RGB (BT.601, rounded). Progressive, subsampled, 12-bit, or
+      * or 3 components with per-axis sampling factors 1 or 2 in one
+      * interleaved scan — 4:4:4 (1×1), 4:2:2 (Y 2×1) and 4:2:0 (Y 2×2,
+      * the dominant real-world shape) — with box (sample-replication)
+      * chroma upsampling on the exact subsampling grid: grayscale
+      * replicates to the r/g/b sums, 3 components convert YCbCr→RGB
+      * (BT.601, rounded). Progressive, >2× sampling, 12-bit, or
       * arithmetic-coded streams report "unknown" rather than throwing —
       * a poisoned row must not kill the partition at 100 TB. Agreement
       * with `javax.imageio` on real-world streams is spec-pinned to ±1
@@ -777,6 +882,8 @@ object Multimodal {
       val huff = Array.ofDim[Huff](2, 4)
       var w = 0; var h = 0; var nComp = 0
       var compQ: Array[Int] = null
+      var compH: Array[Int] = null; var compV: Array[Int] = null
+      var hMax = 1; var vMax = 1
       var compDcTab: Array[Int] = null; var compAcTab: Array[Int] = null
       var restartInterval = 0
       var sosAt = -1
@@ -837,12 +944,25 @@ object Multimodal {
               if ((nComp != 1 && nComp != 3) || len < 8 + 3 * nComp)
                 return bad
               compQ = new Array[Int](nComp)
+              compH = new Array[Int](nComp); compV = new Array[Int](nComp)
               var c = 0
               while (c < nComp) {
-                if (u8(i + 11 + 3 * c) != 0x11) return bad // 1x1 only
+                // sampling factors 1 or 2 per axis: covers 1×1, 4:2:0
+                // (Y 2×2, chroma 1×1) and 4:2:2 (Y 2×1) — the shapes
+                // real-world baseline JPEGs actually use
+                val samp = u8(i + 11 + 3 * c)
+                compH(c) = samp >> 4; compV(c) = samp & 15
+                if (compH(c) < 1 || compH(c) > 2 ||
+                  compV(c) < 1 || compV(c) > 2) return bad
+                if (compH(c) > hMax) hMax = compH(c)
+                if (compV(c) > vMax) vMax = compV(c)
                 compQ(c) = u8(i + 12 + 3 * c)
                 if (compQ(c) > 3) return bad
                 c += 1
+              }
+              if (nComp == 1) {                    // single-component scans
+                compH(0) = 1; compV(0) = 1         // are non-interleaved:
+                hMax = 1; vMax = 1                 // plain 8×8 blocks
               }
             case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
                  0xCB | 0xCD | 0xCE | 0xCF =>
@@ -984,14 +1104,25 @@ object Multimodal {
         if (r < 0) 0 else if (r > 255) 255 else r
       }
 
-      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      // MCU geometry: 8·hMax × 8·vMax pixels; each component contributes
+      // hi×vi data units per MCU (interleaved scan order, T.81 A.2.3).
+      // Chroma upsampling is sample replication (box): component sample
+      // for pixel (px, py) is at (px·hi/hMax, py·vi/vMax) — the exact
+      // integer subsampling grid, no interpolation, so the math is
+      // closed-form replayable by the oracle.
+      val mcuW = 8 * hMax; val mcuH = 8 * vMax
+      val mcusX = (w + mcuW - 1) / mcuW; val mcusY = (h + mcuH - 1) / mcuH
       var sr = 0L; var sg = 0L; var sb = 0L
-      val blocks = new Array[Array[Int]](nComp)
+      val blocks = new Array[Array[Array[Int]]](nComp)
+      var c1 = 0
+      while (c1 < nComp) {
+        blocks(c1) = new Array[Array[Int]](compH(c1) * compV(c1)); c1 += 1
+      }
       var mcu = 0
       var by = 0
-      while (by < bh) {
+      while (by < mcusY) {
         var bx = 0
-        while (bx < bw) {
+        while (bx < mcusX) {
           if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
             bitCnt = 0; hitMarker = false          // byte-align at RSTn
             if (pos + 1 >= b.length || u8(pos) != 0xFF ||
@@ -1001,28 +1132,37 @@ object Multimodal {
           }
           var comp = 0
           while (comp < nComp) {
-            blocks(comp) = decodeBlock(comp)
-            if (blocks(comp) == null) return bad
+            var sub = 0
+            while (sub < compH(comp) * compV(comp)) {
+              blocks(comp)(sub) = decodeBlock(comp)
+              if (blocks(comp)(sub) == null) return bad
+              sub += 1
+            }
             comp += 1
           }
           // only pixels inside the image bounds count (right/bottom MCUs
           // may overhang)
-          val xMax = math.min(8, w - bx * 8)
-          val yMax = math.min(8, h - by * 8)
+          val xMax = math.min(mcuW, w - bx * mcuW)
+          val yMax = math.min(mcuH, h - by * mcuH)
+          def sample(comp: Int, px: Int, py: Int): Int = {
+            val cx = px * compH(comp) / hMax       // subsampling grid
+            val cy = py * compV(comp) / vMax
+            blocks(comp)((cy >> 3) * compH(comp) + (cx >> 3))(
+              (cy & 7) * 8 + (cx & 7))
+          }
           var yy = 0
           while (yy < yMax) {
             var xx = 0
             while (xx < xMax) {
-              val p = yy * 8 + xx
               if (nComp == 3) {                    // BT.601 YCbCr → RGB
-                val yv = blocks(0)(p).toDouble
-                val cb = blocks(1)(p) - 128.0
-                val cr = blocks(2)(p) - 128.0
+                val yv = sample(0, xx, yy).toDouble
+                val cb = sample(1, xx, yy) - 128.0
+                val cr = sample(2, xx, yy) - 128.0
                 sr += clampD(yv + 1.402 * cr)
                 sg += clampD(yv - 0.344136 * cb - 0.714136 * cr)
                 sb += clampD(yv + 1.772 * cb)
               } else {
-                val g = blocks(0)(p)               // gray → (g, g, g)
+                val g = sample(0, xx, yy)          // gray → (g, g, g)
                 sr += g; sg += g; sb += g
               }
               xx += 1

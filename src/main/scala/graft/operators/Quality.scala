@@ -64,6 +64,17 @@ object Quality {
     * violations = |distinct (X, Y)| − |distinct X| — zero iff every X
     * value maps to exactly one Y (the schema-discovery / data-contract
     * check run before trusting a join key or denormalizing a column).
+    *
+    * Null semantics, EXPLICIT (r6 ADVICE — the naive
+    * countDistinct(x, y) drops rows where EITHER side is null while a
+    * struct-based distinct keeps them, so engines diverge and
+    * violations can go negative): rows with NULL X carry no dependency
+    * evidence and are excluded from BOTH counts; a NULL Y under a
+    * non-null X is a real (distinct) mapping and DOES count — X→Y
+    * fails when x maps to both 'a' and NULL. Implemented by counting
+    * distinct structs gated on x IS NOT NULL, mirrored verbatim in the
+    * oracle SQL, so violations ≥ 0 by construction on ANY data.
+    *
     * One two-phase distinct aggregate per candidate (map-side partial;
     * nothing scales with row count beyond the scan); candidates audit
     * independently so the whole batch is one union of 1-row folds.
@@ -72,7 +83,8 @@ object Quality {
               candidates: Seq[(String, String)]): DataFrame =
     candidates.map { case (x, y) =>
       df.agg(countDistinct(col(x)).as("n_x"),
-          countDistinct(col(x), col(y)).as("n_xy"))
+          countDistinct(when(col(x).isNotNull,
+            struct(col(x), col(y)))).as("n_xy"))
         .select(lit(s"$x->$y").as("fd"), col("n_x"), col("n_xy"),
           (col("n_xy") - col("n_x")).as("violations"),
           (col("n_xy") === col("n_x")).as("holds"))

@@ -98,8 +98,11 @@ object ScaleOps {
     * The filter is exact integer arithmetic, replayable cross-engine:
     * per value two hash bits h ∈ {v mod 2520, (31v+7) mod 2520} set in a
     * 40-word × 63-bit block bitmap (~10 bits/key at the default 256-row
-    * block); a block passes a probe iff both probe bits are set. Values
-    * must be NON-NEGATIVE (mod, not pmod, so the oracle's % matches).
+    * block); a block passes a probe iff both probe bits are set.
+    * PRECONDITION: values must be NON-NEGATIVE — the engine side uses
+    * pmod (always ≥ 0) while the DuckDB oracle's % preserves the
+    * dividend's sign, so a negative value would hash to DIFFERENT bits
+    * in the two engines (they agree only on v ≥ 0, where pmod ≡ %).
     *
     * Scale: the ranked table materializes once (localCheckpoint) and
     * feeds the bitmap build and the block stats; both are hash

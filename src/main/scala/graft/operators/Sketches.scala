@@ -58,7 +58,8 @@ object Sketches {
     * explode + bit_or aggregate. */
   def bloomBuild(keys: DataFrame, key: String, mBits: Long): DataFrame = {
     val pos = (0 until RowA.length).map { r =>
-      (col(key) % 1000000007L * RowA(r) + RowB(r)) % 1000000007L % mBits
+      (pmod(col(key), lit(1000000007L)) * RowA(r) + RowB(r)) %
+        1000000007L % mBits
     }
     keys.select(col(key)).distinct()
       .select(explode(array(pos: _*)).as("pos"))
@@ -75,7 +76,8 @@ object Sketches {
   def bloomMightContain(bloom: DataFrame, probes: DataFrame, key: String,
                         mBits: Long): DataFrame = {
     val pos = (0 until RowA.length).map { r =>
-      (col(key) % 1000000007L * RowA(r) + RowB(r)) % 1000000007L % mBits
+      (pmod(col(key), lit(1000000007L)) * RowA(r) + RowB(r)) %
+        1000000007L % mBits
     }
     probes.select(col(key)).distinct()
       .select(col(key), explode(array(pos: _*)).as("pos"))
@@ -116,7 +118,7 @@ object Sketches {
   def hllBuildGrouped(df: DataFrame, groupCols: Seq[String], key: String,
                       m: Int): DataFrame =
     df
-      .withColumn("_x", col(key) % 1000000007L)
+      .withColumn("_x", pmod(col(key), lit(1000000007L)))
       .withColumn("_y",
         (col("_x") * col("_x") + col("_x") * 31L + 7L) % 1000000007L)
       .withColumn("_z",
@@ -284,7 +286,7 @@ object Sketches {
     * frequency-vector sketch, vs [[countMinBuild]]'s token variant).
     * ≤ 3·width rows out, full map-side combining. */
   def countMinKeyBuild(df: DataFrame, key: String, width: Int): DataFrame = {
-    val h = col(key) % 1000000007L
+    val h = pmod(col(key), lit(1000000007L))
     df.select(explode(array((0 until RowA.length).map { r =>
         struct(lit(r.toLong).as("row"),
           ((h * RowA(r) + RowB(r)) % 1000000007L % width).as("cell"))

@@ -627,13 +627,17 @@ class CorpusToolsSpec extends AnyFunSuite {
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = CorpusTools.knBigramScore(docs, "doc_id", "text")
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    // p(a,b) = (2000-750)*1000 div 3 + (750*2 div 3)*(1e6 div 3) div 1e6
-    //        = 416666 + 500*333333 div 1e6 = 416666+166 = 416832
-    // p(b,a) = (1000-750)*1000 div 1 + (750*1 div 1)*(333333) div 1e6
-    //        = 250000 + 249 = 250249  [750*333333 div 1e6 = 249]
-    // p(a,c) = (1000-750)*1000 div 3 + 166 = 83333 + 166 = 83499
-    val d1 = 416832L + 250249L + 416832L
+    // λ is milli, pcont is ppm → product div 1000 is ppm (r6 ADVICE fix):
+    // p(a,b) = (2000-750)*1000 div 3 + (750*2 div 3)*(1e6 div 3) div 1e3
+    //        = 416666 + 500*333333 div 1000 = 416666 + 166666 = 583332
+    // p(b,a) = (1000-750)*1000 div 1 + (750*1 div 1)*333333 div 1000
+    //        = 250000 + 249999 = 499999
+    // p(a,c) = (1000-750)*1000 div 3 + 166666 = 83333+166666 = 249999
+    // sanity: Σ_w2 p(w2|a) = p(a,b)+p(a,c)+λ(a)·pcont(a) ≈ 1e6 ppm —
+    // the continuation mass is now actually redistributed (was ~0.5e6
+    // under the old div 1e6, i.e. effectively unsmoothed).
+    val d1 = 583332L + 499999L + 583332L
     assert(out(1L) === ((1L, 3L, d1, d1 / 3)))
-    assert(out(2L) === ((2L, 1L, 83499L, 83499L)))
+    assert(out(2L) === ((2L, 1L, 249999L, 249999L)))
   }
 }

@@ -253,6 +253,69 @@ class MultimodalSpec extends AnyFunSuite {
       s"our ${mine.sum_r} vs imageio $refSum")
   }
 
+  private def expectedColorSums(seed: Long, w: Int,
+                                h: Int): (Long, Long, Long) = {
+    // replays the decoder's exact double math: planted (yv, cb, cr) per
+    // Y sub-block, BT.601 with floor(x+0.5) rounding and [0,255] clamp
+    val mx = w / 16; val my = h / 16
+    var sr = 0L; var sg = 0L; var sb = 0L
+    def cl(d: Double): Long = {
+      val r = StrictMath.round(d)
+      if (r < 0L) 0L else if (r > 255L) 255L else r
+    }
+    for (m <- 0 until mx * my; j <- 0 until 4) {
+      val yv = ((seed * 31 + 4 * m + j) % 256).toDouble
+      val cb = ((seed * 17 + 11 * m) % 256) - 128.0
+      val cr = ((seed * 13 + 7 * m) % 256) - 128.0
+      sr += 64L * cl(yv + 1.402 * cr)
+      sg += 64L * cl(yv - 0.344136 * cb - 0.714136 * cr)
+      sb += 64L * cl(yv + 1.772 * cb)
+    }
+    (sr, sg, sb)
+  }
+
+  test("4:2:0 color JPEG decoder inverts the formula encode exactly") {
+    import graft.operators.Multimodal.MediaKernels
+    for ((seed, w, h) <- Seq((7L, 16, 16), (42L, 32, 16), (255L, 16, 48),
+        (123456789L, 32, 48), (0L, 16, 32))) {
+      val jpg = MediaKernels.encodeJpeg420(seed, w, h)
+      val (er, eg, eb) = expectedColorSums(seed, w, h)
+      val f = MediaKernels.decodeJpegPixels(seed, jpg)
+      assert(f.format == "jpeg" && f.width == w && f.height == h &&
+        f.n_pixels == w.toLong * h, s"seed=$seed $w x $h: $f")
+      assert(f.sum_r == er && f.sum_g == eg && f.sum_b == eb,
+        s"seed=$seed $w x $h: got (${f.sum_r},${f.sum_g},${f.sum_b}) " +
+          s"want ($er,$eg,$eb)")
+    }
+  }
+
+  test("encoded 4:2:0 JPEGs are spec-valid: javax.imageio decodes them " +
+      "(single-MCU, so fancy chroma upsampling cannot diverge)") {
+    // the JDK's libjpeg-backed decoder is the independent reference; its
+    // fixed-point BT.601 may differ ±1/pixel/channel from our
+    // double-precision transform, so sums are pinned to that tolerance.
+    // Single-MCU images keep chroma constant: interpolating upsamplers
+    // and box upsample agree exactly there.
+    import graft.operators.Multimodal.MediaKernels
+    for (seed <- Seq(7L, 42L, 255L, 123456789L)) {
+      val jpg = MediaKernels.encodeJpeg420(seed, 16, 16)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpg))
+      assert(img != null, s"imageio rejected seed=$seed")
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      var rr = 0L; var gg = 0L; var bb = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val rgb = img.getRGB(x, y)
+        rr += (rgb >> 16) & 0xff; gg += (rgb >> 8) & 0xff; bb += rgb & 0xff
+      }
+      val (er, eg, eb) = expectedColorSums(seed, 16, 16)
+      val tol = 256L
+      assert(math.abs(rr - er) <= tol && math.abs(gg - eg) <= tol &&
+        math.abs(bb - eb) <= tol,
+        s"seed=$seed imageio ($rr,$gg,$bb) vs formula ($er,$eg,$eb)")
+    }
+  }
+
   test("JPEG decoder rejects corrupt, truncated, and non-baseline input") {
     import graft.operators.Multimodal.MediaKernels
     val jpg = MediaKernels.encodeJpeg(42L, 16, 16)

@@ -44,4 +44,21 @@ class QualitySpec extends AnyFunSuite {
     // g=b maps to both y and z: 3 distinct (g,v) vs 2 distinct g
     assert(r("g->v") == ((2L, 3L, 1L, false)))
   }
+
+  test("fdAudit: explicit null semantics — NULL x excluded, NULL y " +
+      "is a distinct mapping (violations never negative)") {
+    val df = Seq(
+      (Some("a"), Some("x")),   // a -> x
+      (Some("a"), None),        // a -> NULL: a SECOND mapping for a
+      (Some("b"), Some("y")),   // b -> y (holds for b)
+      (None, Some("z")),        // NULL x: no dependency evidence
+      (None, None)
+    ).toDF("g", "v")
+    val r = Quality.fdAudit(df, Seq(("g", "v"))).collect().head
+    // n_x = {a, b} = 2; n_xy = {(a,x), (a,NULL), (b,y)} = 3 — the old
+    // countDistinct(x, y) dropped (a,NULL) entirely, giving n_xy = 2
+    // and a vacuous holds=true while a genuinely maps to two values
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      == ((2L, 3L, 1L, false)))
+  }
 }

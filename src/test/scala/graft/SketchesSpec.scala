@@ -257,4 +257,31 @@ class SketchesSpec extends AnyFunSuite {
       prefilter = Some(theta + 1)).as[Long].collect().toSeq
     assert(pre === whole)
   }
+
+  test("negative int64 keys hash sign-safely (pmod) in bloom, hll and " +
+      "key-CMS — r7 sign audit") {
+    val keys = Seq(-5L, -1000000008L, -1L, 3L, 7L).toDF("k")
+    // bloom: every inserted key must still probe positive (no false
+    // negatives), and all bit positions are in range (no negative
+    // shifts, which the old sign-carrying % produced)
+    val bloom = Sketches.bloomBuild(keys, "k", mBits = 1024L)
+    val probed = Sketches.bloomMightContain(bloom, keys, "k", 1024L)
+      .where(col("might_contain")).count()
+    assert(probed == 5L)
+    // hll: buckets in [0, m), registers ≥ 1
+    val regs = Sketches.hllBuild(keys, "k", m = 16)
+      .select(col("bucket"), col("register")).collect()
+    assert(regs.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16 &&
+      r.getLong(1) >= 1))
+    // key-CMS join size: runs without sign errors and keeps the CM
+    // never-underestimate bound (5 self-pairs; cell collisions at this
+    // tiny width only ADD)
+    val est = Sketches.countMinJoinSize(keys, "k", keys, "k", width = 64)
+      .as[Long].head()
+    assert(est >= 5L)
+    // cross-engine contract: pmod(k, p) equals the oracle's
+    // (k % p + p) % p replay for the most negative key
+    val p = 1000000007L
+    assert(((-1000000008L % p) + p) % p == (p - 1L))
+  }
 }

@@ -5,8 +5,19 @@ DuckDB over the raw testdata parquet, sort columns by name + rows, and
 compare row counts, schemas (loosely) and value hashes.
 
 Usage: python3 tools/check.py <sfDir> <outDir>
+
+Reader-side sweep hygiene (the r5/r6 red rows were artifact mixing, not
+code): before touching any result dir we (1) take the sweep _LOCK in
+SHARED mode — graft.Verify holds it EXCLUSIVE for the whole sweep via
+fcntl/POSIX record locks (Java FileChannel.lock ⇄ Python fcntl.lockf
+interoperate on Linux), so a compare blocks until no writer is active and
+writers block until no compare is active; (2) hard-fail if the sweep-level
+_SFDIR.txt doesn't name the sfDir we're comparing against; (3) hard-fail
+any individual result dir whose embedded _SF.txt (written inside the tmp
+dir, so it travels with Verify's atomic rename) disagrees — a stale or
+cross-SF result can then never pass silently.
 """
-import sys, os, json, glob
+import sys, os, json, glob, fcntl
 import duckdb
 import pandas as pd
 import numpy as np
@@ -53,6 +64,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # shared lock against graft.Verify's exclusive sweep lock: blocks while
+    # a sweep is rewriting this outdir, and keeps a sweep from starting
+    # mid-compare. Held for the whole compare (released on process exit).
+    lock_fd = os.open(os.path.join(out_dir, "_LOCK"),
+                      os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.lockf(lock_fd, fcntl.LOCK_SH)
+    sfdir_marker = os.path.join(out_dir, "_SFDIR.txt")
+    if os.path.exists(sfdir_marker):
+        marked = open(sfdir_marker).read().strip()
+        if os.path.normpath(marked) != os.path.normpath(sf_dir):
+            print(f"FATAL: outdir {out_dir} was written from sfDir "
+                  f"'{marked}' but this compare targets '{sf_dir}' — "
+                  "refusing to mix scale factors", file=sys.stderr)
+            sys.exit(2)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -75,6 +100,16 @@ def main():
         if name not in result_dirs:
             results[name] = "MISSING (query failed or absent in Verify)"
             continue
+        # per-result provenance: _SF.txt rides inside the atomically-renamed
+        # result dir. Missing marker (pre-r7 artifact) or mismatched SF both
+        # FAIL loudly — this is the exact r5/r6 silent-hash-fail signature.
+        sf_txt = os.path.join(d, "_SF.txt")
+        if os.path.exists(sf_txt):
+            got_sf = open(sf_txt).read().strip()
+            if os.path.normpath(got_sf) != os.path.normpath(sf_dir):
+                results[name] = (f"SF-MIX result written from '{got_sf}' "
+                                 f"but compared against '{sf_dir}'")
+                continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files \
             else pd.DataFrame()
