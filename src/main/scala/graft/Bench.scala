@@ -40,18 +40,32 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // local-iteration filters (the driver sets neither): BENCH_ONLY
+    // restricts to a comma-separated query list; BENCH_RUNS forces
+    // min-of-N on every selected query (default: the adaptive min-of-2)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val forcedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val first = qs.map { case (name, fn) => name -> time(fn) }
     val times = scala.collection.mutable.Map(first: _*)
     // min-of-2 for the heavy queries, slowest first, until the re-run
     // budget is spent — stabilizes exactly the numbers that dominate the
     // total and the baseline comparison
-    var rerunBudget = 300.0
-    for ((name, t1) <- first.sortBy(-_._2)
-         if t1 >= 3.0 && t1 <= rerunBudget) {
-      val t2 = time(SparkEntry.queries(name))
-      rerunBudget -= t2
-      times(name) = math.min(t1, t2)
+    forcedRuns match {
+      case Some(n) =>
+        for ((name, t1) <- first; _ <- 2 to n)
+          times(name) = math.min(times(name),
+            time(SparkEntry.queries(name)))
+      case None =>
+        var rerunBudget = 300.0
+        for ((name, t1) <- first.sortBy(-_._2)
+             if t1 >= 3.0 && t1 <= rerunBudget) {
+          val t2 = time(SparkEntry.queries(name))
+          rerunBudget -= t2
+          times(name) = math.min(t1, t2)
+        }
     }
 
     // Locale.ROOT: the default-locale formatter writes "1,234" under

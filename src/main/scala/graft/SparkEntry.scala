@@ -134,6 +134,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_edges"),
           sum(col("src") * lit(100003L) + col("dst")).as("checksum"))
     }),
+    // §2.7 streaming × graph algorithms: INCREMENTAL connected
+    // components over an edge changelog (r6 verdict #7) — an ITERATIVE
+    // algorithm maintained as streaming state. Deterministic test graph
+    // from the documents table: a star per 7-block (doc → 7·⌊doc/7⌋)
+    // plus bridges doc→doc+1 at doc ≡ 6 (mod 21), staged as a 3-slice
+    // changelog by src mod 3 so block members and bridges arrive in
+    // DIFFERENT micro-batches — components genuinely merge on arrival
+    // (delta-contract + large-star/small-star on the contracted delta,
+    // GraphStreams.incrementalConnectedComponents). The final state must
+    // equal batch CC over all edges; the oracle replays it as reachable-
+    // set minima via a recursive CTE.
+    "stream_cc" -> ((s, dir) => {
+      val d = TpchGraph.table(s, dir, "documents").select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          (col("doc_id") - col("doc_id") % 7).as("dst"))
+        .unionByName(d.where(col("doc_id") % 21 === 6)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst")))
+      val base = s"/tmp/graft_stream_cc_" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
+      try {
+        val src = graft.streaming.GraphStreams
+          .stageEdgeChangelog(edges, base, nSlices = 3)
+        val stream = s.readStream
+          .schema("src BIGINT, dst BIGINT")
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val key = "spark.sql.shuffle.partitions"
+        val prevConf = s.conf.get(key)
+        s.conf.set(key, "8")
+        try {
+          val q = graft.streaming.GraphStreams
+            .incrementalConnectedComponents(stream, s"$base/state",
+              s"$base/ckpt")
+          q.awaitTermination()
+        } finally s.conf.set(key, prevConf)
+        val v = graft.streaming.EventStreams
+          .latestVersion(s"$base/state").get
+        s.read.parquet(s"$base/state/v$v")
+          .groupBy(col("rep"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("checksum"))
+          .localCheckpoint(true)  // materialize before deleting the state
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(base))
+      }
+    }),
     // §2.3 generalized: k=3 (reach = distance ≤ 2) — beyond the
     // reference's fixed 2-hop, same aggregate check shape. Origins bounded
     // to suppliers: exercises the full reach pipeline at 1/16 the output.
@@ -654,6 +701,26 @@ object SparkEntry {
          |SELECT origin, count(*) AS n_edges,
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
+    // batch replay of the incrementally-maintained CC state: rep(n) =
+    // min over n's reachable set (recursive CTE over the symmetric
+    // edge list) — must equal the streamed merge-on-arrival result
+    "stream_cc" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT doc_id AS src, doc_id - doc_id % 7 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 21 = 6),
+        |ue AS (SELECT src AS a, dst AS b FROM e0
+        |       UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT a AS n FROM ue),
+        |r(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.n, ue.b FROM r JOIN ue ON r.m = ue.a),
+        |lbl AS (SELECT n, min(m) AS rep FROM r GROUP BY n)
+        |SELECT rep, count(*) AS n_nodes,
+        |  CAST(sum(n) AS BIGINT) AS checksum
+        |FROM lbl GROUP BY rep""".stripMargin,
     "khop_2" ->
       s"""WITH $RelsCte,
          |e AS (SELECT start_id AS src, end_id AS dst FROM rels

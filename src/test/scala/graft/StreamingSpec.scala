@@ -251,6 +251,65 @@ class StreamingSpec extends AnyFunSuite {
     rm(new java.io.File(base))
   }
 
+  test("ccMergeBatch maintains the batch-CC invariant after every batch " +
+      "(cross-batch merges, new nodes, self-loops)") {
+    import graft.streaming.GraphStreams
+    // three batches engineered so components MERGE on arrival: batch 2
+    // bridges batch 1's two components; batch 3 extends both live
+    // components and adds a self-loop singleton
+    val batches = Seq(
+      Seq((1L, 2L), (5L, 6L)),
+      Seq((2L, 5L), (10L, 11L)),
+      Seq((6L, 3L), (11L, 12L), (20L, 20L)))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var seen = Seq.empty[(Long, Long)]
+    for (b <- batches) {
+      seen ++= b
+      state = Some(GraphStreams.ccMergeBatch(state,
+        b.toDF("src", "dst")).localCheckpoint(true))
+      val got = state.get.as[(Long, Long)].collect().toSet
+      val want = graft.operators.Dedup.clusters(
+          seen.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"after ${seen.size} edges: $got vs $want")
+    }
+    // final shape: {1,2,3,5,6}→1, {10,11,12}→10, {20}→20
+    val fin = state.get.as[(Long, Long)].collect().toMap
+    assert(fin == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("incremental CC over a staged changelog equals batch clusters") {
+    import graft.streaming.GraphStreams
+    // the gate's deterministic graph shape at toy scale: 7-block stars
+    // plus mod-21 bridges, sliced by src mod 3 so block members arrive
+    // across different micro-batches
+    val ids = (0L until 100L)
+    val edges = (ids.map(i => (i, i - i % 7)) ++
+      ids.filter(_ % 21 == 6).map(i => (i, i + 1))).toDF("src", "dst")
+    val base = s"/tmp/graft_stream_cc_spec_${System.nanoTime()}"
+    try {
+      val src = GraphStreams.stageEdgeChangelog(edges, base, nSlices = 3)
+      val stream = spark.readStream.schema("src BIGINT, dst BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = GraphStreams.incrementalConnectedComponents(
+        stream, s"$base/state", s"$base/ckpt")
+      q.awaitTermination()
+      val v = EventStreams.latestVersion(s"$base/state").get
+      val got = spark.read.parquet(s"$base/state/v$v")
+        .as[(Long, Long)].collect().toSet
+      val want = graft.operators.Dedup.clusters(
+          edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == want)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("file-stream hourly counts on real events match the batch twin") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_stream_src")
