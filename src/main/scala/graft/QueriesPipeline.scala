@@ -666,6 +666,27 @@ object QueriesPipeline {
           .as("nm"))
       Dedup.fuzzyPairs(orig.union(varnt), "eid", "nm", maxBlock = 50)
     }),
+    // blocking-quality audit on the fuzzy fixture: ground truth is the
+    // planted (orig, variant) pairs; pair completeness measures what the
+    // pigeonhole blocks + maxBlock cap let through (the recall CEILING
+    // for any downstream verifier), reduction ratio how much of the
+    // quadratic space the blocks prune — the tune-before-you-match
+    // numbers for a 100 TB entity-resolution run
+    "blocking_quality" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+      val orig = p.select(col("p_partkey").as("eid"),
+        col("p_name").as("nm"))
+      val varnt = p.select((col("p_partkey") + 10000000L).as("eid"),
+        expr("concat(substring(p_name, 1, " +
+          "cast(p_partkey % length(p_name) as int)), 'q', " +
+          "substring(p_name, cast(p_partkey % length(p_name) as int) + 2))")
+          .as("nm"))
+      val truth = p.select(col("p_partkey").as("id_a"),
+        (col("p_partkey") + 10000000L).as("id_b"))
+      Dedup.blockingQuality(
+        Dedup.halfBlocks(orig.union(varnt), "eid", "nm"),
+        truth, maxBlock = 50)
+    }),
     // Bloom-filter join pruning: build over the keys that placed orders,
     // screen every customer key — the runtime-filter shape (probe side
     // never shuffles, filter broadcasts at ≤ ⌈m/63⌉ rows). hit=0 rows
@@ -2134,6 +2155,51 @@ object QueriesPipeline {
         |           ON x.blk = y.blk AND x.eid < y.eid)
         |SELECT id_a, id_b, CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(nm_a, nm_b) <= 1""".stripMargin,
+    // same base/keyed/ok/cand CTEs as fuzzy_join, folded to the two
+    // blocking-quality numbers against the planted truth pairs
+    "blocking_quality" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT p_partkey AS eid, p_name AS nm FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 10000000,
+        |         substring(p_name, 1,
+        |           CAST(p_partkey % length(p_name) AS INTEGER))
+        |         || 'q' ||
+        |         substring(p_name,
+        |           CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+        |  FROM part),
+        |keyed AS MATERIALIZED (
+        |  SELECT eid,
+        |         'L' || '|' || length(nm) || '|'
+        |           || substring(nm, 1, (length(nm) + 1) // 2) AS blk
+        |  FROM base
+        |  UNION ALL
+        |  SELECT eid,
+        |         'R' || '|' || length(nm) || '|'
+        |           || substring(nm, (length(nm) + 1) // 2 + 1)
+        |  FROM base),
+        |ok AS MATERIALIZED (
+        |  SELECT k.eid, k.blk FROM keyed k JOIN (
+        |    SELECT blk FROM keyed GROUP BY blk
+        |    HAVING count(*) <= 50) g USING (blk)),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT x.eid AS id_a, y.eid AS id_b
+        |  FROM ok x JOIN ok y ON x.blk = y.blk AND x.eid < y.eid),
+        |truth AS (SELECT p_partkey AS id_a, p_partkey + 10000000 AS id_b
+        |          FROM part),
+        |ne AS (SELECT count(DISTINCT eid) AS n_entities FROM keyed),
+        |nt AS (SELECT count(*) AS n_truth FROM truth),
+        |nc AS (SELECT count(*) AS n_candidates FROM cand),
+        |nf AS (SELECT count(*) AS n_found
+        |       FROM cand JOIN truth USING (id_a, id_b))
+        |SELECT CAST(n_entities AS BIGINT) AS n_entities,
+        |  CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(n_found AS BIGINT) AS n_found,
+        |  CAST(n_found * 1000000 // n_truth AS BIGINT) AS pc_ppm,
+        |  CAST(1000000 - n_candidates * 1000000 //
+        |    (n_entities * (n_entities - 1) // 2) AS BIGINT) AS rr_ppm
+        |FROM ne, nt, nc, nf""".stripMargin,
     "bm25_topk" -> bm25Oracle,
     // replays both retrieval pipelines (vector brute top-10 over queries
     // 0..4, BM25 top-10 with each query doc's own words as terms) and the

@@ -179,6 +179,35 @@ object QueriesScale {
           Seq(col("o_orderkey")), col("o_custkey"), 256L, 511L, 256L))
     }),
 
+    // Hilbert vs Z-order vs lexicographic for a 2-D BOX query — the
+    // curve-locality payoff made measurable: the Hilbert curve has no
+    // diagonal jumps, so consecutive-key blocks cover compact regions
+    // and a box predicate touches fewer blocks than under Morton
+    // interleave, which beats plain lexicographic. Same distributed
+    // prefix-sum block ranks as the other layout audits; the Hilbert
+    // key is one linear-size `aggregate` fold per row (Layout
+    // .hilbertKey), replayed by the oracle as a 16-step recursive CTE.
+    // Dims fill a 2048×2048 grid (a thin slab would degenerate any
+    // space-filling curve) and the box is y-selective with a wide x
+    // span — the shape where a lexicographic (x-major) prefix order
+    // cannot prune at all, while curve blocks cover compact 2-D regions
+    // and skip ~the y-band complement. Measured at sf0.01:
+    // by_lex scans 52/59 blocks, by_morton 16, by_hilbert 15.
+    "hilbert_skipping" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val x = col("o_orderkey") % 2048
+      val y = col("o_custkey") % 2048
+      def audit(name: String, key: org.apache.spark.sql.Column) =
+        graft.operators.Layout.boxQueryAudit(o, name, key,
+          col("o_orderkey"), x, y,
+          xLo = 128L, xHi = 1919L, yLo = 256L, yHi = 511L,
+          blockRows = 256L)
+      audit("by_hilbert", graft.operators.Layout.hilbertKey(x, y))
+        .unionByName(audit("by_morton",
+          graft.operators.Layout.mortonKey(x, y)))
+        .unionByName(audit("by_lex", x * 2048L + y))
+    }),
+
     // Consistent-hashing rebalance: adding shard 9 of 9 moves ~11% of
     // keys on the ring vs ~89% under mod-hash — the data-placement
     // decision quantified from the actual key distribution; ring baked
@@ -207,6 +236,79 @@ object QueriesScale {
     }))
 
   def oracles: Map[String, String] = Map(
+    // Hilbert fold replayed as a 16-step recursive CTE (levels 15..0,
+    // same accumulate-then-rotate order as Layout.hilbertKey); block
+    // ranks via row_number (the oracle may use a global window — the
+    // engine side uses the distributed prefix-sum rank)
+    "hilbert_skipping" -> {
+      def layout(name: String, rankedCte: String) =
+        s"""SELECT '$name' AS layout,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  count(*) AS n_blocks,
+           |  CAST(sum(CASE WHEN xmn <= 1919 AND xmx >= 128
+           |                 AND ymn <= 511 AND ymx >= 256
+           |            THEN 1 ELSE 0 END) AS BIGINT) AS blocks_scanned,
+           |  CAST(sum(CASE WHEN xmn <= 1919 AND xmx >= 128
+           |                 AND ymn <= 511 AND ymx >= 256
+           |            THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+           |  CAST(sum(hit) AS BIGINT) AS rows_matched
+           |FROM (
+           |  SELECT (rk - 1) // 256 AS blk,
+           |         min(x) AS xmn, max(x) AS xmx,
+           |         min(y) AS ymn, max(y) AS ymx, count(*) AS n,
+           |         sum(CASE WHEN x BETWEEN 128 AND 1919
+           |                   AND y BETWEEN 256 AND 511
+           |             THEN 1 ELSE 0 END) AS hit
+           |  FROM $rankedCte GROUP BY 1)""".stripMargin
+      s"""WITH RECURSIVE d AS (
+         |  SELECT o_orderkey AS ok, o_orderkey % 2048 AS x,
+         |         o_custkey % 2048 AS y
+         |  FROM orders),
+         |hil(ok, hx, hy, hd, i) AS (
+         |  SELECT ok, CAST(x AS BIGINT), CAST(y AS BIGINT),
+         |         CAST(0 AS BIGINT), 15 FROM d
+         |  UNION ALL
+         |  SELECT ok,
+         |    CASE WHEN (hy & (CAST(1 AS BIGINT) << i)) = 0 THEN
+         |           CASE WHEN (hx & (CAST(1 AS BIGINT) << i)) <> 0
+         |                THEN 65535 - hy ELSE hy END
+         |         ELSE hx END,
+         |    CASE WHEN (hy & (CAST(1 AS BIGINT) << i)) = 0 THEN
+         |           CASE WHEN (hx & (CAST(1 AS BIGINT) << i)) <> 0
+         |                THEN 65535 - hx ELSE hx END
+         |         ELSE hy END,
+         |    hd + (CAST(1 AS BIGINT) << i) * (CAST(1 AS BIGINT) << i) *
+         |      xor(3 * CASE WHEN (hx & (CAST(1 AS BIGINT) << i)) <> 0
+         |                   THEN 1 ELSE 0 END,
+         |          CASE WHEN (hy & (CAST(1 AS BIGINT) << i)) <> 0
+         |               THEN 1 ELSE 0 END),
+         |    i - 1
+         |  FROM hil WHERE i >= 0),
+         |hk AS (SELECT ok, hd FROM hil WHERE i = -1),
+         |s1 AS (SELECT ok, (x | (x << 8)) & 16711935 AS x1,
+         |                  (y | (y << 8)) & 16711935 AS y1 FROM d),
+         |s2 AS (SELECT ok, (x1 | (x1 << 4)) & 252645135 AS x2,
+         |                  (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+         |s3 AS (SELECT ok, (x2 | (x2 << 2)) & 858993459 AS x3,
+         |                  (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+         |s4 AS (SELECT ok, (x3 | (x3 << 1)) & 1431655765 AS x4,
+         |                  (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+         |z AS (SELECT ok, x4 | (y4 << 1) AS zkey FROM s4),
+         |keys AS (SELECT d.ok, d.x, d.y, hk.hd, z.zkey,
+         |           d.x * 2048 + d.y AS lexkey
+         |         FROM d JOIN hk USING (ok) JOIN z USING (ok)),
+         |rh AS (SELECT x, y,
+         |    row_number() OVER (ORDER BY hd, ok) AS rk FROM keys),
+         |rm AS (SELECT x, y,
+         |    row_number() OVER (ORDER BY zkey, ok) AS rk FROM keys),
+         |rl AS (SELECT x, y,
+         |    row_number() OVER (ORDER BY lexkey, ok) AS rk FROM keys)
+         |${layout("by_hilbert", "rh")}
+         |UNION ALL
+         |${layout("by_morton", "rm")}
+         |UNION ALL
+         |${layout("by_lex", "rl")}""".stripMargin
+    },
     "bucket_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

@@ -333,4 +333,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got == List((1L, 1L, 5L, false), (2L, 1L, 9L, true),
       (3L, 1L, 9L, false), (4L, 4L, 7L, true)))
   }
+
+  test("blockingQuality: hand-computed PC and RR on a 5-entity fixture") {
+    // blocks (len-4 halves): L|4|ab = {1, 2, 5}, R|4|cd = {1, 5};
+    // candidates = (1,2), (1,5), (2,5). Truth (1,2) found, truth (3,4)
+    // shares no block → PC = 1/2; RR = 1 − 3/C(5,2) = 0.7
+    val ents = Seq((1L, "abcd"), (2L, "abqd"), (3L, "xxxx"),
+      (4L, "yyyy"), (5L, "abcd")).toDF("eid", "nm")
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.blockingQuality(
+        Dedup.halfBlocks(ents, "eid", "nm"), truth, maxBlock = 50)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((5L, 2L, 3L, 1L, 500000L, 700000L)))
+  }
+
+  test("blockingQuality: maxBlock cap trades pair completeness for " +
+      "reduction ratio") {
+    // 30 same-name entities: one hot block pair; truth = (i, i+15).
+    // Uncapped: all C(30,2) pairs are candidates → PC = 1, low RR.
+    // Capped at 10: the hot blocks drop whole → PC = 0, RR = 1e6.
+    val ents = (1L to 30L).map(i => (i, "samename")).toDF("eid", "nm")
+    val truth = (1L to 15L).map(i => (i, i + 15L)).toDF("id_a", "id_b")
+    val open = Dedup.blockingQuality(
+        Dedup.halfBlocks(ents, "eid", "nm"), truth, maxBlock = 100)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(open._3 == 435L && open._5 == 1000000L)
+    val capped = Dedup.blockingQuality(
+        Dedup.halfBlocks(ents, "eid", "nm"), truth, maxBlock = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(capped._3 == 0L && capped._5 == 0L && capped._6 == 1000000L)
+  }
 }
