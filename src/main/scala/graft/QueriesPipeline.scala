@@ -39,6 +39,67 @@ object QueriesPipeline {
           round(col("est_jaccard"), 6).as("est_jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(table(s, dir, "documents"), "doc_id", "text")),
+    // STREAMING dedup-index maintenance (the continuous form of
+    // dedup_incremental): documents replay as a 3-slice changelog, band
+    // keys compute narrowly in-stream, and a stream-stream self-join on
+    // (band, key) accumulates the LSH index as join state — every
+    // arriving doc pairs with ALL prior docs sharing a band, across
+    // micro-batches. The final candidate-pair set must equal the batch
+    // band joins (shared MinhashCtes text), proving the maintained
+    // index ≡ batch recompute.
+    "stream_dedup_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = s"/tmp/graft_sdlsh_" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
+      try {
+        val src = s"$base/src"
+        Files.createDirectories(Paths.get(src))
+        for (i <- 0 until 3) {
+          val tmp = s"$base/stage$i"
+          d.where(pmod(col("doc_id"), lit(3L)) === i).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = Paths.get(tmp).toFile.listFiles
+            .find(_.getName.endsWith(".parquet")).get.toPath
+          val dest = Paths.get(src, f"$i%02d.parquet")
+          Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+          // strictly increasing mtimes: FileStreamSource orders by mtime
+          Files.setLastModifiedTime(dest,
+            FileTime.fromMillis(1000000L * (i + 1)))
+        }
+        // two INDEPENDENT stream derivations (Spark refuses a literal
+        // self-join of one streaming DF)
+        def feed = graft.operators.Dedup.bandKeyTable(
+          s.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1).parquet(src),
+          "doc_id", "text")
+        val joined = feed.as("a").join(feed.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val qname = s"graft_sdlsh_${System.nanoTime()}"
+        val ck = "spark.sql.shuffle.partitions"
+        val prev = s.conf.get(ck)
+        s.conf.set(ck, "8")
+        try {
+          val q = joined.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set(ck, prev)
+        s.table(qname).distinct()
+          .groupBy(col("doc_a"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("doc_b")).as("checksum"))
+          .localCheckpoint(true)
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(base))
+      }
+    }),
     // ingest-time shape: a new batch (doc_id % 4 = 0) screened against
     // the existing corpus (the rest) — band keys meet in one equi-join,
     // the corpus never self-joins; novel docs report match_id = −1
@@ -2842,6 +2903,22 @@ object QueriesPipeline {
          |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard FROM (
          |$MinhashBandJoins
          |) t WHERE est_jaccard >= 0.5""".stripMargin,
+    // batch replay of the streamed LSH index: the distinct band-collision
+    // pair set (no jaccard verify — the stream gate maintains the
+    // CANDIDATE index), folded per left doc. Shares MinhashCtes verbatim.
+    "stream_dedup_lsh" -> {
+      val bandPairs = (0 until 4).map { bnd =>
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |    FROM banded a JOIN banded b
+           |      ON a.k$bnd = b.k$bnd AND a.doc_id < b.doc_id""".stripMargin
+      }.mkString("\n    UNION\n")
+      s"""WITH $MinhashCtes,
+         |cand AS (
+         |$bandPairs)
+         |SELECT doc_a, count(*) AS n_pairs,
+         |  CAST(sum(doc_b) AS BIGINT) AS checksum
+         |FROM cand GROUP BY doc_a""".stripMargin
+    },
     "dup_source_matrix" ->
       s"""WITH $MinhashCtes,
          |cand AS (SELECT doc_a, doc_b FROM (

@@ -259,6 +259,20 @@ object QueriesRelational {
         .select(col("event_id"), col("user_id"), col("signup_id"))
     }),
 
+    // FORWARD as-of: each error event enriched with the user's NEXT
+    // click (time-to-recovery) — the time-reversed twin of join_asof,
+    // same union-merge shape (one shuffle + one window pass, never an
+    // inequality join)
+    "join_asof_fwd" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      AsOfJoin.asOfForward(
+        e.where(col("event_type") === "error"),
+        e.where(col("event_type") === "click"),
+        key = "user_id", ts = "ts", tiebreak = "event_id",
+        rightCols = Map("event_id" -> "next_click_id"))
+        .select(col("event_id"), col("user_id"), col("next_click_id"))
+    }),
+
     // Range join: per error event, clicks by the same user in the
     // preceding 10 minutes (bucketed equi-join, not an inequality join).
     "join_range" -> ((s, dir) => {
@@ -1058,6 +1072,20 @@ object QueriesRelational {
         |   AND s.ts < e.ts
         |)
         |SELECT event_id, user_id, signup_id FROM j WHERE rn = 1""".stripMargin,
+    "join_asof_fwd" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, c.event_id AS next_click_id,
+        |         row_number() OVER (
+        |           PARTITION BY e.event_id
+        |           ORDER BY c.ts ASC NULLS LAST,
+        |                    c.event_id ASC NULLS LAST) AS rn
+        |  FROM events e
+        |  LEFT JOIN events c
+        |    ON c.user_id = e.user_id AND c.event_type = 'click'
+        |   AND c.ts > e.ts
+        |  WHERE e.event_type = 'error'
+        |)
+        |SELECT event_id, user_id, next_click_id FROM j WHERE rn = 1""".stripMargin,
     "join_range" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus
         |           FROM events WHERE event_type = 'error'),

@@ -51,4 +51,39 @@ object AsOfJoin {
       .map(c => col(s"_match.$c").as(c))
     matched.select(leftOut.toSeq ++ rightOut: _*)
   }
+
+  /** FORWARD as-of: for each `left` row, the EARLIEST `right` row with
+    * the same `key` and strictly larger `ts` (ties within `right` broken
+    * by smallest `tiebreak`) — the event-to-next-outcome join (error →
+    * next click, impression → next conversion), the time-reversed twin
+    * of [[asOf]]. Same union-merge shape and cost: one shuffle on the
+    * key, one window pass with a constant-size frame state (first
+    * non-null over the following frame), never an O(n·m) inequality
+    * join. At equal ts the right row sorts BEFORE the left row, so the
+    * following frame realizes the strict r.ts > l.ts bound. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, tiebreak: String,
+                  rightCols: Map[String, String]): DataFrame = {
+    val rightStruct = struct(rightCols.toSeq.sortBy(_._1).map {
+      case (src, dst) => col(src).as(dst)
+    }: _*)
+    val rType = right.select(rightStruct.as("_r")).schema("_r").dataType
+    val lType = left.select(struct(col("*")).as("_l")).schema("_l").dataType
+    val l = left.select(col(key).as("_k"), col(ts).as("_ts"),
+      col(tiebreak).as("_tb"), lit(1).as("_tag"),
+      lit(null).cast(rType).as("_r"), struct(col("*")).as("_l"))
+    val r = right.select(col(key).as("_k"), col(ts).as("_ts"),
+      col(tiebreak).as("_tb"), lit(0).as("_tag"), rightStruct.as("_r"),
+      lit(null).cast(lType).as("_l"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_tag"), col("_tb"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val matched = l.unionByName(r)
+      .withColumn("_match", first(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_tag") === 1)
+    val leftOut = left.columns.map(c => col(s"_l.$c").as(c))
+    val rightOut = rightCols.values.toSeq.sorted
+      .map(c => col(s"_match.$c").as(c))
+    matched.select(leftOut.toSeq ++ rightOut: _*)
+  }
 }

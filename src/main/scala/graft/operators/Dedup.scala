@@ -350,6 +350,20 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** The (doc_id, band, key) LSH index rows for a document table — the
+    * portable signature + band fold as ONE narrow projection chain (no
+    * shuffle, no materialization), so it runs identically over a BATCH
+    * DataFrame or a STREAMING one. The streaming use is the ingest-time
+    * dedup index: band keys of arriving docs stream-stream self-join on
+    * (band, key), the join state IS the accumulated index, and every new
+    * doc automatically pairs with all prior docs sharing a band — the
+    * continuously-maintained form of [[minhashIncremental]]. */
+  def bandKeyTable(docs: DataFrame, id: String, text: String,
+                   k: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4): DataFrame =
+    portableBandKeys(portableSignature(docs, id, text, k, numHashes),
+      numHashes, bands)
+
   /** Fixed (a_i, b_i) universal-hash seeds shared with the SQL oracle
     * (64: enough for a full SimHash bit family). */
   val MinhashSeeds: Seq[(Long, Long)] =

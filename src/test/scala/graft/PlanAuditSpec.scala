@@ -306,4 +306,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"cartesian in semantic dedup:\n${plan.take(4000)}")
   }
+
+  test("hilbert box audit: per-row key fold, distributed rank, no " +
+      "unbounded window (r7)") {
+    val plan = formatted(SparkEntry.queries("hilbert_skipping")(spark, dir))
+    // the only windows are globalRank's: the per-partition local rank
+    // (partitioned by _pid) and the ≤#partitions-row bases fold — no
+    // window may run over the ROW stream unpartitioned
+    val windows = """\(\d+\) Window\b""".r.findAllIn(plan).length
+    val partitionedLocal =
+      """windowspecdefinition\(_pid""".r.findAllIn(plan).length
+    assert(windows > 0 && partitionedLocal > 0,
+      s"expected globalRank's windows:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in layout audit:\n${plan.take(3000)}")
+  }
+
+  test("blocking quality: candidates materialize ONCE (checkpoint) and " +
+      "the counters fold without a cartesian (r7)") {
+    // the hot-block broadcast anti-join runs inside the candidate
+    // checkpoint (its semantics are pinned by DedupSpec's cap test);
+    // the FINAL plan must read that one materialization for both the
+    // count and the truth join — never recompute the pair join
+    val plan = formatted(
+      SparkEntry.queries("blocking_quality")(spark, dir))
+    assert(plan.contains("ExistingRDD"),
+      s"candidates not read from the checkpoint:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in blocking audit:\n${plan.take(3000)}")
+  }
+
+  test("incremental CC merge step: remap joins state against a " +
+      "BROADCAST fixup, never a shuffled full join (r7)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val st = Some(Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("node", "rep"))
+    val batch = Seq((2L, 5L), (7L, 8L)).toDF("src", "dst")
+    val out = graft.streaming.GraphStreams.ccMergeBatch(st, batch)
+    val plan = formatted(out)
+    // the (old rep -> new rep) fixup must broadcast into the state pass
+    assert(plan.contains("BroadcastHashJoin"),
+      s"state remap not broadcast:\n${plan.take(3000)}")
+    // and the result is still exact
+    assert(out.as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (8L, 7L)))
+  }
 }
