@@ -417,6 +417,13 @@ object QueriesPipeline {
       CorpusTools.hashSplit(table(s, dir, "documents"), "doc_id")
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
+    // epoch-shuffle quality audit: is pos = (a·rank + c) mod n actually
+    // a good shuffle for THIS corpus? Bijectivity, same-source
+    // adjacency vs the uniform-permutation expectation, per-shard
+    // balance — the data-loader mixing numbers, measured not assumed
+    "shuffle_audit" -> ((s, dir) =>
+      CorpusTools.shuffleAudit(table(s, dir, "documents"), "doc_id",
+        "source", a = 1000003L, c = 12345L, shards = 8)),
     // per-language bigram frequency top-5 through the bounded top-k
     // aggregate (k rows per language per partition cross the shuffle)
     "ngram_top" -> ((s, dir) =>
@@ -3138,6 +3145,30 @@ object QueriesPipeline {
         |            WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
         |       count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM t GROUP BY 1, 2""".stripMargin,
+    "shuffle_audit" ->
+      """WITH r AS (SELECT source AS s,
+        |             row_number() OVER (ORDER BY doc_id) - 1 AS r0,
+        |             (SELECT count(*) FROM documents) AS n
+        |           FROM documents),
+        |p AS (SELECT s, n, (r0 * 1000003 + 12345) % n AS pos FROM r),
+        |bij AS (SELECT count(*) AS n_rows,
+        |               count(DISTINCT pos) AS n_distinct_pos FROM p),
+        |adj AS (SELECT CAST(COALESCE(
+        |            sum(CASE WHEN x.s = y.s THEN 1 ELSE 0 END), 0)
+        |          AS BIGINT) AS v
+        |        FROM p x JOIN p y ON x.pos = y.pos + 1),
+        |expd AS (SELECT CAST(sum(ns * (ns - 1)) // min(nn) AS BIGINT) AS v
+        |         FROM (SELECT s, count(*) AS ns, min(n) AS nn
+        |               FROM p GROUP BY s) t),
+        |bal AS (SELECT max(sn) - min(sn) AS v FROM (
+        |          SELECT pos * 8 // n AS shard, count(*) AS sn
+        |          FROM p GROUP BY 1) t)
+        |SELECT 'n_rows' AS metric, CAST(n_rows AS BIGINT) AS value FROM bij
+        |UNION ALL SELECT 'n_distinct_pos', CAST(n_distinct_pos AS BIGINT)
+        |  FROM bij
+        |UNION ALL SELECT 'adjacent_same_source', v FROM adj
+        |UNION ALL SELECT 'expected_same_source', v FROM expd
+        |UNION ALL SELECT 'shard_imbalance', CAST(v AS BIGINT) FROM bal""".stripMargin,
     "ngram_top" ->
       """WITH g AS (
         |  SELECT lang,

@@ -446,6 +446,18 @@ object QueriesRelational {
           "view" -> (col("event_type") === "view"),
           "click" -> (col("event_type") === "click"),
           "purchase" -> (col("event_type") === "purchase")))),
+    // windowed funnel: same stages but every later stage must land
+    // within 3 days of the user's stage-1 time (the conversion-window
+    // form production funnels actually use); greedy earliest-match is
+    // provably optimal under the common deadline
+    "funnel_windowed" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnelWithin(
+        table(s, dir, "events"), entity = "user_id", ts = "ts",
+        stages = Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        windowUs = 259200000000L)),
     // histogram-bin counts are a sum monoid, so the fixed-bin quantile
     // sketch maintains itself as a STREAMING aggregate; quantiles read
     // off the sunk histogram must equal the batch rank test
@@ -1226,6 +1238,23 @@ object QueriesRelational {
         |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
         |       JOIN s2 ON e.user_id = s2.user_id
         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |       GROUP BY e.user_id)
+        |SELECT '1_view' AS stage,
+        |       (SELECT count(*) FROM s1) AS n_entities
+        |UNION ALL SELECT '2_click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT '3_purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    "funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND epoch_us(e.ts) <= epoch_us(s1.t1) + 259200000000
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND epoch_us(e.ts) <= epoch_us(s2.t1) + 259200000000
         |       GROUP BY e.user_id)
         |SELECT '1_view' AS stage,
         |       (SELECT count(*) FROM s1) AS n_entities

@@ -1119,4 +1119,64 @@ object CorpusTools {
       .select(col("doc_id"), col("n_bigrams"), col("sum_p_ppm"),
         expr("sum_p_ppm div n_bigrams").as("mean_p_ppm"))
   }
+
+  /** Epoch-shuffle quality audit — training-data loaders shuffle a
+    * 100 TB corpus with a cheap deterministic permutation
+    * pos(r) = (a·r + c) mod n over the dense rank r, not a materialized
+    * random order; this audit MEASURES whether a chosen (a, c) actually
+    * mixes the corpus (a and n sharing a factor silently collapses the
+    * permutation — caught here as n_distinct_pos < n, never assumed):
+    *
+    *   - n / n_distinct_pos    — bijectivity: equal iff gcd(a, n) = 1;
+    *   - adjacent_same_source  — consecutive shuffled positions from
+    *     the SAME source (clumping a loader would see as correlated
+    *     batches), vs its expectation Σ nₛ(nₛ−1)/(n−1) under a uniform
+    *     random permutation (exact integer, reported in the same
+    *     units so the comparison is a subtraction);
+    *   - shard balance        — max−min rows per contiguous position
+    *     shard (shard = pos·shards div n): a loader's per-worker skew.
+    *
+    * Scale: the dense rank is the distributed prefix-sum rank
+    * ([[graft.operators.ScaleOps.globalRank]]); adjacency is ONE
+    * equi-join on pos = pos′+1 (never a global window over the
+    * shuffled order); everything else is hash aggregates. Returns
+    * (metric, value) rows, all exact int64. */
+  def shuffleAudit(docs: DataFrame, id: String, strat: String,
+                   a: Long, c: Long, shards: Int): DataFrame = {
+    val ranked = graft.operators.ScaleOps
+      .globalRank(docs.select(col(id).as("_id"), col(strat).as("_s")),
+        Seq(col("_id")))
+      .localCheckpoint(true)             // rank feeds n, pos, adjacency
+    val n1 = ranked.agg(count(lit(1)).as("n"))
+    val posed = ranked.join(broadcast(n1), lit(true))
+      .select(col("_s"), col("n"),
+        ((col("_rank") - 1L) * a + c) % col("n") as "pos")
+      .localCheckpoint(true)             // pos feeds 3 consumers
+    val bij = posed.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("pos")).as("n_distinct_pos"))
+    val adj = posed.as("x").join(posed.as("y"),
+        col("x.pos") === col("y.pos") + 1L)
+      .agg(coalesce(sum(when(col("x._s") === col("y._s"), 1L)
+        .otherwise(0L)), lit(0L)).as("adjacent_same_source"))
+    // E[same-source adjacencies] over a uniform random permutation:
+    // (n−1)·Σ nₛ(nₛ−1)/(n(n−1)) = Σ nₛ(nₛ−1)/n, floored to int64
+    val expd = posed.groupBy(col("_s"))
+      .agg(count(lit(1)).as("ns"), first(col("n")).as("nn"))
+      .agg(sum(col("ns") * (col("ns") - 1L)).as("s2"),
+        first(col("nn")).as("nn"))
+      .select(expr("s2 div nn").as("expected_same_source"))
+    val bal = posed
+      .groupBy(expr(s"pos * ${shards}L div n").as("shard"))
+      .agg(count(lit(1)).as("sn"))
+      .agg((max(col("sn")) - min(col("sn"))).as("shard_imbalance"))
+    bij.select(lit("n_rows").as("metric"), col("n_rows").as("value"))
+      .unionByName(bij.select(lit("n_distinct_pos").as("metric"),
+        col("n_distinct_pos").as("value")))
+      .unionByName(adj.select(lit("adjacent_same_source").as("metric"),
+        col("adjacent_same_source").as("value")))
+      .unionByName(expd.select(lit("expected_same_source").as("metric"),
+        col("expected_same_source").as("value")))
+      .unionByName(bal.select(lit("shard_imbalance").as("metric"),
+        col("shard_imbalance").as("value")))
+  }
 }

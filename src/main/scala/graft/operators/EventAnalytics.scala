@@ -38,6 +38,40 @@ object EventAnalytics {
     counts.reduce(_ unionByName _)
   }
 
+  /** WINDOWED strict-order funnel — the production form (ClickHouse's
+    * `windowFunnel`, Amplitude conversion windows): every later stage
+    * must happen AFTER the previous stage's match and WITHIN `windowUs`
+    * of the stage-1 time. Greedy earliest-match per stage is OPTIMAL
+    * here, not merely conventional: the deadline is common to all
+    * stages, so taking the earliest qualifying event can only leave
+    * more room for the stages after it. Same cost shape as [[funnel]]:
+    * k hash aggregates + k−1 equi-joins on the entity key, no windows,
+    * no per-entity event lists. */
+  def funnelWithin(events: DataFrame, entity: String, ts: String,
+                   stages: Seq[(String, Column)],
+                   windowUs: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    var reached: DataFrame = null         // (entity, _t, _t1)
+    val counts = stages.zipWithIndex.map { case ((label, pred), i) =>
+      reached =
+        if (i == 0)
+          events.where(pred).groupBy(col(entity))
+            .agg(min(col(ts)).as("_t"))
+            .withColumn("_t1", col("_t"))
+        else
+          events.where(pred)
+            .join(reached.select(col(entity), col("_t").as("_prev"),
+              col("_t1")), entity)
+            .where(col(ts) > col("_prev") &&
+              unix_micros(col(ts)) <= unix_micros(col("_t1")) + windowUs)
+            .groupBy(col(entity))
+            .agg(min(col(ts)).as("_t"), min(col("_t1")).as("_t1"))
+      reached.agg(count(lit(1)).as("n_entities"))
+        .select(lit(s"${i + 1}_$label").as("stage"), col("n_entities"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
   /** Cohort retention: entities grouped by the period of their FIRST
     * event (the cohort); for each later period, how many of the cohort
     * were active. Periods are integer buckets of event time

@@ -640,4 +640,26 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out(1L) === ((1L, 3L, d1, d1 / 3)))
     assert(out(2L) === ((2L, 1L, 249999L, 249999L)))
   }
+
+  test("shuffleAudit: hand-computed mixing metrics; degenerate stride " +
+      "caught as a non-bijection") {
+    // ids 0..4 source A, 5..9 source B; pos = (3·rank + 1) mod 10 is a
+    // bijection; order by pos gives ids [3,0,7,4,1,8,5,2,9,6] →
+    // sources A A B A A B B A B B → 4 same-source adjacencies;
+    // E[same] = (5·4 + 5·4)/10 = 4; 2 shards of 5/5 → imbalance 0
+    val docs = (0L to 9L)
+      .map(i => (i, if (i < 5) "A" else "B")).toDF("doc_id", "source")
+    val got = CorpusTools.shuffleAudit(docs, "doc_id", "source",
+        a = 3L, c = 1L, shards = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("n_rows" -> 10L, "n_distinct_pos" -> 10L,
+      "adjacent_same_source" -> 4L, "expected_same_source" -> 4L,
+      "shard_imbalance" -> 0L))
+    // a = 5 shares a factor with n = 10: positions collapse to {1, 6}
+    // — the audit must REPORT the collapse, not assume bijectivity
+    val bad = CorpusTools.shuffleAudit(docs, "doc_id", "source",
+        a = 5L, c = 1L, shards = 2)
+      .as[(String, Long)].collect().toMap
+    assert(bad("n_distinct_pos") == 2L && bad("n_rows") == 10L)
+  }
 }

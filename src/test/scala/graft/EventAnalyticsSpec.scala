@@ -47,6 +47,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.values.toSeq.forall(_ == 1L))
   }
 
+  test("funnelWithin: later stages must land within the window of the " +
+      "stage-1 time (strict order kept)") {
+    def dts(d: Int, min: Int = 0) =
+      new Timestamp(d * 86400000L + min * 60000L)
+    val w3d = 3L * 86400000000L
+    val ev = Seq(
+      // user 1: view d0, click d1, buy d2 — all inside the 3-day window
+      (1L, dts(0), "view"), (1L, dts(1), "click"), (1L, dts(2), "buy"),
+      // user 2: click only on day 4 — outside the window entirely
+      (2L, dts(0), "view"), (2L, dts(4), "click"),
+      // user 3: buy at d3+1min — 1 minute past t1 + 3d, must not count
+      (3L, dts(0), "view"), (3L, dts(1), "click"), (3L, dts(3, 1), "buy"),
+      // user 4: buy BEFORE the click — order still strict
+      (4L, dts(0), "view"), (4L, dts(2), "click"), (4L, dts(1), "buy")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnelWithin(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "buy" -> (col("event_type") === "buy")), windowUs = w3d)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("1_view" -> 4L, "2_click" -> 3L, "3_buy" -> 1L))
+    // sanity: the unwindowed funnel would pass user 3's buy
+    val open = EventAnalytics.funnel(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "buy" -> (col("event_type") === "buy")))
+      .as[(String, Long)].collect().toMap
+    assert(open("3_buy") == 2L)
+  }
+
   test("cohort retention builds the triangle on day buckets") {
     val day = 86400000000L
     def dts(d: Int, min: Int = 1) = new Timestamp(d * 86400000L + min * 60000L)
