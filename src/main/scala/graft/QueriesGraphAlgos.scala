@@ -373,6 +373,29 @@ object QueriesGraphAlgos {
        |${(1 to 3).map(hitsIter).mkString(",\n")}
        |SELECT h.id, h.hub, a.auth FROM h3 h JOIN a3 a USING (id)""".stripMargin
 
+  // -------------------------------------------- eigenvector centrality
+
+  /** One unrolled max-normalized power-iteration round over the
+    * symmetrized edge set. */
+  private def evIter(k: Int): String =
+    s"""evc$k AS (SELECT e.dst AS id, sum(x.score) AS raw
+       |  FROM eve e JOIN evx${k - 1} x ON x.id = e.src GROUP BY 1),
+       |evx$k AS (SELECT n.id,
+       |    CAST(COALESCE(c.raw, 0) * 1000000
+       |      // (SELECT max(raw) FROM evc$k) AS BIGINT) AS score
+       |  FROM evn n LEFT JOIN evc$k c ON c.id = n.id)""".stripMargin
+
+  private val eigenvectorOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |ev0 AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |        WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |eve AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM ev0 UNION ALL SELECT dst, src FROM ev0) t),
+       |evn AS (SELECT DISTINCT src AS id FROM eve),
+       |evx0 AS (SELECT id, CAST(1000000 AS BIGINT) AS score FROM evn),
+       |${(1 to 4).map(evIter).mkString(",\n")}
+       |SELECT id, score FROM evx4""".stripMargin
+
   // ---------------------------------------------- harmonic centrality
 
   /** One unrolled multi-source BFS level: new (seed, node) pairs =
@@ -1021,6 +1044,13 @@ object QueriesGraphAlgos {
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), iters = 3)
       .select(col("id"), col("hub"), col("auth"))),
+    // GDS eigenvector consumer: max-normalized integer power iteration
+    // over the symmetrized graph, 4 rounds — the same Pregel shape and
+    // integer-norm trick as HITS, replayed round-for-round by the oracle
+    "eigenvector" -> ((s, dir) => GraphAlgos.eigenvectorCentrality(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), iters = 4)
+      .select(col("id"), col("score"))),
     // Harmonic centrality from the nation+region seed set (ids ≥ 5e9),
     // hops ≤ 3 — the bounded-source centrality a 100 TB graph actually
     // computes (full all-pairs BFS is O(n·m)).
@@ -1210,6 +1240,7 @@ object QueriesGraphAlgos {
     "bfs_hops" -> bfsOracle,
     "sssp_bf" -> ssspOracle,
     "hits" -> hitsOracle,
+    "eigenvector" -> eigenvectorOracle,
     "harmonic" -> harmonicOracle,
     "modularity" -> modularityOracle,
     "louvain_move" -> louvainOracle,

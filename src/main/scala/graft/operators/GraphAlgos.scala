@@ -516,6 +516,48 @@ object GraphAlgos {
     hub.join(auth, "id").select(col("id"), col("hub"), col("auth"))
   }
 
+  /** Eigenvector centrality by max-normalized integer power iteration
+    * over the SYMMETRIZED graph (the GDS `eigenvector` consumer): x⁰ =
+    * scale everywhere; x^k(v) = ⌊scale·Σ_{u~v} x^{k-1}(u) / max_w
+    * Σ_{u~w} x^{k-1}(u)⌋. Max-normalization (the same integer trick as
+    * [[hits]]) keeps every score in [0, scale] exactly — the usual L2
+    * norm is float and would drift cross-engine. Fixed iterations:
+    * power iteration converges to the principal adjacency eigenvector
+    * at the |λ₂/λ₁| rate (bipartite components oscillate with period 2
+    * — deterministic either way, and the oracle replays the SAME
+    * rounds). Symmetrized because a DAG-shaped directed graph (our
+    * supplier→nation→region projection) drains to zero under Aᵀ-power
+    * — eigenvector centrality is an undirected-connectivity notion
+    * here, like GDS's default orientation handling.
+    *
+    * Each round is one edges⋈state equi-join + a map-side-combining sum
+    * + a 1-row broadcast max — the Pregel shape, no windows, no
+    * collects. */
+  def eigenvectorCentrality(rels: DataFrame, types: Seq[String],
+                            iters: Int,
+                            scale: Long = 1000000L): DataFrame = {
+    val e0 = rels.where(col("TYPE").isin(types: _*))
+      .select(col("START_ID").as("src"), col("END_ID").as("dst"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)           // symmetric: src covers every node
+    var x = nodes.withColumn("score", lit(scale))
+    for (_ <- 1 to iters) {
+      val c = e
+        .join(x.withColumnRenamed("id", "x_id"), col("src") === col("x_id"))
+        .groupBy(col("dst").as("id")).agg(sum(col("score")).as("raw"))
+        .localCheckpoint(true)         // read twice: normalize + its max
+      x = nodes.join(c, Seq("id"), "left")
+        .crossJoin(broadcast(c.agg(max(col("raw")).as("mx"))))
+        .select(col("id"),
+          expr(s"coalesce(raw, 0L) * ${scale}L div mx").as("score"))
+        .localCheckpoint(true)
+    }
+    x
+  }
+
   /** Harmonic centrality from a bounded seed set: harm(v) = Σ_{s∈seeds,
     * 0<d(s,v)≤maxHops} ⌊scale/d(s,v)⌋ over the undirected projection.
     * Computing from ALL nodes is O(n·BFS) — the standard scale play is a

@@ -288,6 +288,36 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r.map(_._2).max == 1000000L && r.map(_._3).max == 1000000L)
   }
 
+  test("eigenvectorCentrality: hand-computed rounds on the symmetrized " +
+      "star (bipartite oscillation is deterministic)") {
+    // edges 1→2, 2→3, 4→2 symmetrize to the star centered at 2.
+    // round 1: raw(2) = 3e6, raw(leaf) = 1e6, max 3e6
+    //   → x(2) = 1000000, leaves = 333333
+    // round 2: raw(2) = 3·333333 = 999999, raw(leaf) = 1e6, max 1e6
+    //   → x(2) = 999999, leaves = 1000000 (the bipartite flip)
+    val r1 = GraphAlgos.eigenvectorCentrality(rels, Seq("E"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 333333L, 2L -> 1000000L, 3L -> 333333L,
+      4L -> 333333L))
+    val r2 = GraphAlgos.eigenvectorCentrality(rels, Seq("E"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1000000L, 2L -> 999999L, 3L -> 1000000L,
+      4L -> 1000000L))
+  }
+
+  test("eigenvectorCentrality: uniform on a triangle (true eigenvector) " +
+      "and bounded in [0, scale] with the max pinned") {
+    val tri = Seq((1L, 2L, "E"), (2L, 3L, "E"), (3L, 1L, "E"))
+      .toDF("START_ID", "END_ID", "TYPE")
+    val r = GraphAlgos.eigenvectorCentrality(tri, Seq("E"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    val star = GraphAlgos.eigenvectorCentrality(rels, Seq("E"), iters = 4)
+      .as[(Long, Long)].collect()
+    assert(star.forall { case (_, s) => s >= 0L && s <= 1000000L })
+    assert(star.map(_._2).max == 1000000L)
+  }
+
   test("harmonicCentrality: two seeds on the undirected path") {
     // undirected 1-2, 2-3, 2-4; seeds {1, 4}
     // d(1,·): 2→1, 3→2, 4→2;  d(4,·): 2→1, 1→2, 3→2
