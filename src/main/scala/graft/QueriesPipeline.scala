@@ -1301,7 +1301,7 @@ object QueriesPipeline {
     * embedded at 17 significant digits so both engines divide the same
     * IEEE value. */
   private val hllOracle: String = {
-    val c = String.format(java.util.Locale.ROOT, "%.17g",
+    val c = String.format(java.util.Locale.ROOT, "%.17e",
       Double.box(graft.operators.Sketches.hllAlphaNumerator(256)))
     s"""WITH x0 AS (SELECT (l_partkey % 1000000007 + 1000000007)
        |    % 1000000007 AS x FROM lineitem),
@@ -1319,7 +1319,7 @@ object QueriesPipeline {
        |      AS sum_present FROM r)
        |SELECT n_present,
        |  sum_present + (256 - n_present) * (1::BIGINT << 40) AS sum_term,
-       |  CAST(floor($c
+       |  CAST(floor(CAST($c AS DOUBLE)
        |    / (sum_present + (256 - n_present) * (1::BIGINT << 40))
        |    * 1000.0) AS BIGINT) AS est_x1000,
        |  (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
@@ -1384,7 +1384,7 @@ object QueriesPipeline {
   /** Shared with QueriesRelational's `stream_hll`: the streaming
     * register state must land on exactly this batch sketch. */
   private[graft] val hllGroupedOracle: String = {
-    val c = String.format(java.util.Locale.ROOT, "%.17g",
+    val c = String.format(java.util.Locale.ROOT, "%.17e",
       Double.box(graft.operators.Sketches.hllAlphaNumerator(32)))
     s"""WITH x0 AS (SELECT event_type, (user_id % 1000000007
        |    + 1000000007) % 1000000007 AS x
@@ -1404,7 +1404,7 @@ object QueriesPipeline {
        |      AS sum_present FROM r GROUP BY 1)
        |SELECT event_type, n_present,
        |  sum_present + (32 - n_present) * (1::BIGINT << 40) AS sum_term,
-       |  CAST(floor($c
+       |  CAST(floor(CAST($c AS DOUBLE)
        |    / (sum_present + (32 - n_present) * (1::BIGINT << 40))
        |    * 1000.0) AS BIGINT) AS est_x1000
        |FROM s""".stripMargin
@@ -3746,14 +3746,18 @@ object QueriesPipeline {
         |SELECT doc_id, 'jpeg' AS format,
         |  CAST(16*mx AS BIGINT) AS width, CAST(16*my AS BIGINT) AS height,
         |  CAST(256*mx*my AS BIGINT) AS n_pixels,
+        |-- constants cast to DOUBLE: a bare 1.402 parses as DECIMAL in
+        |  -- DuckDB and decimal-exact arithmetic can floor differently
+        |  -- from the engine's IEEE double path near integer boundaries
         |  CAST(sum(64 * LEAST(255, GREATEST(0,
-        |    CAST(floor(yv + 1.772 * cb + 0.5) AS BIGINT))))
+        |    CAST(floor(yv + CAST(1.772 AS DOUBLE) * cb + 0.5) AS BIGINT))))
         |    AS BIGINT) AS sum_b,
         |  CAST(sum(64 * LEAST(255, GREATEST(0,
-        |    CAST(floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+        |    CAST(floor(yv - CAST(0.344136 AS DOUBLE) * cb
+        |      - CAST(0.714136 AS DOUBLE) * cr + 0.5)
         |      AS BIGINT)))) AS BIGINT) AS sum_g,
         |  CAST(sum(64 * LEAST(255, GREATEST(0,
-        |    CAST(floor(yv + 1.402 * cr + 0.5) AS BIGINT))))
+        |    CAST(floor(yv + CAST(1.402 AS DOUBLE) * cr + 0.5) AS BIGINT))))
         |    AS BIGINT) AS sum_r
         |FROM px GROUP BY doc_id, mx, my""".stripMargin,
     "multimodal_wav" ->

@@ -861,6 +861,39 @@ object QueriesRelational {
       graft.operators.Sketches.hllEstimateGrouped(
         s.table(qname), Seq("event_type"), m = 32)
     }),
+    // EVENT-TIME-WINDOWED sketch state: per-(event_type, day) HLL
+    // registers maintain themselves as a streaming aggregate (register
+    // max is a monoid per window cell), giving continuous per-window
+    // distinct-user estimates — the dashboard query at 100 TB/day where
+    // exact windowed COUNT(DISTINCT) would shuffle per-user rows per
+    // window. Estimates off the sunk registers must equal the batch
+    // windowed sketch.
+    "stream_hll_windowed" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id"))
+      val tmp = stagingDir("shllw", dir)
+      e.where(col("user_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      e.where(col("user_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val regs = graft.operators.Sketches.hllBuildGrouped(
+        stream, Seq("event_type", "day"), "user_id", m = 32)
+      val qname = s"graft_stream_hllw_${System.nanoTime()}"
+      withShufflePartitions(s, 8) {
+        val q = regs.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      rmStaging(tmp)
+      graft.operators.Sketches.hllEstimateGrouped(
+        s.table(qname), Seq("event_type", "day"), m = 32)
+    }),
+
     // STREAM-STATIC enrichment under the gate: events flow through a
     // file stream and broadcast-join the static customer dimension per
     // micro-batch (no state, no watermark needed — the bounded-by-
@@ -1263,6 +1296,39 @@ object QueriesRelational {
     // the streaming register state must land on exactly the batch
     // sketch — shared oracle text with sketch_hll_grouped
     "stream_hll" -> QueriesPipeline.hllGroupedOracle,
+    // windowed twin: the same register pipeline with the day window
+    // carried through every stage
+    "stream_hll_windowed" -> {
+      val c = String.format(java.util.Locale.ROOT, "%.17e",
+        Double.box(graft.operators.Sketches.hllAlphaNumerator(32)))
+      s"""WITH x0 AS (SELECT event_type,
+         |              epoch_us(ts) // 86400000000 AS day,
+         |              (user_id % 1000000007 + 1000000007)
+         |                % 1000000007 AS x
+         |            FROM events),
+         |y0 AS (SELECT event_type, day,
+         |         (x * x + x * 31 + 7) % 1000000007 AS y FROM x0),
+         |z0 AS (SELECT event_type, day,
+         |         (y * y + y * 37 + 11) % 1000000007 AS z FROM y0),
+         |h AS (SELECT event_type, day, z % 32 AS bucket,
+         |        (z * z + z * 41 + 13) % 1000000007 AS h2 FROM z0),
+         |r AS (SELECT event_type, day, bucket,
+         |        max(CASE WHEN h2 = 0 THEN 40
+         |            ELSE least(bit_count((h2 & -h2) - 1) + 1, 40) END)
+         |          AS register
+         |      FROM h GROUP BY 1, 2, 3),
+         |s AS (SELECT event_type, day,
+         |        CAST(count(*) AS BIGINT) AS n_present,
+         |        CAST(sum(1::BIGINT << CAST(40 - register AS INTEGER))
+         |          AS BIGINT) AS sum_present
+         |      FROM r GROUP BY 1, 2)
+         |SELECT event_type, day, n_present,
+         |  sum_present + (32 - n_present) * (1::BIGINT << 40) AS sum_term,
+         |  CAST(floor(CAST($c AS DOUBLE)
+         |    / (sum_present + (32 - n_present) * (1::BIGINT << 40))
+         |    * 1000.0) AS BIGINT) AS est_x1000
+         |FROM s""".stripMargin
+    },
     "stream_quantile" ->
       """WITH b AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
         |    // 500 AS bin FROM events),

@@ -168,14 +168,15 @@ object Sketches {
     * evaluate literally identical CASE arms — no cross-engine ln()
     * drift can exist). Expects columns n_present, sum_term. */
   def ballEstimateCaseSql(m: Int): String = {
-    val alpha = String.format(java.util.Locale.ROOT, "%.17g",
+    val alpha = String.format(java.util.Locale.ROOT, "%.17e",
       Double.box(hllAlphaNumerator(m)))
     val arms = (1 until m).map { v =>
       val lc = math.floor(m * math.log(m.toDouble / v) * 1000.0).toLong
       s"WHEN $v THEN $lc"
     }.mkString(" ")
     s"CASE WHEN n_present = $m " +
-      s"THEN CAST(floor($alpha / sum_term * 1000.0) AS BIGINT) " +
+      s"THEN CAST(floor(CAST($alpha AS DOUBLE) / sum_term * 1000.0) " +
+      "AS BIGINT) " +
       s"ELSE CAST(CASE ($m - n_present) $arms END AS BIGINT) END"
   }
 
