@@ -176,7 +176,17 @@ object ScaleOps {
     * tie-break, and the per-key owner lookup is a NARROW map over a
     * ring literal (shards·vnodes structs baked into the plan — nothing
     * joins, nothing shuffles except the final 2-row count). Returns
-    * (scheme, n_keys, n_moved, moved_ppm). */
+    * (scheme, n_keys, n_moved, moved_ppm).
+    *
+    * Per-row cost bound (r6 verdict): the `transform` + `array_min`
+    * evaluates all shards·vnodes ring entries per key per ring — O(128
+    * to 144 structs) at the gate's 8–9×16 configuration, ~50× more
+    * per-row work than a binary search over a sorted position array.
+    * Acceptable for an AUDIT (one pass, narrow, no shuffle); a
+    * production router at billions of keys/s would pre-sort the ring
+    * and binary-search (driver-side ring, broadcast lookup), which
+    * changes no output value — the argmin over clockwise distances is
+    * exactly the sorted-ring successor. */
   def shardRebalanceAudit(df: DataFrame, key: Column, shardsBefore: Int,
                           shardsAfter: Int, vnodes: Int): DataFrame = {
     val p = 1000000007L

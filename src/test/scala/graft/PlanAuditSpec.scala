@@ -336,6 +336,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cartesian in blocking audit:\n${plan.take(3000)}")
   }
 
+  test("eigenvector centrality: per-round max broadcasts; no window, " +
+      "no cartesian over nodes (r7)") {
+    val plan = formatted(SparkEntry.queries("eigenvector")(spark, dir))
+    // rounds are checkpointed — the FINAL plan is the last round read
+    // from ExistingRDD joined with the 1-row broadcast max
+    assert(plan.contains("ExistingRDD"),
+      s"rounds not checkpointed:\n${plan.take(2000)}")
+    val windows = """\(\d+\) Window\b""".r.findAllIn(plan).length
+    assert(windows == 0, s"unexpected window in power iteration:\n$plan")
+  }
+
   test("incremental CC merge step: remap joins state against a " +
       "BROADCAST fixup, never a shuffled full join (r7)") {
     import org.apache.spark.sql.functions.col
