@@ -592,6 +592,64 @@ object QueriesGraphAlgos {
        |  UNION ALL SELECT walk_id, 2, node FROM rw2
        |  UNION ALL SELECT walk_id, 3, node FROM rw3) t""".stripMargin
 
+  // ----------------------------------------------------------- node2vec
+
+  /** One unrolled node2vec step (k ≥ 2), expressed RELATIONALLY:
+    * explode the candidate list with positional index, weight each
+    * candidate (return / stay-via-edge-join / far), windowed cumulative
+    * weight per walk, and pick the first candidate whose cumsum
+    * exceeds the draw (min_by over the crossing rows) — value-identical
+    * to the engine's O(deg) array fold. Deliberately NO list lambdas:
+    * DuckDB lambdas capturing correlated columns proved
+    * non-deterministic under parallel execution (three runs, three
+    * different picks), so the oracle sticks to plain relational ops. */
+  private def n2vStep(k: Int): String =
+    s"""n2x$k AS (
+       |  SELECT c.walk_id, c.prev, c.node, a.nbl,
+       |         unnest(range(1, len(a.nbl) + 1)) AS i
+       |  FROM n2v${k - 1} c JOIN nb a ON a.node = c.node),
+       |n2w$k AS (
+       |  SELECT x.walk_id, x.node, x.i,
+       |         x.nbl[CAST(x.i AS INTEGER)] AS cand,
+       |         CASE WHEN x.nbl[CAST(x.i AS INTEGER)] = x.prev THEN 2
+       |              WHEN m.a IS NOT NULL THEN 8 ELSE 4 END AS w
+       |  FROM n2x$k x LEFT JOIN und m
+       |    ON m.a = x.prev AND m.b = x.nbl[CAST(x.i AS INTEGER)]),
+       |n2c$k AS (
+       |  SELECT walk_id, node, i, cand, w,
+       |         sum(w) OVER (PARTITION BY walk_id ORDER BY i) AS cum,
+       |         sum(w) OVER (PARTITION BY walk_id) AS tot
+       |  FROM n2w$k),
+       |n2v$k AS (
+       |  SELECT walk_id, node AS prev,
+       |         min_by(cand, i) FILTER (WHERE cum >
+       |           (((walk_id * 31 + $k) % 1000000007) * 2654435761)
+       |             % 1000000007 % tot) AS node
+       |  FROM n2c$k GROUP BY walk_id, node)""".stripMargin
+
+  private val node2vecOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |nb AS (SELECT a AS node, list_sort(list(DISTINCT b)) AS nbl
+       |       FROM und GROUP BY a),
+       |n2v0 AS (SELECT node * 2 + w AS walk_id, node AS prev, node
+       |         FROM nb, (SELECT unnest(range(0, 2)) AS w) s
+       |         WHERE node % 50 = 0),
+       |n2v1 AS (SELECT c.walk_id, c.node AS prev,
+       |    a.nbl[1 + CAST((((c.walk_id * 31 + 1) % 1000000007)
+       |      * 2654435761) % 1000000007 % len(a.nbl) AS INTEGER)] AS node
+       |  FROM n2v0 c JOIN nb a ON a.node = c.node),
+       |${(2 to 3).map(n2vStep).mkString(",\n")}
+       |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+       |  SELECT walk_id, 0 AS step, node FROM n2v0
+       |  UNION ALL SELECT walk_id, 1, node FROM n2v1
+       |  UNION ALL SELECT walk_id, 2, node FROM n2v2
+       |  UNION ALL SELECT walk_id, 3, node FROM n2v3) t""".stripMargin
+
   /** One max-plus round: lvl' = max(lvl, 1 + lvl(src) over in-edges). */
   private def dagRound(k: Int): String =
     s"""l$k AS (SELECT id, CAST(max(lvl) AS BIGINT) AS lvl FROM (
@@ -1082,6 +1140,17 @@ object QueriesGraphAlgos {
       SparkEntry.graph(s, dir).rels,
       types = Seq("FROM_NATION", "IN_REGION"), starts = 2, length = 3)
       .select(col("walk_id"), col("step"), col("node"))),
+    // node2vec biased walks with (p, q) = (4, 2) → integer weights
+    // (return, stay, far) = (2, 8, 4); every hop's cumulative-weight
+    // draw replays exactly in the oracle's array folds
+    // origins sampled 1/50 (training walks are origin-sampled anyway);
+    // per-step hub cost is the operator's documented supernode caveat
+    "node2vec_walks" -> ((s, dir) => GraphAlgos.node2vecWalks(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), starts = 2, length = 3,
+      wReturn = 2L, wStay = 8L, wFar = 4L,
+      originPred = Some(col("id") % 50 === 0))
+      .select(col("walk_id"), col("step"), col("node"))),
     // topological layers of the full typed DAG (order→part→supplier→
     // nation→region + customer/supplier→nation): longest-path level per
     // node, 5 max-plus rounds ≥ the schema DAG's depth
@@ -1342,5 +1411,6 @@ object QueriesGraphAlgos {
          |WHERE NOT EXISTS (SELECT 1 FROM nse e
          |                  WHERE e.src = c.src AND e.dst = c.neg)""".stripMargin,
     "random_walks" -> randomWalksOracle,
+    "node2vec_walks" -> node2vecOracle,
     "ktruss" -> ktrussOracle)
 }

@@ -883,6 +883,96 @@ object GraphAlgos {
     out.select(col("walk_id"), col("step"), col("node"))
   }
 
+  /** node2vec second-order biased walks (Grover & Leskovec, KDD 2016 —
+    * public literature): the hop out of `cur`, given the walk arrived
+    * from `prev`, draws candidate c with unnormalized weight 1/p if
+    * c = prev (return), 1 if c ∈ N(prev) (triangle edge — BFS-ish), 1/q
+    * otherwise (explore outward — DFS-ish). Weights are INTEGER
+    * literals (wReturn, wStay, wFar) = (q, p·q, p) pre-scaled by p·q so
+    * the cumulative-weight draw replays exactly in SQL. Step 1 has no
+    * second-order context and is the uniform [[randomWalks]] hop.
+    *
+    * The draw r = mix(walk_id, k) mod Σw picks the first candidate
+    * whose cumulative weight exceeds r — ONE O(deg) array fold per walk
+    * per step (no explode, no window, no per-candidate rows): weights
+    * via `transform` + `array_contains` against N(prev), the pick via
+    * an `aggregate` fold carrying (cumsum, chosen).
+    *
+    * Scale: each step is two nbArr equi-joins (cur side and prev side)
+    * plus the narrow fold; walk state is (walk_id, prev, cur). The
+    * membership test costs O(deg(cur)·deg(prev)) per hub step — the
+    * usual supernode caveat; cap or split hubs before walking, exactly
+    * as the sampled-walk literature does. Returns
+    * (walk_id, step, node). */
+  def node2vecWalks(rels: DataFrame, types: Seq[String], starts: Int,
+                    length: Int, wReturn: Long, wStay: Long,
+                    wFar: Long,
+                    originPred: Option[Column] = None): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct()
+    val nbArr = und.groupBy(col("u"))
+      .agg(sort_array(collect_set(col("v"))).as("nb"))
+      .select(col("u").as("node"), col("nb"))
+      .localCheckpoint(true)
+    // originPred bounds the WALK SET (sampled-origin training is the
+    // norm); per-step cost still rides hub degrees — see class note
+    val origins0 = nbArr.select(col("node").as("id"))
+    var cur = originPred.fold(origins0)(p => origins0.where(p))
+      .select(explode(sequence(lit(0), lit(starts - 1))).as("w"), col("id"))
+      .select((col("id") * starts + col("w")).as("walk_id"),
+        col("id").as("prev"), col("id").as("node"))
+      .localCheckpoint(true)
+    var out = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    for (k <- 1 to length) {
+      val h = ((col("walk_id") * 31L + lit(k.toLong)) % 1000000007L *
+        2654435761L) % 1000000007L
+      val stepped =
+        if (k == 1)
+          cur.join(nbArr, Seq("node"))
+            .select(col("walk_id"), col("node").as("prev"),
+              element_at(col("nb"),
+                (h % size(col("nb")) + 1L).cast("int")).as("node"))
+        else {
+          val nbPrev = nbArr.select(col("node").as("prev"),
+            col("nb").as("nbp"))
+          // LAMBDA-BINDING RULE (hard-won): `transform` lambdas resolve
+          // outer ARRAY columns (nbp) correctly; `aggregate` lambdas do
+          // NOT — an outer array referenced inside an aggregate's merge
+          // mis-binds (observed: nbp resolving to nb, inflating stay
+          // weights). So the ONE transform below builds the (c, w)
+          // struct array — weights computed inline, no separate weight
+          // or zip arrays — and both folds touch only that array plus
+          // SCALAR staged columns (tot, r), which bind fine.
+          val staged = cur.join(nbArr, Seq("node")).join(nbPrev, Seq("prev"))
+            .withColumn("z", transform(col("nb"), c => struct(
+              c.as("c"),
+              when(c === col("prev"), lit(wReturn))
+                .when(array_contains(col("nbp"), c), lit(wStay))
+                .otherwise(lit(wFar)).as("w"))))
+            .withColumn("tot", aggregate(col("z"), lit(0L),
+              (a, x) => a + x.getField("w")))
+            .withColumn("r", h % col("tot")) // h ≥ 0, tot ≥ 1
+          // fold carries (cumsum s, chosen c); r < Σw guarantees a pick
+          val pick = aggregate(col("z"),
+            struct(lit(0L).as("s"), lit(-1L).as("c")),
+            (acc, x) => struct(
+              (acc.getField("s") + x.getField("w")).as("s"),
+              when(acc.getField("c") =!= -1L, acc.getField("c"))
+                .otherwise(when(
+                  acc.getField("s") + x.getField("w") > col("r"),
+                  x.getField("c")).otherwise(lit(-1L))).as("c")),
+            a => a.getField("c"))
+          staged.select(col("walk_id"), col("node").as("prev"),
+            pick.as("node"))
+        }
+      cur = stepped.localCheckpoint(true)
+      out = out.union(cur.select(col("walk_id"),
+        lit(k.toLong).as("step"), col("node")))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
+
   /** Longest-path levels on a DAG — "topological layers", the
     * scheduling depth of every node in a dependency graph (build
     * systems, dbt lineage, task DAGs): level(v) = 0 at sources, else
