@@ -279,6 +279,27 @@ class StreamingSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("ccMergeBatch is idempotent under foreachBatch retries: " +
+      "re-merging an already-applied batch is a fixed point") {
+    // a failed micro-batch re-runs with the state it ALREADY wrote as
+    // `prev` (latestVersion returns the highest version, which may be
+    // its own) — re-applying must not move any rep: contracted edges
+    // all map rep→rep (dropped) and every node already exists
+    import graft.streaming.GraphStreams
+    val b1 = Seq((1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val b2 = Seq((2L, 5L), (10L, 11L)).toDF("src", "dst")
+    val s1 = GraphStreams.ccMergeBatch(None, b1).localCheckpoint(true)
+    val s2 = GraphStreams.ccMergeBatch(Some(s1), b2).localCheckpoint(true)
+    val s2Retry = GraphStreams.ccMergeBatch(Some(s2), b2)
+      .localCheckpoint(true)
+    assert(s2Retry.as[(Long, Long)].collect().toSet ==
+      s2.as[(Long, Long)].collect().toSet)
+    // and a retry of the FIRST batch against later state is also inert
+    val s2RetryB1 = GraphStreams.ccMergeBatch(Some(s2), b1)
+    assert(s2RetryB1.as[(Long, Long)].collect().toSet ==
+      s2.as[(Long, Long)].collect().toSet)
+  }
+
   test("incremental CC over a staged changelog equals batch clusters") {
     import graft.streaming.GraphStreams
     // the gate's deterministic graph shape at toy scale: 7-block stars
