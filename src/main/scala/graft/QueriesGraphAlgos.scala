@@ -422,6 +422,24 @@ object QueriesGraphAlgos {
        |       count(*) AS n_reached
        |FROM hv3 WHERE dist > 0 GROUP BY id""".stripMargin
 
+  /** Same BFS body as [[harmonicOracle]], folded to the closeness
+    * normalization. */
+  private val closenessOracle: String =
+    s"""WITH ${SparkEntry.RelsCte},
+       |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+       |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
+       |und AS (SELECT DISTINCT a, b FROM
+       |  (SELECT src AS a, dst AS b FROM e
+       |   UNION ALL SELECT dst, src FROM e) t),
+       |hm0 AS (SELECT a AS s, a AS id, CAST(0 AS BIGINT) AS dist
+       |        FROM (SELECT DISTINCT a FROM und) t WHERE a >= 5000000000),
+       |hv0 AS (SELECT * FROM hm0),
+       |${(1 to 3).map(harmLevel).mkString(",\n")}
+       |SELECT id, CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |       count(*) AS n_reached,
+       |       CAST(count(*) * 1000000 // sum(dist) AS BIGINT) AS closeness
+       |FROM hv3 WHERE dist > 0 GROUP BY id""".stripMargin
+
   // --------------------------------------------------------- modularity
 
   private val modularityOracle: String =
@@ -1117,6 +1135,15 @@ object QueriesGraphAlgos {
       types = Seq("FROM_NATION", "IN_REGION"),
       seedPred = col("id") >= 5000000000L, maxHops = 3)
       .select(col("id"), col("harmonic"), col("n_reached"))),
+    // closeness from the same seed set — the Wasserman–Faust
+    // reachable-set normalization n_reached·1e6 div Σd in exact int64;
+    // shares harmonic's multi-source BFS CTEs in the oracle
+    "closeness" -> ((s, dir) => GraphAlgos.closenessCentrality(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"),
+      seedPred = col("id") >= 5000000000L, maxHops = 3)
+      .select(col("id"), col("sum_dist"), col("n_reached"),
+        col("closeness"))),
     // 4-truss peel (2 rounds) of the thinned co-supplier part graph:
     // every surviving edge must sit in ≥ 2 triangles of the surviving
     // graph — the cohesive-subgraph refinement of k-core.
@@ -1311,6 +1338,7 @@ object QueriesGraphAlgos {
     "hits" -> hitsOracle,
     "eigenvector" -> eigenvectorOracle,
     "harmonic" -> harmonicOracle,
+    "closeness" -> closenessOracle,
     "modularity" -> modularityOracle,
     "louvain_move" -> louvainOracle,
     "betweenness" -> betweennessOracle,

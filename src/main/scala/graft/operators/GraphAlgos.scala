@@ -594,6 +594,46 @@ object GraphAlgos {
         count(lit(1)).as("n_reached"))
   }
 
+  /** Seed-bounded CLOSENESS centrality — the companion GDS consumer to
+    * [[harmonicCentrality]] (same bounded-source discipline: all-pairs
+    * closeness is O(n·BFS); production sizes it from a seed sample):
+    * for each node v reached within `maxHops` of the seed set,
+    *   closeness(v) = ⌊n_reached(v)·scale / Σ_{s} d(s, v)⌋
+    * — the Wasserman–Faust reachable-set normalization, exact int64.
+    * Nodes reached by more seeds over shorter paths rank higher;
+    * 1-row-per-reached-node output carries (sum_dist, n_reached,
+    * closeness) so the raw moments replay too. Same multi-source-BFS
+    * cost shape as harmonic: per level one join + one anti-join keyed
+    * by (seed, node). */
+  def closenessCentrality(rels: DataFrame, types: Seq[String],
+                          seedPred: Column, maxHops: Int,
+                          scale: Long = 1000000L): DataFrame = {
+    val und = undirected(
+        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
+      .distinct().localCheckpoint(true)
+    val seeds = und.select(col("u").as("id")).distinct().where(seedPred)
+    var visited = seeds
+      .select(col("id").as("s"), col("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("s"), col("id"))
+    for (k <- 1 to maxHops) {
+      val next = und
+        .join(frontier.withColumnRenamed("id", "f_id"),
+          col("u") === col("f_id"))
+        .select(col("s"), col("v").as("id")).distinct()
+        .join(visited, Seq("s", "id"), "left_anti")
+        .withColumn("dist", lit(k.toLong))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select(col("s"), col("id"))
+    }
+    visited.where(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(sum(col("dist")).as("sum_dist"), count(lit(1)).as("n_reached"))
+      .select(col("id"), col("sum_dist"), col("n_reached"),
+        expr(s"n_reached * ${scale}L div sum_dist").as("closeness"))
+  }
+
   /** Modularity of a community assignment (the quality score label
     * propagation / Louvain optimize): per community c,
     * Q_c = e_c/m − (deg_c/2m)² with e_c = internal edges, deg_c = degree

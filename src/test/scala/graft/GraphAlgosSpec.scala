@@ -329,6 +329,20 @@ class GraphAlgosSpec extends AnyFunSuite {
       3L -> ((1000000L, 2L)), 4L -> ((500000L, 1L))))
   }
 
+  test("closenessCentrality: Wasserman–Faust normalization on the " +
+      "same two-seed path fixture") {
+    // d(1,·): 2→1, 3→2, 4→2;  d(4,·): 2→1, 1→2, 3→2
+    // node 2: Σd=2, n=2 → 1000000; node 3: Σd=4, n=2 → 500000;
+    // nodes 1/4: Σd=2, n=1 → 500000
+    val c = GraphAlgos.closenessCentrality(rels, Seq("E"),
+        seedPred = col("id") === 1L || col("id") === 4L, maxHops = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(c == Map(
+      1L -> ((2L, 1L, 500000L)), 2L -> ((2L, 2L, 1000000L)),
+      3L -> ((4L, 2L, 500000L)), 4L -> ((2L, 1L, 500000L))))
+  }
+
   test("kTruss: peels weakly-supported edges, keeps the K4 core") {
     // K4 on {1,2,3,4} (each edge in 2 triangles) + pendant triangle
     // 1-2-5: edges (1,5), (2,5) have support 1 → peeled at k=4; the K4
