@@ -207,7 +207,7 @@ object QueriesGraphAlgos {
       |      FROM c x JOIN c y ON x.nb = y.nb AND x.node < y.node
       |      GROUP BY 1, 2),
       |j AS (SELECT a, b, inter,
-      |        round(inter * 1.0 / (da.deg + db.deg - inter), 6) AS jac
+      |        floor((inter * 1.0 / (da.deg + db.deg - inter)) * 1000000 + 0.5) / 1000000 AS jac
       |      FROM i JOIN deg da ON da.node = a JOIN deg db ON db.node = b)
       |SELECT a, b, inter, jac FROM j WHERE jac >= 0.05""".stripMargin
 
@@ -645,15 +645,36 @@ object QueriesGraphAlgos {
        |             % 1000000007 % tot) AS node
        |  FROM n2c$k GROUP BY walk_id, node)""".stripMargin
 
-  private val node2vecOracle: String =
+  /** node2vec oracle body; `cap` = the hub fan-out bound mirrored from
+    * the engine's maxNb (None ⇒ full adjacency). The capped variant
+    * replays the engine's deterministic per-edge hash rank: keep the
+    * `cap` neighbors with the smallest ((a·1000003+b) mod M)·2654435761
+    * mod M draw (M = 1000000007), ties by neighbor id — then the walk
+    * recursion is IDENTICAL to the uncapped oracle over the thinned nb. */
+  private def node2vecOracleWith(cap: Option[Int]): String = {
+    val nbCte = cap match {
+      case None =>
+        """nb AS (SELECT a AS node, list_sort(list(DISTINCT b)) AS nbl
+          |       FROM und GROUP BY a)""".stripMargin
+      case Some(k) =>
+        s"""nbh AS (SELECT a AS node, b AS v,
+           |          (((a * 1000003 + b) % 1000000007) * 2654435761)
+           |            % 1000000007 AS hv
+           |        FROM und),
+           |nbk AS (SELECT node, v FROM (
+           |          SELECT node, v, row_number() OVER (
+           |            PARTITION BY node ORDER BY hv, v) AS rn FROM nbh) t
+           |        WHERE rn <= $k),
+           |nb AS (SELECT node, list_sort(list(v)) AS nbl
+           |       FROM nbk GROUP BY node)""".stripMargin
+    }
     s"""WITH ${SparkEntry.RelsCte},
        |e AS (SELECT start_id AS src, end_id AS dst FROM rels
        |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
        |und AS (SELECT DISTINCT a, b FROM
        |  (SELECT src AS a, dst AS b FROM e
        |   UNION ALL SELECT dst, src FROM e) t),
-       |nb AS (SELECT a AS node, list_sort(list(DISTINCT b)) AS nbl
-       |       FROM und GROUP BY a),
+       |$nbCte,
        |n2v0 AS (SELECT node * 2 + w AS walk_id, node AS prev, node
        |         FROM nb, (SELECT unnest(range(0, 2)) AS w) s
        |         WHERE node % 50 = 0),
@@ -667,6 +688,9 @@ object QueriesGraphAlgos {
        |  UNION ALL SELECT walk_id, 1, node FROM n2v1
        |  UNION ALL SELECT walk_id, 2, node FROM n2v2
        |  UNION ALL SELECT walk_id, 3, node FROM n2v3) t""".stripMargin
+  }
+
+  private val node2vecOracle: String = node2vecOracleWith(None)
 
   /** One max-plus round: lvl' = max(lvl, 1 + lvl(src) over in-edges). */
   private def dagRound(k: Int): String =
@@ -1178,6 +1202,17 @@ object QueriesGraphAlgos {
       wReturn = 2L, wStay = 8L, wFar = 4L,
       originPred = Some(col("id") % 50 === 0))
       .select(col("walk_id"), col("step"), col("node"))),
+    // hub-proofed variant (r7 verdict #4): the nation nodes of this
+    // graph are genuine supernodes (degree ≈ |customers|/25); maxNb=16
+    // bounds every adjacency row to the 16 hash-smallest neighbors
+    // through the bounded TopK aggregate, and the oracle replays the
+    // identical rank before the identical walk recursion
+    "node2vec_walks_hub" -> ((s, dir) => GraphAlgos.node2vecWalks(
+      SparkEntry.graph(s, dir).rels,
+      types = Seq("FROM_NATION", "IN_REGION"), starts = 2, length = 3,
+      wReturn = 2L, wStay = 8L, wFar = 4L,
+      originPred = Some(col("id") % 50 === 0), maxNb = 16)
+      .select(col("walk_id"), col("step"), col("node"))),
     // topological layers of the full typed DAG (order→part→supplier→
     // nation→region + customer/supplier→nation): longest-path level per
     // node, 5 max-plus rounds ≥ the schema DAG's depth
@@ -1440,5 +1475,6 @@ object QueriesGraphAlgos {
          |                  WHERE e.src = c.src AND e.dst = c.neg)""".stripMargin,
     "random_walks" -> randomWalksOracle,
     "node2vec_walks" -> node2vecOracle,
+    "node2vec_walks_hub" -> node2vecOracleWith(Some(16)),
     "ktruss" -> ktrussOracle)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.functions.VectorFunctions.round6
 import graft.functions.TextFunctions._
 import graft.operators.{CorpusTools, Dedup, Multimodal, Quality, Similarity, Skew}
 import graft.sources.TpchGraph.table
@@ -36,7 +37,7 @@ object QueriesPipeline {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPortable(table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"),
-          round(col("est_jaccard"), 6).as("est_jaccard"))),
+          round6(col("est_jaccard")).as("est_jaccard"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(table(s, dir, "documents"), "doc_id", "text")),
     // STREAMING dedup-index maintenance (the continuous form of
@@ -322,7 +323,7 @@ object QueriesPipeline {
       surv.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(bpeTokenCount(col("text"))).as("n_tokens"),
-          round(avg(size(col("ws")).cast("double")), 6).as("avg_words"))
+          round6(avg(size(col("ws")).cast("double"))).as("avg_words"))
     }),
 
     // ---- similarity search ----------------------------------------------
@@ -1025,13 +1026,13 @@ object QueriesPipeline {
       d.select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
-        round(size(array_distinct(col("ws"))).cast("double") /
-          size(col("ws")), 6).as("ttr"),
-        round(aggregate(transform(col("ws"), w => length(w).cast("long")),
-          lit(0L), (a, v) => a + v).cast("double") / size(col("ws")), 6)
+        round6(size(array_distinct(col("ws"))).cast("double") /
+          size(col("ws"))).as("ttr"),
+        round6(aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, v) => a + v).cast("double") / size(col("ws")))
           .as("avg_wlen"),
-        round(markerScore(col("ws"), EnStop).cast("double") /
-          size(col("ws")), 6).as("stop_ratio"))
+        round6(markerScore(col("ws"), EnStop).cast("double") /
+          size(col("ws"))).as("stop_ratio"))
     }),
     "lang_id" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -1475,7 +1476,7 @@ object QueriesPipeline {
       |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce
       |      FROM embeddings),
       |s AS (SELECT qid, nid,
-      |        round(list_cosine_similarity(qe, ce), 6) AS sim
+      |        floor((list_cosine_similarity(qe, ce)) * 1000000 + 0.5) / 1000000 AS sim
       |      FROM q, c WHERE nid != qid),
       |r AS (SELECT qid, nid, sim, row_number() OVER (
       |        PARTITION BY qid ORDER BY sim DESC, nid) AS rn
@@ -1489,7 +1490,7 @@ object QueriesPipeline {
       |c AS (SELECT vec_id AS nid, (embedding::DOUBLE[])[1:16] AS ce
       |      FROM embeddings),
       |s AS (SELECT qid, nid,
-      |        round(list_cosine_similarity(qe, ce), 6) AS sim
+      |        floor((list_cosine_similarity(qe, ce)) * 1000000 + 0.5) / 1000000 AS sim
       |      FROM q, c WHERE nid != qid),
       |r AS (SELECT qid, nid, sim, row_number() OVER (
       |        PARTITION BY qid ORDER BY sim DESC, nid) AS rn
@@ -1502,18 +1503,18 @@ object QueriesPipeline {
       |asg AS (SELECT nid, ce, cid FROM (
       |    SELECT e.vec_id AS nid, e.v AS ce, cent.cid,
       |           row_number() OVER (PARTITION BY e.vec_id
-      |             ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6)
+      |             ORDER BY floor((list_cosine_similarity(e.v, cent.cv)) * 1000000 + 0.5) / 1000000
       |                      DESC, cent.cid) AS crn
       |    FROM e, cent) t WHERE crn = 1),
       |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 10),
       |probed AS (SELECT qid, qe, cid FROM (
       |    SELECT q.qid, q.qe, cent.cid,
       |           row_number() OVER (PARTITION BY q.qid
-      |             ORDER BY round(list_cosine_similarity(q.qe, cent.cv), 6)
+      |             ORDER BY floor((list_cosine_similarity(q.qe, cent.cv)) * 1000000 + 0.5) / 1000000
       |                      DESC, cent.cid) AS crn
       |    FROM q, cent) t WHERE crn <= 2),
       |s AS (SELECT p.qid, a.nid,
-      |        round(list_cosine_similarity(p.qe, a.ce), 6) AS sim
+      |        floor((list_cosine_similarity(p.qe, a.ce)) * 1000000 + 0.5) / 1000000 AS sim
       |      FROM probed p JOIN asg a USING (cid)
       |      WHERE a.nid != p.qid)
       |SELECT qid, nid, sim, rn FROM (
@@ -2278,7 +2279,7 @@ object QueriesPipeline {
         |vc AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce
         |       FROM embeddings),
         |vs AS (SELECT qid, nid,
-        |         round(list_cosine_similarity(qe, ce), 6) AS sim
+        |         floor((list_cosine_similarity(qe, ce)) * 1000000 + 0.5) / 1000000 AS sim
         |       FROM vq, vc WHERE nid != qid),
         |vr AS MATERIALIZED (
         |  SELECT qid, nid AS doc_id, CAST(rn AS BIGINT) AS rn FROM (
@@ -2341,13 +2342,13 @@ object QueriesPipeline {
         |      (SELECT doc_id, unnest(g) AS u FROM bg) q GROUP BY 1, 2) t
         |  GROUP BY 1)
         |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
-        |  round(len(list_distinct(w.ws)) * 1.0 / len(w.ws), 6)
+        |  floor((len(list_distinct(w.ws)) * 1.0 / len(w.ws)) * 1000000 + 0.5) / 1000000
         |    AS distinct_ratio,
         |  CASE WHEN len(tg.g) > 0 THEN
-        |    round((len(tg.g) - len(list_distinct(tg.g))) * 1.0
-        |      / len(tg.g), 6) ELSE 0.0 END AS dup_trigram_frac,
+        |    floor(((len(tg.g) - len(list_distinct(tg.g))) * 1.0
+        |      / len(tg.g)) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS dup_trigram_frac,
         |  CASE WHEN len(bg.g) > 0 THEN
-        |    round(top.top_cnt * 1.0 / len(bg.g), 6)
+        |    floor((top.top_cnt * 1.0 / len(bg.g)) * 1000000 + 0.5) / 1000000
         |    ELSE 0.0 END AS top_bigram_share
         |FROM w JOIN tg USING (doc_id) JOIN bg USING (doc_id)
         |LEFT JOIN top USING (doc_id)""".stripMargin,
@@ -2497,7 +2498,7 @@ object QueriesPipeline {
         |      FROM pairs
         |      JOIN cnt ca ON ca.doc_id = doc_a
         |      JOIN cnt cb ON cb.doc_id = doc_b)
-        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+        |SELECT doc_a, doc_b, floor((jac) * 1000000 + 0.5) / 1000000 AS jaccard
         |FROM j WHERE jac >= 0.3""".stripMargin,
     "pipeline_corpus" ->
       s"""WITH RECURSIVE
@@ -2538,7 +2539,7 @@ object QueriesPipeline {
         |       CAST(sum(len(regexp_extract_all(text,
         |         '${graft.functions.TextFunctions.BpeTokenPattern}')))
         |         AS BIGINT) AS n_tokens,
-        |       round(avg(len(ws) * 1.0), 6) AS avg_words
+        |       floor((avg(len(ws) * 1.0)) * 1000000 + 0.5) / 1000000 AS avg_words
         |FROM surv GROUP BY lang""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
@@ -2619,7 +2620,7 @@ object QueriesPipeline {
       s"""WITH RECURSIVE
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id,
-         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
          |          AS qv
          |      FROM e),
          |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id % 97 = 0),
@@ -2668,7 +2669,7 @@ object QueriesPipeline {
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
          |        embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id, label,
-         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
          |          AS qv
          |      FROM e),
          |u AS (SELECT label, j,
@@ -2690,7 +2691,7 @@ object QueriesPipeline {
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
          |        embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id, label,
-         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
          |          AS qv
          |      FROM e),
          |qq AS (SELECT vec_id AS qid, label AS qlabel, qv AS qprobe
@@ -2716,7 +2717,7 @@ object QueriesPipeline {
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
          |        embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id, label,
-         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
          |          AS qv
          |      FROM e),
          |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id % 97 = 0),
@@ -2834,7 +2835,7 @@ object QueriesPipeline {
         |        vec_id % 2 AS half, embedding::DOUBLE[] AS v
         |      FROM embeddings),
         |q AS (SELECT label, half,
-        |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+        |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
         |          AS qv FROM e),
         |u AS (SELECT label, half, j,
         |  CAST(floor(CAST(sum(qv[j]) AS DOUBLE) / count(*)) AS BIGINT)
@@ -2854,7 +2855,7 @@ object QueriesPipeline {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |           FROM embeddings),
         |q AS (SELECT vec_id,
-        |        list_transform(v, x -> CAST(round(x*1000) AS BIGINT))
+        |        list_transform(v, x -> CAST(floor(x*1000 + 0.5) AS BIGINT))
         |          AS qv FROM e),
         |s1r AS (SELECT vec_id, qv,
         |          CAST(list_sum(list_transform(range(1,65),
@@ -2878,7 +2879,7 @@ object QueriesPipeline {
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |             embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, label,
-        |        list_transform(v, x -> CAST(round(x*1000) AS BIGINT))
+        |        list_transform(v, x -> CAST(floor(x*1000 + 0.5) AS BIGINT))
         |          AS qv FROM e),
         |m2 AS (SELECT label, count(*) AS n,
         |         CAST(sum(list_sum(list_transform(range(1,65),
@@ -2907,7 +2908,7 @@ object QueriesPipeline {
       // rolling shingle combine, numeric band-key folds (shared CTE
       // body with lsh_recall, which evaluates this very pipeline)
       s"""WITH $MinhashCtes
-         |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard FROM (
+         |SELECT doc_a, doc_b, floor((est_jaccard) * 1000000 + 0.5) / 1000000 AS est_jaccard FROM (
          |$MinhashBandJoins
          |) t WHERE est_jaccard >= 0.5""".stripMargin,
     // batch replay of the streamed LSH index: the distinct band-collision
@@ -3088,7 +3089,7 @@ object QueriesPipeline {
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |           FROM embeddings)
-        |SELECT vec_a, vec_b, round(sim, 6) AS sim FROM (
+        |SELECT vec_a, vec_b, floor((sim) * 1000000 + 0.5) / 1000000 AS sim FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         list_cosine_similarity(a.v, b.v) AS sim
         |  FROM e a JOIN e b
@@ -3117,7 +3118,7 @@ object QueriesPipeline {
       }.mkString("\nUNION\n")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id,
-         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+         |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
          |      FROM e),
          |bits AS (SELECT vec_id,
          |  $bitExprs
@@ -3129,7 +3130,7 @@ object QueriesPipeline {
          |$bandJoins
          |),
          |s AS (SELECT vec_a, vec_b,
-         |        round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+         |        floor((list_cosine_similarity(ea.v, eb.v)) * 1000000 + 0.5) / 1000000 AS sim
          |      FROM cand
          |      JOIN e ea ON ea.vec_id = vec_a
          |      JOIN e eb ON eb.vec_id = vec_b)
@@ -3374,7 +3375,7 @@ object QueriesPipeline {
       }.mkString(",\n  ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id,
-         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+         |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
          |      FROM e),
          |bits AS (SELECT vec_id, q,
          |  $bitExprs
@@ -3419,7 +3420,7 @@ object QueriesPipeline {
            |          FROM $uOut GROUP BY cid)""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id,
-         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
          |          AS qv
          |      FROM e),
          |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id % 97 = 0),
@@ -3436,7 +3437,7 @@ object QueriesPipeline {
          |      ORDER BY ${qd("qq", "c")}, c.cid) AS crn
          |  FROM qq, c2 c) t WHERE crn <= 2),
          |s AS (SELECT p.qid, a.vec_id AS nid,
-         |        round(list_cosine_similarity(p.qe, e2.v), 6) AS sim
+         |        floor((list_cosine_similarity(p.qe, e2.v)) * 1000000 + 0.5) / 1000000 AS sim
          |      FROM probe p
          |      JOIN af a USING (cid)
          |      JOIN e e2 ON e2.vec_id = a.vec_id
@@ -3450,7 +3451,7 @@ object QueriesPipeline {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |           FROM embeddings),
         |q AS (SELECT vec_id,
-        |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+        |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
         |          AS qv
         |      FROM e),
         |c AS (SELECT j,
@@ -3497,7 +3498,7 @@ object QueriesPipeline {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
          |           FROM embeddings),
          |q AS (SELECT vec_id,
-         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
          |          AS qv
          |      FROM e),
          |sel1 AS (SELECT 1 AS rn, vec_id, qv, CAST(0 AS BIGINT) AS mind
@@ -3517,7 +3518,7 @@ object QueriesPipeline {
           s"j -> ($a.sv[j] - $b.sc[j]) * ($a.sv[j] - $b.sc[j])))"
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id,
-         |        list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+         |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
          |          AS qv
          |      FROM e),
          |sub AS (SELECT vec_id, t.s,
@@ -3559,12 +3560,12 @@ object QueriesPipeline {
         |SELECT doc_id,
         |  CAST(len(ws) AS BIGINT) AS n_words,
         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
-        |  round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS ttr,
-        |  round(list_aggregate(list_transform(ws, x -> len(x)), 'sum')
-        |        * 1.0 / len(ws), 6) AS avg_wlen,
-        |  round(len(list_filter(ws,
+        |  floor((len(list_distinct(ws)) * 1.0 / len(ws)) * 1000000 + 0.5) / 1000000 AS ttr,
+        |  floor((list_aggregate(list_transform(ws, x -> len(x)), 'sum')
+        |        * 1.0 / len(ws)) * 1000000 + 0.5) / 1000000 AS avg_wlen,
+        |  floor((len(list_filter(ws,
         |          x -> list_contains(['the','a','of','and'], x)))
-        |        * 1.0 / len(ws), 6) AS stop_ratio
+        |        * 1.0 / len(ws)) * 1000000 + 0.5) / 1000000 AS stop_ratio
         |FROM w""".stripMargin,
     "lang_id" -> {
       val scoreExprs = TextFunctions.LangMarkers.map { case (l, m) =>

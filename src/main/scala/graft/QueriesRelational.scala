@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.round6
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, RangeJoin, Sessionize, TopK}
@@ -318,11 +319,11 @@ object QueriesRelational {
     // rounding — Spark percentile ≡ DuckDB quantile_cont
     "agg_percentiles" -> ((s, dir) =>
       table(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(round(percentile(col("l_quantity"), lit(0.5)), 6)
+        .agg(round6(percentile(col("l_quantity"), lit(0.5)))
           .as("med_qty"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 6)
+          round6(percentile(col("l_extendedprice"), lit(0.9)))
             .as("p90_price"),
-          round(percentile(col("l_extendedprice"), lit(0.99)), 6)
+          round6(percentile(col("l_extendedprice"), lit(0.99)))
             .as("p99_price"))
         .select(col("l_returnflag").as("returnflag"), col("med_qty"),
           col("p90_price"), col("p99_price"))),
@@ -1175,9 +1176,9 @@ object QueriesRelational {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag AS returnflag,
-        |       round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
-        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
-        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |       floor((quantile_cont(l_quantity, 0.5)) * 1000000 + 0.5) / 1000000 AS med_qty,
+        |       floor((quantile_cont(l_extendedprice, 0.9)) * 1000000 + 0.5) / 1000000 AS p90_price,
+        |       floor((quantile_cont(l_extendedprice, 0.99)) * 1000000 + 0.5) / 1000000 AS p99_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "window_topk" ->
       """SELECT custkey, orderkey, totalprice, rn FROM (
@@ -1555,10 +1556,17 @@ object QueriesRelational {
     "neg_sample_weighted" ->
       """WITH c AS (SELECT l_partkey AS tid, count(*) AS cnt
         |           FROM lineitem GROUP BY l_partkey),
-        |wt AS (SELECT tid,
+        |g0 AS (SELECT tid, cnt*cnt*cnt AS n3,
         |         CAST(floor(sqrt(sqrt(CAST(cnt*cnt*cnt AS DOUBLE))))
-        |           AS BIGINT) AS w
+        |           AS BIGINT) AS g
         |       FROM c),
+        |wt AS (SELECT tid,
+        |         CASE WHEN (g+2)*(g+2)*(g+2)*(g+2) <= n3 THEN g+2
+        |              WHEN (g+1)*(g+1)*(g+1)*(g+1) <= n3 THEN g+1
+        |              WHEN g*g*g*g <= n3 THEN g
+        |              WHEN (g-1)*(g-1)*(g-1)*(g-1) <= n3 THEN g-1
+        |              ELSE g-2 END AS w
+        |       FROM g0),
         |r AS (SELECT tid, w, sum(w) OVER (ORDER BY tid) AS hi
         |      FROM wt WHERE w > 0),
         |rr AS (SELECT tid, hi - w AS lo, hi FROM r),

@@ -192,6 +192,20 @@ object SparkEntry {
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * lit(100003L) + col("dst")).as("checksum"))),
+    // §2.3 weighted extension (r7 verdict #7): rel property (CONTAINS
+    // quantity; SUPPLIED_BY costs 1) as per-edge traversal cost, reach =
+    // min-cost ≤ budget within k−1 hops, then the khop incidence
+    // semantics. Budget 7 keeps only low-quantity lineitem hops — the
+    // bounded-cost neighborhood a cost-aware exporter would ship.
+    "khop_weighted" -> ((s, dir) => graft.operators.KHop.kHopEdgesWeighted(
+        graph(s, dir).rels, types = Seq("CONTAINS", "SUPPLIED_BY"),
+        cost = col("quantity"), k = 2, budget = 7L,
+        originPred = Some(col("origin") >= 4000000000L &&
+          col("origin") % 97 === 0))
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
+          .as("checksum"))),
     // §2.3 on the DENSE subgraph — part/supplier hubs, the reference's
     // actual supernode scenario (KHOP.md:159-185, SuperNodeCache.java:11-44).
     // Origins = all suppliers (the raw-degree hubs, ≈|lineitem|/|supplier|
@@ -768,6 +782,36 @@ object SparkEntry {
          |        FROM reach JOIN e ON e.dst = reach.node) AS x)
          |SELECT origin, count(*) AS n_edges,
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
+         |FROM k GROUP BY origin""".stripMargin,
+    "khop_weighted" ->
+      s"""WITH RECURSIVE $RelsCte,
+         |e0 AS (SELECT start_id AS src, end_id AS dst,
+         |         coalesce(CAST(floor(quantity) AS BIGINT), 1) AS w
+         |       FROM rels WHERE type IN ('CONTAINS', 'SUPPLIED_BY')),
+         |e AS (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+         |      FROM e0 GROUP BY src, dst),
+         |adj AS (SELECT a, b, min(w) AS w FROM (
+         |          SELECT src AS a, dst AS b, w FROM e
+         |          UNION ALL SELECT dst, src, w FROM e) t
+         |        GROUP BY a, b),
+         |org AS (SELECT DISTINCT a AS origin FROM adj
+         |        WHERE a >= 4000000000 AND a % 97 = 0),
+         |reach(origin, node, cost, hops) AS (
+         |  SELECT origin, origin, CAST(0 AS BIGINT), 0 FROM org
+         |  UNION
+         |  SELECT r.origin, adj.b, r.cost + adj.w, r.hops + 1
+         |  FROM reach r JOIN adj ON adj.a = r.node
+         |  WHERE r.hops < 1 AND r.cost + adj.w <= 7),
+         |rn AS (SELECT DISTINCT origin, node FROM reach),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT rn.origin, e.src, e.dst
+         |        FROM rn JOIN e ON e.src = rn.node
+         |        UNION ALL
+         |        SELECT rn.origin, e.src, e.dst
+         |        FROM rn JOIN e ON e.dst = rn.node) t)
+         |SELECT origin, count(*) AS n_edges,
+         |       CAST(sum((src % 100003) * 100003 + (dst % 100003))
+         |         AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     "khop_3_dense" ->
       s"""WITH $RelsCte,

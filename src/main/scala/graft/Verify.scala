@@ -64,6 +64,47 @@ object Verify {
     // mask the crash as PASS; without clearing the marker, a fixed run
     // would still read as failed.
     Files.deleteIfExists(Paths.get(s"$outDir/_FAILED.txt"))
+    // Canonical result digest (r8 forensics — the r5-r7 red rows were
+    // hash-only divergences visible solely in the driver's environment):
+    // SHA-256 over the result rows with columns sorted by name, every cell
+    // rendered environment-independently (ints as decimal strings, doubles
+    // as %.17e, timestamps as epoch micros), rows sorted as their encoded
+    // lines. _HASH.txt rides inside the atomic rename like _SF.txt, so a
+    // red driver artifact now localizes: driver _HASH.txt == local
+    // _HASH.txt ⇒ the SPARK side is identical and the driver's ORACLE
+    // side moved; != ⇒ the Spark side itself diverges in that env.
+    def canonCell(v: Any): String = v match {
+      case null => "\u0000NULL"
+      case d: java.lang.Double =>
+        if (d.isNaN) "NaN" else if (d.isInfinite) (if (d > 0) "Inf" else "-Inf")
+        else f"${d.doubleValue}%.17e"
+      case f: java.lang.Float => canonCell(java.lang.Double.valueOf(f.toDouble))
+      case b: Array[Byte] => "0x" + b.map(x => f"$x%02x").mkString
+      case d: java.sql.Date => d.toString
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+      case bd: java.math.BigDecimal => bd.stripTrailingZeros.toPlainString
+      case bd: scala.math.BigDecimal =>
+        bd.underlying.stripTrailingZeros.toPlainString
+      case s: Seq[_] => s.map(canonCell).mkString("[", ",", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => canonCell(k) + "=" + canonCell(x) }
+          .toSeq.sorted.mkString("{", ",", "}")
+      case r: org.apache.spark.sql.Row =>
+        r.toSeq.map(canonCell).mkString("(", ",", ")")
+      case other => other.toString
+    }
+    def digest(parquetDir: String): String = {
+      val df = spark.read.parquet(parquetDir)
+      val cols = df.columns.sorted
+      val lines = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.map(canonCell).mkString("\u0001"))
+      java.util.Arrays.sort(lines, java.util.Comparator.naturalOrder[String]())
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      lines.foreach { l => md.update(l.getBytes("UTF-8")); md.update('\n'.toByte) }
+      md.digest().map(b => f"$b%02x").mkString
+    }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -78,6 +119,14 @@ object Verify {
         catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
           Files.move(Paths.get(tmp), Paths.get(s"$outDir/$name"))
         }
+        // digest AFTER the rename: Spark's file index silently ignores
+        // dot-prefixed (hidden) dirs, so reading the .tmp_ path yields
+        // nothing. The marker lands moments after the move — a crash in
+        // between leaves a result dir with _SF.txt but no _HASH.txt,
+        // which check.py reports as 'absent' in forensics (never a
+        // verdict change).
+        Files.writeString(Paths.get(s"$outDir/$name/_HASH.txt"),
+          digest(s"$outDir/$name") + "\n")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         deleteRecursively(new java.io.File(tmp))

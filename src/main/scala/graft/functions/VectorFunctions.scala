@@ -30,6 +30,16 @@ object VectorFunctions {
   /** Cast a float embedding column to double for exact-accumulation math. */
   def asDouble(a: Column): Column = a.cast("array<double>")
 
+  /** Engine-exact 6-decimal rounding: ⌊x·10⁶ + ½⌋ / 10⁶. SQL `round()` on
+    * a double is the one scalar whose tie convention and algorithm
+    * (decimal re-expansion vs multiply-and-round) vary across engines and
+    * versions; this form is IEEE-pinned ops only (correctly rounded
+    * multiply, add, floor, divide), so two engines given the same input
+    * double always produce the same output double. Every gated query
+    * pairs this with the literal `floor(x * 1000000 + 0.5) / 1000000`
+    * in its oracle SQL. */
+  def round6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+
   def norm(a: Column): Column = sqrt(norm2(a))
 
   /** Fused single-pass codegen cosine (graft.plans.CosineSimilarity): the

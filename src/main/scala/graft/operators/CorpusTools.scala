@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.round6
 
 /** Corpus-preparation operators a training-data pipeline runs after
   * cleaning/dedup: deterministic dataset splitting, n-gram statistics,
@@ -93,10 +94,13 @@ object CorpusTools {
         size(expr(s"regexp_extract_all($text, '[0-9]+', 0)")).cast("long"))
 
   /** Popularity-weighted negative sampling (the word2vec unigram^(3/4)
-    * table): item weight = cnt^(3/4) computed as two nested IEEE sqrts
-    * (each correctly rounded, so both engines produce the IDENTICAL
-    * double and the floor agrees even where it differs from exact
-    * isqrt); items lay out on a cumulative weight line, and sample j
+    * table): item weight = ⌊cnt^(3/4)⌋ computed as the exact INTEGER
+    * 4th root of cnt³ — a double sqrt(sqrt(·)) guess clamped by int64
+    * comparison (largest w with w⁴ ≤ cnt³), so the weight is
+    * engine-version-independent by construction even where two sqrt
+    * implementations differ in the last ulp (exact for cnt ≤ 2,097,151,
+    * the int64 bound on cnt³); items lay out on a cumulative weight
+    * line, and sample j
     * draws r = (j·2654435761 + 12345) mod total — a deterministic hash
     * draw, reproducible under retries where rand() is not. The interval
     * lookup is a BUCKETED equi-join: each item's [lo, hi) range explodes
@@ -115,8 +119,16 @@ object CorpusTools {
     val spark = items.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = floor(sqrt(sqrt(
-        (col(cnt) * col(cnt) * col(cnt)).cast("double")))).cast("long")
+    // exact integer 4th root: the double chain is only a guess (within
+    // ±1 of the true root for cnt³ ≤ 2⁶³); the int64 clamp pins w
+    val n3 = col(cnt) * col(cnt) * col(cnt)
+    val g = floor(sqrt(sqrt(n3.cast("double")))).cast("long")
+    def p4(c: Column): Column = c * c * c * c
+    val w = when(p4(g + 2) <= n3, g + 2)
+      .when(p4(g + 1) <= n3, g + 1)
+      .when(p4(g) <= n3, g)
+      .when(p4(g - 1) <= n3, g - 1)
+      .otherwise(g - 2)
     // localCheckpoint pins the sampled range boundaries: the local-cumsum
     // and bases branches below must see the SAME pid assignment (two
     // independent evaluations could re-sample different boundaries and
@@ -243,14 +255,14 @@ object CorpusTools {
         topBigram.as("top_bg"))
       .select(col(id),
         size(col("ws")).cast("long").as("n_words"),
-        round(size(array_distinct(col("ws"))).cast("double") /
-          size(col("ws")), 6).as("distinct_ratio"),
+        round6(size(array_distinct(col("ws"))).cast("double") /
+          size(col("ws"))).as("distinct_ratio"),
         when(size(col("tg")) > 0,
-          round((size(col("tg")) - size(array_distinct(col("tg"))))
-            .cast("double") / size(col("tg")), 6))
+          round6((size(col("tg")) - size(array_distinct(col("tg"))))
+            .cast("double") / size(col("tg"))))
           .otherwise(lit(0.0)).as("dup_trigram_frac"),
         when(size(col("bg")) > 0,
-          round(col("top_bg").cast("double") / size(col("bg")), 6))
+          round6(col("top_bg").cast("double") / size(col("bg"))))
           .otherwise(lit(0.0)).as("top_bigram_share"))
   }
 

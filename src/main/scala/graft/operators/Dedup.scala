@@ -261,7 +261,7 @@ object Dedup {
       .withColumn("jac",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .where(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), round6(col("jac")).as("jaccard"))
   }
 
   /** MinHash + LSH near-dup. Signature: numHashes minima of
@@ -549,7 +549,7 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosineFast(col("a.v"), col("b.v")).as("sim"))
       .where(col("sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .select(col("vec_a"), col("vec_b"), round6(col("sim")).as("sim"))
   }
 
   /** Connected components over a near-dup pair list — the clustering step
@@ -670,7 +670,8 @@ object Dedup {
 
   /** Embedding near-dup at scale: random-hyperplane LSH candidate
     * generation + exact cosine verify. Embeddings are quantized to
-    * integers (round(x·1000)) and dotted against [[hyperplanes]] in exact
+    * integers (⌊x·1000 + ½⌋ — floor form, the engine-exactness rule from
+    * `Similarity.quantized`) and dotted against [[hyperplanes]] in exact
     * int64, so the sign bits — and therefore the buckets — are
     * bit-identical across engines (a float dot product's last-ulp
     * variation could flip a sign near zero). Each band's bucket key packs
@@ -699,7 +700,7 @@ object Dedup {
         raise_error(concat(lit("null embedding for vec_id "),
           col("vec_id").cast("string"))))
         .when(size(col("v")) === dim,
-          transform(col("v"), x => round(x * 1000).cast("long")))
+          transform(col("v"), x => floor(x * 1000 + 0.5).cast("long")))
         .otherwise(raise_error(concat(
           lit(s"embedding dim != $dim for vec_id "),
           col("vec_id").cast("string")))).as("q"))
@@ -726,7 +727,7 @@ object Dedup {
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(cosineFast(col("va"), col("vb")), 6).as("sim"))
+        round6(cosineFast(col("va"), col("vb"))).as("sim"))
       .where(col("sim") >= threshold)
   }
 

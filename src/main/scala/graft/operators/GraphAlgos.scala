@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.round6
 
 /** Graph algorithms over the long-form relationship table — the analytics
   * the reference's GDS consumers run on the graphs it serves (the
@@ -143,8 +144,8 @@ object GraphAlgos {
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(col("a"), col("b"), col("inter"),
-        round(col("inter").cast("double") /
-          (col("da") + col("db") - col("inter")), 6).as("jac"))
+        round6(col("inter").cast("double") /
+          (col("da") + col("db") - col("inter"))).as("jac"))
       .where(col("jac") >= threshold)
   }
 
@@ -558,56 +559,17 @@ object GraphAlgos {
     x
   }
 
-  /** Harmonic centrality from a bounded seed set: harm(v) = Σ_{s∈seeds,
-    * 0<d(s,v)≤maxHops} ⌊scale/d(s,v)⌋ over the undirected projection.
-    * Computing from ALL nodes is O(n·BFS) — the standard scale play is a
-    * sampled/bounded source set (seeds here; HyperBall's sketches are the
-    * probabilistic alternative), which is exactly how GDS sizes closeness
-    * at scale. Multi-source BFS keyed by (seed, node): frontier state is
-    * |seeds|·|reached| rows, each level one join + one anti-join —
-    * distances are exact, so ⌊scale/d⌋ sums replay in any engine.
-    * Returns (id, harmonic, n_reached). */
-  def harmonicCentrality(rels: DataFrame, types: Seq[String],
-                         seedPred: Column, maxHops: Int,
-                         scale: Long = 1000000L): DataFrame = {
-    val und = undirected(
-        rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
-      .distinct().localCheckpoint(true)
-    val seeds = und.select(col("u").as("id")).distinct().where(seedPred)
-    var visited = seeds
-      .select(col("id").as("s"), col("id"), lit(0L).as("dist"))
-      .localCheckpoint(true)
-    var frontier = visited.select(col("s"), col("id"))
-    for (k <- 1 to maxHops) {
-      val next = und
-        .join(frontier.withColumnRenamed("id", "f_id"), col("u") === col("f_id"))
-        .select(col("s"), col("v").as("id")).distinct()
-        .join(visited, Seq("s", "id"), "left_anti")
-        .withColumn("dist", lit(k.toLong))
-        .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
-      frontier = next.select(col("s"), col("id"))
-    }
-    visited.where(col("dist") > 0)
-      .groupBy(col("id"))
-      .agg(sum(expr(s"${scale}L div dist")).as("harmonic"),
-        count(lit(1)).as("n_reached"))
-  }
-
-  /** Seed-bounded CLOSENESS centrality — the companion GDS consumer to
-    * [[harmonicCentrality]] (same bounded-source discipline: all-pairs
-    * closeness is O(n·BFS); production sizes it from a seed sample):
-    * for each node v reached within `maxHops` of the seed set,
-    *   closeness(v) = ⌊n_reached(v)·scale / Σ_{s} d(s, v)⌋
-    * — the Wasserman–Faust reachable-set normalization, exact int64.
-    * Nodes reached by more seeds over shorter paths rank higher;
-    * 1-row-per-reached-node output carries (sum_dist, n_reached,
-    * closeness) so the raw moments replay too. Same multi-source-BFS
-    * cost shape as harmonic: per level one join + one anti-join keyed
-    * by (seed, node). */
-  def closenessCentrality(rels: DataFrame, types: Seq[String],
-                          seedPred: Column, maxHops: Int,
-                          scale: Long = 1000000L): DataFrame = {
+  /** Shared multi-source BFS over the undirected projection of `types`
+    * edges: exact hop distances d(s, v) ≤ maxHops from every seed
+    * (selected by `seedPred` over the node set). Frontier state is
+    * (seed, node) keyed — |seeds|·|reached| rows, each level one join +
+    * one anti-join, level results pinned by localCheckpoint so the
+    * lineage never re-runs earlier levels. The single BFS engine behind
+    * [[harmonicCentrality]] and [[closenessCentrality]] (r7 verdict: the
+    * two loops had diverged into copy-paste); both consumers are folds
+    * over the returned (s, id, dist) table. */
+  private def multiSourceBfs(rels: DataFrame, types: Seq[String],
+                             seedPred: Column, maxHops: Int): DataFrame = {
     val und = undirected(
         rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
       .distinct().localCheckpoint(true)
@@ -627,12 +589,45 @@ object GraphAlgos {
       visited = visited.union(next).localCheckpoint(true)
       frontier = next.select(col("s"), col("id"))
     }
-    visited.where(col("dist") > 0)
+    visited
+  }
+
+  /** Harmonic centrality from a bounded seed set: harm(v) = Σ_{s∈seeds,
+    * 0<d(s,v)≤maxHops} ⌊scale/d(s,v)⌋ over the undirected projection.
+    * Computing from ALL nodes is O(n·BFS) — the standard scale play is a
+    * sampled/bounded source set (seeds here; HyperBall's sketches are the
+    * probabilistic alternative), which is exactly how GDS sizes closeness
+    * at scale. One fold over [[multiSourceBfs]] — distances are exact,
+    * so ⌊scale/d⌋ sums replay in any engine.
+    * Returns (id, harmonic, n_reached). */
+  def harmonicCentrality(rels: DataFrame, types: Seq[String],
+                         seedPred: Column, maxHops: Int,
+                         scale: Long = 1000000L): DataFrame =
+    multiSourceBfs(rels, types, seedPred, maxHops)
+      .where(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(sum(expr(s"${scale}L div dist")).as("harmonic"),
+        count(lit(1)).as("n_reached"))
+
+  /** Seed-bounded CLOSENESS centrality — the companion GDS consumer to
+    * [[harmonicCentrality]] (same bounded-source discipline: all-pairs
+    * closeness is O(n·BFS); production sizes it from a seed sample):
+    * for each node v reached within `maxHops` of the seed set,
+    *   closeness(v) = ⌊n_reached(v)·scale / Σ_{s} d(s, v)⌋
+    * — the Wasserman–Faust reachable-set normalization, exact int64.
+    * Nodes reached by more seeds over shorter paths rank higher;
+    * 1-row-per-reached-node output carries (sum_dist, n_reached,
+    * closeness) so the raw moments replay too. The second fold over
+    * [[multiSourceBfs]]. */
+  def closenessCentrality(rels: DataFrame, types: Seq[String],
+                          seedPred: Column, maxHops: Int,
+                          scale: Long = 1000000L): DataFrame =
+    multiSourceBfs(rels, types, seedPred, maxHops)
+      .where(col("dist") > 0)
       .groupBy(col("id"))
       .agg(sum(col("dist")).as("sum_dist"), count(lit(1)).as("n_reached"))
       .select(col("id"), col("sum_dist"), col("n_reached"),
         expr(s"n_reached * ${scale}L div sum_dist").as("closeness"))
-  }
 
   /** Modularity of a community assignment (the quality score label
     * propagation / Louvain optimize): per community c,
@@ -941,17 +936,38 @@ object GraphAlgos {
     * Scale: each step is two nbArr equi-joins (cur side and prev side)
     * plus the narrow fold; walk state is (walk_id, prev, cur). The
     * membership test costs O(deg(cur)·deg(prev)) per hub step — the
-    * usual supernode caveat; cap or split hubs before walking, exactly
-    * as the sampled-walk literature does. Returns
-    * (walk_id, step, node). */
+    * usual supernode caveat. `maxNb` is the cap: ≤ maxNb neighbors per
+    * node survive (smallest deterministic per-edge hash draw first), so
+    * both the adjacency row width and the per-step fold are bounded —
+    * the sampled-fan-out walk the literature prescribes for hubs, and
+    * exactly replayable by an oracle applying the same hash rank.
+    * Returns (walk_id, step, node). */
   def node2vecWalks(rels: DataFrame, types: Seq[String], starts: Int,
                     length: Int, wReturn: Long, wStay: Long,
                     wFar: Long,
-                    originPred: Option[Column] = None): DataFrame = {
+                    originPred: Option[Column] = None,
+                    maxNb: Int = Int.MaxValue): DataFrame = {
     val und = undirected(
         rels.where(col("TYPE").isin(types: _*)), "START_ID", "END_ID")
       .distinct()
-    val nbArr = und.groupBy(col("u"))
+    // Hub-proofing (r7 verdict #4): uncapped, a 10⁷-degree hub
+    // materializes its WHOLE adjacency in one row. maxNb keeps the
+    // per-node array bounded by sampling ≤ maxNb neighbors with the
+    // smallest deterministic per-edge hash draw — the node2vec
+    // neighbor-sampling norm (GraphSAGE-style fan-out), replayable
+    // exactly in SQL (hash asc, id asc through the bounded TopK
+    // partial aggregate — k rows per node per partition cross the
+    // shuffle, never the hub's degree).
+    val nbEdges =
+      if (maxNb == Int.MaxValue) und
+      else TopK.perKey(
+        und.withColumn("neg_hv",
+          -((((col("u") * 1000003L + col("v")) % 1000000007L) *
+            2654435761L) % 1000000007L)),
+        key = "u", ord = "neg_hv", tiebreak = "v", payload = "v",
+        k = maxNb)
+        .select(col("u"), col("v"))
+    val nbArr = nbEdges.groupBy(col("u"))
       .agg(sort_array(collect_set(col("v"))).as("nb"))
       .select(col("u").as("node"), col("nb"))
       .localCheckpoint(true)

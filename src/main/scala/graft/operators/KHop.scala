@@ -420,4 +420,56 @@ object KHop {
     edges.select(col("src").as("a"), col("dst").as("m"))
       .join(edges.select(col("src").as("m"), col("dst").as("c")), "m")
       .select(col("a"), col("c")).distinct()
+
+  /** Property-WEIGHTED bounded-cost k-hop — the reference's khop carries a
+    * rel-property sentinel only for edge ORIENTATION (KHOP.md:55-70); this
+    * is the weighted generalization that closes the gap to the weighted
+    * GDS consumers (pagerank_weighted, sssp_bf): an edge property is a
+    * per-edge traversal cost, the reach set is every node whose min-cost
+    * undirected path of ≤ k−1 hops from the origin stays within `budget`,
+    * and the output is [[kHopEdges]]' incidence semantics over that reach
+    * — the distinct natural edges with an endpoint in reach.
+    *
+    * Exactness: costs go through ⌊·⌋→int64 once at the scan (a double
+    * cast would ROUND in DuckDB and TRUNCATE in Spark — floor is pinned),
+    * parallel edges collapse to their min cost, and the hop recursion is
+    * min-plus over int64 — every engine replays it bit-for-bit.
+    *
+    * Scale: identical join shape to [[kHopEdges]] — k−1 frontier
+    * expansions each one equi-join + one (origin, node) min-aggregate
+    * (map-side combined), then the two incidence equi-joins + distinct.
+    * The budget predicate prunes INSIDE the expansion (applied before the
+    * aggregate), so a tight budget shrinks every downstream join; hub
+    * skew is AQE's skew-join case exactly as in [[kHopEdges]]. */
+  def kHopEdgesWeighted(rels: DataFrame, types: Seq[String], cost: Column,
+                        k: Int, budget: Long,
+                        originPred: Option[Column] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = rels.where(col("TYPE").isin(types: _*))
+      .select(col("START_ID").as("src"), col("END_ID").as("dst"),
+        coalesce(floor(cost).cast("long"), lit(1L)).as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val eNat = e.select(col("src"), col("dst"))
+    val adj = e.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .union(e.select(col("dst"), col("src"), col("w")))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val allOrigins = adj.select(col("a").as("origin")).distinct()
+    val origins = originPred.fold(allOrigins)(p => allOrigins.where(p))
+    var reach = origins
+      .select(col("origin"), col("origin").as("node"), lit(0L).as("cost"))
+    for (_ <- 1 until k) {
+      val step = reach.join(adj, col("node") === col("a"))
+        .select(col("origin"), col("b").as("node"),
+          (col("cost") + col("w")).as("cost"))
+        .where(col("cost") <= budget)
+      reach = reach.union(step)
+        .groupBy(col("origin"), col("node")).agg(min(col("cost")).as("cost"))
+    }
+    val nodes = reach.select(col("origin"), col("node"))
+    val bySrc = nodes.join(eNat, col("src") === col("node"))
+      .select(col("origin"), col("src"), col("dst"))
+    val byDst = nodes.join(eNat, col("dst") === col("node"))
+      .select(col("origin"), col("src"), col("dst"))
+    bySrc.union(byDst).distinct()
+  }
 }

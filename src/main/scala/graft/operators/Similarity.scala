@@ -44,7 +44,7 @@ object Similarity {
       asDouble(col("embedding")).as("ce"))
     val scored = c.join(q, col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(cosineFast(col("qe"), col("ce")), 6).as("sim"))
+        round6(cosineFast(col("qe"), col("ce"))).as("sim"))
       .where(col("sim").isNotNull)
     TopK.perKey(scored, key = "qid", ord = "sim", tiebreak = "nid",
         payload = "nid", k = k)
@@ -72,7 +72,7 @@ object Similarity {
     val assigned = corp.join(cent, lit(true))
       .groupBy(col("nid"))
       .agg(
-        max(struct(round(cosineFast(col("ce"), col("cv")), 6).as("sim"),
+        max(struct(round6(cosineFast(col("ce"), col("cv"))).as("sim"),
           (-col("cid")).as("negcid"))).as("best"),
         first(col("ce")).as("ce"))
       .select(col("nid"), col("ce"), (-col("best.negcid")).as("cid"))
@@ -83,7 +83,7 @@ object Similarity {
       asDouble(col("embedding")).as("qe"))
     val probed = {
       val w = Window.partitionBy(col("qid"))
-        .orderBy(round(cosineFast(col("qe"), col("cv")), 6).desc, col("cid"))
+        .orderBy(round6(cosineFast(col("qe"), col("cv"))).desc, col("cid"))
       q.join(cent, lit(true))
         .withColumn("crn", row_number().over(w))
         .where(col("crn") <= nprobe)
@@ -93,7 +93,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cid"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(cosineFast(col("qe"), col("ce")), 6).as("sim"))
+        round6(cosineFast(col("qe"), col("ce"))).as("sim"))
       .where(col("sim").isNotNull)
       // a candidate can sit in several probed cells only if duplicated —
       // cells partition the corpus, so no dedup needed
@@ -105,15 +105,21 @@ object Similarity {
   }
 
   /** Integer quantization shared by the trained-IVF path (and by
-    * `Dedup.embeddingNearDupLsh`): round(x·1000) per component. All
+    * `Dedup.embeddingNearDupLsh`): ⌊x·1000 + ½⌋ per component. All
     * downstream k-means arithmetic stays in exact int64, which is what
     * lets the WHOLE training loop sit under an exact cross-engine
     * oracle — float centroid means would differ in the last ulp between
-    * engines (summation order) and flip assignments. */
+    * engines (summation order) and flip assignments.
+    *
+    * Engine-exactness: floor(+½), never round() — round() on a double is
+    * the one op whose tie convention and implementation (BigDecimal
+    * re-expansion vs multiply-and-round) varies across engines and
+    * versions; floor of a correctly-rounded product is pinned by IEEE 754
+    * everywhere (same rule as [[quantizeInt8]]). */
   def quantized(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       transform(asDouble(col("embedding")),
-        x => round(x * 1000).cast("long")).as("qv"))
+        x => floor(x * 1000 + 0.5).cast("long")).as("qv"))
 
   /** Per-vector symmetric int8 quantization — the storage/serving format
     * for embedding corpora (4× smaller than float32, SIMD int8 dot
@@ -331,7 +337,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cid"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(cosineFast(col("qe"), col("ce")), 6).as("sim"))
+        round6(cosineFast(col("qe"), col("ce"))).as("sim"))
       .where(col("sim").isNotNull)
     TopK.perKey(scored, key = "qid", ord = "sim", tiebreak = "nid",
         payload = "nid", k = k)
@@ -438,7 +444,7 @@ object Similarity {
     val q = embeddings.select(col("vec_id"),
       col("label").cast("long").as("label"),
       transform(asDouble(col("embedding")),
-        x => round(x * 1000).cast("long")).as("qv"))
+        x => floor(x * 1000 + 0.5).cast("long")).as("qv"))
     val proto = q
       .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
@@ -472,7 +478,7 @@ object Similarity {
     val q = embeddings.select(col("vec_id"),
       col("label").cast("long").as("label"),
       transform(asDouble(col("embedding")),
-        x => round(x * 1000).cast("long")).as("qv"))
+        x => floor(x * 1000 + 0.5).cast("long")).as("qv"))
     val queries = q.where(queryPred)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("qv").as("qq"))
@@ -537,7 +543,7 @@ object Similarity {
     val q = embeddings.select(col("vec_id"),
       col("label").cast("long").as("label"),
       transform(asDouble(col("embedding")),
-        x => round(x * 1000).cast("long")).as("qv"))
+        x => floor(x * 1000 + 0.5).cast("long")).as("qv"))
     def sep(keys: Seq[String], tag: Column): DataFrame = {
       val kc = keys.map(col)
       val m2 = q.select(kc :+ longDot(col("qv"), col("qv")).as("sq"): _*)
@@ -574,7 +580,7 @@ object Similarity {
     val q = embeddings.select(col("label").cast("long").as("label"),
       (col("vec_id") % 2).as("half"),
       transform(asDouble(col("embedding")),
-        x => round(x * 1000).cast("long")).as("qv"))
+        x => floor(x * 1000 + 0.5).cast("long")).as("qv"))
     val cent = q
       .select(col("label"), col("half"),
         posexplode(col("qv")).as(Seq("pos", "x")))
@@ -614,7 +620,7 @@ object Similarity {
     val q = embeddings.select(col("vec_id"),
       col("label").cast("long").as("label"),
       transform(asDouble(col("embedding")),
-        x => round(x * 1000).cast("long")).as("qv"))
+        x => floor(x * 1000 + 0.5).cast("long")).as("qv"))
     val cent = kmeansQuantized(embeddings, iters, initMod)
     val assigned = assignQuantized(quantized(embeddings), cent)
       .join(q.select(col("vec_id"), col("label")), "vec_id")

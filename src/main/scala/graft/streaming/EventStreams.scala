@@ -117,7 +117,7 @@ object EventStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val incoming = batch.withColumn("_is_delete", isDelete)
-        val prev = latestVersion(stateDir)
+        val prev = latestVersionBefore(stateDir, batchId)
           .map(v => spark.read.parquet(s"$stateDir/v$v"))
         val all = prev.fold(incoming)(_.unionByName(incoming))
         graft.operators.Changelog.compactState(all, key, seq)
@@ -131,6 +131,19 @@ object EventStreams {
   def latestVersion(dir: String): Option[Long] =
     Option(new java.io.File(dir).listFiles).toSeq.flatten
       .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .reduceOption(_ max _)
+
+  /** Highest state version STRICTLY below `bound` — the version a
+    * foreachBatch merge for batch `bound` must read. Using latestVersion
+    * there is wrong under retries: if the v<b> write succeeded but the
+    * checkpoint commit did not, the re-run would lazily READ v<b> while
+    * overwrite-WRITING the same path (Spark rejects that), instead of
+    * cleanly re-deriving v<b> from v<b-1> (ADVICE r7). The orphan v<b>
+    * is simply overwritten. */
+  def latestVersionBefore(dir: String, bound: Long): Option[Long] =
+    Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .filter(_ < bound)
       .reduceOption(_ max _)
 
   /** Session windows with a 30-minute inactivity gap per user — the

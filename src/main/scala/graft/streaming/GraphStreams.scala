@@ -115,7 +115,7 @@ object GraphStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val prev = EventStreams.latestVersion(stateDir)
+        val prev = EventStreams.latestVersionBefore(stateDir, batchId)
           .map(v => spark.read.parquet(s"$stateDir/v$v"))
         ccMergeBatch(prev, batch.toDF())
           .coalesce(1)

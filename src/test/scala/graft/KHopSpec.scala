@@ -254,6 +254,31 @@ class KHopSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted bounded-cost k-hop: budget prunes the reach, " +
+      "null costs default to 1, incidence matches by hand") {
+    // path costs from origin 1: 2 at 5, 3 at 7 (2 hops), 4 at 10
+    // (over budget 8), null-cost edge (3,6) counts as 1
+    val wrels = Seq(
+      (1L, 2L, Some(5.0)), (2L, 3L, Some(2.0)), (3L, 6L, None),
+      (1L, 4L, Some(10.0)), (4L, 5L, Some(1.0)))
+      .toDF("START_ID", "END_ID", "quantity")
+      .withColumn("TYPE", lit("W"))
+    def run(k: Int) = KHop.kHopEdgesWeighted(wrels, types = Seq("W"),
+        cost = col("quantity"), k = k, budget = 8L,
+        originPred = Some(col("origin") === 1L))
+      .as[(Long, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    // k=2: reach {1, 2} (4 costs 10 > 8) -> incident edges of 1 and 2
+    assert(run(2) == Set((1L, 2L), (2L, 3L), (1L, 4L)))
+    // k=3: reach adds 3 at cost 7 -> its null-cost (3,6) edge appears
+    assert(run(3) == Set((1L, 2L), (2L, 3L), (3L, 6L), (1L, 4L)))
+    // budget 0: reach is the origin alone
+    val tight = KHop.kHopEdgesWeighted(wrels, types = Seq("W"),
+        cost = col("quantity"), k = 2, budget = 0L,
+        originPred = Some(col("origin") === 1L))
+      .as[(Long, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    assert(tight == Set((1L, 2L), (1L, 4L)))
+  }
+
   test("incrementalTwoHop equals the full recompute on random deltas") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 3) {

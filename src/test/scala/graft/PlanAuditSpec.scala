@@ -347,6 +347,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows == 0, s"unexpected window in power iteration:\n$plan")
   }
 
+  test("hub-capped node2vec bounds every adjacency array to maxNb (r8)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the capped walk: the neighbor-cap stage must rank through the
+    // bounded TopK aggregate (no per-node window), and the walk output
+    // must visit only nodes inside the capped fan-out of the hub
+    val df = SparkEntry.queries("node2vec_walks_hub")(spark, dir)
+    val plan = formatted(df)
+    assert(!plan.contains("Window"), s"per-node window in plan:\n$plan")
+    // semantic bound: a star hub of degree 40 capped at 8 — every walk
+    // step out of the hub lands in the 8 hash-smallest spokes
+    val rels = (1L to 40L).map(i => (0L, i, "T"))
+      .toDF("START_ID", "END_ID", "TYPE")
+    val walks = graft.operators.GraphAlgos.node2vecWalks(rels,
+      types = Seq("T"), starts = 2, length = 3, wReturn = 2L,
+      wStay = 8L, wFar = 4L, originPred = Some(col("id") === 0L),
+      maxNb = 8)
+    val m = 1000000007L
+    val capped = (1L to 40L)
+      .map(v => (v, ((0L * 1000003L + v) % m) * 2654435761L % m))
+      .sortBy { case (v, hv) => (hv, v) }.take(8).map(_._1).toSet
+    val visited = walks.where(col("step") > 0)
+      .select(col("node")).as[Long].collect().toSet
+    assert(visited.forall(v => v == 0L || capped.contains(v)),
+      s"walk escaped the capped fan-out: ${visited -- capped - 0L}")
+  }
+
   test("incremental CC merge step: remap joins state against a " +
       "BROADCAST fixup, never a shuffled full join (r7)") {
     import org.apache.spark.sql.functions.col

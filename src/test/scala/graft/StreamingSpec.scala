@@ -281,10 +281,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("ccMergeBatch is idempotent under foreachBatch retries: " +
       "re-merging an already-applied batch is a fixed point") {
-    // a failed micro-batch re-runs with the state it ALREADY wrote as
-    // `prev` (latestVersion returns the highest version, which may be
-    // its own) — re-applying must not move any rep: contracted edges
-    // all map rep→rep (dropped) and every node already exists
+    // a failed micro-batch re-runs against the last committed state —
+    // latestVersionBefore(batchId) selects v<b-1 even when an orphan
+    // v<b> survived the failed commit (r7 ADVICE: reading v<b> while
+    // overwrite-writing v<b> is rejected by Spark). Re-applying an
+    // already-applied batch must also not move any rep: contracted
+    // edges all map rep→rep (dropped) and every node already exists
     import graft.streaming.GraphStreams
     val b1 = Seq((1L, 2L), (5L, 6L)).toDF("src", "dst")
     val b2 = Seq((2L, 5L), (10L, 11L)).toDF("src", "dst")
@@ -298,6 +300,25 @@ class StreamingSpec extends AnyFunSuite {
     val s2RetryB1 = GraphStreams.ccMergeBatch(Some(s2), b1)
     assert(s2RetryB1.as[(Long, Long)].collect().toSet ==
       s2.as[(Long, Long)].collect().toSet)
+  }
+
+  test("latestVersionBefore skips an orphan same-batch version dir") {
+    // the retry scenario itself: v0 committed, v1 written but its
+    // checkpoint commit lost — the re-run of batch 1 must read v0
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lvb_").toString
+    try {
+      new java.io.File(s"$base/v0").mkdirs()
+      new java.io.File(s"$base/v1").mkdirs()
+      assert(EventStreams.latestVersion(base).contains(1L))
+      assert(EventStreams.latestVersionBefore(base, 1L).contains(0L))
+      assert(EventStreams.latestVersionBefore(base, 0L).isEmpty)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
   }
 
   test("incremental CC over a staged changelog equals batch clusters") {

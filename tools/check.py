@@ -17,10 +17,64 @@ any individual result dir whose embedded _SF.txt (written inside the tmp
 dir, so it travels with Verify's atomic rename) disagrees — a stale or
 cross-SF result can then never pass silently.
 """
-import sys, os, json, glob, fcntl
+import sys, os, json, glob, fcntl, hashlib, datetime, decimal
 import duckdb
 import pandas as pd
 import numpy as np
+
+EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def canon_cell(v):
+    """Mirror of graft.Verify's canonCell — the canonical cell encoding
+    behind _HASH.txt. Any edit here must be mirrored in Verify.scala."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Inf"
+        if v == float("-inf"):
+            return "-Inf"
+        return "%.17e" % v
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + v.hex()
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return str((v - EPOCH) // datetime.timedelta(microseconds=1))
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(sorted(
+            canon_cell(k) + "=" + canon_cell(x) for k, x in v.items())) + "}"
+    if isinstance(v, (np.floating,)):
+        return canon_cell(float(v))
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    return str(v)
+
+
+def canon_digest(rel):
+    """SHA-256 over rows of a DuckDB relation, columns sorted by name, rows
+    sorted as their encoded lines — graft.Verify's digest() in Python."""
+    cols = sorted(rel.columns)
+    rel2 = rel.project(", ".join('"%s"' % c for c in cols))
+    lines = ["\x01".join(canon_cell(v) for v in row)
+             for row in rel2.fetchall()]
+    lines.sort()
+    md = hashlib.sha256()
+    for l in lines:
+        md.update(l.encode("utf-8"))
+        md.update(b"\n")
+    return md.hexdigest()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -73,7 +127,9 @@ def main():
     sfdir_marker = os.path.join(out_dir, "_SFDIR.txt")
     if os.path.exists(sfdir_marker):
         marked = open(sfdir_marker).read().strip()
-        if os.path.normpath(marked) != os.path.normpath(sf_dir):
+        # realpath, not normpath: a relative vs absolute spelling of the
+        # SAME directory must compare equal (ADVICE r7)
+        if os.path.realpath(marked) != os.path.realpath(sf_dir):
             print(f"FATAL: outdir {out_dir} was written from sfDir "
                   f"'{marked}' but this compare targets '{sf_dir}' — "
                   "refusing to mix scale factors", file=sys.stderr)
@@ -106,10 +162,15 @@ def main():
         sf_txt = os.path.join(d, "_SF.txt")
         if os.path.exists(sf_txt):
             got_sf = open(sf_txt).read().strip()
-            if os.path.normpath(got_sf) != os.path.normpath(sf_dir):
+            if os.path.realpath(got_sf) != os.path.realpath(sf_dir):
                 results[name] = (f"SF-MIX result written from '{got_sf}' "
                                  f"but compared against '{sf_dir}'")
                 continue
+        else:
+            # a result dir with no marker predates this sweep's Verify —
+            # exactly the stale-artifact mixing this gate exists to stop
+            results[name] = "NO-PROVENANCE (missing _SF.txt — stale result?)"
+            continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files \
             else pd.DataFrame()
@@ -157,7 +218,22 @@ def main():
             else:
                 if not a.astype(str).equals(b.astype(str)):
                     mismatches.append(c)
-        results[name] = "OK" if not mismatches else f"VALUES {mismatches}"
+        if not mismatches:
+            results[name] = "OK"
+        else:
+            # forensic digests (r8): Verify's _HASH.txt (spark side as the
+            # WRITER saw it) vs the same canonical digest recomputed here
+            # from the parquet and from the oracle — a red row now names
+            # which engine moved
+            hash_txt = os.path.join(d, "_HASH.txt")
+            sdig_v = (open(hash_txt).read().strip()
+                      if os.path.exists(hash_txt) else "absent")
+            try:
+                sdig, odig = canon_digest(srel), canon_digest(rel)
+            except Exception as e:  # digest is forensics, never the verdict
+                sdig = odig = f"digest-error {e}"
+            results[name] = (f"VALUES {mismatches} [spark={sdig_v[:16]} "
+                             f"spark_recalc={sdig[:16]} oracle={odig[:16]}]")
     bad = 0
     for k, v in sorted(results.items()):
         flag = "PASS" if v == "OK" or v.startswith("NO-ORACLE") else "FAIL"
