@@ -1174,12 +1174,36 @@ object QueriesRelational {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "agg_percentiles" ->
-      """SELECT l_returnflag AS returnflag,
-        |       floor((quantile_cont(l_quantity, 0.5)) * 1000000 + 0.5) / 1000000 AS med_qty,
-        |       floor((quantile_cont(l_extendedprice, 0.9)) * 1000000 + 0.5) / 1000000 AS p90_price,
-        |       floor((quantile_cont(l_extendedprice, 0.99)) * 1000000 + 0.5) / 1000000 AS p99_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // quantile_cont's interpolation formula is not version-pinned (the
+    // same latitude class as round() — see COVERAGE.md round() ban), so
+    // the oracle replays Spark Percentile's EXACT expression instead:
+    // pos = q·(n−1); lower==higher → element, else
+    // (higher−pos)·a[lower] + (pos−lower)·a[higher]. q literals in
+    // exponent notation (0.9 would parse DECIMAL — the float-literal
+    // rule).
+    "agg_percentiles" -> {
+      def interp(arr: String, q: String) =
+        s"""CASE WHEN floor($q * (n - 1)) = ceil($q * (n - 1))
+           |     THEN $arr[1 + CAST($q * (n - 1) AS INTEGER)]
+           |     ELSE (ceil($q * (n - 1)) - $q * (n - 1))
+           |            * $arr[1 + CAST(floor($q * (n - 1)) AS INTEGER)]
+           |        + ($q * (n - 1) - floor($q * (n - 1)))
+           |            * $arr[1 + CAST(ceil($q * (n - 1)) AS INTEGER)]
+           |END""".stripMargin
+      s"""WITH s AS (SELECT l_returnflag,
+         |    list_sort(list(l_quantity)) AS qs,
+         |    list_sort(list(l_extendedprice)) AS ps,
+         |    count(*) AS n
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag AS returnflag,
+         |  floor((${interp("qs", "0.5e0")}) * 1000000 + 0.5) / 1000000
+         |    AS med_qty,
+         |  floor((${interp("ps", "0.9e0")}) * 1000000 + 0.5) / 1000000
+         |    AS p90_price,
+         |  floor((${interp("ps", "0.99e0")}) * 1000000 + 0.5) / 1000000
+         |    AS p99_price
+         |FROM s""".stripMargin
+    },
     "window_topk" ->
       """SELECT custkey, orderkey, totalprice, rn FROM (
         |  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
