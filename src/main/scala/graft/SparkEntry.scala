@@ -336,6 +336,30 @@ object SparkEntry {
       back.groupBy(col("label")).agg(count(lit(1)).as("n"),
         count(col("name")).as("n_named"))
     }),
+    // Flight-transport semantics under the gate (reference:
+    // Producer.java:86-510 over gRPC; here the dependency-free framed-TCP
+    // twin, sources/IpcTransport): PUT a table through a real loopback
+    // socket (client→server Arrow IPC ingest), GET it back
+    // (server→client per-partition egress), aggregate the result. The
+    // relay shape of examples/arrow_to_bq.py:1-137 — stream out of the
+    // transport into a warehouse-side aggregate — with the BQ sink
+    // replaced by the only warehouse in scope (Spark itself).
+    "transport_roundtrip" -> ((s, dir) => {
+      val orders = TpchGraph.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val server = new graft.sources.IpcTransport.Server(s, "gate-token").start()
+      try {
+        val cli = new graft.sources.IpcTransport.Client(
+          "127.0.0.1", server.port, "gate-token")
+        try {
+          cli.put("orders_put", orders.repartition(4))
+          cli.get(s, "orders_put")
+            .groupBy(col("o_orderstatus").as("status"))
+            .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+            .localCheckpoint(true) // materialize while the server is up
+        } finally cli.close()
+      } finally server.close()
+    }),
     // W1: dense id map under the gate. Which original id gets which dense
     // offset depends on partition order (unordered-stream contract), so
     // the gate checks the deterministic bijection invariants: n dense ids,
@@ -890,6 +914,10 @@ object SparkEntry {
       s"""WITH $NodesCte
          |SELECT label, count(*) AS n, count(name) AS n_named
          |FROM nodes GROUP BY label""".stripMargin,
+    "transport_roundtrip" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY 1""".stripMargin,
     "write_null_skip" ->
       """WITH t AS (
         |  SELECT l_returnflag,
