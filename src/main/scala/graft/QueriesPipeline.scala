@@ -1052,6 +1052,14 @@ object QueriesPipeline {
         .select(col("lang"), col("pred"), col("cnt"),
           expr("cnt * 1000000 div tot").as("rate_ppm"))
     }),
+    // code-switching profile: per-chunk language ID → per-doc mix stats
+    "langid_mix" -> ((s, dir) =>
+      CorpusTools.langMixProfile(table(s, dir, "documents"),
+        "doc_id", "text", width = 16)),
+    // n-gram novelty in corpus (doc_id) order — first-occurrence counts
+    "ngram_novelty" -> ((s, dir) =>
+      CorpusTools.ngramNovelty(table(s, dir, "documents"),
+        "doc_id", "text", n = 3)),
     "token_count" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),
@@ -3611,6 +3619,54 @@ object QueriesPipeline {
          |       CAST(m.cnt * 1000000 // tot.tot AS BIGINT) AS rate_ppm
          |FROM m JOIN tot USING (lang)""".stripMargin
     },
+    "langid_mix" -> {
+      // chunk → per-chunk langId (same scores/tie order as lang_id) →
+      // per-doc mix stats with deterministic majority tie-break
+      val scoreExprs = TextFunctions.LangMarkers.map { case (l, m) =>
+        val list = m.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(cw, x -> list_contains($list, x))) AS s_$l"
+      }.mkString(",\n         ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+        .mkString("\n         ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |ch AS (SELECT doc_id,
+         |         unnest(list_transform(range((len(ws) + 15) // 16),
+         |           i -> list_slice(ws, i * 16 + 1, i * 16 + 16))) AS cw
+         |       FROM w),
+         |sc AS (SELECT doc_id,
+         |         $scoreExprs
+         |       FROM ch),
+         |b AS (SELECT *, $best AS best FROM sc),
+         |p AS (SELECT doc_id, CASE $cases END AS pred FROM b),
+         |c AS (SELECT doc_id, pred, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM p GROUP BY 1, 2),
+         |m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |        CAST(count(*) AS BIGINT) AS n_langs, max(cnt) AS mx
+         |      FROM c GROUP BY 1)
+         |SELECT c.doc_id, m.n_chunks, m.n_langs,
+         |       min(c.pred) AS majority_lang,
+         |       CAST(m.mx * 1000000 // m.n_chunks AS BIGINT) AS majority_ppm
+         |FROM c JOIN m ON c.doc_id = m.doc_id AND c.cnt = m.mx
+         |GROUP BY 1, 2, 3, m.mx""".stripMargin
+    },
+    "ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1),
+        |a AS (SELECT sh.doc_id, count(*) AS n_ngrams,
+        |        CAST(sum(CASE WHEN sh.doc_id = f.fd THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_novel
+        |      FROM sh JOIN f USING (s) GROUP BY 1)
+        |SELECT doc_id, n_ngrams, n_novel,
+        |       CAST(n_novel * 1000000 // n_ngrams AS BIGINT) AS novelty_ppm
+        |FROM a""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

@@ -304,6 +304,31 @@ object CorpusTools {
         countDistinct(col("s")).as("n_shared_ngrams"))
   }
 
+  /** N-gram novelty profile in corpus order — for each document, how many
+    * of its distinct n-grams first appear THERE (no earlier doc_id has
+    * them). The curation signal behind "fresh data first" ordering audits
+    * and dataset-growth accounting: a feed whose novelty_ppm collapses is
+    * re-crawling what the corpus already holds.
+    *
+    * Scale design: one explode → (doc, shingle) pairs; first-occurrence
+    * is a hash aggregate (min doc_id per shingle — partial-agg friendly);
+    * the postings join back is ∝ pairs, never docs², and each pair row
+    * matches exactly one `firsts` row so hot shingles skew neither side.
+    * Integer arithmetic only (counts, min, floor-div ppm) — exact in any
+    * engine. */
+  def ngramNovelty(docs: DataFrame, id: String, text: String,
+                   n: Int = 3): DataFrame = {
+    val pairs = docs.select(col(id).as("d"),
+      explode(shingles(words(col(text)), n)).as("s"))
+    val firsts = pairs.groupBy(col("s")).agg(min(col("d")).as("fd"))
+    pairs.join(firsts, "s")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("d") === col("fd"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("d").as(id), col("n_ngrams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_ngrams").as("novelty_ppm"))
+  }
+
   /** Deterministic stratified sampling: per-stratum keep rates (percent)
     * via the same Knuth multiplicative hash as [[hashSplit]] — keep row
     * iff (id·2654435761) mod 1e9+7 mod 100 < rate(stratum). Pure narrow
@@ -318,6 +343,42 @@ object CorpusTools {
       when(col(stratum) === k, lit(pct)).otherwise(acc)
     }
     df.withColumn("keep", bucket < rate)
+  }
+
+  /** Code-switching (language-mix) profile: fixed-width word chunks are
+    * language-classified independently ([[graft.functions.TextFunctions.langId]],
+    * same marker sets and tie order as the `lang_id` gate) and each doc
+    * reports its chunk count, distinct predicted languages, majority
+    * language, and the majority's share in ppm. The routing filter behind
+    * "mostly-X with embedded Y" corpus decisions — one doc-level language
+    * ID cannot see mixing at all.
+    *
+    * Scale design: narrow projection → explode of ⌈len/width⌉ chunk rows
+    * per doc (bounded by token count, no text duplication — chunks are
+    * slices of the already-split word array), two hash aggregates, and a
+    * join back on (doc, max-count) to pick the majority with a
+    * deterministic tie-break (lexicographically smallest language).
+    * Integer arithmetic only. */
+  def langMixProfile(docs: DataFrame, id: String, text: String,
+                     width: Int = 16): DataFrame = {
+    val nCh = expr(s"(size(split($text, ' ')) + ${width - 1}) div $width")
+    val chunked = docs
+      .select(col(id).as("d"), words(col(text)).as("ws"),
+        explode(sequence(lit(0L), nCh.cast("long") - 1L)).as("i"))
+      .select(col("d"), graft.functions.TextFunctions.langId(
+        slice(col("ws"), (col("i") * width + 1).cast("int"),
+          lit(width))).as("pred"))
+    val cnts = chunked.groupBy(col("d"), col("pred"))
+      .agg(count(lit(1)).as("cnt"))
+    val per = cnts.groupBy(col("d")).agg(sum(col("cnt")).as("n_chunks"),
+      count(lit(1)).as("n_langs"), max(col("cnt")).as("mx"))
+    cnts.join(per, "d")
+      .where(col("cnt") === col("mx"))
+      .groupBy(col("d"), col("n_chunks"), col("n_langs"), col("mx"))
+      .agg(min(col("pred")).as("majority_lang"))
+      .select(col("d").as(id), col("n_chunks"), col("n_langs"),
+        col("majority_lang"),
+        expr("mx * 1000000 div n_chunks").as("majority_ppm"))
   }
 
   /** Sequence packing (the GPT-style training-corpus layout): documents

@@ -662,4 +662,34 @@ class CorpusToolsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(bad("n_distinct_pos") == 2L && bad("n_rows") == 10L)
   }
+
+  test("ngramNovelty: first-occurrence counts in doc_id order") {
+    // d1 "a b c": bigrams {a b, b c} both first-seen -> 2/2 novel
+    // d2 "a b d": {a b (seen in d1), b d} -> 1/2 novel
+    // d3 "x": < 2 words -> no bigrams -> absent from the result
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = CorpusTools.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out === Map(
+      1L -> ((1L, 2L, 2L, 1000000L)),
+      2L -> ((2L, 2L, 1L, 500000L))))
+  }
+
+  test("langMixProfile: per-chunk language id, majority with " +
+      "deterministic tie-break") {
+    // width=2: doc 1 chunks ["the a" -> en, "el la" -> es]: 2 langs,
+    // tied 1/1 -> majority = min(en, es) = en at 500000 ppm.
+    // doc 2 one chunk "the of" -> en. doc 3 has no marker words at all:
+    // all scores 0 -> ties resolve to the first language in order (en).
+    val docs = Seq((1L, "the a el la"), (2L, "the of"), (3L, "zz yy"))
+      .toDF("doc_id", "text")
+    val out = CorpusTools.langMixProfile(docs, "doc_id", "text", width = 2)
+      .as[(Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out === Map(
+      1L -> ((1L, 2L, 2L, "en", 500000L)),
+      2L -> ((2L, 1L, 1L, "en", 1000000L)),
+      3L -> ((3L, 1L, 1L, "en", 1000000L))))
+  }
 }
