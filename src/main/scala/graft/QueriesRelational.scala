@@ -180,6 +180,24 @@ object QueriesRelational {
     * new stateful APIs must produce the identical session set): full batch
     * sessionization per user with session-boundary micros in the
     * checksum. */
+  /** Strict-order funnel — shared by the batch gate (`funnel_stages`)
+    * and its incremental streaming twin (`stream_funnel`). */
+  private val FunnelStagesOracle: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      |       GROUP BY e.user_id)
+      |SELECT '1_view' AS stage,
+      |       (SELECT count(*) FROM s1) AS n_entities
+      |UNION ALL SELECT '2_click', (SELECT count(*) FROM s2)
+      |UNION ALL SELECT '3_purchase', (SELECT count(*) FROM s3)""".stripMargin
+
   private val SessionStreamOracle: String =
     """WITH l AS (
       |  SELECT user_id, epoch_us(ts) AS tus, event_id,
@@ -834,6 +852,64 @@ object QueriesRelational {
       rmStaging(tmp)
       s.table(qname)
     }),
+    // STREAMING funnel maintenance: the strict-order funnel_stages
+    // pipeline maintained incrementally by StatefulFunnel — per-user
+    // state is (stage index, last qualifying time), O(1), never an
+    // event list. Three event-time-range files with forced mtime order
+    // arrive as separate micro-batches (per-user time order holds
+    // because the cuts are global), the update-mode sink records each
+    // user's progression, and the furthest stage per user must equal
+    // the batch funnel's membership — checked against the SAME oracle
+    // text as funnel_stages.
+    "stream_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val mm = e.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * ((hi - lo) / 3)
+      val base = s"/tmp/graft_sfunnel_" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
+      val src = s"$base/src"
+      Files.createDirectories(Paths.get(src))
+      def stage(df: DataFrame, n: Int): Unit = {
+        val tmp = s"$base/stage$n"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Paths.get(tmp).toFile.listFiles
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val dest = Paths.get(src, f"$n%02d.parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        // strictly increasing mtimes: FileStreamSource orders by mtime
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * n))
+      }
+      stage(e.where(unix_micros(col("ts")) <= c1), 1)
+      stage(e.where(unix_micros(col("ts")) > c1 &&
+        unix_micros(col("ts")) <= c2), 2)
+      stage(e.where(unix_micros(col("ts")) > c2), 3)
+      import s.implicits._
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .as[graft.streaming.FunnelEvent]
+      val qname = s"graft_stream_funnel_${System.nanoTime()}"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.StatefulFunnel.progress(stream,
+            Seq("view", "click", "purchase"))
+          .toDF().writeStream.format("memory").queryName(qname)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      rmStaging(base)
+      val fin = s.table(qname).groupBy(col("user_id"))
+        .agg(max(col("stage")).as("reached"))
+      val labels = Seq((1L, "1_view"), (2L, "2_click"), (3L, "3_purchase"))
+        .toDF("k", "stage")
+      broadcast(labels).join(fin, expr("reached >= k"), "left")
+        .groupBy(col("stage")).agg(count(col("user_id")).as("n_entities"))
+    }),
     // sketches AS streaming state: the per-(group, bucket) HLL register
     // max IS a streaming aggregate (max is a monoid), so the distinct-
     // user sketch maintains itself across micro-batches; the batch
@@ -1286,21 +1362,10 @@ object QueriesRelational {
          |    AS roll3_sum
          |FROM r
          |WINDOW w AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin,
-    "funnel_stages" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-        |            WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |       JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t
-        |       GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |       JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
-        |       GROUP BY e.user_id)
-        |SELECT '1_view' AS stage,
-        |       (SELECT count(*) FROM s1) AS n_entities
-        |UNION ALL SELECT '2_click', (SELECT count(*) FROM s2)
-        |UNION ALL SELECT '3_purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    "funnel_stages" -> FunnelStagesOracle,
+    // the incremental maintenance result must equal the batch funnel —
+    // byte-identical oracle text, shared on purpose
+    "stream_funnel" -> FunnelStagesOracle,
     "funnel_windowed" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),

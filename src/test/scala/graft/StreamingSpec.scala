@@ -404,4 +404,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(sessions.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("StatefulFunnel: per-user stage advances across micro-batches " +
+      "with strict-order semantics and O(1) state") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[graft.streaming.FunnelEvent]
+    val q = graft.streaming.StatefulFunnel.progress(in.toDS(),
+        Seq("view", "click", "purchase"))
+      .toDF().writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      import graft.streaming.FunnelEvent
+      // batch 1: u1 view@0; u2 view@2 and click@2 (same ts: click must
+      // NOT count — strictly-later required); u3 click@1 (no view: 0)
+      in.addData(
+        FunnelEvent(1L, ts(0), "view"),
+        FunnelEvent(2L, ts(2), "view"),
+        FunnelEvent(2L, ts(2), "click"),
+        FunnelEvent(3L, ts(1), "click"))
+      q.processAllAvailable()
+      // batch 2: u1 click@2 — state carried from batch 1 advances to 2
+      in.addData(FunnelEvent(1L, ts(2), "click"))
+      q.processAllAvailable()
+      // batch 3: u1 purchase@3 -> 3; u2 purchase@5 (needs click first: 1)
+      in.addData(FunnelEvent(1L, ts(3), "purchase"),
+        FunnelEvent(2L, ts(5), "purchase"))
+      q.processAllAvailable()
+      val fin = spark.table("funnel_out").groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.max($"stage").as("stage"))
+        .as[(Long, Long)].collect().toMap
+      assert(fin === Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+    } finally q.stop()
+  }
 }
