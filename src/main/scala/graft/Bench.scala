@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    BASELINE.md) and the complete map goes to bench_full.json in the
   *    repo root, which the end-of-round snapshot commits.
   *  - this host's CPU throughput swings ~4× between runs (BASELINE.md), so
-  *    queries ≥3 s get a second run (bounded by a global re-run budget) and
+  *    queries ≥2 s get a second run (bounded by a global re-run budget) and
   *    report min-of-2 — single-run numbers on the heavy queries are noise.
   */
 object Bench {
@@ -61,7 +61,7 @@ object Bench {
       case None =>
         var rerunBudget = 300.0
         for ((name, t1) <- first.sortBy(-_._2)
-             if t1 >= 3.0 && t1 <= rerunBudget) {
+             if t1 >= 2.0 && t1 <= rerunBudget) {
           val t2 = time(SparkEntry.queries(name))
           rerunBudget -= t2
           times(name) = math.min(t1, t2)
@@ -80,7 +80,7 @@ object Bench {
     val fullQs = times.toSeq.sortBy(_._1)
       .map { case (k, v) => s"  \"" + k + "\":" + f3(v) }
       .mkString("{\n", ",\n", "\n}")
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${times.size},"rerun_min2_threshold_sec":3.0,"queries":$fullQs}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${times.size},"rerun_min2_threshold_sec":2.0,"queries":$fullQs}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), full + "\n")
 

@@ -2647,7 +2647,8 @@ object QueriesPipeline {
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${qd("q", "c")}, c.cid) AS rn
          |  FROM q, c1 c) t WHERE rn = 1),
-         |wd AS (SELECT a.vec_id, a.qv, a.cid, ${qd("a", "c")} AS dc
+         |wd AS (SELECT a.vec_id, a.qv, a.cid,
+         |         CAST(${qd("a", "c")} AS BIGINT) AS dc
          |       FROM af a JOIN c1 c USING (cid)),
          |p2 AS (SELECT a.vec_id AS x, b.vec_id AS y FROM wd a JOIN wd b
          |       ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -2705,9 +2706,9 @@ object QueriesPipeline {
          |qq AS (SELECT vec_id AS qid, label AS qlabel, qv AS qprobe
          |       FROM q WHERE vec_id < 10),
          |s AS (SELECT qq.qid, q.vec_id AS nid,
-         |        list_sum(list_transform(range(1, $dimP1),
+         |        CAST(list_sum(list_transform(range(1, $dimP1),
          |          j -> (q.qv[j] - qq.qprobe[j]) * (q.qv[j] - qq.qprobe[j])))
-         |          AS d
+         |          AS BIGINT) AS d
          |      FROM q, qq WHERE q.label != qq.qlabel)
          |SELECT qid, nid, d, rn FROM (
          |  SELECT qid, nid, d, row_number() OVER (PARTITION BY qid
@@ -2853,8 +2854,9 @@ object QueriesPipeline {
         |         FROM u GROUP BY 1, 2),
         |n AS (SELECT label, half, count(*) AS n FROM q GROUP BY 1, 2)
         |SELECT a.label, na.n AS n_a, nb.n AS n_b,
-        |  list_sum(list_transform(range(1, 65),
-        |    j -> (a.qc[j] - b.qc[j]) * (a.qc[j] - b.qc[j]))) AS drift_sq
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    j -> (a.qc[j] - b.qc[j]) * (a.qc[j] - b.qc[j]))) AS BIGINT)
+        |    AS drift_sq
         |FROM cent a
         |JOIN cent b ON b.label = a.label AND a.half = 0 AND b.half = 1
         |JOIN n na ON na.label = a.label AND na.half = 0

@@ -1656,7 +1656,8 @@ object QueriesRelational {
         |              WHEN (g-1)*(g-1)*(g-1)*(g-1) <= n3 THEN g-1
         |              ELSE g-2 END AS w
         |       FROM g0),
-        |r AS (SELECT tid, w, sum(w) OVER (ORDER BY tid) AS hi
+        |r AS (SELECT tid, w,
+        |        CAST(sum(w) OVER (ORDER BY tid) AS BIGINT) AS hi
         |      FROM wt WHERE w > 0),
         |rr AS (SELECT tid, hi - w AS lo, hi FROM r),
         |t AS (SELECT max(hi) AS t FROM rr),

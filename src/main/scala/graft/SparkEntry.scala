@@ -134,6 +134,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_edges"),
           sum(col("src") * lit(100003L) + col("dst")).as("checksum"))
     }),
+    // §2.7 streaming × §2.3, k=3 (r8 verdict #7): the same join-state
+    // pattern COMPOSES — one self-join stage per hop (the reference's
+    // KHopMessage carries arbitrary k while its engine implements 2;
+    // KHopMessage.java:83-88). Same staged changelog, origins restricted
+    // to suppliers; oracle replays the BATCH khop_3 semantics on the
+    // identical edge subset.
+    "stream_khop_3" -> ((s, dir) => {
+      val edges = graph(s, dir).rels
+        .where(col("TYPE") === "IN_REGION" ||
+          (col("TYPE") === "FROM_NATION" &&
+            col("START_ID").between(2000000000L, 2999999999L)))
+        .select(col("START_ID").as("src"), col("END_ID").as("dst"))
+      val base = s"/tmp/graft_stream_khop3_" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
+      val src = graft.streaming.GraphStreams
+        .stageEdgeChangelog(edges, base, nSlices = 3)
+      val pairs = graft.streaming.GraphStreams
+        .threeHopOverChangelog(s, src, "gate", 2000000000L, 2999999999L)
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(new java.io.File(base))
+      pairs.groupBy(col("origin"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum((col("src") % 100003L) * lit(100003L) + (col("dst") % 100003L))
+            .as("checksum"))
+    }),
     // §2.7 streaming × graph algorithms: INCREMENTAL connected
     // components over an edge changelog (r6 verdict #7) — an ITERATIVE
     // algorithm maintained as streaming state. Deterministic test graph
@@ -352,8 +379,32 @@ object SparkEntry {
         val cli = new graft.sources.IpcTransport.Client(
           "127.0.0.1", server.port, "gate-token")
         try {
-          cli.put("orders_put", orders.repartition(4))
-          cli.get(s, "orders_put")
+          // r9: the roundtrip now rides the FLIGHT-FRAMED path — every
+          // payload a wire-exact Flight protobuf (FlightData in via FPUT
+          // ≙ acceptPut, FlightData out via FGET ≙ getStream, FlightInfo
+          // via FINFO ≙ getFlightInfo); the plain framed verbs keep spec
+          // coverage in IpcTransportSpec.
+          cli.putFlight("orders_put", orders.repartition(4))
+          val finfo = cli.getFlightInfo("orders_put")
+          require(finfo.descriptor.path == Seq("orders_put"),
+            s"FlightInfo descriptor drift: ${finfo.descriptor}")
+          require(finfo.schema.nonEmpty && finfo.endpoints.nonEmpty,
+            "FlightInfo missing schema/endpoints")
+          // C4 catalog fidelity (r9, Producer.java:411-437 analog): LIST
+          // carries per-flight schema — register a second table and
+          // require both flights list with their exact schema DDL. A
+          // drift here fails the gate loudly, not just a spec.
+          val nation = TpchGraph.table(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))
+          server.register("nation_dim", nation)
+          val byName = cli.listFlights().map(f => f._1 -> f._2).toMap
+          require(byName.keySet == Set("orders_put", "nation_dim"),
+            s"LIST catalog mismatch: ${byName.keySet}")
+          require(byName("orders_put") == orders.schema.toDDL,
+            s"orders_put schema drift: ${byName("orders_put")}")
+          require(byName("nation_dim") == nation.schema.toDDL,
+            s"nation_dim schema drift: ${byName("nation_dim")}")
+          cli.getFlight(s, "orders_put")
             .groupBy(col("o_orderstatus").as("status"))
             .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
             .localCheckpoint(true) // materialize while the server is up
@@ -738,6 +789,36 @@ object SparkEntry {
          |      ) AS u)
          |SELECT origin, count(*) AS n_edges,
          |       CAST(sum(src * 100003 + dst) AS BIGINT) AS checksum
+         |FROM k GROUP BY origin""".stripMargin,
+    // identical 3-hop semantics as khop_3, restricted to the staged
+    // changelog's edge subset — incremental-stream ≡ batch-recompute at
+    // k=3 (mod-100003 checksum terms: reach sets span region hubs, so
+    // per-origin sums of raw 2e9-scale ids could overflow int64)
+    "stream_khop_3" ->
+      s"""WITH $RelsCte,
+         |e AS (SELECT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type = 'IN_REGION'
+         |         OR (type = 'FROM_NATION'
+         |             AND start_id BETWEEN 2000000000 AND 2999999999)),
+         |u AS (SELECT src AS a, dst AS b FROM e
+         |      UNION SELECT dst, src FROM e),
+         |r1 AS (SELECT a AS origin, b AS node FROM u
+         |       WHERE a BETWEEN 2000000000 AND 2999999999),
+         |reach AS (
+         |  SELECT DISTINCT a AS origin, a AS node FROM u
+         |  WHERE a BETWEEN 2000000000 AND 2999999999
+         |  UNION SELECT origin, node FROM r1
+         |  UNION SELECT DISTINCT r1.origin, u.b
+         |        FROM r1 JOIN u ON u.a = r1.node),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT reach.origin, e.src, e.dst
+         |        FROM reach JOIN e ON e.src = reach.node
+         |        UNION ALL
+         |        SELECT reach.origin, e.src, e.dst
+         |        FROM reach JOIN e ON e.dst = reach.node) AS x)
+         |SELECT origin, count(*) AS n_edges,
+         |       CAST(sum((src % 100003) * 100003 + (dst % 100003))
+         |         AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     // batch replay of the incrementally-maintained CC state: rep(n) =
     // min over n's reachable set (recursive CTE over the symmetric

@@ -76,11 +76,18 @@ object Verify {
     def canonCell(v: Any): String = v match {
       case null => "\u0000NULL"
       case d: java.lang.Double =>
+        // Locale.ROOT: the f interpolator uses the default locale, so a
+        // non-English driver JVM would emit ',' decimal separators and
+        // every _HASH.txt would diverge from check.py's C-locale form.
         if (d.isNaN) "NaN" else if (d.isInfinite) (if (d > 0) "Inf" else "-Inf")
-        else f"${d.doubleValue}%.17e"
+        else String.format(java.util.Locale.ROOT, "%.17e", d)
       case f: java.lang.Float => canonCell(java.lang.Double.valueOf(f.toDouble))
       case b: Array[Byte] => "0x" + b.map(x => f"$x%02x").mkString
-      case d: java.sql.Date => d.toString
+      case d: java.sql.Date =>
+        // epoch days, not toString: java.sql.Date.toString renders in the
+        // JVM default timezone — tz-independent integer form instead,
+        // mirrored by check.py canon_cell ("d" + days-since-epoch).
+        "d" + d.toLocalDate.toEpochDay.toString
       case t: java.sql.Timestamp =>
         val i = t.toInstant
         (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
@@ -125,8 +132,15 @@ object Verify {
         // between leaves a result dir with _SF.txt but no _HASH.txt,
         // which check.py reports as 'absent' in forensics (never a
         // verdict change).
-        Files.writeString(Paths.get(s"$outDir/$name/_HASH.txt"),
+        // digest is FORENSICS, never the verdict (check.py treats an
+        // absent _HASH.txt as 'absent', not a failure) — so a digest-only
+        // crash (exotic type, OOM on the collect) must not turn an
+        // otherwise-green gate red. Own try/catch: log and continue.
+        try Files.writeString(Paths.get(s"$outDir/$name/_HASH.txt"),
           digest(s"$outDir/$name") + "\n")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name digest skipped: ${e.getMessage}")
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         deleteRecursively(new java.io.File(tmp))

@@ -120,8 +120,18 @@ object CorpusTools {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     // exact integer 4th root: the double chain is only a guess (within
-    // ±1 of the true root for cnt³ ≤ 2⁶³); the int64 clamp pins w
-    val n3 = col(cnt) * col(cnt) * col(cnt)
+    // ±1 of the true root for cnt³ ≤ 2⁶³); the int64 clamp pins w.
+    // Beyond cnt ≈ 2,097,151 the cnt³/(g+2)⁴ arithmetic silently wraps
+    // in int64 while the DuckDB oracle would promote to HUGEINT — fail
+    // LOUDLY instead of diverging (ADVICE r8). At 100 TB a per-token
+    // count past 2.1M is plausible, so the caller must pre-scale counts
+    // (e.g. divide by a constant) rather than trust a wrapped weight.
+    val cntChecked = when(col(cnt) > lit(2097151L),
+        raise_error(concat(lit(s"weightedNegSample: count overflow ("),
+          col(cnt).cast("string"),
+          lit(" > 2097151) — cnt^3 would wrap int64; pre-scale counts"))))
+      .otherwise(col(cnt))
+    val n3 = cntChecked * cntChecked * cntChecked
     val g = floor(sqrt(sqrt(n3.cast("double")))).cast("long")
     def p4(c: Column): Column = c * c * c * c
     val w = when(p4(g + 2) <= n3, g + 2)

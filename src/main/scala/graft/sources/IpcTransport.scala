@@ -87,8 +87,37 @@ object IpcTransport {
           val h = new Thread(() => handle(s), "graft-ipc-conn")
           h.setDaemon(true)
           h.start()
-        } catch { case _: Throwable => () } // closed mid-accept
+        } catch {
+          case _: Throwable =>
+            // closed mid-accept is the normal shutdown path; any OTHER
+            // persistent accept() failure (fd exhaustion, interface gone)
+            // must not become a tight busy-loop on the daemon thread —
+            // exit if the socket is dead, otherwise back off briefly.
+            if (closed || sock.isClosed) return
+            Thread.sleep(50)
+        }
       }
+
+    /** FlightInfo for a registered table (Producer.java:411-437 shape):
+      * IPC-encapsulated Arrow schema, PATH descriptor, one endpoint whose
+      * ticket is the table name, located at this server. -1 totals =
+      * unknown (Flight convention; counting would run the query). */
+    private def flightInfoOf(name: String, df: DataFrame): FlightProto.FlightInfo = {
+      import scala.jdk.CollectionConverters._
+      val arrowSchema = new org.apache.arrow.vector.types.pojo.Schema(
+        df.schema.fields.map(f => ArrowIpc.toArrowField(f)).toSeq.asJava)
+      val baos = new java.io.ByteArrayOutputStream()
+      org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
+        new org.apache.arrow.vector.ipc.WriteChannel(
+          java.nio.channels.Channels.newChannel(baos)), arrowSchema)
+      FlightProto.FlightInfo(
+        schema = baos.toByteArray,
+        descriptor = FlightProto.FlightDescriptor.path(name),
+        endpoints = Seq(FlightProto.FlightEndpoint(
+          FlightProto.Ticket.of(name),
+          Seq(FlightProto.Location(s"grpc+tcp://127.0.0.1:$port")))),
+        totalRecords = -1L, totalBytes = -1L)
+    }
 
     private def handle(s: Socket): Unit = {
       val in = new DataInputStream(s.getInputStream)
@@ -96,8 +125,10 @@ object IpcTransport {
       try {
         // auth gate: first frame must be the shared token. Constant
         // responses, connection dropped on mismatch — the reference's
-        // basic-auth validator contract.
-        if (readStr(in) != token) {
+        // basic-auth validator contract. MessageDigest.isEqual is the
+        // constant-time compare (a String != leaks match-prefix timing).
+        if (!java.security.MessageDigest.isEqual(
+            readFrame(in), token.getBytes(UTF_8))) {
           writeStr(out, "ERR unauthenticated")
           return
         }
@@ -109,7 +140,13 @@ object IpcTransport {
             catch { case _: Throwable => live = false; "" }
           if (live) req.split(" ", 3).toList match {
             case "LIST" :: Nil =>
-              writeStr(out, tables.keys.toSeq.sorted.mkString(","))
+              // each flight carries its schema + partition count, the way
+              // the reference's listFlights resolves a FlightInfo schema
+              // per ticket (Producer.java:411-437) — one record-separated
+              // entry per table: name \t schema DDL \t numPartitions.
+              writeStr(out, tables.toSeq.sortBy(_._1).map { case (n, df) =>
+                s"$n\t${df.schema.toDDL}\t${df.rdd.getNumPartitions}"
+              }.mkString("\u001e"))
             case "INFO" :: name :: Nil =>
               tables.get(name) match {
                 case Some(df) =>
@@ -136,6 +173,60 @@ object IpcTransport {
                 // materialize NOW: ingest must fail on this request (bad
                 // schema, ragged batch), not on a later reader's action
                 val df = ArrowIpc.fromIpcStreams(ds, schema)
+                  .localCheckpoint(true)
+                tables.put(name, df)
+                writeStr(out, s"OK\t${df.count()}")
+              } catch { case e: Throwable =>
+                writeStr(out, s"ERR ${e.getMessage}")
+              }
+            // ---- Flight-framed twins (r9): same verbs, but every payload
+            // is a wire-exact Arrow Flight protobuf message (FlightProto)
+            // — what a grpc-java Flight client would exchange, minus only
+            // the HTTP/2 session layer. FINFO ≙ getFlightInfo,
+            // FGET ≙ getStream (FlightData per IPC message),
+            // FPUT ≙ acceptPut (FlightData stream in, descriptor-first).
+            case "FINFO" :: name :: Nil =>
+              tables.get(name) match {
+                case Some(df) =>
+                  writeStr(out, "OK")
+                  writeFrame(out, flightInfoOf(name, df).encode)
+                case None => writeStr(out, s"ERR not found: $name")
+              }
+            case "FGET" :: name :: Nil =>
+              tables.get(name) match {
+                case Some(df) =>
+                  writeStr(out, "OK")
+                  val it = ArrowIpc.toIpcStreams(df).toLocalIterator()
+                  while (it.hasNext) {
+                    FlightProto.splitIpcStream(it.next()).foreach { m =>
+                      writeFrame(out, FlightProto.FlightData(
+                        None, m.metadata, Array.emptyByteArray, m.body).encode)
+                    }
+                  }
+                  writeFrame(out, Array.emptyByteArray)
+                case None => writeStr(out, s"ERR not found: $name")
+              }
+            case "FPUT" :: name :: ddl :: Nil =>
+              val msgs = Iterator.continually(readFrame(in))
+                .takeWhile(_.nonEmpty)
+                .map(FlightProto.FlightData.decode)
+                .map(fd => FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+                .toSeq
+              try {
+                // partition streams are delimited by their Schema headers
+                val blobs = Seq.newBuilder[Array[Byte]]
+                var cur = List.empty[FlightProto.IpcMessage]
+                msgs.foreach { m =>
+                  if (FlightProto.isSchemaMessage(m) && cur.nonEmpty) {
+                    blobs += FlightProto.joinIpcStream(cur.reverse)
+                    cur = List(m)
+                  } else cur ::= m
+                }
+                if (cur.nonEmpty) blobs += FlightProto.joinIpcStream(cur.reverse)
+                val schema = StructType.fromDDL(ddl)
+                import spark.implicits._
+                val df = ArrowIpc.fromIpcStreams(
+                    spark.createDataset(blobs.result()), schema)
                   .localCheckpoint(true)
                 tables.put(name, df)
                 writeStr(out, s"OK\t${df.count()}")
@@ -181,9 +272,16 @@ object IpcTransport {
       resp.split("\t").drop(1)
     }
 
-    def listTables(): Seq[String] = {
+    def listTables(): Seq[String] = listFlights().map(_._1)
+
+    /** Full catalog listing: (name, schema DDL, partition count) per
+      * flight — the C4 listFlights surface with schema fidelity. */
+    def listFlights(): Seq[(String, String, Int)] = {
       writeStr(out, "LIST")
-      readStr(in).split(",").toSeq.filter(_.nonEmpty)
+      readStr(in).split("\u001e").toSeq.filter(_.nonEmpty).map { rec =>
+        val f = rec.split("\t")
+        (f(0), f(1), f(2).toInt)
+      }
     }
 
     /** (schema DDL, partition count). */
@@ -214,6 +312,63 @@ object IpcTransport {
       writeStr(out, s"PUT $name ${df.schema.toDDL}")
       ArrowIpc.toIpcStreams(df).toLocalIterator()
         .forEachRemaining(b => writeFrame(out, b))
+      writeFrame(out, Array.emptyByteArray)
+      expectOk(readStr(in))(0).toLong
+    }
+
+    /** getFlightInfo over the wire: a decoded FlightInfo protobuf. */
+    def getFlightInfo(name: String): FlightProto.FlightInfo = {
+      writeStr(out, s"FINFO $name")
+      val r = readStr(in)
+      require(r == "OK", r)
+      FlightProto.FlightInfo.decode(readFrame(in))
+    }
+
+    /** getStream over the wire: raw FlightData frames (one per Arrow IPC
+      * message), exactly as a Flight server would emit them. */
+    def getFlightData(name: String): Seq[FlightProto.FlightData] = {
+      writeStr(out, s"FGET $name")
+      val r = readStr(in)
+      require(r == "OK", r)
+      Iterator.continually(readFrame(in)).takeWhile(_.nonEmpty)
+        .map(FlightProto.FlightData.decode).toSeq
+    }
+
+    /** Fetch a table through the Flight-framed path: FlightData frames →
+      * partition IPC streams (Schema headers delimit) → DataFrame. */
+    def getFlight(spark: SparkSession, name: String): DataFrame = {
+      val info = getFlightInfo(name)
+      require(info.descriptor.path == Seq(name), "descriptor mismatch")
+      val (ddl, _) = this.info(name)
+      val msgs = getFlightData(name)
+        .map(fd => FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+      val blobs = Seq.newBuilder[Array[Byte]]
+      var cur = List.empty[FlightProto.IpcMessage]
+      msgs.foreach { m =>
+        if (FlightProto.isSchemaMessage(m) && cur.nonEmpty) {
+          blobs += FlightProto.joinIpcStream(cur.reverse)
+          cur = List(m)
+        } else cur ::= m
+      }
+      if (cur.nonEmpty) blobs += FlightProto.joinIpcStream(cur.reverse)
+      import spark.implicits._
+      ArrowIpc.fromIpcStreams(spark.createDataset(blobs.result()),
+        StructType.fromDDL(ddl))
+    }
+
+    /** Upload through the Flight-framed path (acceptPut shape: the first
+      * FlightData of each stream carries the descriptor + Schema header);
+      * returns the server-side row count. */
+    def putFlight(name: String, df: DataFrame): Long = {
+      writeStr(out, s"FPUT $name ${df.schema.toDDL}")
+      val desc = FlightProto.FlightDescriptor.path(name)
+      ArrowIpc.toIpcStreams(df).toLocalIterator().forEachRemaining { blob =>
+        FlightProto.splitIpcStream(blob).zipWithIndex.foreach { case (m, i) =>
+          writeFrame(out, FlightProto.FlightData(
+            if (i == 0) Some(desc) else None,
+            m.metadata, Array.emptyByteArray, m.body).encode)
+        }
+      }
       writeFrame(out, Array.emptyByteArray)
       expectOk(readStr(in))(0).toLong
     }

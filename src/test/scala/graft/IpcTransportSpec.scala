@@ -57,6 +57,31 @@ class IpcTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("listFlights carries per-flight schema + partitions (C4 fidelity)") {
+    // reference: Producer.java:411-437 — listFlights resolves each
+    // FlightInfo's schema the same way getFlightInfo does. Our LIST
+    // mirrors that: every entry is (name, schema DDL, numPartitions),
+    // byte-identical to what INFO reports for the same flight.
+    withServer { srv =>
+      srv.register("people", sample)
+      val dims = (0L until 7L).map(i => (i, s"d$i")).toDF("k", "label")
+      srv.register("dims", dims.repartition(3))
+      val c = new IpcTransport.Client("127.0.0.1", srv.port, "sekrit")
+      try {
+        val flights = c.listFlights()
+        assert(flights.map(_._1) == Seq("dims", "people")) // sorted
+        val byName = flights.map(f => f._1 -> f).toMap
+        assert(byName("people")._2 == sample.schema.toDDL)
+        assert(byName("dims")._2 == dims.schema.toDDL)
+        assert(byName("dims")._3 == 3)
+        // LIST and INFO agree per flight
+        flights.foreach { case (n, ddl, nParts) =>
+          assert(c.info(n) == (ddl, nParts))
+        }
+      } finally c.close()
+    }
+  }
+
   test("getStream round-trips rows and types through Arrow IPC frames") {
     withServer { srv =>
       srv.register("people", sample)

@@ -352,6 +352,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ccMergeBatch double-failure replay: losing the checkpoint commit " +
+      "AND the state write for the last batch, then restarting, converges " +
+      "to the same mapping") {
+    import graft.streaming.GraphStreams
+    // VERDICT r8 #5 — the one retry window left open after the r8
+    // latestVersionBefore fix: batch b ran, but BOTH its checkpoint
+    // commit and its v<b> state write are lost. The restarted query must
+    // re-merge batch b from v<b-1> (idempotent min-label merge) and land
+    // on the identical component mapping.
+    val ids = (0L until 60L)
+    val edges = (ids.map(i => (i, i - i % 5)) ++
+      ids.filter(_ % 15 == 4).map(i => (i, i + 1))).toDF("src", "dst")
+    val base = s"/tmp/graft_stream_cc_dfail_${System.nanoTime()}"
+    try {
+      val src = GraphStreams.stageEdgeChangelog(edges, base, nSlices = 3)
+      def run(): Unit = {
+        val stream = spark.readStream.schema("src BIGINT, dst BIGINT")
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        GraphStreams.incrementalConnectedComponents(
+          stream, s"$base/state", s"$base/ckpt").awaitTermination()
+      }
+      run()
+      val last = EventStreams.latestVersion(s"$base/state").get
+      assert(last >= 2L)  // the 3 slices really arrived as separate batches
+      val want = spark.read.parquet(s"$base/state/v$last")
+        .as[(Long, Long)].collect().toSet
+      // the double failure: commit log entry for the last batch gone,
+      // state write for the last batch gone (offsets/<last> survives, so
+      // the restart replays exactly batch <last>)
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      val commit = new java.io.File(s"$base/ckpt/commits/$last")
+      assert(commit.exists)
+      commit.delete()
+      // ChecksumFs keeps a .crc sidecar per commit file — left behind it
+      // blocks the re-committed batch's rename with FileAlreadyExists
+      new java.io.File(s"$base/ckpt/commits/.$last.crc").delete()
+      rm(new java.io.File(s"$base/state/v$last"))
+      run()  // replays batch <last> from v<last-1>
+      val got = spark.read.parquet(s"$base/state/v$last")
+        .as[(Long, Long)].collect().toSet
+      assert(got == want)
+      // and the replayed mapping still equals the batch-CC contract
+      val batchCC = graft.operators.Dedup.clusters(
+          edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == batchCC)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("file-stream hourly counts on real events match the batch twin") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_stream_src")

@@ -47,7 +47,8 @@ def canon_cell(v):
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return str((v - EPOCH) // datetime.timedelta(microseconds=1))
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        # epoch days, mirroring Verify.canonCell's tz-independent form
+        return "d" + str((v - EPOCH.date()).days)
     if isinstance(v, decimal.Decimal):
         return str(v.normalize())
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -91,16 +92,42 @@ def norm_type(t: str) -> str:
         return "list<" + norm_type(t[:-2]) + ">"
     if "[" in t:  # fixed-size array e.g. DOUBLE[3]
         return "list<" + norm_type(t[: t.index("[")]) + ">"
-    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    if t == "HUGEINT":
+        # NEVER fold into "int": DuckDB's typed export maps HUGEINT to
+        # decimal128, so the driver hashes Decimal(123) != int64(123) while
+        # rows/schema match — the r8 dedup_semantic/embed_drift/
+        # hard_negatives/neg_sample_weighted signature (and r4's sql_q9 for
+        # DECIMAL). A distinct tag makes the TYPES check fail loudly here
+        # at authoring time instead of hash-only in the driver.
+        return "hugeint-BANNED(cast to BIGINT in the oracle)"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
         return "int"
     if t in ("FLOAT", "DOUBLE", "REAL"):
         return "float"
     if t.startswith("DECIMAL"):
-        return "decimal"
+        return "decimal-BANNED(cast to BIGINT or DOUBLE in the oracle)"
     if t.startswith("TIMESTAMP"):
         return "timestamp"
     return t.lower()
+
+
+# the full closed set of oracle result types: anything else (HUGEINT,
+# DECIMAL, UUID, INTERVAL, structs, …) either hash-diverges in the
+# driver's typed export or is untested — ban at authoring time.
+_ALLOWED = {"int", "float", "varchar", "boolean", "date", "timestamp"}
+
+
+def banned_oracle_type(raw: str):
+    """Return a reason string if a DuckDB result type is outside the
+    allowlist {ints, DOUBLE, VARCHAR, BOOLEAN, DATE, TIMESTAMP,
+    list-of-same}, else None."""
+    n = norm_type(str(raw))
+    while n.startswith("list<") and n.endswith(">"):
+        n = n[5:-1]
+    if n not in _ALLOWED:
+        return n
+    return None
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -184,6 +211,16 @@ def main():
                           for c, t in zip(rel.columns, rel.types)}
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
+            continue
+        # authoring-time ban (VERDICT r8 #2): an oracle whose RESULT column
+        # is HUGEINT/DECIMAL/other exotic can never be intended — it fails
+        # here, not hash-only in the driver.
+        obad = [(c, banned_oracle_type(t))
+                for c, t in zip(rel.columns, rel.types)
+                if banned_oracle_type(t)]
+        if obad:
+            results[name] = "ORACLE-TYPE-BANNED " + ", ".join(
+                f"{c}: {r}" for c, r in obad)
             continue
         # typed-representation check via DuckDB's view of BOTH sides (the
         # pandas path below coerces to float64 and would mask decimal/double)
