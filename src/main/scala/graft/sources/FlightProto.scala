@@ -210,6 +210,48 @@ object FlightProto {
     }
   }
 
+  /** `Action { type=1 (string), body=2 (bytes) }` — the doAction request
+    * (reference dispatches on type via its handler map,
+    * Producer.java:513-541). */
+  final case class Action(atype: String, body: Array[Byte]) {
+    def encode: Array[Byte] =
+      new Writer().stringField(1, atype).bytesField(2, body).result()
+  }
+  object Action {
+    def of(atype: String, body: String = ""): Action =
+      Action(atype, body.getBytes(UTF_8))
+    def decode(b: Array[Byte]): Action = {
+      val fs = new Reader(b).fields()
+      Action(new String(bytesOf(fs, 1), UTF_8), bytesOf(fs, 2))
+    }
+  }
+
+  /** `ActionType { type=1 (string), description=2 (string) }` — one
+    * listActions entry (reference: ActionHandler.actionDescriptions,
+    * Producer.java:543-550). */
+  final case class ActionType(atype: String, description: String) {
+    def encode: Array[Byte] = new Writer()
+      .stringField(1, atype).stringField(2, description).result()
+  }
+  object ActionType {
+    def decode(b: Array[Byte]): ActionType = {
+      val fs = new Reader(b).fields()
+      ActionType(new String(bytesOf(fs, 1), UTF_8),
+        new String(bytesOf(fs, 2), UTF_8))
+    }
+  }
+
+  /** `Result { body=1 (bytes) }` — the doAction response. */
+  final case class ActionResult(body: Array[Byte]) {
+    def encode: Array[Byte] = new Writer().bytesFieldAlways(1, body).result()
+    def asString: String = new String(body, UTF_8)
+  }
+  object ActionResult {
+    def of(s: String): ActionResult = ActionResult(s.getBytes(UTF_8))
+    def decode(b: Array[Byte]): ActionResult =
+      ActionResult(bytesOf(new Reader(b).fields(), 1))
+  }
+
   // -------------------------------------------- IPC stream <-> FlightData
   /** One encapsulated Arrow IPC message: the flatbuffer metadata (what
     * Flight puts in `data_header`) and the body bytes (`data_body`). */

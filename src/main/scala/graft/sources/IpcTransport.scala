@@ -233,6 +233,63 @@ object IpcTransport {
               } catch { case e: Throwable =>
                 writeStr(out, s"ERR ${e.getMessage}")
               }
+            // FACTIONS ≙ listActions: one ActionType frame per supported
+            // action, zero frame ends (Producer.java:543-550).
+            case "FACTIONS" :: Nil =>
+              writeStr(out, "OK")
+              Seq(
+                FlightProto.ActionType("job.status",
+                  "Check the status of a Job"),
+                FlightProto.ActionType("job.submit",
+                  "Run a registered table as a ticketed Job"),
+                FlightProto.ActionType("info.jobs",
+                  "List currently active Jobs"),
+                FlightProto.ActionType("info.version",
+                  "Get metadata on server info")
+              ).foreach(a => writeFrame(out, a.encode))
+              writeFrame(out, Array.emptyByteArray)
+            // FACTION ≙ doAction: one Action frame in, one Result frame
+            // out — dispatch on type like the reference's handler map
+            // (Producer.java:513-541; job.status = StatusHandler.java:20,
+            // info.jobs/info.version = ServerInfoHandler.java:20-21; the
+            // wire shapes are the Flight Action/Result protos that the
+            // reference's Message codecs serialize into action bodies).
+            case "FACTION" :: Nil =>
+              val action = FlightProto.Action.decode(readFrame(in))
+              val body = new String(action.body, UTF_8)
+              action.atype.toLowerCase match {
+                case "job.status" =>
+                  graft.operators.Jobs.status(body) match {
+                    case Some(st) =>
+                      writeStr(out, "OK")
+                      // reference wire contract: PENDING/PRODUCING/
+                      // COMPLETE/ERROR (StatusHandler serializes the
+                      // enum name uppercase)
+                      writeFrame(out, FlightProto.ActionResult
+                        .of(st.toString.toUpperCase(java.util.Locale.ROOT))
+                        .encode)
+                    case None => writeStr(out, "ERR no job for ticket")
+                  }
+                case "job.submit" =>
+                  tables.get(body) match {
+                    case Some(df) =>
+                      import scala.concurrent.ExecutionContext.Implicits.global
+                      val h = graft.operators.Jobs.submit(df)
+                      writeStr(out, "OK")
+                      writeFrame(out, FlightProto.ActionResult.of(h.ticket).encode)
+                    case None => writeStr(out, s"ERR not found: $body")
+                  }
+                case "info.jobs" =>
+                  writeStr(out, "OK")
+                  val jobs = graft.operators.Jobs.list().toSeq.sortBy(_._1)
+                    .map { case (t, st) => s"$t=$st" }.mkString(",")
+                  writeFrame(out, FlightProto.ActionResult.of(jobs).encode)
+                case "info.version" =>
+                  writeStr(out, "OK")
+                  writeFrame(out,
+                    FlightProto.ActionResult.of(graft.operators.Jobs.version).encode)
+                case other => writeStr(out, s"ERR unsupported action: $other")
+              }
             case "SUBMIT" :: name :: Nil =>
               tables.get(name) match {
                 case Some(df) =>
@@ -371,6 +428,24 @@ object IpcTransport {
       }
       writeFrame(out, Array.emptyByteArray)
       expectOk(readStr(in))(0).toLong
+    }
+
+    /** listActions over the wire: decoded ActionType protos. */
+    def listActions(): Seq[FlightProto.ActionType] = {
+      writeStr(out, "FACTIONS")
+      val r = readStr(in)
+      require(r == "OK", r)
+      Iterator.continually(readFrame(in)).takeWhile(_.nonEmpty)
+        .map(FlightProto.ActionType.decode).toSeq
+    }
+
+    /** doAction over the wire: Action proto in, Result proto out. */
+    def doAction(atype: String, body: String = ""): FlightProto.ActionResult = {
+      writeStr(out, "FACTION")
+      writeFrame(out, FlightProto.Action.of(atype, body).encode)
+      val r = readStr(in)
+      require(r == "OK", r)
+      FlightProto.ActionResult.decode(readFrame(in))
     }
 
     def submit(name: String): String = {

@@ -122,6 +122,50 @@ class FlightProtoSpec extends AnyFunSuite {
       sample.as[(Long, String, Double)].collect().sorted.toSeq)
   }
 
+  test("FACTIONS/FACTION carry Flight Action/ActionType/Result protos " +
+      "for the reference's doAction vocabulary") {
+    val srv = new IpcTransport.Server(spark, token = "sekrit").start()
+    try {
+      val c = new IpcTransport.Client("127.0.0.1", srv.port, "sekrit")
+      try {
+        // listActions: the reference's action vocabulary (job.status =
+        // StatusHandler, info.jobs/info.version = ServerInfoHandler)
+        val actions = c.listActions()
+        assert(actions.map(_.atype).toSet ==
+          Set("job.status", "job.submit", "info.jobs", "info.version"))
+        actions.foreach { a =>
+          val fs = parse(a.encode) // ActionType fields 1/2 per Flight.proto
+          assert(new String(b1(fs, 1), UTF_8) == a.atype)
+          assert(new String(b1(fs, 2), UTF_8) == a.description)
+        }
+        assert(c.doAction("info.version").asString.nonEmpty)
+        assert(c.doAction("INFO.VERSION").asString ==
+          c.doAction("info.version").asString) // case-insensitive dispatch
+        // ticketed job through the Action path end-to-end
+        c.putFlight("tact", sample.coalesce(2))
+        val ticket = c.doAction("job.submit", "tact").asString
+        assert(ticket.nonEmpty)
+        var st = c.doAction("job.status", ticket).asString
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (st != "COMPLETE" && System.nanoTime() < deadline) {
+          Thread.sleep(50); st = c.doAction("job.status", ticket).asString
+        }
+        assert(st == "COMPLETE")
+        assert(c.doAction("info.jobs").asString.contains(ticket))
+        // unknown action and unknown ticket fail with the ERR contract
+        val e1 = intercept[IllegalArgumentException](c.doAction("nope"))
+        assert(e1.getMessage.contains("unsupported action"))
+        val e2 = intercept[IllegalArgumentException](
+          c.doAction("job.status", "no-such-ticket"))
+        assert(e2.getMessage.contains("no job for ticket"))
+        // Action proto itself: type=1, body=2
+        val afs = parse(FlightProto.Action.of("job.status", "T-1").encode)
+        assert(new String(b1(afs, 1), UTF_8) == "job.status")
+        assert(new String(b1(afs, 2), UTF_8) == "T-1")
+      } finally c.close()
+    } finally srv.close()
+  }
+
   test("FINFO/FGET/FPUT round-trip a table over the loopback with " +
       "Flight-framed payloads") {
     val srv = new IpcTransport.Server(spark, token = "sekrit").start()
