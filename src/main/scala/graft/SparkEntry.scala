@@ -404,9 +404,29 @@ object SparkEntry {
             s"orders_put schema drift: ${byName("orders_put")}")
           require(byName("nation_dim") == nation.schema.toDDL,
             s"nation_dim schema drift: ${byName("nation_dim")}")
-          cli.getFlight(s, "orders_put")
-            .groupBy(col("o_orderstatus").as("status"))
-            .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+          // C1/C2 through the Flight Action wire (r9b): submit the put
+          // table as a ticketed job via doAction, poll to COMPLETE —
+          // the reference's job.submit/job.status lifecycle
+          // (StatusHandler.java:20-47) gated end-to-end.
+          val ticket = cli.doAction("job.submit", "orders_put").asString
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          var jst = cli.doAction("job.status", ticket).asString
+          while (jst != "COMPLETE" && jst != "ERROR" &&
+              System.nanoTime() < deadline) {
+            Thread.sleep(100)
+            jst = cli.doAction("job.status", ticket).asString
+          }
+          require(jst == "COMPLETE", s"ticketed job ended $jst")
+          // r9b: the gate's result now comes through the FULL reference
+          // query lifecycle — a wire-codec CypherMessage body on the
+          // cypher.read action (u16 length-prefixed framing,
+          // CypherMessage.java:84-113), SQL delegation server-side, a
+          // ticketed result flight, streamed back as FlightData frames.
+          val qticket = cli.cypherRead(
+            graft.sources.ActionMessages.CypherMessage("graft",
+              "SELECT o_orderstatus AS status, count(*) AS n, " +
+                "sum(o_custkey) AS sum_cust FROM orders_put GROUP BY 1"))
+          cli.getFlight(s, qticket)
             .localCheckpoint(true) // materialize while the server is up
         } finally cli.close()
       } finally server.close()

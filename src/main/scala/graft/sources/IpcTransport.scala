@@ -66,12 +66,21 @@ object IpcTransport {
 
   final class Server(spark: SparkSession, token: String) {
     private val tables = TrieMap.empty[String, DataFrame]
+    private val graphCatalog = new graft.operators.GraphCatalog(spark)
     private val sock = new ServerSocket(0)
     @volatile private var closed = false
 
     def port: Int = sock.getLocalPort
 
     def register(name: String, df: DataFrame): Unit = tables.put(name, df)
+
+    /** Register a graph for `gds.read` requests (the reference resolves
+      * GdsMessage.graph against its graph catalog,
+      * GdsActionHandler.java:69-76). */
+    def registerGraph(name: String, nodes: DataFrame,
+                      rels: DataFrame): Unit = {
+      graphCatalog.register(name, nodes, rels); ()
+    }
 
     def start(): this.type = {
       val t = new Thread(() => acceptLoop(), "graft-ipc-accept")
@@ -238,6 +247,10 @@ object IpcTransport {
             case "FACTIONS" :: Nil =>
               writeStr(out, "OK")
               Seq(
+                FlightProto.ActionType("cypher.read",
+                  "Submit a new query-based read job (SQL delegation)"),
+                FlightProto.ActionType("gds.read",
+                  "Stream node or relationship properties from a graph"),
                 FlightProto.ActionType("job.status",
                   "Check the status of a Job"),
                 FlightProto.ActionType("job.submit",
@@ -288,6 +301,78 @@ object IpcTransport {
                   writeStr(out, "OK")
                   writeFrame(out,
                     FlightProto.ActionResult.of(graft.operators.Jobs.version).encode)
+                // cypher.read ≙ CypherActionHandler.java:32,68-150: the
+                // Action body is a wire-codec CypherMessage; the query
+                // runs through our delegation surface (S3/S4 = Catalyst
+                // SQL over the registered flights as temp views) and the
+                // result becomes a new ticketed flight — poll it with
+                // job.status, stream it with GET/FGET, exactly the
+                // reference's submit→ticket→getStream lifecycle.
+                case "cypher.read" =>
+                  try {
+                    val msg =
+                      ActionMessages.CypherMessage.deserialize(action.body)
+                    // flight names that are valid identifiers become
+                    // views; the server session is shared, so a flight
+                    // named like a pre-registered external view would
+                    // shadow it for this query — acceptable for the
+                    // control-plane twin (flights here are namespaced
+                    // by convention, e.g. orders_put)
+                    tables.foreach { case (n, df) =>
+                      if (n.matches("[A-Za-z_][A-Za-z0-9_]*"))
+                        df.createOrReplaceTempView(n)
+                    }
+                    val result = spark.sql(msg.cypher) // analyzes EAGERLY:
+                      // a bad query fails THIS action, not a later read
+                    import scala.concurrent.ExecutionContext.Implicits.global
+                    val h = graft.operators.Jobs.submit(result)
+                    tables.put(h.ticket, result)
+                    writeStr(out, "OK")
+                    writeFrame(out,
+                      FlightProto.ActionResult.of(h.ticket).encode)
+                  } catch { case e: Throwable =>
+                    writeStr(out, s"ERR ${e.getMessage}")
+                  }
+                // gds.read ≙ GdsActionHandler.java:33,69-76: GdsMessage
+                // body resolved against the graph catalog; request type
+                // node/relationship/khop maps to the §2.1-2.3 scans. For
+                // khop the same bytes re-parse as a KHopMessage to carry
+                // k (the reference does exactly this re-read,
+                // GdsActionHandler → KHopMessage.java:75-104), and unlike
+                // the reference (hardcoded 2) we honor the carried k.
+                case "gds.read" =>
+                  try {
+                    val msg =
+                      ActionMessages.GdsMessage.deserialize(action.body)
+                    val ref = graphCatalog.graph(msg.graph)
+                    val result = msg.requestType match {
+                      case "node" =>
+                        ref.nodeScan(props = msg.properties,
+                          labels = msg.filters,
+                          nodeId =
+                            Option(msg.nodeIdProperty).filter(_.nonEmpty))
+                      case "relationship" =>
+                        ref.relScan(props = msg.properties,
+                          types = msg.filters)
+                      case "khop" =>
+                        val kmsg =
+                          ActionMessages.KHopMessage.deserialize(action.body)
+                        graft.operators.KHop.kHopEdges(
+                          if (msg.filters.isEmpty) ref.rels
+                          else ref.rels.where(
+                            org.apache.spark.sql.functions.col("TYPE")
+                              .isin(msg.filters: _*)),
+                          k = kmsg.k)
+                    }
+                    import scala.concurrent.ExecutionContext.Implicits.global
+                    val h = graft.operators.Jobs.submit(result)
+                    tables.put(h.ticket, result)
+                    writeStr(out, "OK")
+                    writeFrame(out,
+                      FlightProto.ActionResult.of(h.ticket).encode)
+                  } catch { case e: Throwable =>
+                    writeStr(out, s"ERR ${e.getMessage}")
+                  }
                 case other => writeStr(out, s"ERR unsupported action: $other")
               }
             case "SUBMIT" :: name :: Nil =>
@@ -440,13 +525,28 @@ object IpcTransport {
     }
 
     /** doAction over the wire: Action proto in, Result proto out. */
-    def doAction(atype: String, body: String = ""): FlightProto.ActionResult = {
+    def doAction(atype: String, body: String = ""): FlightProto.ActionResult =
+      doActionRaw(atype, body.getBytes(UTF_8))
+
+    /** doAction with a binary body (a serialized wire-codec message). */
+    def doActionRaw(atype: String,
+                    body: Array[Byte]): FlightProto.ActionResult = {
       writeStr(out, "FACTION")
-      writeFrame(out, FlightProto.Action.of(atype, body).encode)
+      writeFrame(out, FlightProto.Action(atype, body).encode)
       val r = readStr(in)
       require(r == "OK", r)
       FlightProto.ActionResult.decode(readFrame(in))
     }
+
+    /** Submit a query through the cypher.read action (wire-codec
+      * CypherMessage body); returns the result's flight ticket. */
+    def cypherRead(msg: ActionMessages.CypherMessage): String =
+      doActionRaw("cypher.read", msg.serialize).asString
+
+    /** Submit a graph read through the gds.read action (wire-codec
+      * GdsMessage body); returns the result's flight ticket. */
+    def gdsRead(msg: ActionMessages.GdsMessage): String =
+      doActionRaw("gds.read", msg.serialize).asString
 
     def submit(name: String): String = {
       writeStr(out, s"SUBMIT $name")

@@ -132,7 +132,8 @@ class FlightProtoSpec extends AnyFunSuite {
         // StatusHandler, info.jobs/info.version = ServerInfoHandler)
         val actions = c.listActions()
         assert(actions.map(_.atype).toSet ==
-          Set("job.status", "job.submit", "info.jobs", "info.version"))
+          Set("cypher.read", "gds.read", "job.status", "job.submit",
+            "info.jobs", "info.version"))
         actions.foreach { a =>
           val fs = parse(a.encode) // ActionType fields 1/2 per Flight.proto
           assert(new String(b1(fs, 1), UTF_8) == a.atype)
