@@ -64,6 +64,23 @@ object IpcTransport {
   private def readStr(in: DataInputStream): String =
     new String(readFrame(in), UTF_8)
 
+  /** Regroup a flat FlightData-message sequence into self-contained
+    * per-partition IPC streams: each Schema header starts a new stream
+    * (Flight's stream framing — the schema message leads every stream). */
+  private def groupStreams(msgs: Seq[FlightProto.IpcMessage])
+      : Seq[Array[Byte]] = {
+    val blobs = Seq.newBuilder[Array[Byte]]
+    var cur = List.empty[FlightProto.IpcMessage]
+    msgs.foreach { m =>
+      if (FlightProto.isSchemaMessage(m) && cur.nonEmpty) {
+        blobs += FlightProto.joinIpcStream(cur.reverse)
+        cur = List(m)
+      } else cur ::= m
+    }
+    if (cur.nonEmpty) blobs += FlightProto.joinIpcStream(cur.reverse)
+    blobs.result()
+  }
+
   final class Server(spark: SparkSession, token: String) {
     private val tables = TrieMap.empty[String, DataFrame]
     private val graphCatalog = new graft.operators.GraphCatalog(spark)
@@ -80,6 +97,25 @@ object IpcTransport {
     def registerGraph(name: String, nodes: DataFrame,
                       rels: DataFrame): Unit = {
       graphCatalog.register(name, nodes, rels); ()
+    }
+
+    // graph parts staged by FPUTG until both halves arrive (nodes, rels)
+    private val pendingGraphs =
+      TrieMap.empty[String, (Option[DataFrame], Option[DataFrame])]
+
+    /** Fold one FPUTG part in; register the graph once both halves are
+      * present (a re-upload of either half re-registers). */
+    private def stageGraphPart(graph: String, nodes: Option[DataFrame],
+                               rels: Option[DataFrame]): Unit = {
+      val merged = pendingGraphs.get(graph) match {
+        case Some((n0, r0)) => (nodes.orElse(n0), rels.orElse(r0))
+        case None => (nodes, rels)
+      }
+      pendingGraphs.put(graph, merged)
+      merged match {
+        case (Some(n), Some(r)) => graphCatalog.register(graph, n, r); ()
+        case _ => ()
+      }
     }
 
     def start(): this.type = {
@@ -222,23 +258,72 @@ object IpcTransport {
                 .map(fd => FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
                 .toSeq
               try {
-                // partition streams are delimited by their Schema headers
-                val blobs = Seq.newBuilder[Array[Byte]]
-                var cur = List.empty[FlightProto.IpcMessage]
-                msgs.foreach { m =>
-                  if (FlightProto.isSchemaMessage(m) && cur.nonEmpty) {
-                    blobs += FlightProto.joinIpcStream(cur.reverse)
-                    cur = List(m)
-                  } else cur ::= m
-                }
-                if (cur.nonEmpty) blobs += FlightProto.joinIpcStream(cur.reverse)
                 val schema = StructType.fromDDL(ddl)
                 import spark.implicits._
                 val df = ArrowIpc.fromIpcStreams(
-                    spark.createDataset(blobs.result()), schema)
+                    spark.createDataset(groupStreams(msgs)), schema)
                   .localCheckpoint(true)
                 tables.put(name, df)
                 writeStr(out, s"OK\t${df.count()}")
+              } catch { case e: Throwable =>
+                writeStr(out, s"ERR ${e.getMessage}")
+              }
+            // FPUTG ≙ the reference's write-action + doPut pair
+            // (GdsActionHandler.java:76-150: gds.write.nodes /
+            // gds.write.relationships resolve a GdsWriteNodeMessage /
+            // GdsWriteRelsMessage, then the data arrives as a put
+            // stream): here the FIRST FlightData's descriptor is CMD
+            // carrying the serialized write message — Flight's
+            // descriptor-as-command convention (the same one
+            // getFlightInfo-by-command uses, Producer.java:411-437).
+            // The message family is recognized by its own key
+            // vocabulary (source_field ⇒ rels). Field names from the
+            // message rename to the canonical columns, and the graph
+            // registers once both halves have arrived.
+            case "FPUTG" :: rest =>
+              val ddl = rest.mkString(" ")
+              val frames = Iterator.continually(readFrame(in))
+                .takeWhile(_.nonEmpty)
+                .map(FlightProto.FlightData.decode).toSeq
+              try {
+                val desc = frames.headOption.flatMap(_.descriptor)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "first FlightData must carry a descriptor"))
+                require(desc.dtype == FlightProto.DescriptorType.Cmd,
+                  "descriptor must be CMD (a serialized write message)")
+                val msgs = frames.map(fd =>
+                  FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+                val schema = StructType.fromDDL(ddl)
+                import spark.implicits._
+                val df = ArrowIpc.fromIpcStreams(
+                    spark.createDataset(groupStreams(msgs)), schema)
+                  .localCheckpoint(true)
+                import org.apache.spark.sql.functions.{array, col}
+                val cmdJson = new String(desc.cmd, UTF_8)
+                val (graphName, canon, isRels) =
+                  if (cmdJson.contains("\"source_field\"")) {
+                    val m = ActionMessages.GdsWriteRelsMessage
+                      .deserialize(desc.cmd)
+                    (m.graph, df
+                      .withColumnRenamed(m.sourceField, "START_ID")
+                      .withColumnRenamed(m.targetField, "END_ID")
+                      .withColumnRenamed(m.typeField, "TYPE"), true)
+                  } else {
+                    val m = ActionMessages.GdsWriteNodeMessage
+                      .deserialize(desc.cmd)
+                    val renamed = df.withColumnRenamed(m.idField, "ID")
+                      .withColumnRenamed(m.labelsField, "LABELS")
+                    // a scalar label column canonicalizes to a 1-elem
+                    // label set (LABELS is an array in the data model)
+                    val c = if (renamed.schema("LABELS").dataType ==
+                        org.apache.spark.sql.types.StringType)
+                      renamed.withColumn("LABELS", array(col("LABELS")))
+                    else renamed
+                    (m.graph, c, false)
+                  }
+                if (isRels) stageGraphPart(graphName, None, Some(canon))
+                else stageGraphPart(graphName, Some(canon), None)
+                writeStr(out, s"OK\t${canon.count()}")
               } catch { case e: Throwable =>
                 writeStr(out, s"ERR ${e.getMessage}")
               }
@@ -484,18 +569,36 @@ object IpcTransport {
       val (ddl, _) = this.info(name)
       val msgs = getFlightData(name)
         .map(fd => FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
-      val blobs = Seq.newBuilder[Array[Byte]]
-      var cur = List.empty[FlightProto.IpcMessage]
-      msgs.foreach { m =>
-        if (FlightProto.isSchemaMessage(m) && cur.nonEmpty) {
-          blobs += FlightProto.joinIpcStream(cur.reverse)
-          cur = List(m)
-        } else cur ::= m
-      }
-      if (cur.nonEmpty) blobs += FlightProto.joinIpcStream(cur.reverse)
       import spark.implicits._
-      ArrowIpc.fromIpcStreams(spark.createDataset(blobs.result()),
+      ArrowIpc.fromIpcStreams(spark.createDataset(groupStreams(msgs)),
         StructType.fromDDL(ddl))
+    }
+
+    /** gds.write.nodes through the wire: CMD descriptor carries the
+      * serialized write message, the node table streams as FlightData;
+      * returns the server-side row count. */
+    def putGraphNodes(msg: ActionMessages.GdsWriteNodeMessage,
+                      df: DataFrame): Long = putGraphPart(msg.serialize, df)
+
+    /** gds.write.relationships — same framing with a rels message. */
+    def putGraphRels(msg: ActionMessages.GdsWriteRelsMessage,
+                     df: DataFrame): Long = putGraphPart(msg.serialize, df)
+
+    private def putGraphPart(cmd: Array[Byte], df: DataFrame): Long = {
+      writeStr(out, s"FPUTG ${df.schema.toDDL}")
+      val desc = FlightProto.FlightDescriptor(
+        FlightProto.DescriptorType.Cmd, cmd, Nil)
+      var first = true
+      ArrowIpc.toIpcStreams(df).toLocalIterator().forEachRemaining { blob =>
+        FlightProto.splitIpcStream(blob).foreach { m =>
+          writeFrame(out, FlightProto.FlightData(
+            if (first) Some(desc) else None,
+            m.metadata, Array.emptyByteArray, m.body).encode)
+          first = false
+        }
+      }
+      writeFrame(out, Array.emptyByteArray)
+      expectOk(readStr(in))(0).toLong
     }
 
     /** Upload through the Flight-framed path (acceptPut shape: the first

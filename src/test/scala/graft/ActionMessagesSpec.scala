@@ -68,6 +68,77 @@ class ActionMessagesSpec extends AnyFunSuite {
     }
   }
 
+  test("write-message codecs round-trip the reference key vocabularies") {
+    import graft.sources.ActionMessages._
+    val km = KHopMessage(db = "d", graph = "g", k = 3,
+      relProperty = "weight", nodeIdProperty = "ID")
+    val kj = new String(km.serialize, UTF_8)
+    Seq("\"db\"", "\"graph\"", "\"k\"", "\"rel_property\"", "\"ID\"")
+      .foreach(k => assert(kj.contains(k), s"missing $k in $kj"))
+    assert(KHopMessage.deserialize(km.serialize) == km)
+    // a GdsMessage body re-parsed as KHopMessage defaults k=2 — the
+    // reference's dual-read of the same bytes
+    val viaGds = KHopMessage.deserialize(
+      GdsMessage(db = "d", graph = "g", requestType = "khop").serialize)
+    assert(viaGds.k == 2 && viaGds.graph == "g")
+
+    val nm = GdsWriteNodeMessage(db = "d", graph = "g",
+      idField = "node_id", labelsField = "labs")
+    val nj = new String(nm.serialize, UTF_8)
+    Seq("\"id_field\"", "\"labels_field\"").foreach(k =>
+      assert(nj.contains(k)))
+    assert(GdsWriteNodeMessage.deserialize(nm.serialize) == nm)
+
+    val rm = GdsWriteRelsMessage(db = "d", graph = "g",
+      sourceField = "s", targetField = "t", typeField = "ty")
+    val rj = new String(rm.serialize, UTF_8)
+    Seq("\"source_field\"", "\"target_field\"", "\"type_field\"")
+      .foreach(k => assert(rj.contains(k)))
+    assert(GdsWriteRelsMessage.deserialize(rm.serialize) == rm)
+  }
+
+  test("gds.write over the wire: CMD-descriptor FlightData streams build " +
+      "a graph queryable by gds.read") {
+    import graft.sources.ActionMessages.{GdsWriteNodeMessage, GdsWriteRelsMessage}
+    val srv = new IpcTransport.Server(spark, token = "sekrit").start()
+    try {
+      val c = new IpcTransport.Client("127.0.0.1", srv.port, "sekrit")
+      try {
+        // client-side tables with NON-canonical field names + scalar label
+        val nodes = (0L until 40L)
+          .map(i => (i, if (i % 2 == 0) "Even" else "Odd", i * 1.5))
+          .toDF("node_id", "lab", "score")
+        val rels = (0L until 39L).map(i => (i, i + 1, "NEXT"))
+          .toDF("s", "t", "ty")
+        assert(c.putGraphNodes(GdsWriteNodeMessage(db = "graft",
+          graph = "wg", idField = "node_id", labelsField = "lab"),
+          nodes.repartition(2)) == 40L)
+        // graph not complete yet: gds.read must fail NOT_FOUND
+        val e = intercept[IllegalArgumentException](
+          c.gdsRead(ActionMessages.GdsMessage(db = "graft", graph = "wg",
+            requestType = "node")))
+        assert(e.getMessage.contains("not found"))
+        assert(c.putGraphRels(GdsWriteRelsMessage(db = "graft",
+          graph = "wg", sourceField = "s", targetField = "t",
+          typeField = "ty"), rels.repartition(2)) == 39L)
+        // both halves arrived: the graph serves reads with canonical
+        // columns and the scalar label canonicalized to a label set
+        val nt = c.gdsRead(ActionMessages.GdsMessage(db = "graft",
+          graph = "wg", requestType = "node", filters = Seq("Even")))
+        val gotN = c.getFlight(spark, nt)
+        assert(gotN.count() == 20L)
+        assert(gotN.columns.take(2).toSeq == Seq("ID", "LABELS"))
+        val kt = c.gdsRead(ActionMessages.GdsMessage(db = "graft",
+          graph = "wg", requestType = "khop", filters = Seq("NEXT")))
+        // 2-hop on the 40-node path graph: interior origins see 4 edges
+        val gotK = c.getFlight(spark, kt)
+        val perOrigin = gotK.groupBy($"origin").count()
+          .as[(Long, Long)].collect().toMap
+        assert(perOrigin(20L) == 4L && perOrigin(0L) == 2L)
+      } finally c.close()
+    } finally srv.close()
+  }
+
   test("cypher.read over the wire: CypherMessage body -> ticket -> " +
       "FGET streams the query result") {
     val srv = new IpcTransport.Server(spark, token = "sekrit").start()
