@@ -57,9 +57,18 @@ def main():
             continue
         rows.append({"query": q, "sf0.01_sec": s, "sf0.1_sec": b,
                      "ratio": round(b / s, 2)})
-    rows.sort(key=lambda r: -r["ratio"])
+    # MERGE into the committed artifact: re-measuring a subset must not
+    # drop the other rows' evidence (r9 — incremental per-gate re-runs)
+    curve_path = os.path.join(REPO, "scaling_curve.json")
+    if os.path.exists(curve_path):
+        prior = {r["query"]: r for r in json.load(open(curve_path))["rows"]}
+    else:
+        prior = {}
+    for r in rows:
+        prior[r["query"]] = r
+    rows = sorted(prior.values(), key=lambda r: -r["ratio"])
     out = {"data_ratio": 10.0, "runs_per_point": int(runs), "rows": rows}
-    with open(os.path.join(REPO, "scaling_curve.json"), "w") as f:
+    with open(curve_path, "w") as f:
         json.dump(out, f, indent=1)
     w = max(len(r["query"]) for r in rows)
     print(f"\n{'query'.ljust(w)}  sf0.01   sf0.1   ratio (data 10x)")
