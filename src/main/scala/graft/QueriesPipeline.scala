@@ -682,6 +682,36 @@ object QueriesPipeline {
       graft.operators.Retrieval.rrfFuse(Seq(vr, tr), k = 5)
     }),
 
+    // Ranking-quality evaluation of the BM25 pipeline (the measurement
+    // half of retrieval tuning for RAG data curation): queries 0..4 are
+    // each doc's own distinct words; qrels = lexical-overlap ground
+    // truth (docs sharing ≥ 8 distinct words with the query doc —
+    // deterministic and engine-reproducible; the query doc always
+    // judges itself relevant, so n_rel ≥ 1). Metrics integer-exact:
+    // mrr2520 (2520 = lcm 1..10), rr_mass2520 (graded DCG-shaped gain
+    // with integer weights), recall/precision ppm by floor division.
+    "retrieval_eval" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val qt = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(graft.functions.TextFunctions.words(col("text")))
+            .as("word"))
+        .where(col("word") =!= "").distinct()
+      val results = graft.operators.Retrieval
+        .bm25TopK(docs, "doc_id", "text", qt, k = 10)
+        .select(col("qid"), col("doc_id"), col("rn"))
+      val dw = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text")))
+            .as("word"))
+        .where(col("word") =!= "").distinct()
+      val qrels = qt.join(dw, "word")
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("overlap"))
+        .where(col("overlap") >= 8)
+        .select(col("qid"), col("doc_id"))
+      graft.operators.Retrieval.rankingEval(results, qrels, k = 10)
+    }),
+
     // Sequence packing (GPT-style corpus layout): docs hash into 8
     // shards, offsets are an id-ordered running sum per shard, examples
     // cut every 512 tokens — deterministic (shard, offset, first-bin)
@@ -2334,6 +2364,64 @@ object QueriesPipeline {
         |  SELECT qid, doc_id, rrf, row_number() OVER (
         |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
         |  FROM f) t WHERE rn <= 5""".stripMargin,
+    // replays bm25 with the query-doc word terms, the lexical-overlap
+    // qrels, and the integer metric arithmetic (// = floor division;
+    // 2520 = lcm(1..10) makes reciprocal ranks exact integers)
+    "retrieval_eval" ->
+      """WITH qt AS (SELECT DISTINCT qid, word FROM (
+        |        SELECT doc_id AS qid,
+        |               unnest(string_split(text, ' ')) AS word
+        |        FROM documents WHERE doc_id < 5) t WHERE word <> ''),
+        |toks AS (SELECT doc_id,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |           unnest(string_split(text, ' ')) AS word
+        |         FROM documents),
+        |tf AS (SELECT doc_id, dl, word, count(*) AS tf
+        |       FROM toks GROUP BY 1, 2, 3),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tl
+        |       FROM documents),
+        |sc AS (SELECT q.qid, t.doc_id,
+        |         CAST(floor(
+        |           (CAST(t.tf AS DOUBLE) * 2.25)
+        |           / (CAST(t.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+        |               (CAST(t.dl AS DOUBLE) * CAST(st.nd AS DOUBLE)
+        |                / CAST(st.tl AS DOUBLE))))
+        |           * sqrt((CAST(st.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |                  / (CAST(d.df AS DOUBLE) + 0.5))
+        |           * 1000000.0) AS BIGINT) AS s
+        |       FROM qt q
+        |       JOIN tf t USING (word) JOIN dfq d USING (word), st),
+        |ag AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score
+        |       FROM sc GROUP BY 1, 2),
+        |res AS (SELECT qid, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS rn
+        |    FROM ag) t WHERE rn <= 10),
+        |dw AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents) t WHERE word <> ''),
+        |qrels AS (SELECT qt.qid, dw.doc_id FROM qt JOIN dw USING (word)
+        |          GROUP BY qt.qid, dw.doc_id HAVING count(*) >= 8),
+        |hits AS (SELECT r.qid, r.doc_id, r.rn
+        |         FROM res r JOIN qrels USING (qid, doc_id)),
+        |perq AS (SELECT qid, count(*) AS n_hits_raw,
+        |           min(rn) AS first_rank_raw,
+        |           CAST(sum(2520 // rn) AS BIGINT) AS rr_raw
+        |         FROM hits GROUP BY qid),
+        |nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid)
+        |SELECT n.qid, n.n_rel,
+        |  CAST(coalesce(p.n_hits_raw, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(p.first_rank_raw, 0) AS BIGINT) AS first_rank,
+        |  CAST(CASE WHEN p.first_rank_raw IS NULL THEN 0
+        |       ELSE 2520 // p.first_rank_raw END AS BIGINT) AS mrr2520,
+        |  CAST(coalesce(p.rr_raw, 0) AS BIGINT) AS rr_mass2520,
+        |  CAST(coalesce(p.n_hits_raw, 0) * 1000000 // n.n_rel AS BIGINT)
+        |    AS recall_ppm,
+        |  CAST(coalesce(p.n_hits_raw, 0) * 1000000 // 10 AS BIGINT)
+        |    AS precision_ppm
+        |FROM nrel n LEFT JOIN perq p USING (qid)""".stripMargin,
     "quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),

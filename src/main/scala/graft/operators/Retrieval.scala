@@ -149,6 +149,53 @@ object Retrieval {
       .select(col("pattern"), col("doc_id"))
   }
 
+  /** Ranking-quality evaluation of a retrieved top-k list against a
+    * qrel (relevance-judgment) set — the measurement half of a retrieval
+    * pipeline (tuning BM25/ANN/RRF for RAG data curation needs exactly
+    * this at corpus scale). All metrics are INTEGER-EXACT so the gate
+    * hash-compares across engines (the repo's standing cross-engine
+    * rule — no float accumulation, no log()):
+    *
+    *  - `mrr2520`     = 2520 / first-hit rank (2520 = lcm(1..10), so the
+    *                    reciprocal rank is an exact integer for k ≤ 10;
+    *                    0 when no hit)
+    *  - `rr_mass2520` = Σ 2520/rank over all hits — a DCG-shaped graded
+    *                    gain with exact integer weights (monotone in the
+    *                    same direction as DCG's 1/log2(rank+1))
+    *  - `recall_ppm`  = ⌊hits · 10⁶ / n_rel⌋, `precision_ppm` = ⌊hits ·
+    *                    10⁶ / k⌋ — parts-per-million, floor division
+    *
+    * Scale: one equi-join of the top-k list (≤ k rows per query) against
+    * the qrel set on (qid, doc_id), two hash aggregates — both sides are
+    * query-proportional, never corpus-proportional.
+    *
+    * @param results (qid, doc_id, rn) with rn = 1..k
+    * @param qrels   (qid, doc_id) judged-relevant pairs; every qid in
+    *                `qrels` appears in the output (zero-hit queries too)
+    */
+  def rankingEval(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10,
+      "mrr2520 exactness (2520 = lcm 1..10) requires k <= 10")
+    val hits = results.where(col("rn") <= k)
+      .join(qrels.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"))
+    val perQ = hits.groupBy(col("qid")).agg(
+      count(lit(1)).as("n_hits_raw"),
+      min(col("rn")).as("first_rank_raw"),
+      sum(expr("2520L div rn")).as("rr_raw"))
+    val nRel = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    nRel.join(perQ, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("n_hits_raw"), lit(0L)).as("n_hits"),
+        coalesce(col("first_rank_raw"), lit(0L)).as("first_rank"),
+        when(col("first_rank_raw").isNull, lit(0L))
+          .otherwise(expr("2520L div first_rank_raw")).as("mrr2520"),
+        coalesce(col("rr_raw"), lit(0L)).as("rr_mass2520"),
+        expr("coalesce(n_hits_raw, 0L) * 1000000L div n_rel")
+          .as("recall_ppm"),
+        expr(s"coalesce(n_hits_raw, 0L) * 1000000L div ${k}L")
+          .as("precision_ppm"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Long = 60L,
               scale: Long = 1000000L): DataFrame = {
     val u = rankings

@@ -5,6 +5,42 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Retrieval
 
 class RetrievalSpec extends AnyFunSuite {
+
+  test("rankingEval computes integer-exact MRR/recall/precision on a " +
+      "hand-checkable example") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // q1: hits at ranks 2 and 5 of 3 relevant -> mrr 2520/2, rr 2520/2 +
+    // 2520/5, recall 2/3, precision 2/10
+    // q2: no hits of 2 relevant -> zeros
+    // q3: hit at rank 1 of 1 relevant -> perfect
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (1L, 14L, 5L),
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L), (3L, 31L, 2L)).toDF("qid", "doc_id", "rn")
+    val qrels = Seq(
+      (1L, 11L), (1L, 14L), (1L, 99L),
+      (2L, 88L), (2L, 89L),
+      (3L, 30L)).toDF("qid", "doc_id")
+    val got = graft.operators.Retrieval.rankingEval(results, qrels, k = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2L, 1260L, 1260L + 504L, 666666L, 200000L),
+      (2L, 2L, 0L, 0L, 0L, 0L, 0L, 0L),
+      (3L, 1L, 1L, 1L, 2520L, 2520L, 1000000L, 100000L)))
+    // rn beyond k is ignored
+    val gotK2 = graft.operators.Retrieval
+      .rankingEval(results, qrels, k = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(gotK2.head == (1L, 3L, 1L, 2L, 1260L, 1260L, 333333L, 500000L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.rankingEval(results, qrels, k = 11)
+    }
+  }
+
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
