@@ -363,6 +363,31 @@ object SparkEntry {
       back.groupBy(col("label")).agg(count(lit(1)).as("n"),
         count(col("name")).as("n_named"))
     }),
+    // DSv2 SINK under the gate (r9): the write half of the Arrow data
+    // plane with real task-commit semantics (temp file + atomic rename
+    // + job manifest + _SUCCESS, ArrowIpcSource write path) — write a
+    // projection through `df.write.format(ArrowIpcSource)`, read it back
+    // through the same source (one partition per file), aggregate.
+    "arrow_write_roundtrip" -> ((s, dir) => {
+      val fmt = classOf[graft.sources.ArrowIpcSource].getName
+      val tmp = s"/tmp/graft_arrow_write_" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
+      try {
+        TpchGraph.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .repartition(4)
+          .write.format(fmt).mode("overwrite").save(tmp)
+        s.read.format(fmt).load(tmp)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+          .localCheckpoint(true) // materialize before deleting the files
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      }
+    }),
     // Flight-transport semantics under the gate (reference:
     // Producer.java:86-510 over gRPC; here the dependency-free framed-TCP
     // twin, sources/IpcTransport): PUT a table through a real loopback
@@ -1016,6 +1041,10 @@ object SparkEntry {
          |SELECT label, count(*) AS n, count(name) AS n_named
          |FROM nodes GROUP BY label""".stripMargin,
     "transport_roundtrip" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY 1""".stripMargin,
+    "arrow_write_roundtrip" ->
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY 1""".stripMargin,

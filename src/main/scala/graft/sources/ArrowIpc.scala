@@ -158,7 +158,7 @@ object ArrowIpc {
     }
   }
 
-  private def appendCell(v: FieldVector, idx: Int, row: Row, col: Int,
+  private[sources] def appendCell(v: FieldVector, idx: Int, row: Row, col: Int,
                          dt: DataType): Unit = {
     if (row.isNullAt(col)) {
       v match {

@@ -40,8 +40,13 @@ class ArrowIpcSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = ArrowIpcSource.listFiles(options.get("path"))
-    require(files.nonEmpty, s"no Arrow IPC files under ${options.get("path")}")
-    ArrowIpcSource.sparkSchema(ArrowIpcSource.readArrowSchema(files.head))
+    // empty dir → empty schema, NOT an error: a WRITE to a fresh
+    // directory resolves the table through this same path (the write
+    // itself uses the query schema via LogicalWriteInfo). A READ of an
+    // empty dir fails at scan planning instead (ArrowIpcScan).
+    if (files.isEmpty) new StructType()
+    else ArrowIpcSource.sparkSchema(
+      ArrowIpcSource.readArrowSchema(files.head))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -59,6 +64,7 @@ object ArrowIpcSource {
     if (!fs.exists(p)) Seq.empty
     else if (fs.getFileStatus(p).isFile) Seq(dir)
     else fs.listStatus(p).toSeq.filter(_.isFile)
+      .filterNot(st => st.getPath.getName.startsWith(".")) // in-flight tmp
       .map(_.getPath.toString).filterNot(_.contains("_SUCCESS")).sorted
   }
 
@@ -112,21 +118,36 @@ object ArrowIpcSource {
 }
 
 final class ArrowIpcTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"arrow-ipc `$path`"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new ArrowIpcScan(schema, path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ArrowIpcWriteBuilder(info.schema(), path)
 }
 
 final class ArrowIpcScan(schema: StructType, path: String) extends Scan
     with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    ArrowIpcSource.listFiles(path).map(ArrowIpcFilePartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = ArrowIpcSource.listFiles(path)
+    // schema.isEmpty = the table was resolved over an empty directory
+    // (a fresh write target — Spark's write planning also touches the
+    // target relation's scan, so this must stay plannable as 0
+    // partitions). A NON-empty schema with no files means the files
+    // vanished between inference and planning — fail loudly.
+    require(files.nonEmpty || schema.isEmpty,
+      s"no Arrow IPC files under $path")
+    files.map(ArrowIpcFilePartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowIpcReaderFactory(schema)
 }
@@ -207,5 +228,184 @@ final class ArrowIpcPartitionReader(file: String, schema: StructType)
     reader.close()
     allocator.close()
     in.close()
+  }
+}
+
+// ---------------------------------------------------------------- write
+
+/** DSv2 WRITE path — the sink half of the data plane with real commit
+  * semantics (the plain [[ArrowIpc.writeIpcFiles]] kernel has no task
+  * commit protocol, so a retried/speculative task could leave torn
+  * files; at cluster scale the protocol is the difference between a
+  * sink and a demo):
+  *
+  *  - each task streams its partition into a DOT-PREFIXED temp file
+  *    (readers ignore dot files) batch-by-batch — one record batch in
+  *    memory at a time, same as the egress kernel;
+  *  - task commit = atomic-rename temp → `part-<pid>-<taskId>.arrows`
+  *    (the driver-side commit coordinator guarantees one committed
+  *    attempt per task);
+  *  - job commit = drop orphaned temps, honor truncate (delete part
+  *    files not in this job's manifest), then `_SUCCESS`;
+  *  - abort = delete temp + any committed file of this attempt.
+  *
+  * `df.write.format("graft.sources.ArrowIpcSource").option("path", dir)
+  * .mode("append"|"overwrite").save()` round-trips through the read
+  * path with per-file parallelism.
+  */
+final class ArrowIpcWriteBuilder(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new ArrowIpcBatchWrite(schema, path, doTruncate)
+    }
+}
+
+final case class ArrowIpcCommitMessage(file: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class ArrowIpcBatchWrite(schema: StructType, path: String,
+                               truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new ArrowIpcWriterFactory(schema, path)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    // compare by file NAME: task-side Path.toString may carry a scheme
+    // ("file:/...") the driver-side listing spells differently
+    val committed = messages.collect {
+      case ArrowIpcCommitMessage(f) if f.nonEmpty => new Path(f).getName
+    }.toSet
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri,
+      new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
+        val name = st.getPath.getName
+        val isTemp = name.startsWith(".")
+        val isOurs = committed.contains(name)
+        // truncate = this job's manifest REPLACES the directory; append
+        // keeps prior part files. Orphan temps always go.
+        if (isTemp || (truncate && !isOurs && name != "_SUCCESS"))
+          fs.delete(st.getPath, false)
+      }
+    }
+    val ok = fs.create(new Path(dir, "_SUCCESS"), true)
+    ok.close()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val fs = FileSystem.get(new Path(path).toUri,
+      new org.apache.hadoop.conf.Configuration())
+    messages.foreach {
+      case ArrowIpcCommitMessage(f) if f != null && f.nonEmpty =>
+        fs.delete(new Path(f), false)
+      case _ => ()
+    }
+  }
+}
+
+final class ArrowIpcWriterFactory(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ArrowIpcDataWriter(schema, path, partitionId, taskId)
+}
+
+/** Streams one partition into one IPC file, batch-by-batch (≤ batchSize
+  * rows of Arrow vectors in memory). Opens lazily on the first row so
+  * empty partitions produce no file at all (matching the read side's
+  * one-partition-per-file contract). */
+final class ArrowIpcDataWriter(schema: StructType, path: String,
+                               partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val tmpPath =
+    new Path(path, f".part-$partitionId%05d-$taskId.arrows.tmp")
+  private val finalPath =
+    new Path(path, f"part-$partitionId%05d-$taskId.arrows")
+  private val deser = org.apache.spark.sql.catalyst.encoders
+    .ExpressionEncoder(schema).resolveAndBind().createDeserializer()
+
+  private var allocator: RootAllocator = _
+  private var root: org.apache.arrow.vector.VectorSchemaRoot = _
+  private var writer: org.apache.arrow.vector.ipc.ArrowStreamWriter = _
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var vectors: Array[FieldVector] = _
+  private var n = 0
+
+  private def open(): Unit = {
+    val fs = FileSystem.get(tmpPath.toUri,
+      new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(new Path(path))
+    out = fs.create(tmpPath, true)
+    allocator = new RootAllocator(Long.MaxValue)
+    root = org.apache.arrow.vector.VectorSchemaRoot.create(
+      ArrowIpc.arrowSchema(schema), allocator)
+    writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+      root, null, out)
+    writer.start()
+    vectors = root.getFieldVectors.asScala.toArray
+  }
+
+  private def flush(): Unit = if (n > 0) {
+    root.setRowCount(n)
+    writer.writeBatch()
+    root.allocateNew()
+    n = 0
+  }
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) open()
+    val row = deser(record)
+    var c = 0
+    while (c < vectors.length) {
+      ArrowIpc.appendCell(vectors(c), n, row, c, schema.fields(c).dataType)
+      c += 1
+    }
+    n += 1
+    if (n >= ArrowIpc.DefaultBatchSize) flush()
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer == null) return ArrowIpcCommitMessage("")
+    flush()
+    writer.end()
+    out.close()
+    val fs = FileSystem.get(tmpPath.toUri,
+      new org.apache.hadoop.conf.Configuration())
+    fs.delete(finalPath, false) // a prior failed job's leftover
+    require(fs.rename(tmpPath, finalPath),
+      s"task commit rename failed: $tmpPath -> $finalPath")
+    ArrowIpcCommitMessage(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    try if (out != null) out.close() catch { case _: Throwable => () }
+    val fs = FileSystem.get(tmpPath.toUri,
+      new org.apache.hadoop.conf.Configuration())
+    fs.delete(tmpPath, false)
+    ()
+  }
+
+  override def close(): Unit = {
+    if (root != null) root.close()
+    if (allocator != null) allocator.close()
   }
 }

@@ -76,10 +76,63 @@ class ArrowIpcSourceSpec extends AnyFunSuite {
     assert(few.length == 3)
   }
 
-  test("empty directory fails fast at schema inference") {
+  test("DSv2 write path: append + overwrite round-trip with commit " +
+      "protocol (_SUCCESS, no temp leftovers, per-file parallelism)") {
+    val dir = Files.createTempDirectory("graft_ipc_write").toString
+    val df = (0L until 500L)
+      .map(i => (i, s"n$i", i * 0.5, Seq(i.toFloat, (i + 1).toFloat)))
+      .toDF("id", "name", "score", "vec")
+    df.repartition(3).write.format(format)
+      .mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles.map(_.getName).sorted.toSeq
+    assert(files.count(_.endsWith(".arrows")) == 3)
+    assert(files.contains("_SUCCESS"))
+    assert(!files.exists(_.endsWith(".tmp")))
+    val back = spark.read.format(format).load(dir)
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.as[(Long, String, Double, Seq[Float])].collect().sortBy(_._1)
+      .toSeq == df.as[(Long, String, Double, Seq[Float])].collect()
+      .sortBy(_._1).toSeq)
+    // append keeps prior files
+    df.limit(10).coalesce(1).write.format(format).mode("append").save(dir)
+    assert(spark.read.format(format).load(dir).count() == 510L)
+    // overwrite truncates to the new job's manifest only
+    df.limit(20).coalesce(1).write.format(format)
+      .mode("overwrite").save(dir)
+    val after = spark.read.format(format).load(dir)
+    assert(after.count() == 20L)
+    assert(new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".arrows")) == 1)
+  }
+
+  test("DSv2 write skips empty partitions and readers ignore temp files") {
+    val dir = Files.createTempDirectory("graft_ipc_write_empty").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // 8 partitions, only a few non-empty -> only those produce files
+    df.repartition(8).write.format(format).mode("append").save(dir)
+    val n = new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".arrows"))
+    assert(n >= 1 && n <= 2)
+    // a stray in-flight temp file must be invisible to the reader
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".part-junk.arrows.tmp"),
+      Array[Byte](1, 2, 3))
+    assert(spark.read.format(format).load(dir).count() == 2L)
+  }
+
+  test("empty directory reads as an empty 0-column table (fresh write " +
+      "targets must stay resolvable and plannable); files vanishing " +
+      "after inference still fail loudly") {
     val dir = Files.createTempDirectory("graft_ipc_empty").toString
-    val ex = intercept[IllegalArgumentException](
-      spark.read.format(format).load(dir))
+    val df = spark.read.format(format).load(dir)
+    assert(df.schema.isEmpty && df.count() == 0L)
+    // inference saw files, then they vanish -> planning must not
+    // silently return an empty result
+    val dir2 = Files.createTempDirectory("graft_ipc_vanish").toString
+    ArrowIpc.writeIpcFiles(Seq((1L, "a")).toDF("id", "v").coalesce(1), dir2)
+    val df2 = spark.read.format(format).load(dir2)
+    new java.io.File(dir2).listFiles.foreach(_.delete())
+    val ex = intercept[Exception](df2.count())
     assert(ex.getMessage.contains("no Arrow IPC files"))
   }
 }
