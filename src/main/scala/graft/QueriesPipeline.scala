@@ -533,6 +533,34 @@ object QueriesPipeline {
             .as("docs_with_num"),
           sum(col("n_redacted")).as("total_nums"),
           sum(length(col("redacted")).cast("long")).as("len_sum"))),
+    // multi-pattern PII battery over ADVERSARIALLY-INJECTED pii (the
+    // corpus is synthetic word soup, so the gate plants a deterministic
+    // email + 10-digit phone per doc from doc_id — the write_null_skip
+    // injection pattern): rules run sequentially (email first so the
+    // digit rule can't shred addresses), counts per rule + scrubbed
+    // lengths per language. Patterns stay in the character-class regex
+    // subset where Java regex and RE2 agree exactly.
+    "pii_scrub" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com call "),
+          lpad(((col("doc_id") * 37L) % 9999999999L).cast("string"),
+            10, "0"),
+          lit(" now")))
+      CorpusTools.scrubPii(docs, "text2", Seq(
+          ("email", "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+          ("phone", "[0-9]{7,}", "<PHONE>"),
+          ("num", "[0-9]+", "<NUM>")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("total_email"),
+          sum(col("n_phone")).as("total_phone"),
+          sum(col("n_num")).as("total_num"),
+          sum(when(col("n_email") + col("n_phone") > 0, 1L)
+            .otherwise(0L)).as("docs_with_pii"),
+          sum(length(col("redacted")).cast("long")).as("len_sum"))
+    }),
     // fixed-window chunking with overlap (context-window packing):
     // per-doc chunk count + covered-word checksum, pure generator plan
     "doc_chunk" -> ((s, dir) =>
@@ -3449,6 +3477,38 @@ object QueriesPipeline {
         |       CAST(sum(n_redacted) AS BIGINT) AS total_nums,
         |       CAST(sum(length(redacted)) AS BIGINT) AS len_sum
         |FROM r GROUP BY lang""".stripMargin,
+    // replays the injected-pii construction and the SEQUENTIAL rule
+    // battery (regexp_replace needs the 'g' flag — DuckDB defaults to
+    // first-match-only where Spark replaces all)
+    "pii_scrub" ->
+      """WITH d AS (SELECT lang,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com call '
+        |    || lpad(CAST((doc_id * 37) % 9999999999 AS VARCHAR), 10, '0')
+        |    || ' now' AS t
+        |  FROM documents),
+        |r1 AS (SELECT lang,
+        |    len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+'))
+        |      AS n_email,
+        |    regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g')
+        |      AS t
+        |  FROM d),
+        |r2 AS (SELECT lang, n_email,
+        |    len(regexp_extract_all(t, '[0-9]{7,}')) AS n_phone,
+        |    regexp_replace(t, '[0-9]{7,}', '<PHONE>', 'g') AS t
+        |  FROM r1),
+        |r3 AS (SELECT lang, n_email, n_phone,
+        |    len(regexp_extract_all(t, '[0-9]+')) AS n_num,
+        |    regexp_replace(t, '[0-9]+', '<NUM>', 'g') AS t
+        |  FROM r2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS total_email,
+        |  CAST(sum(n_phone) AS BIGINT) AS total_phone,
+        |  CAST(sum(n_num) AS BIGINT) AS total_num,
+        |  CAST(sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_with_pii,
+        |  CAST(sum(length(t)) AS BIGINT) AS len_sum
+        |FROM r3 GROUP BY lang""".stripMargin,
     "doc_chunk" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS len
         |           FROM documents),

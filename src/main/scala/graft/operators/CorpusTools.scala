@@ -93,6 +93,32 @@ object CorpusTools {
       .withColumn("n_redacted",
         size(expr(s"regexp_extract_all($text, '[0-9]+', 0)")).cast("long"))
 
+  /** Multi-pattern PII scrub — the production form of [[redactNumbers]]:
+    * an ordered battery of (name, regex, replacement) rules applied
+    * SEQUENTIALLY, each counting its matches on the text as the previous
+    * rules left it (order matters: an email rule consuming `a1@b.com`
+    * must run before a digit rule would shred it — sequential semantics
+    * make that dependency explicit and deterministic). Adds one
+    * `n_<name>` count column per rule plus the final `redacted` text.
+    *
+    * Cross-engine contract: patterns must stay in the
+    * character-class + bounded-repeat regex subset (`[a-z0-9._]+`,
+    * `[0-9]{7,}` …) where Java regex and RE2 (DuckDB) agree exactly —
+    * no backslash classes, no lookaround, no alternation-with-overlap.
+    *
+    * Scale: a narrow per-row projection — no shuffle, codegen'd
+    * regexp_replace/extract_all, scales with the scan. */
+  def scrubPii(df: DataFrame, text: String,
+               rules: Seq[(String, String, String)]): DataFrame =
+    rules.foldLeft(df.withColumn("redacted", col(text))) {
+      case (d, (name, pat, repl)) =>
+        d.withColumn(s"n_$name",
+            size(expr(s"regexp_extract_all(redacted, '$pat', 0)"))
+              .cast("long"))
+          .withColumn("redacted",
+            regexp_replace(col("redacted"), pat, repl))
+    }
+
   /** Popularity-weighted negative sampling (the word2vec unigram^(3/4)
     * table): item weight = ⌊cnt^(3/4)⌋ computed as the exact INTEGER
     * 4th root of cnt³ — a double sqrt(sqrt(·)) guess clamped by int64

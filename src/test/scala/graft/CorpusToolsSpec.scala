@@ -9,6 +9,35 @@ class CorpusToolsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("scrubPii applies rules sequentially: the email rule consumes " +
+      "addresses before the digit rules can shred them") {
+    val df = Seq(
+      (1L, "mail a1@b.com and 12345678 plus 42"),
+      (2L, "clean text only")).toDF("id", "t")
+    val out = graft.operators.CorpusTools.scrubPii(df, "t", Seq(
+        ("email", "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+        ("phone", "[0-9]{7,}", "<PHONE>"),
+        ("num", "[0-9]+", "<NUM>")))
+      .select("id", "n_email", "n_phone", "n_num", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 1L, 1L, 1L,
+      "mail <EMAIL> and <PHONE> plus <NUM>")))
+    assert(out(1) == ((2L, 0L, 0L, 0L, "clean text only")))
+    // order flipped: digits inside the address get shredded first —
+    // proving the sequential contract is real, not incidental
+    val flipped = graft.operators.CorpusTools.scrubPii(df, "t", Seq(
+        ("num", "[0-9]+", "<NUM>"),
+        ("email", "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>")))
+      .select("id", "n_num", "n_email", "redacted")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).head
+    assert(flipped._2 == 3L) // a1, 12345678, 42
+    // the shredded address no longer matches the email rule at all
+    // (a<NUM>@b.com — '>' breaks the local-part class): flipping the
+    // order silently LOSES the email redaction, which is exactly the
+    // hazard the sequential contract exists to make explicit
+    assert(flipped._3 == 0L && !flipped._4.contains("<EMAIL>"))
+  }
+
   test("hashSplit is deterministic, total, and roughly proportioned") {
     val df = (0L until 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val a = CorpusTools.hashSplit(df, "doc_id")
