@@ -268,6 +268,48 @@ object IpcTransport {
               } catch { case e: Throwable =>
                 writeStr(out, s"ERR ${e.getMessage}")
               }
+            // FXCHG ≙ Flight's DoExchange — the BIDIRECTIONAL verb the
+            // reference never had (its Flight predates DoExchange
+            // adoption; ours completes the verb set): the client streams
+            // a table IN as FlightData whose first frame carries a CMD
+            // descriptor with a wire-codec CypherMessage, the server
+            // runs the query over the uploaded rows (visible as view
+            // `input`), and streams the RESULT back as FlightData in
+            // the same call — transform-in-flight, no named flight ever
+            // registered.
+            case "FXCHG" :: rest =>
+              val ddl = rest.mkString(" ")
+              val frames = Iterator.continually(readFrame(in))
+                .takeWhile(_.nonEmpty)
+                .map(FlightProto.FlightData.decode).toSeq
+              try {
+                val desc = frames.headOption.flatMap(_.descriptor)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "first FlightData must carry a CMD descriptor"))
+                require(desc.dtype == FlightProto.DescriptorType.Cmd,
+                  "descriptor must be CMD (a serialized CypherMessage)")
+                val msg = ActionMessages.CypherMessage.deserialize(desc.cmd)
+                val msgs = frames.map(fd =>
+                  FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+                val schema = StructType.fromDDL(ddl)
+                import spark.implicits._
+                val inputDf = ArrowIpc.fromIpcStreams(
+                    spark.createDataset(groupStreams(msgs)), schema)
+                  .localCheckpoint(true)
+                inputDf.createOrReplaceTempView("input")
+                val result = spark.sql(msg.cypher).localCheckpoint(true)
+                writeStr(out, s"OK\t${result.schema.toDDL}")
+                val it = ArrowIpc.toIpcStreams(result).toLocalIterator()
+                while (it.hasNext) {
+                  FlightProto.splitIpcStream(it.next()).foreach { m =>
+                    writeFrame(out, FlightProto.FlightData(
+                      None, m.metadata, Array.emptyByteArray, m.body).encode)
+                  }
+                }
+                writeFrame(out, Array.emptyByteArray)
+              } catch { case e: Throwable =>
+                writeStr(out, s"ERR ${e.getMessage}")
+              }
             // FPUTG ≙ the reference's write-action + doPut pair
             // (GdsActionHandler.java:76-150: gds.write.nodes /
             // gds.write.relationships resolve a GdsWriteNodeMessage /
@@ -583,6 +625,34 @@ object IpcTransport {
     /** gds.write.relationships — same framing with a rels message. */
     def putGraphRels(msg: ActionMessages.GdsWriteRelsMessage,
                      df: DataFrame): Long = putGraphPart(msg.serialize, df)
+
+    /** DoExchange: stream `df` up with a wire-codec CypherMessage (the
+      * query sees the uploaded rows as view `input`), get the query's
+      * result streamed back in the same call. */
+    def exchange(spark: SparkSession, msg: ActionMessages.CypherMessage,
+                 df: DataFrame): DataFrame = {
+      writeStr(out, s"FXCHG ${df.schema.toDDL}")
+      val desc = FlightProto.FlightDescriptor(
+        FlightProto.DescriptorType.Cmd, msg.serialize, Nil)
+      var first = true
+      ArrowIpc.toIpcStreams(df).toLocalIterator().forEachRemaining { blob =>
+        FlightProto.splitIpcStream(blob).foreach { m =>
+          writeFrame(out, FlightProto.FlightData(
+            if (first) Some(desc) else None,
+            m.metadata, Array.emptyByteArray, m.body).encode)
+          first = false
+        }
+      }
+      writeFrame(out, Array.emptyByteArray)
+      val resultDdl = expectOk(readStr(in))(0)
+      val msgs = Iterator.continually(readFrame(in)).takeWhile(_.nonEmpty)
+        .map(FlightProto.FlightData.decode)
+        .map(fd => FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+        .toSeq
+      import spark.implicits._
+      ArrowIpc.fromIpcStreams(spark.createDataset(groupStreams(msgs)),
+        StructType.fromDDL(resultDdl))
+    }
 
     private def putGraphPart(cmd: Array[Byte], df: DataFrame): Long = {
       writeStr(out, s"FPUTG ${df.schema.toDDL}")

@@ -68,21 +68,71 @@ object GraphStreams {
     * changelog, exactly how the batch plan scales. */
   def threeHopEdgesPlan(reach1: DataFrame, reach2: DataFrame,
                         incid: DataFrame, originLo: Long, originHi: Long)
-      : DataFrame = {
+      : DataFrame =
+    kHopEdgesPlan(Seq(reach1, reach2, incid), originLo, originHi)
+
+  /** ARBITRARY-k instance of the join-state pattern (the reference's
+    * KHopMessage carries any k, KHopMessage.java:83-88): `feeds` must be
+    * k INDEPENDENT derivations of the same edge changelog — feed i
+    * expands frontier i (nodes at exactly ≤ i hops, built from the
+    * previous frontier, not the whole reach — one equi-join per hop),
+    * and the LAST feed is the incidence side. reach = origin ∪
+    * frontier₁ ∪ … ∪ frontier₍k₋₁₎; output = edges incident to reach,
+    * as a MULTISET of (origin, src, dst) witnesses (readers dedup).
+    *
+    * Scale: k−1 chained stream-stream equi-joins, each keyed by node
+    * over the same bounded symmetric edge feed — state grows with
+    * |edges| per join, NOT with k×frontier size; hop count buys joins,
+    * not per-key state. */
+  def kHopEdgesPlan(feeds: Seq[DataFrame], originLo: Long,
+                    originHi: Long): DataFrame = {
+    val k = feeds.length
+    require(k >= 2, s"k-hop needs k >= 2 independent feeds, got $k")
     def sym(df: DataFrame, a: String, b: String) =
       df.select(col("src").as(a), col("dst").as(b))
         .unionByName(df.select(col("dst").as(a), col("src").as(b)))
-    val nb1 = sym(reach1, "o", "n")
+    val nb1 = sym(feeds.head, "o", "n")
       .where(col("o").between(originLo, originHi))
-    val nb2 = nb1.join(sym(reach2, "m", "b"), col("n") === col("m"))
-      .select(col("o"), col("b").as("n"))
-    val reach = nb1.select(col("o"), col("o").as("n")) // origin itself
+    var frontier = nb1
+    var reach = nb1.select(col("o"), col("o").as("n")) // origin itself
       .unionByName(nb1)
-      .unionByName(nb2)
-    val inc = incid.select(col("src").as("m2"), col("src"), col("dst"))
-      .unionByName(incid.select(col("dst").as("m2"), col("src"), col("dst")))
-    reach.join(inc, col("n") === col("m2"))
+    for (i <- 2 until k) {
+      frontier = frontier
+        .join(sym(feeds(i - 1), s"m$i", s"b$i"),
+          col("n") === col(s"m$i"))
+        .select(col("o"), col(s"b$i").as("n"))
+      reach = reach.unionByName(frontier)
+    }
+    val inc = feeds.last
+      .select(col("src").as("mi"), col("src"), col("dst"))
+      .unionByName(
+        feeds.last.select(col("dst").as("mi"), col("src"), col("dst")))
+    reach.join(inc, col("n") === col("mi"))
       .select(col("o").as("origin"), col("src"), col("dst"))
+  }
+
+  /** Run the continuous k-hop view over a staged edge changelog for any
+    * k (AvailableNow, memory sink), deduped per origin. */
+  def kHopOverChangelog(s: SparkSession, srcDir: String, tag: String,
+                        k: Int, originLo: Long, originHi: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    def feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val joined = kHopEdgesPlan(Seq.fill(k)(feed), originLo, originHi)
+    val qname = s"graft_stream_khop${k}_${tag}_${System.nanoTime()}"
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    s.table(qname).distinct()
   }
 
   /** Run the continuous 3-hop view over a staged edge changelog

@@ -139,6 +139,38 @@ class ActionMessagesSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("FXCHG (DoExchange): upload + query + result stream in ONE call, " +
+      "nothing registered server-side") {
+    val srv = new IpcTransport.Server(spark, token = "sekrit").start()
+    try {
+      val c = new IpcTransport.Client("127.0.0.1", srv.port, "sekrit")
+      try {
+        val df = (0L until 300L).map(i => (i, s"g${i % 4}", i * 1.5))
+          .toDF("id", "grp", "v")
+        val got = c.exchange(spark,
+            CypherMessage("graft",
+              "SELECT grp, count(*) AS n, sum(v) AS sv FROM input " +
+                "GROUP BY grp"),
+            df.repartition(3))
+          .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+        val want = df.groupBy($"grp")
+          .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+          .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+        assert(got == want)
+        // the exchange left no flight behind
+        assert(!c.listTables().exists(_ != "input") || c.listTables().isEmpty)
+        assert(c.listTables().isEmpty)
+        // a bad query fails the exchange call itself
+        val e = intercept[IllegalArgumentException](
+          c.exchange(spark, CypherMessage("graft", "SELECT nope FROM input"),
+            df.limit(5)))
+        assert(e.getMessage.contains("ERR"))
+        // and the connection survives for the next verb
+        assert(c.doAction("info.version").asString.nonEmpty)
+      } finally c.close()
+    } finally srv.close()
+  }
+
   test("cypher.read over the wire: CypherMessage body -> ticket -> " +
       "FGET streams the query result") {
     val srv = new IpcTransport.Server(spark, token = "sekrit").start()

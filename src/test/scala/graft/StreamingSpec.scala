@@ -352,6 +352,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("kHopOverChangelog generalizes: k=4 over a staged changelog " +
+      "equals batch kHopEdges") {
+    import graft.streaming.GraphStreams
+    val ids = (0L until 48L)
+    val edges = (ids.dropRight(1).map(i => (i, i + 1)) ++
+      ids.filter(_ % 8 == 0).map(i => (i, (i + 16) % 48)))
+      .toDF("src", "dst")
+    val base = s"/tmp/graft_stream_khop4_spec_${System.nanoTime()}"
+    try {
+      val src = GraphStreams.stageEdgeChangelog(edges, base, nSlices = 3)
+      val got = GraphStreams
+        .kHopOverChangelog(spark, src, "spec", k = 4, 10L, 20L)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = graft.operators.KHop.kHopEdges(
+          edges.select($"src".as("START_ID"), $"dst".as("END_ID")),
+          k = 4,
+          originPred = Some(org.apache.spark.sql.functions.col("origin")
+            .between(10L, 20L)))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("ccMergeBatch double-failure replay: losing the checkpoint commit " +
       "AND the state write for the last batch, then restarting, converges " +
       "to the same mapping") {
