@@ -389,4 +389,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(out.as[(Long, Long)].collect().toSet ==
       Set((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (8L, 7L)))
   }
+
+  test("pii_scrub stays shuffle-free until the final aggregate (r9): " +
+      "the rule battery is a narrow projection over the scan") {
+    val plan = formatted(SparkEntry.queries("pii_scrub")(spark, dir))
+    // exactly ONE exchange pair: the partial->final hash aggregate.
+    // Any additional Exchange means a rule introduced a shuffle.
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("retrieval_eval reads only the columns it needs (r9): every " +
+      "corpus scan is pruned to (doc_id, text) — the metric stage adds " +
+      "no wide scan") {
+    val plan = formatted(SparkEntry.queries("retrieval_eval")(spark, dir))
+    // Spark plans one pruned scan per consumer of `documents` (bm25
+    // postings, corpus stats, qrel word sets) — scan COUNT is the
+    // engine's CSE policy, but scan WIDTH is ours: none of the unused
+    // columns (lang, source, n_chars) may be read anywhere.
+    val reads = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    for (absent <- Seq("lang", "source", "n_chars"))
+      assert(!reads.contains(absent),
+        s"unused column '$absent' read:\n$reads")
+    assert(reads.contains("doc_id") && reads.contains("text"))
+  }
 }
