@@ -456,6 +456,42 @@ object SparkEntry {
         } finally cli.close()
       } finally server.close()
     }),
+    // The REAL gRPC/HTTP/2 Flight lifecycle under the gate (reference:
+    // Producer.java:86-510 + App.java over arrow-flight/grpc-java; here
+    // sources/FlightGrpc over Netty's HTTP/2 codec — genuine connection
+    // preface, SETTINGS, HPACK, multiplexed streams, flow-control
+    // windows, gRPC length-prefixed framing and grpc-status trailers):
+    // Handshake auth → DoPut orders → GetFlightInfo/GetSchema fidelity →
+    // a CMD-descriptor GetFlightInfo runs the aggregate server-side →
+    // DoGet streams the ticketed result back.
+    "grpc_roundtrip" -> ((s, dir) => {
+      val orders = TpchGraph.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val server = new graft.sources.FlightGrpc.Server(s, "gate-token").start()
+      try {
+        val cli = new graft.sources.FlightGrpc.Client(
+          "127.0.0.1", server.port, "gate-token")
+        try {
+          require(cli.handshake("gate-token"), "handshake rejected")
+          require(!cli.handshake("wrong"), "handshake accepted a bad secret")
+          val n = cli.doPut("orders_put", orders.repartition(4))
+          require(n == orders.count(), s"DoPut acked $n rows")
+          val fi = cli.getFlightInfo("orders_put")
+          require(fi.descriptor.path == Seq("orders_put"),
+            s"FlightInfo descriptor drift: ${fi.descriptor}")
+          require(java.util.Arrays.equals(cli.getSchema("orders_put"),
+            fi.schema), "GetSchema != FlightInfo.schema")
+          val qfi = cli.getFlightInfoCmd(
+            graft.sources.ActionMessages.CypherMessage("graft",
+              "SELECT o_orderstatus AS status, count(*) AS n, " +
+                "sum(o_custkey) AS sum_cust FROM orders_put GROUP BY 1"))
+          val ticket = new String(qfi.endpoints.head.ticket.ticket,
+            java.nio.charset.StandardCharsets.UTF_8)
+          cli.doGet(s, ticket)
+            .localCheckpoint(true) // materialize while the server is up
+        } finally cli.close()
+      } finally server.close()
+    }),
     // W1: dense id map under the gate. Which original id gets which dense
     // offset depends on partition order (unordered-stream contract), so
     // the gate checks the deterministic bijection invariants: n dense ids,
@@ -1041,6 +1077,10 @@ object SparkEntry {
          |SELECT label, count(*) AS n, count(name) AS n_named
          |FROM nodes GROUP BY label""".stripMargin,
     "transport_roundtrip" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY 1""".stripMargin,
+    "grpc_roundtrip" ->
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY 1""".stripMargin,

@@ -1,0 +1,639 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{CompletableFuture, Executors, ThreadFactory, TimeUnit}
+
+import scala.util.control.NonFatal
+
+import io.netty.bootstrap.{Bootstrap, ServerBootstrap}
+import io.netty.buffer.ByteBuf
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer, MultiThreadIoEventLoopGroup}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, DefaultHttp2WindowUpdateFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannel, Http2StreamChannelBootstrap}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Arrow Flight over REAL gRPC/HTTP/2 — the session layer that was the
+  * one remaining delta between this engine's Flight surface and the
+  * reference's (Producer.java:86-510 + App.java serve these RPCs via
+  * arrow-flight's grpc-java binding). No grpc or arrow-flight jar ships
+  * in this environment, but Netty's HTTP/2 codec DOES (netty-codec-http2
+  * is on the Spark classpath — Spark's own RPC rides Netty), and gRPC is
+  * a thin, public convention over HTTP/2 (gRPC `PROTOCOL-HTTP2.md`):
+  *
+  *  - one RPC = one HTTP/2 stream; request HEADERS carry `:method POST`,
+  *    `:path /arrow.flight.protocol.FlightService/<Method>`,
+  *    `content-type: application/grpc+proto`, `te: trailers`, and the
+  *    `authorization` credential;
+  *  - each DATA frame carries length-prefixed messages: 1 byte
+  *    compressed-flag (0 — identity) + u32 big-endian length + the
+  *    protobuf payload ([[FlightProto]] messages, already wire-exact);
+  *  - the response is HEADERS (`:status 200`) + DATA + trailing HEADERS
+  *    with `grpc-status`/`grpc-message` (or a trailers-only response for
+  *    failures before any message is sent).
+  *
+  * HTTP/2 session mechanics — connection preface, SETTINGS exchange,
+  * HPACK header compression, stream multiplexing, flow-control windows,
+  * frame splitting at max-frame-size — come from Netty's vetted codec
+  * (`Http2FrameCodec` + `Http2MultiplexHandler`), exactly the layering
+  * grpc-java itself uses (grpc-netty). The verbs run on the SAME
+  * [[FlightService]] instance as the framed-TCP transport, so both wires
+  * front one catalog/job registry.
+  *
+  * Methods served (Flight.proto service surface): Handshake, ListFlights,
+  * GetFlightInfo, GetSchema, DoGet, DoPut, DoExchange, DoAction,
+  * ListActions — the full reference verb set plus the two the reference
+  * lacked (GetSchema as a first-class RPC, DoExchange).
+  *
+  * Scale posture: DoGet streams one partition's IPC messages at a time
+  * through `toLocalIterator` (never the whole dataset on the heap), and
+  * the response DATA rides HTTP/2 flow control — a slow client applies
+  * backpressure through its window instead of losing rows (the
+  * reference's producer DROPS batches under backpressure; ours never
+  * does, COVERAGE.md §2.4). Spark work is dispatched off the Netty event
+  * loops onto a worker pool, so a long query never stalls other streams'
+  * frames. */
+object FlightGrpc {
+
+  val ServicePath = "/arrow.flight.protocol.FlightService/"
+
+  /** gRPC status codes used here (public grpc codes.md). */
+  object Status {
+    val Ok = 0
+    val Unknown = 2
+    val InvalidArgument = 3
+    val NotFound = 5
+    val Unimplemented = 12
+    val Internal = 13
+    val Unauthenticated = 16
+  }
+
+  final class GrpcException(val code: Int, msg: String)
+      extends RuntimeException(msg)
+
+  // ------------------------------------------------------ gRPC framing
+  /** One length-prefixed gRPC message: flag 0 (identity) + u32 BE length
+    * + protobuf payload. */
+  private def grpcFrame(ctx: ChannelHandlerContext,
+                        msg: Array[Byte]): ByteBuf = {
+    val b = ctx.alloc().buffer(5 + msg.length)
+    b.writeByte(0)
+    b.writeInt(msg.length)
+    b.writeBytes(msg)
+    b
+  }
+
+  /** Split a request body into its length-prefixed gRPC messages. */
+  private def parseGrpcMessages(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val acc = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < bytes.length) {
+      if (pos + 5 > bytes.length)
+        throw new GrpcException(Status.Internal, "truncated gRPC frame")
+      val flag = bytes(pos) & 0xFF
+      if (flag != 0)
+        throw new GrpcException(Status.Unimplemented,
+          "compressed gRPC messages not supported (identity only)")
+      val len = ((bytes(pos + 1) & 0xFF) << 24) | ((bytes(pos + 2) & 0xFF) << 16) |
+        ((bytes(pos + 3) & 0xFF) << 8) | (bytes(pos + 4) & 0xFF)
+      if (len < 0 || pos + 5 + len > bytes.length)
+        throw new GrpcException(Status.Internal, s"bad gRPC frame length $len")
+      acc += java.util.Arrays.copyOfRange(bytes, pos + 5, pos + 5 + len)
+      pos += 5 + len
+    }
+    acc.result()
+  }
+
+  private def daemonFactory(prefix: String): ThreadFactory = new ThreadFactory {
+    private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"$prefix-${n.getAndIncrement()}")
+      t.setDaemon(true)
+      t
+    }
+  }
+
+  /** FlightData messages for a DataFrame, Flight-shaped: ONE leading
+    * Schema message, then every partition's record batches (partition
+    * streams after the first drop their redundant Schema headers — a
+    * Flight getStream is a single logical Arrow stream). */
+  private def flightDataMessages(df: DataFrame)
+      : Iterator[FlightProto.IpcMessage] = {
+    val it = ArrowIpc.toIpcStreams(df).toLocalIterator()
+    var firstPartition = true
+    new Iterator[Array[Byte]] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Array[Byte] = it.next()
+    }.flatMap { blob =>
+      val msgs = FlightProto.splitIpcStream(blob)
+      val keep =
+        if (firstPartition) msgs
+        else msgs.filterNot(FlightProto.isSchemaMessage)
+      firstPartition = false
+      keep
+    }
+  }
+
+  // ------------------------------------------------------------- server
+  final class Server(spark: SparkSession, token: String,
+                     sharedService: Option[FlightService] = None) {
+    val service: FlightService =
+      sharedService.getOrElse(new FlightService(spark))
+    private val group =
+      new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+    private[FlightGrpc] val dispatchPool =
+      Executors.newCachedThreadPool(daemonFactory("graft-grpc-dispatch"))
+    private var ch: Channel = _
+
+    def register(name: String, df: DataFrame): Unit =
+      service.register(name, df)
+    def registerGraph(name: String, nodes: DataFrame,
+                      rels: DataFrame): Unit =
+      service.registerGraph(name, nodes, rels)
+
+    def port: Int =
+      ch.localAddress().asInstanceOf[InetSocketAddress].getPort
+
+    def start(): this.type = {
+      val b = new ServerBootstrap()
+        .group(group)
+        .channel(classOf[NioServerSocketChannel])
+        .childHandler(new ChannelInitializer[SocketChannel] {
+          override def initChannel(c: SocketChannel): Unit = {
+            c.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
+            c.pipeline().addLast(new Http2MultiplexHandler(
+              new ChannelInitializer[Channel] {
+                override def initChannel(sc: Channel): Unit = {
+                  sc.pipeline().addLast(
+                    new ServerStreamHandler(Server.this, token)); ()
+                }
+              }))
+            ()
+          }
+        })
+      ch = b.bind("127.0.0.1", 0).sync().channel()
+      this
+    }
+
+    def close(): Unit = {
+      if (ch != null) ch.close().sync()
+      dispatchPool.shutdownNow()
+      group.shutdownGracefully(0, 200, TimeUnit.MILLISECONDS)
+      ()
+    }
+  }
+
+  /** Collects one RPC's request (headers + body), then dispatches OFF the
+    * event loop and streams the response back. One instance per HTTP/2
+    * stream (the multiplex handler guarantees it). */
+  private final class ServerStreamHandler(srv: Server, token: String)
+      extends ChannelInboundHandlerAdapter {
+    private var method = ""
+    private var authorized = false
+    private val body = new ByteArrayOutputStream()
+
+    private def authOk(header: Option[String]): Boolean = header.exists { v =>
+      // Bearer <token> (what our Handshake hands back) or the reference's
+      // basic-auth shape, any user + the shared secret as password
+      // (HorribleBasicAuthValidator.java:19-56). Constant-time compares.
+      if (v.startsWith("Bearer "))
+        java.security.MessageDigest.isEqual(
+          v.substring(7).getBytes(UTF_8), token.getBytes(UTF_8))
+      else if (v.startsWith("Basic ")) {
+        val decoded =
+          try new String(java.util.Base64.getDecoder.decode(v.substring(6)), UTF_8)
+          catch { case NonFatal(_) => return false }
+        decoded.split(":", 2) match {
+          case Array(_, pass) => java.security.MessageDigest.isEqual(
+            pass.getBytes(UTF_8), token.getBytes(UTF_8))
+          case _ => false
+        }
+      } else false
+    }
+
+    override def channelRead(ctx: ChannelHandlerContext,
+                             msg: AnyRef): Unit = msg match {
+      case h: Http2HeadersFrame =>
+        Option(h.headers().path()).foreach { p =>
+          method = p.toString.stripPrefix(ServicePath)
+        }
+        authorized = authorized || authOk(
+          Option(h.headers().get("authorization")).map(_.toString))
+        if (h.isEndStream) finish(ctx)
+      case d: Http2DataFrame =>
+        val n = d.content().readableBytes()
+        if (n > 0) {
+          val tmp = new Array[Byte](n)
+          d.content().readBytes(tmp)
+          body.write(tmp)
+        }
+        val fc = d.initialFlowControlledBytes()
+        val end = d.isEndStream
+        d.release()
+        // replenish stream + connection windows for what we consumed
+        // (the multiplex stream channel forwards this as consumed bytes)
+        if (fc > 0) { ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(fc)); () }
+        if (end) finish(ctx)
+      case other =>
+        io.netty.util.ReferenceCountUtil.release(other)
+        ()
+    }
+
+    override def exceptionCaught(ctx: ChannelHandlerContext,
+                                 cause: Throwable): Unit = {
+      ctx.close(); ()
+    }
+
+    /** Spark work (ingest, query, egress) runs on the dispatch pool — a
+      * long DoGet must never stall the event loop that carries OTHER
+      * streams' frames. Netty writes are thread-safe (scheduled onto the
+      * loop). */
+    private def finish(ctx: ChannelHandlerContext): Unit = {
+      val bytes = body.toByteArray
+      val m = method
+      val ok = authorized
+      srv.dispatchPool.execute(() => respond(ctx, m, ok, bytes))
+    }
+
+    private def respond(ctx: ChannelHandlerContext, method: String,
+                        ok: Boolean, bytes: Array[Byte]): Unit = {
+      var headersSent = false
+      def writeMsg(payload: Array[Byte]): Unit = {
+        if (!headersSent) {
+          val h = new DefaultHttp2Headers().status("200")
+          h.set("content-type", "application/grpc+proto")
+          ctx.write(new DefaultHttp2HeadersFrame(h))
+          headersSent = true
+        }
+        ctx.writeAndFlush(new DefaultHttp2DataFrame(grpcFrame(ctx, payload)))
+        ()
+      }
+      def finishRpc(status: Int, message: String): Unit = {
+        val t = new DefaultHttp2Headers()
+        if (!headersSent) { // trailers-only response (gRPC error shape)
+          t.status("200")
+          t.set("content-type", "application/grpc+proto")
+        }
+        t.set("grpc-status", status.toString)
+        if (message.nonEmpty)
+          t.set("grpc-message",
+            message.replaceAll("[^\\x20-\\x7e]", "?").take(400))
+        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
+        ()
+      }
+      try {
+        val reqs = parseGrpcMessages(bytes)
+        if (!ok && method != "Handshake")
+          throw new GrpcException(Status.Unauthenticated, "unauthenticated")
+        dispatch(method, reqs, writeMsg)
+        finishRpc(Status.Ok, "")
+      } catch {
+        case e: GrpcException => finishRpc(e.code, e.getMessage)
+        case e: NoSuchElementException =>
+          finishRpc(Status.NotFound, String.valueOf(e.getMessage))
+        case e: UnsupportedOperationException =>
+          finishRpc(Status.Unimplemented, String.valueOf(e.getMessage))
+        case e: IllegalArgumentException =>
+          finishRpc(Status.InvalidArgument, String.valueOf(e.getMessage))
+        case NonFatal(e) =>
+          finishRpc(Status.Unknown, String.valueOf(e.getMessage))
+      }
+    }
+
+    private def dispatch(method: String, reqs: Seq[Array[Byte]],
+                         write: Array[Byte] => Unit): Unit = {
+      val service = srv.service
+      def location = s"grpc+tcp://127.0.0.1:${srv.port}"
+      method match {
+        case "Handshake" =>
+          // the reference's auth exchange (HorribleBasicAuthValidator):
+          // payload carries the shared secret; success hands back the
+          // bearer the client then sends as `authorization`
+          val hs = FlightProto.Handshake.decode(reqs.headOption.getOrElse(
+            throw new GrpcException(Status.InvalidArgument,
+              "missing HandshakeRequest")))
+          if (!java.security.MessageDigest.isEqual(hs.payload,
+              token.getBytes(UTF_8)))
+            throw new GrpcException(Status.Unauthenticated,
+              "invalid handshake secret")
+          write(FlightProto.Handshake.of(token).encode)
+        case "ListFlights" =>
+          // Criteria ignored like the reference's listFlights
+          service.list().foreach { case (n, df) =>
+            write(service.flightInfoOf(n, df, location).encode)
+          }
+        case "GetFlightInfo" =>
+          val desc = FlightProto.FlightDescriptor.decode(
+            reqs.headOption.getOrElse(throw new GrpcException(
+              Status.InvalidArgument, "missing FlightDescriptor")))
+          desc.dtype match {
+            case FlightProto.DescriptorType.Path =>
+              val name = desc.path.headOption.getOrElse(
+                throw new GrpcException(Status.InvalidArgument, "empty path"))
+              write(service.flightInfoOf(name, service.require(name),
+                location).encode)
+            case FlightProto.DescriptorType.Cmd =>
+              // descriptor-as-command (Producer.java:411-437): the cmd is
+              // a wire-codec CypherMessage; the answer is a FlightInfo
+              // whose endpoint ticket is the new result flight
+              val ticket = service.doAction(FlightProto.Action(
+                "cypher.read", desc.cmd)).asString
+              write(service.flightInfoOf(ticket, service.require(ticket),
+                location).encode)
+            case t => throw new GrpcException(Status.InvalidArgument,
+              s"unsupported descriptor type $t")
+          }
+        case "GetSchema" =>
+          val desc = FlightProto.FlightDescriptor.decode(
+            reqs.headOption.getOrElse(throw new GrpcException(
+              Status.InvalidArgument, "missing FlightDescriptor")))
+          val name = desc.path.headOption.getOrElse(
+            throw new GrpcException(Status.InvalidArgument, "empty path"))
+          write(FlightProto.SchemaResult(
+            service.arrowSchemaBytes(service.require(name))).encode)
+        case "DoGet" =>
+          val ticket = new String(FlightProto.Ticket.decode(
+            reqs.headOption.getOrElse(throw new GrpcException(
+              Status.InvalidArgument, "missing Ticket"))).ticket, UTF_8)
+          val df = service.require(ticket)
+          flightDataMessages(df).foreach { m =>
+            write(FlightProto.FlightData(None, m.metadata,
+              Array.emptyByteArray, m.body).encode)
+          }
+        case "DoPut" =>
+          val frames = reqs.map(FlightProto.FlightData.decode)
+          val desc = frames.headOption.flatMap(_.descriptor).getOrElse(
+            throw new GrpcException(Status.InvalidArgument,
+              "first FlightData must carry a descriptor"))
+          desc.dtype match {
+            case FlightProto.DescriptorType.Path =>
+              val name = desc.path.headOption.getOrElse(
+                throw new GrpcException(Status.InvalidArgument, "empty path"))
+              val msgs = frames.map(fd =>
+                FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+              write(FlightProto.PutResult.of(
+                service.ingestFlightData(name, msgs).toString).encode)
+            case FlightProto.DescriptorType.Cmd =>
+              // gds.write.nodes / gds.write.relationships: CMD carries
+              // the serialized write message (GdsActionHandler.java:76-150)
+              write(FlightProto.PutResult.of(
+                service.putGraphPart(frames).toString).encode)
+            case t => throw new GrpcException(Status.InvalidArgument,
+              s"unsupported descriptor type $t")
+          }
+        case "DoExchange" =>
+          val frames = reqs.map(FlightProto.FlightData.decode)
+          val result = service.exchange(frames)
+          flightDataMessages(result).foreach { m =>
+            write(FlightProto.FlightData(None, m.metadata,
+              Array.emptyByteArray, m.body).encode)
+          }
+        case "DoAction" =>
+          val action = FlightProto.Action.decode(reqs.headOption.getOrElse(
+            throw new GrpcException(Status.InvalidArgument,
+              "missing Action")))
+          write(service.doAction(action).encode)
+        case "ListActions" =>
+          service.actionTypes.foreach(a => write(a.encode))
+        case other =>
+          throw new GrpcException(Status.Unimplemented,
+            s"unimplemented method: $other")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- client
+  final case class RpcResult(messages: Seq[Array[Byte]], status: Int,
+                             statusMessage: String)
+
+  /** Blocking Flight client over the same Netty HTTP/2 codec — one
+    * connection, one HTTP/2 stream per RPC (so calls multiplex the way
+    * grpc-java's do). */
+  final class Client(host: String, port: Int, token: String) {
+    private val group =
+      new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
+    private val ch: Channel = {
+      val b = new Bootstrap()
+        .group(group)
+        .channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[SocketChannel] {
+          override def initChannel(c: SocketChannel): Unit = {
+            c.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
+            // inbound (server-initiated) streams are not a gRPC thing;
+            // the multiplex handler still needs a child handler
+            c.pipeline().addLast(new Http2MultiplexHandler(
+              new ChannelInboundHandlerAdapter()))
+            ()
+          }
+        })
+      b.connect(host, port).sync().channel()
+    }
+
+    /** One RPC with the default bearer credential. */
+    def call(method: String, reqs: Seq[Array[Byte]]): RpcResult =
+      callRaw(method, reqs, Some(s"Bearer $token"))
+
+    /** One RPC with full control of the `authorization` header value
+      * (None = send no credential — the unauthenticated path). */
+    def callRaw(method: String, reqs: Seq[Array[Byte]],
+                authHeader: Option[String]): RpcResult = {
+      val done = new CompletableFuture[RpcResult]()
+      val sc: Http2StreamChannel = new Http2StreamChannelBootstrap(ch)
+        .handler(new ClientStreamHandler(done))
+        .open().sync().getNow
+      val headers = new DefaultHttp2Headers()
+        .method("POST").scheme("http")
+        .authority(s"$host:$port")
+        .path(ServicePath + method)
+      headers.set("content-type", "application/grpc+proto")
+      headers.set("te", "trailers")
+      authHeader.foreach(v => headers.set("authorization", v))
+      sc.write(new DefaultHttp2HeadersFrame(headers, reqs.isEmpty))
+      reqs.zipWithIndex.foreach { case (m, i) =>
+        val buf = sc.alloc().buffer(5 + m.length)
+        buf.writeByte(0); buf.writeInt(m.length); buf.writeBytes(m)
+        sc.write(new DefaultHttp2DataFrame(buf, i == reqs.size - 1))
+      }
+      sc.flush()
+      done.get(180, TimeUnit.SECONDS)
+    }
+
+    /** call() that fails loudly on a non-OK grpc-status. */
+    def callOk(method: String,
+               reqs: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+      val r = call(method, reqs)
+      if (r.status != 0)
+        throw new GrpcException(r.status,
+          s"$method failed: grpc-status ${r.status} ${r.statusMessage}")
+      r.messages
+    }
+
+    /** Flight auth handshake; true iff the server accepted the secret. */
+    def handshake(secret: String): Boolean =
+      callRaw("Handshake", Seq(FlightProto.Handshake.of(secret).encode),
+        authHeader = None).status == 0
+
+    def listFlights(): Seq[FlightProto.FlightInfo] =
+      callOk("ListFlights", Seq(FlightProto.Criteria.all.encode))
+        .map(FlightProto.FlightInfo.decode)
+
+    def getFlightInfo(name: String): FlightProto.FlightInfo =
+      FlightProto.FlightInfo.decode(callOk("GetFlightInfo",
+        Seq(FlightProto.FlightDescriptor.path(name).encode)).head)
+
+    /** getFlightInfo by CMD descriptor: the command is a wire-codec
+      * CypherMessage; returns the result flight's info. */
+    def getFlightInfoCmd(
+        msg: ActionMessages.CypherMessage): FlightProto.FlightInfo =
+      FlightProto.FlightInfo.decode(callOk("GetFlightInfo",
+        Seq(FlightProto.FlightDescriptor(
+          FlightProto.DescriptorType.Cmd, msg.serialize, Nil).encode)).head)
+
+    /** IPC-encapsulated Arrow Schema bytes for a flight. */
+    def getSchema(name: String): Array[Byte] =
+      FlightProto.SchemaResult.decode(callOk("GetSchema",
+        Seq(FlightProto.FlightDescriptor.path(name).encode)).head).schema
+
+    /** DoGet straight into a DataFrame: FlightData messages → schema from
+      * the wire's leading Schema message → Arrow ingest. */
+    def doGet(spark: SparkSession, ticket: String): DataFrame = {
+      val msgs = callOk("DoGet", Seq(FlightProto.Ticket.of(ticket).encode))
+        .map(FlightProto.FlightData.decode)
+        .map(fd => FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+      val schema = FlightService.sparkSchemaOfStream(msgs)
+      import spark.implicits._
+      ArrowIpc.fromIpcStreams(
+        spark.createDataset(FlightProto.groupStreams(msgs)), schema)
+    }
+
+    /** DoPut a DataFrame as flight `name`; returns the server-side row
+      * count (acked through PutResult.app_metadata). */
+    def doPut(name: String, df: DataFrame): Long = {
+      val desc = FlightProto.FlightDescriptor.path(name)
+      putFrames(desc, df)
+    }
+
+    /** gds.write.nodes / gds.write.relationships over DoPut: the CMD
+      * descriptor carries the serialized write message. */
+    def doPutGraphPart(cmd: Array[Byte], df: DataFrame): Long =
+      putFrames(FlightProto.FlightDescriptor(
+        FlightProto.DescriptorType.Cmd, cmd, Nil), df)
+
+    private def putFrames(desc: FlightProto.FlightDescriptor,
+                          df: DataFrame): Long = {
+      val frames = Seq.newBuilder[Array[Byte]]
+      var first = true
+      ArrowIpc.toIpcStreams(df).toLocalIterator().forEachRemaining { blob =>
+        FlightProto.splitIpcStream(blob).foreach { m =>
+          frames += FlightProto.FlightData(
+            if (first) Some(desc) else None,
+            m.metadata, Array.emptyByteArray, m.body).encode
+          first = false
+        }
+      }
+      FlightProto.PutResult.decode(
+        callOk("DoPut", frames.result()).head).asString.toLong
+    }
+
+    /** DoExchange: stream `df` up under a CMD CypherMessage descriptor
+      * (the query sees the rows as view `input`), get the result streamed
+      * back in the same RPC. */
+    def doExchange(spark: SparkSession, msg: ActionMessages.CypherMessage,
+                   df: DataFrame): DataFrame = {
+      val desc = FlightProto.FlightDescriptor(
+        FlightProto.DescriptorType.Cmd, msg.serialize, Nil)
+      val frames = Seq.newBuilder[Array[Byte]]
+      var first = true
+      ArrowIpc.toIpcStreams(df).toLocalIterator().forEachRemaining { blob =>
+        FlightProto.splitIpcStream(blob).foreach { m =>
+          frames += FlightProto.FlightData(
+            if (first) Some(desc) else None,
+            m.metadata, Array.emptyByteArray, m.body).encode
+          first = false
+        }
+      }
+      val msgs = callOk("DoExchange", frames.result())
+        .map(FlightProto.FlightData.decode)
+        .map(fd => FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+      val schema = FlightService.sparkSchemaOfStream(msgs)
+      import spark.implicits._
+      ArrowIpc.fromIpcStreams(
+        spark.createDataset(FlightProto.groupStreams(msgs)), schema)
+    }
+
+    def doAction(atype: String, body: Array[Byte]): FlightProto.ActionResult =
+      FlightProto.ActionResult.decode(callOk("DoAction",
+        Seq(FlightProto.Action(atype, body).encode)).head)
+
+    def doAction(atype: String, body: String): FlightProto.ActionResult =
+      doAction(atype, body.getBytes(UTF_8))
+
+    def listActions(): Seq[FlightProto.ActionType] =
+      callOk("ListActions", Seq(Array.emptyByteArray))
+        .map(FlightProto.ActionType.decode)
+
+    def close(): Unit = {
+      ch.close().sync()
+      group.shutdownGracefully(0, 200, TimeUnit.MILLISECONDS)
+      ()
+    }
+  }
+
+  /** Accumulates one RPC's response; completes when the trailers arrive
+    * (grpc-status), including trailers-only error responses. */
+  private final class ClientStreamHandler(done: CompletableFuture[RpcResult])
+      extends ChannelInboundHandlerAdapter {
+    private val body = new ByteArrayOutputStream()
+    private var status = -1
+    private var statusMessage = ""
+
+    override def channelRead(ctx: ChannelHandlerContext,
+                             msg: AnyRef): Unit = msg match {
+      case h: Http2HeadersFrame =>
+        Option(h.headers().get("grpc-status"))
+          .foreach(s => status = s.toString.toInt)
+        Option(h.headers().get("grpc-message"))
+          .foreach(m => statusMessage = m.toString)
+        if (h.isEndStream) complete()
+      case d: Http2DataFrame =>
+        val n = d.content().readableBytes()
+        if (n > 0) {
+          val tmp = new Array[Byte](n)
+          d.content().readBytes(tmp)
+          body.write(tmp)
+        }
+        val fc = d.initialFlowControlledBytes()
+        val end = d.isEndStream
+        d.release()
+        if (fc > 0) { ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(fc)); () }
+        if (end) complete()
+      case other =>
+        io.netty.util.ReferenceCountUtil.release(other)
+        ()
+    }
+
+    override def channelInactive(ctx: ChannelHandlerContext): Unit =
+      if (!done.isDone) {
+        done.completeExceptionally(
+          new java.io.IOException("stream closed before trailers")); ()
+      }
+
+    override def exceptionCaught(ctx: ChannelHandlerContext,
+                                 cause: Throwable): Unit = {
+      done.completeExceptionally(cause)
+      ctx.close(); ()
+    }
+
+    private def complete(): Unit = {
+      val msgs =
+        try parseGrpcMessages(body.toByteArray)
+        catch { case NonFatal(e) => done.completeExceptionally(e); return }
+      done.complete(RpcResult(msgs, status, statusMessage))
+      ()
+    }
+  }
+}

@@ -252,6 +252,58 @@ object FlightProto {
       ActionResult(bytesOf(new Reader(b).fields(), 1))
   }
 
+  /** `Criteria { expression=1 (bytes) }` — the listFlights request. An
+    * empty expression lists everything (the reference ignores it,
+    * Producer.java listFlights). */
+  final case class Criteria(expression: Array[Byte]) {
+    def encode: Array[Byte] = new Writer().bytesField(1, expression).result()
+  }
+  object Criteria {
+    val all: Criteria = Criteria(Array.emptyByteArray)
+    def decode(b: Array[Byte]): Criteria =
+      Criteria(bytesOf(new Reader(b).fields(), 1))
+  }
+
+  /** `SchemaResult { schema=1 (bytes: IPC-encapsulated Schema) }` — the
+    * getSchema response. */
+  final case class SchemaResult(schema: Array[Byte]) {
+    def encode: Array[Byte] = new Writer().bytesField(1, schema).result()
+  }
+  object SchemaResult {
+    def decode(b: Array[Byte]): SchemaResult =
+      SchemaResult(bytesOf(new Reader(b).fields(), 1))
+  }
+
+  /** `PutResult { app_metadata=1 (bytes) }` — one acceptPut ack (the
+    * reference acks row counts through it, Producer.java acceptPut). */
+  final case class PutResult(appMetadata: Array[Byte]) {
+    def encode: Array[Byte] =
+      new Writer().bytesFieldAlways(1, appMetadata).result()
+    def asString: String = new String(appMetadata, UTF_8)
+  }
+  object PutResult {
+    def of(s: String): PutResult = PutResult(s.getBytes(UTF_8))
+    def decode(b: Array[Byte]): PutResult =
+      PutResult(bytesOf(new Reader(b).fields(), 1))
+  }
+
+  /** `HandshakeRequest/HandshakeResponse { protocol_version=1 (uint64),
+    * payload=2 (bytes) }` — the Flight auth handshake both directions
+    * share one shape (reference: HorribleBasicAuthValidator exchanges the
+    * shared secret through it). */
+  final case class Handshake(protocolVersion: Long, payload: Array[Byte]) {
+    def encode: Array[Byte] = new Writer()
+      .int64Field(1, protocolVersion).bytesField(2, payload).result()
+  }
+  object Handshake {
+    def of(payload: String): Handshake =
+      Handshake(0L, payload.getBytes(UTF_8))
+    def decode(b: Array[Byte]): Handshake = {
+      val fs = new Reader(b).fields()
+      Handshake(longOf(fs, 1), bytesOf(fs, 2))
+    }
+  }
+
   // -------------------------------------------- IPC stream <-> FlightData
   /** One encapsulated Arrow IPC message: the flatbuffer metadata (what
     * Flight puts in `data_header`) and the body bytes (`data_body`). */
@@ -314,6 +366,22 @@ object FlightProto {
     org.apache.arrow.flatbuf.Message.getRootAsMessage(
       ByteBuffer.wrap(m.metadata).order(ByteOrder.LITTLE_ENDIAN))
       .headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema
+
+  /** Regroup a flat FlightData-message sequence into self-contained
+    * per-partition IPC streams: each Schema header starts a new stream
+    * (Flight's stream framing — the schema message leads every stream). */
+  def groupStreams(msgs: Seq[IpcMessage]): Seq[Array[Byte]] = {
+    val blobs = Seq.newBuilder[Array[Byte]]
+    var cur = List.empty[IpcMessage]
+    msgs.foreach { m =>
+      if (isSchemaMessage(m) && cur.nonEmpty) {
+        blobs += joinIpcStream(cur.reverse)
+        cur = List(m)
+      } else cur ::= m
+    }
+    if (cur.nonEmpty) blobs += joinIpcStream(cur.reverse)
+    blobs.result()
+  }
 
   /** The IPC-encapsulated Schema bytes FlightInfo.schema carries (the
     * reference resolves this per ticket, Producer.java:411-437): the

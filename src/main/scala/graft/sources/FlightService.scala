@@ -1,0 +1,328 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array, col}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** The Flight SERVICE itself — catalog, ingest, ticketed jobs, actions —
+  * factored out of the transport so the same semantics ride BOTH wire
+  * layers: the dependency-free framed-TCP protocol ([[IpcTransport]]) and
+  * the real gRPC-over-HTTP/2 session layer ([[FlightGrpc]]). This mirrors
+  * the reference's own layering: Producer.java:86-510 implements the verbs
+  * once and arrow-flight's gRPC bindings carry them; here the verbs live
+  * in one class and two transports carry them.
+  *
+  * Every method either returns a value or THROWS with a message — the
+  * transports translate failures into their own error frames (an `ERR`
+  * control line, or a non-zero `grpc-status` trailer).
+  */
+final class FlightService(val spark: SparkSession) {
+  private val tables = TrieMap.empty[String, DataFrame]
+  private val graphCatalog = new graft.operators.GraphCatalog(spark)
+  // graph parts staged by the write actions until both halves arrive
+  private val pendingGraphs =
+    TrieMap.empty[String, (Option[DataFrame], Option[DataFrame])]
+
+  def register(name: String, df: DataFrame): Unit = { tables.put(name, df); () }
+
+  /** Register a graph for `gds.read` requests (the reference resolves
+    * GdsMessage.graph against its graph catalog,
+    * GdsActionHandler.java:69-76). */
+  def registerGraph(name: String, nodes: DataFrame, rels: DataFrame): Unit = {
+    graphCatalog.register(name, nodes, rels); ()
+  }
+
+  def table(name: String): Option[DataFrame] = tables.get(name)
+
+  def require(name: String): DataFrame =
+    tables.getOrElse(name,
+      throw new NoSuchElementException(s"not found: $name"))
+
+  /** Catalog listing, sorted by flight name. */
+  def list(): Seq[(String, DataFrame)] = tables.toSeq.sortBy(_._1)
+
+  /** Fold one graph-write part in; register the graph once both halves
+    * are present (a re-upload of either half re-registers). */
+  private def stageGraphPart(graph: String, nodes: Option[DataFrame],
+                             rels: Option[DataFrame]): Unit = {
+    val merged = pendingGraphs.get(graph) match {
+      case Some((n0, r0)) => (nodes.orElse(n0), rels.orElse(r0))
+      case None => (nodes, rels)
+    }
+    pendingGraphs.put(graph, merged)
+    merged match {
+      case (Some(n), Some(r)) => graphCatalog.register(graph, n, r); ()
+      case _ => ()
+    }
+  }
+
+  /** IPC-encapsulated Arrow Schema message for a DataFrame — the byte
+    * payload FlightInfo.schema and SchemaResult.schema carry. */
+  def arrowSchemaBytes(df: DataFrame): Array[Byte] = {
+    import scala.jdk.CollectionConverters._
+    val arrowSchema = new org.apache.arrow.vector.types.pojo.Schema(
+      df.schema.fields.map(f => ArrowIpc.toArrowField(f)).toSeq.asJava)
+    val baos = new java.io.ByteArrayOutputStream()
+    org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
+      new org.apache.arrow.vector.ipc.WriteChannel(
+        java.nio.channels.Channels.newChannel(baos)), arrowSchema)
+    baos.toByteArray
+  }
+
+  /** FlightInfo for a registered table (Producer.java:411-437 shape):
+    * IPC-encapsulated Arrow schema, PATH descriptor, one endpoint whose
+    * ticket is the table name, located at `locationUri`. -1 totals =
+    * unknown (Flight convention; counting would run the query). */
+  def flightInfoOf(name: String, df: DataFrame,
+                   locationUri: String): FlightProto.FlightInfo =
+    FlightProto.FlightInfo(
+      schema = arrowSchemaBytes(df),
+      descriptor = FlightProto.FlightDescriptor.path(name),
+      endpoints = Seq(FlightProto.FlightEndpoint(
+        FlightProto.Ticket.of(name),
+        Seq(FlightProto.Location(locationUri)))),
+      totalRecords = -1L, totalBytes = -1L)
+
+  private def groupStreams(msgs: Seq[FlightProto.IpcMessage]): Seq[Array[Byte]] =
+    FlightProto.groupStreams(msgs)
+
+  /** acceptPut with the schema taken from the wire itself. */
+  def ingestFlightData(name: String,
+                       msgs: Seq[FlightProto.IpcMessage]): Long =
+    ingestFlightData(name,
+      FlightService.sparkSchemaOfStream(msgs).toDDL, msgs)
+
+  /** DoExchange with the schema taken from the wire itself. */
+  def exchange(frames: Seq[FlightProto.FlightData]): DataFrame =
+    exchange(FlightService.sparkSchemaOfStream(frames.map(fd =>
+      FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))).toDDL, frames)
+
+  /** Graph-part put with the schema taken from the wire itself. */
+  def putGraphPart(frames: Seq[FlightProto.FlightData]): Long =
+    putGraphPart(FlightService.sparkSchemaOfStream(frames.map(fd =>
+      FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))).toDDL, frames)
+
+  /** Ingest raw per-partition IPC stream blobs as flight `name`.
+    * Materializes NOW: ingest must fail on this request (bad schema,
+    * ragged batch), not on a later reader's action. Returns row count. */
+  def ingestBlobs(name: String, ddl: String,
+                  blobs: Seq[Array[Byte]]): Long = {
+    val schema = StructType.fromDDL(ddl)
+    import spark.implicits._
+    val df = ArrowIpc.fromIpcStreams(spark.createDataset(blobs), schema)
+      .localCheckpoint(true)
+    tables.put(name, df)
+    df.count()
+  }
+
+  /** acceptPut: a FlightData message stream (Schema headers delimit the
+    * per-partition IPC streams) ingests as flight `name`. */
+  def ingestFlightData(name: String, ddl: String,
+                       msgs: Seq[FlightProto.IpcMessage]): Long = {
+    val schema = StructType.fromDDL(ddl)
+    import spark.implicits._
+    val df = ArrowIpc.fromIpcStreams(
+        spark.createDataset(groupStreams(msgs)), schema)
+      .localCheckpoint(true)
+    tables.put(name, df)
+    df.count()
+  }
+
+  /** DoExchange — the BIDIRECTIONAL verb the reference never had (its
+    * Flight predates DoExchange adoption; ours completes the verb set):
+    * the uploaded FlightData rows become view `input`, the CMD
+    * descriptor's wire-codec CypherMessage runs over them, the result
+    * streams back in the same call — transform-in-flight, no named
+    * flight ever registered. */
+  def exchange(ddl: String,
+               frames: Seq[FlightProto.FlightData]): DataFrame = {
+    val desc = frames.headOption.flatMap(_.descriptor)
+      .getOrElse(throw new IllegalArgumentException(
+        "first FlightData must carry a CMD descriptor"))
+    Predef.require(desc.dtype == FlightProto.DescriptorType.Cmd,
+      "descriptor must be CMD (a serialized CypherMessage)")
+    val msg = ActionMessages.CypherMessage.deserialize(desc.cmd)
+    val msgs = frames.map(fd =>
+      FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+    val schema = StructType.fromDDL(ddl)
+    import spark.implicits._
+    val inputDf = ArrowIpc.fromIpcStreams(
+        spark.createDataset(groupStreams(msgs)), schema)
+      .localCheckpoint(true)
+    inputDf.createOrReplaceTempView("input")
+    spark.sql(msg.cypher).localCheckpoint(true)
+  }
+
+  /** gds.write.nodes / gds.write.relationships + put stream
+    * (GdsActionHandler.java:76-150): the FIRST FlightData's CMD
+    * descriptor carries the serialized write message — Flight's
+    * descriptor-as-command convention. The message family is recognized
+    * by its own key vocabulary (source_field ⇒ rels). Field names from
+    * the message rename to the canonical columns, and the graph
+    * registers once both halves have arrived. Returns row count. */
+  def putGraphPart(ddl: String,
+                   frames: Seq[FlightProto.FlightData]): Long = {
+    val desc = frames.headOption.flatMap(_.descriptor)
+      .getOrElse(throw new IllegalArgumentException(
+        "first FlightData must carry a descriptor"))
+    Predef.require(desc.dtype == FlightProto.DescriptorType.Cmd,
+      "descriptor must be CMD (a serialized write message)")
+    val msgs = frames.map(fd =>
+      FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+    val schema = StructType.fromDDL(ddl)
+    import spark.implicits._
+    val df = ArrowIpc.fromIpcStreams(
+        spark.createDataset(groupStreams(msgs)), schema)
+      .localCheckpoint(true)
+    val cmdJson = new String(desc.cmd, UTF_8)
+    val (graphName, canon, isRels) =
+      if (cmdJson.contains("\"source_field\"")) {
+        val m = ActionMessages.GdsWriteRelsMessage.deserialize(desc.cmd)
+        (m.graph, df
+          .withColumnRenamed(m.sourceField, "START_ID")
+          .withColumnRenamed(m.targetField, "END_ID")
+          .withColumnRenamed(m.typeField, "TYPE"), true)
+      } else {
+        val m = ActionMessages.GdsWriteNodeMessage.deserialize(desc.cmd)
+        val renamed = df.withColumnRenamed(m.idField, "ID")
+          .withColumnRenamed(m.labelsField, "LABELS")
+        // a scalar label column canonicalizes to a 1-elem label set
+        // (LABELS is an array in the data model)
+        val c = if (renamed.schema("LABELS").dataType == StringType)
+          renamed.withColumn("LABELS", array(col("LABELS")))
+        else renamed
+        (m.graph, c, false)
+      }
+    if (isRels) stageGraphPart(graphName, None, Some(canon))
+    else stageGraphPart(graphName, Some(canon), None)
+    canon.count()
+  }
+
+  /** listActions (Producer.java:543-550). */
+  def actionTypes: Seq[FlightProto.ActionType] = Seq(
+    FlightProto.ActionType("cypher.read",
+      "Submit a new query-based read job (SQL delegation)"),
+    FlightProto.ActionType("gds.read",
+      "Stream node or relationship properties from a graph"),
+    FlightProto.ActionType("job.status", "Check the status of a Job"),
+    FlightProto.ActionType("job.submit",
+      "Run a registered table as a ticketed Job"),
+    FlightProto.ActionType("info.jobs", "List currently active Jobs"),
+    FlightProto.ActionType("info.version", "Get metadata on server info"))
+
+  /** doAction — dispatch on type like the reference's handler map
+    * (Producer.java:513-541; job.status = StatusHandler.java:20,
+    * info.jobs/info.version = ServerInfoHandler.java:20-21; cypher.read =
+    * CypherActionHandler.java:32,68-150; gds.read =
+    * GdsActionHandler.java:33,69-76). Throws on unknown action / bad
+    * body; the transport renders the failure. */
+  def doAction(action: FlightProto.Action): FlightProto.ActionResult = {
+    val body = new String(action.body, UTF_8)
+    action.atype.toLowerCase match {
+      case "job.status" =>
+        graft.operators.Jobs.status(body) match {
+          case Some(st) =>
+            // reference wire contract: PENDING/PRODUCING/COMPLETE/ERROR
+            // (StatusHandler serializes the enum name uppercase)
+            FlightProto.ActionResult
+              .of(st.toString.toUpperCase(java.util.Locale.ROOT))
+          case None =>
+            throw new NoSuchElementException("no job for ticket")
+        }
+      case "job.submit" =>
+        val df = require(body)
+        import scala.concurrent.ExecutionContext.Implicits.global
+        FlightProto.ActionResult.of(graft.operators.Jobs.submit(df).ticket)
+      case "info.jobs" =>
+        FlightProto.ActionResult.of(
+          graft.operators.Jobs.list().toSeq.sortBy(_._1)
+            .map { case (t, st) => s"$t=$st" }.mkString(","))
+      case "info.version" =>
+        FlightProto.ActionResult.of(graft.operators.Jobs.version)
+      case "cypher.read" =>
+        val msg = ActionMessages.CypherMessage.deserialize(action.body)
+        // flight names that are valid identifiers become views; the
+        // server session is shared, so a flight named like a
+        // pre-registered external view would shadow it for this query —
+        // acceptable for the control plane (flights here are namespaced
+        // by convention, e.g. orders_put)
+        tables.foreach { case (n, df) =>
+          if (n.matches("[A-Za-z_][A-Za-z0-9_]*"))
+            df.createOrReplaceTempView(n)
+        }
+        val result = spark.sql(msg.cypher) // analyzes EAGERLY: a bad
+          // query fails THIS action, not a later read
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val h = graft.operators.Jobs.submit(result)
+        tables.put(h.ticket, result)
+        FlightProto.ActionResult.of(h.ticket)
+      case "gds.read" =>
+        val msg = ActionMessages.GdsMessage.deserialize(action.body)
+        val ref = graphCatalog.graph(msg.graph)
+        val result = msg.requestType match {
+          case "node" =>
+            ref.nodeScan(props = msg.properties, labels = msg.filters,
+              nodeId = Option(msg.nodeIdProperty).filter(_.nonEmpty))
+          case "relationship" =>
+            ref.relScan(props = msg.properties, types = msg.filters)
+          case "khop" =>
+            // the same bytes re-parse as a KHopMessage to carry k (the
+            // reference does exactly this re-read, GdsActionHandler →
+            // KHopMessage.java:75-104), and unlike the reference
+            // (hardcoded 2) we honor the carried k
+            val kmsg = ActionMessages.KHopMessage.deserialize(action.body)
+            graft.operators.KHop.kHopEdges(
+              if (msg.filters.isEmpty) ref.rels
+              else ref.rels.where(col("TYPE").isin(msg.filters: _*)),
+              k = kmsg.k)
+        }
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val h = graft.operators.Jobs.submit(result)
+        tables.put(h.ticket, result)
+        FlightProto.ActionResult.of(h.ticket)
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported action: $other")
+    }
+  }
+
+  /** Run a registered flight as a ticketed job; returns the ticket. */
+  def submit(name: String): String = {
+    val df = require(name)
+    import scala.concurrent.ExecutionContext.Implicits.global
+    graft.operators.Jobs.submit(df).ticket
+  }
+
+  /** PENDING / PRODUCING / COMPLETE / ERROR, or throws for an unknown
+    * ticket. */
+  def status(ticket: String): String =
+    graft.operators.Jobs.status(ticket) match {
+      case Some(st) => st.toString
+      case None => throw new NoSuchElementException("unknown ticket")
+    }
+}
+
+object FlightService {
+  /** Spark schema decoded from a stream's LEADING Arrow Schema message —
+    * how a real Flight stream carries its schema (no side-channel DDL;
+    * the gRPC transport uses this on both ends, while the framed-TCP
+    * protocol keeps its explicit-DDL contract for forensic symmetry with
+    * INFO). */
+  def sparkSchemaOfStream(
+      msgs: Seq[FlightProto.IpcMessage]): StructType = {
+    val first = msgs.headOption.getOrElse(
+      throw new IllegalArgumentException("empty Flight stream"))
+    require(FlightProto.isSchemaMessage(first),
+      "stream does not start with a Schema message")
+    val bytes = FlightProto.joinIpcStream(Seq(first))
+    val arrowSchema =
+      org.apache.arrow.vector.ipc.message.MessageSerializer.deserializeSchema(
+        new org.apache.arrow.vector.ipc.ReadChannel(
+          java.nio.channels.Channels.newChannel(
+            new java.io.ByteArrayInputStream(bytes))))
+    ArrowIpcSource.sparkSchema(arrowSchema)
+  }
+}

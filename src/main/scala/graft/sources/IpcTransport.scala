@@ -68,55 +68,29 @@ object IpcTransport {
     * per-partition IPC streams: each Schema header starts a new stream
     * (Flight's stream framing — the schema message leads every stream). */
   private def groupStreams(msgs: Seq[FlightProto.IpcMessage])
-      : Seq[Array[Byte]] = {
-    val blobs = Seq.newBuilder[Array[Byte]]
-    var cur = List.empty[FlightProto.IpcMessage]
-    msgs.foreach { m =>
-      if (FlightProto.isSchemaMessage(m) && cur.nonEmpty) {
-        blobs += FlightProto.joinIpcStream(cur.reverse)
-        cur = List(m)
-      } else cur ::= m
-    }
-    if (cur.nonEmpty) blobs += FlightProto.joinIpcStream(cur.reverse)
-    blobs.result()
-  }
+      : Seq[Array[Byte]] = FlightProto.groupStreams(msgs)
 
   final class Server(spark: SparkSession, token: String) {
-    private val tables = TrieMap.empty[String, DataFrame]
-    private val graphCatalog = new graft.operators.GraphCatalog(spark)
+    /** The verb implementation, factored into [[FlightService]] so the
+      * SAME service instance (one catalog, one job registry) can front
+      * both this framed-TCP protocol and the gRPC/HTTP/2 session layer
+      * ([[FlightGrpc.Server]]) — the reference's own layering: verbs once
+      * (Producer.java:86-510), transport bindings around them. */
+    val service = new FlightService(spark)
     private val sock = new ServerSocket(0)
     @volatile private var closed = false
 
     def port: Int = sock.getLocalPort
 
-    def register(name: String, df: DataFrame): Unit = tables.put(name, df)
+    def register(name: String, df: DataFrame): Unit =
+      service.register(name, df)
 
     /** Register a graph for `gds.read` requests (the reference resolves
       * GdsMessage.graph against its graph catalog,
       * GdsActionHandler.java:69-76). */
     def registerGraph(name: String, nodes: DataFrame,
-                      rels: DataFrame): Unit = {
-      graphCatalog.register(name, nodes, rels); ()
-    }
-
-    // graph parts staged by FPUTG until both halves arrive (nodes, rels)
-    private val pendingGraphs =
-      TrieMap.empty[String, (Option[DataFrame], Option[DataFrame])]
-
-    /** Fold one FPUTG part in; register the graph once both halves are
-      * present (a re-upload of either half re-registers). */
-    private def stageGraphPart(graph: String, nodes: Option[DataFrame],
-                               rels: Option[DataFrame]): Unit = {
-      val merged = pendingGraphs.get(graph) match {
-        case Some((n0, r0)) => (nodes.orElse(n0), rels.orElse(r0))
-        case None => (nodes, rels)
-      }
-      pendingGraphs.put(graph, merged)
-      merged match {
-        case (Some(n), Some(r)) => graphCatalog.register(graph, n, r); ()
-        case _ => ()
-      }
-    }
+                      rels: DataFrame): Unit =
+      service.registerGraph(name, nodes, rels)
 
     def start(): this.type = {
       val t = new Thread(() => acceptLoop(), "graft-ipc-accept")
@@ -143,27 +117,6 @@ object IpcTransport {
         }
       }
 
-    /** FlightInfo for a registered table (Producer.java:411-437 shape):
-      * IPC-encapsulated Arrow schema, PATH descriptor, one endpoint whose
-      * ticket is the table name, located at this server. -1 totals =
-      * unknown (Flight convention; counting would run the query). */
-    private def flightInfoOf(name: String, df: DataFrame): FlightProto.FlightInfo = {
-      import scala.jdk.CollectionConverters._
-      val arrowSchema = new org.apache.arrow.vector.types.pojo.Schema(
-        df.schema.fields.map(f => ArrowIpc.toArrowField(f)).toSeq.asJava)
-      val baos = new java.io.ByteArrayOutputStream()
-      org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
-        new org.apache.arrow.vector.ipc.WriteChannel(
-          java.nio.channels.Channels.newChannel(baos)), arrowSchema)
-      FlightProto.FlightInfo(
-        schema = baos.toByteArray,
-        descriptor = FlightProto.FlightDescriptor.path(name),
-        endpoints = Seq(FlightProto.FlightEndpoint(
-          FlightProto.Ticket.of(name),
-          Seq(FlightProto.Location(s"grpc+tcp://127.0.0.1:$port")))),
-        totalRecords = -1L, totalBytes = -1L)
-    }
-
     private def handle(s: Socket): Unit = {
       val in = new DataInputStream(s.getInputStream)
       val out = new DataOutputStream(s.getOutputStream)
@@ -189,18 +142,18 @@ object IpcTransport {
               // the reference's listFlights resolves a FlightInfo schema
               // per ticket (Producer.java:411-437) — one record-separated
               // entry per table: name \t schema DDL \t numPartitions.
-              writeStr(out, tables.toSeq.sortBy(_._1).map { case (n, df) =>
+              writeStr(out, service.list().map { case (n, df) =>
                 s"$n\t${df.schema.toDDL}\t${df.rdd.getNumPartitions}"
               }.mkString("\u001e"))
             case "INFO" :: name :: Nil =>
-              tables.get(name) match {
+              service.table(name) match {
                 case Some(df) =>
                   writeStr(out,
                     s"OK\t${df.schema.toDDL}\t${df.rdd.getNumPartitions}")
                 case None => writeStr(out, s"ERR not found: $name")
               }
             case "GET" :: name :: Nil =>
-              tables.get(name) match {
+              service.table(name) match {
                 case Some(df) =>
                   writeStr(out, "OK")
                   val it = ArrowIpc.toIpcStreams(df).toLocalIterator()
@@ -211,34 +164,27 @@ object IpcTransport {
             case "PUT" :: name :: ddl :: Nil =>
               val blobs = Iterator.continually(readFrame(in))
                 .takeWhile(_.nonEmpty).toSeq
-              try {
-                val schema = StructType.fromDDL(ddl)
-                import spark.implicits._
-                val ds = spark.createDataset(blobs)
-                // materialize NOW: ingest must fail on this request (bad
-                // schema, ragged batch), not on a later reader's action
-                val df = ArrowIpc.fromIpcStreams(ds, schema)
-                  .localCheckpoint(true)
-                tables.put(name, df)
-                writeStr(out, s"OK\t${df.count()}")
-              } catch { case e: Throwable =>
+              try writeStr(out, s"OK\t${service.ingestBlobs(name, ddl, blobs)}")
+              catch { case e: Throwable =>
                 writeStr(out, s"ERR ${e.getMessage}")
               }
             // ---- Flight-framed twins (r9): same verbs, but every payload
             // is a wire-exact Arrow Flight protobuf message (FlightProto)
-            // — what a grpc-java Flight client would exchange, minus only
-            // the HTTP/2 session layer. FINFO ≙ getFlightInfo,
-            // FGET ≙ getStream (FlightData per IPC message),
-            // FPUT ≙ acceptPut (FlightData stream in, descriptor-first).
+            // — what a grpc-java Flight client would exchange over the
+            // HTTP/2 session layer that FlightGrpc now carries for real.
+            // FINFO ≙ getFlightInfo, FGET ≙ getStream (FlightData per IPC
+            // message), FPUT ≙ acceptPut (FlightData stream in,
+            // descriptor-first).
             case "FINFO" :: name :: Nil =>
-              tables.get(name) match {
+              service.table(name) match {
                 case Some(df) =>
                   writeStr(out, "OK")
-                  writeFrame(out, flightInfoOf(name, df).encode)
+                  writeFrame(out, service.flightInfoOf(name, df,
+                    s"grpc+tcp://127.0.0.1:$port").encode)
                 case None => writeStr(out, s"ERR not found: $name")
               }
             case "FGET" :: name :: Nil =>
-              tables.get(name) match {
+              service.table(name) match {
                 case Some(df) =>
                   writeStr(out, "OK")
                   val it = ArrowIpc.toIpcStreams(df).toLocalIterator()
@@ -257,15 +203,9 @@ object IpcTransport {
                 .map(FlightProto.FlightData.decode)
                 .map(fd => FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
                 .toSeq
-              try {
-                val schema = StructType.fromDDL(ddl)
-                import spark.implicits._
-                val df = ArrowIpc.fromIpcStreams(
-                    spark.createDataset(groupStreams(msgs)), schema)
-                  .localCheckpoint(true)
-                tables.put(name, df)
-                writeStr(out, s"OK\t${df.count()}")
-              } catch { case e: Throwable =>
+              try writeStr(out,
+                s"OK\t${service.ingestFlightData(name, ddl, msgs)}")
+              catch { case e: Throwable =>
                 writeStr(out, s"ERR ${e.getMessage}")
               }
             // FXCHG ≙ Flight's DoExchange — the BIDIRECTIONAL verb the
@@ -283,21 +223,7 @@ object IpcTransport {
                 .takeWhile(_.nonEmpty)
                 .map(FlightProto.FlightData.decode).toSeq
               try {
-                val desc = frames.headOption.flatMap(_.descriptor)
-                  .getOrElse(throw new IllegalArgumentException(
-                    "first FlightData must carry a CMD descriptor"))
-                require(desc.dtype == FlightProto.DescriptorType.Cmd,
-                  "descriptor must be CMD (a serialized CypherMessage)")
-                val msg = ActionMessages.CypherMessage.deserialize(desc.cmd)
-                val msgs = frames.map(fd =>
-                  FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
-                val schema = StructType.fromDDL(ddl)
-                import spark.implicits._
-                val inputDf = ArrowIpc.fromIpcStreams(
-                    spark.createDataset(groupStreams(msgs)), schema)
-                  .localCheckpoint(true)
-                inputDf.createOrReplaceTempView("input")
-                val result = spark.sql(msg.cypher).localCheckpoint(true)
+                val result = service.exchange(ddl, frames)
                 writeStr(out, s"OK\t${result.schema.toDDL}")
                 val it = ArrowIpc.toIpcStreams(result).toLocalIterator()
                 while (it.hasNext) {
@@ -314,206 +240,47 @@ object IpcTransport {
             // (GdsActionHandler.java:76-150: gds.write.nodes /
             // gds.write.relationships resolve a GdsWriteNodeMessage /
             // GdsWriteRelsMessage, then the data arrives as a put
-            // stream): here the FIRST FlightData's descriptor is CMD
-            // carrying the serialized write message — Flight's
+            // stream): the FIRST FlightData's descriptor is CMD carrying
+            // the serialized write message — Flight's
             // descriptor-as-command convention (the same one
             // getFlightInfo-by-command uses, Producer.java:411-437).
-            // The message family is recognized by its own key
-            // vocabulary (source_field ⇒ rels). Field names from the
-            // message rename to the canonical columns, and the graph
-            // registers once both halves have arrived.
             case "FPUTG" :: rest =>
               val ddl = rest.mkString(" ")
               val frames = Iterator.continually(readFrame(in))
                 .takeWhile(_.nonEmpty)
                 .map(FlightProto.FlightData.decode).toSeq
-              try {
-                val desc = frames.headOption.flatMap(_.descriptor)
-                  .getOrElse(throw new IllegalArgumentException(
-                    "first FlightData must carry a descriptor"))
-                require(desc.dtype == FlightProto.DescriptorType.Cmd,
-                  "descriptor must be CMD (a serialized write message)")
-                val msgs = frames.map(fd =>
-                  FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
-                val schema = StructType.fromDDL(ddl)
-                import spark.implicits._
-                val df = ArrowIpc.fromIpcStreams(
-                    spark.createDataset(groupStreams(msgs)), schema)
-                  .localCheckpoint(true)
-                import org.apache.spark.sql.functions.{array, col}
-                val cmdJson = new String(desc.cmd, UTF_8)
-                val (graphName, canon, isRels) =
-                  if (cmdJson.contains("\"source_field\"")) {
-                    val m = ActionMessages.GdsWriteRelsMessage
-                      .deserialize(desc.cmd)
-                    (m.graph, df
-                      .withColumnRenamed(m.sourceField, "START_ID")
-                      .withColumnRenamed(m.targetField, "END_ID")
-                      .withColumnRenamed(m.typeField, "TYPE"), true)
-                  } else {
-                    val m = ActionMessages.GdsWriteNodeMessage
-                      .deserialize(desc.cmd)
-                    val renamed = df.withColumnRenamed(m.idField, "ID")
-                      .withColumnRenamed(m.labelsField, "LABELS")
-                    // a scalar label column canonicalizes to a 1-elem
-                    // label set (LABELS is an array in the data model)
-                    val c = if (renamed.schema("LABELS").dataType ==
-                        org.apache.spark.sql.types.StringType)
-                      renamed.withColumn("LABELS", array(col("LABELS")))
-                    else renamed
-                    (m.graph, c, false)
-                  }
-                if (isRels) stageGraphPart(graphName, None, Some(canon))
-                else stageGraphPart(graphName, Some(canon), None)
-                writeStr(out, s"OK\t${canon.count()}")
-              } catch { case e: Throwable =>
+              try writeStr(out, s"OK\t${service.putGraphPart(ddl, frames)}")
+              catch { case e: Throwable =>
                 writeStr(out, s"ERR ${e.getMessage}")
               }
             // FACTIONS ≙ listActions: one ActionType frame per supported
             // action, zero frame ends (Producer.java:543-550).
             case "FACTIONS" :: Nil =>
               writeStr(out, "OK")
-              Seq(
-                FlightProto.ActionType("cypher.read",
-                  "Submit a new query-based read job (SQL delegation)"),
-                FlightProto.ActionType("gds.read",
-                  "Stream node or relationship properties from a graph"),
-                FlightProto.ActionType("job.status",
-                  "Check the status of a Job"),
-                FlightProto.ActionType("job.submit",
-                  "Run a registered table as a ticketed Job"),
-                FlightProto.ActionType("info.jobs",
-                  "List currently active Jobs"),
-                FlightProto.ActionType("info.version",
-                  "Get metadata on server info")
-              ).foreach(a => writeFrame(out, a.encode))
+              service.actionTypes.foreach(a => writeFrame(out, a.encode))
               writeFrame(out, Array.emptyByteArray)
             // FACTION ≙ doAction: one Action frame in, one Result frame
             // out — dispatch on type like the reference's handler map
-            // (Producer.java:513-541; job.status = StatusHandler.java:20,
-            // info.jobs/info.version = ServerInfoHandler.java:20-21; the
-            // wire shapes are the Flight Action/Result protos that the
-            // reference's Message codecs serialize into action bodies).
+            // (Producer.java:513-541), shared with the gRPC transport via
+            // FlightService.doAction.
             case "FACTION" :: Nil =>
               val action = FlightProto.Action.decode(readFrame(in))
-              val body = new String(action.body, UTF_8)
-              action.atype.toLowerCase match {
-                case "job.status" =>
-                  graft.operators.Jobs.status(body) match {
-                    case Some(st) =>
-                      writeStr(out, "OK")
-                      // reference wire contract: PENDING/PRODUCING/
-                      // COMPLETE/ERROR (StatusHandler serializes the
-                      // enum name uppercase)
-                      writeFrame(out, FlightProto.ActionResult
-                        .of(st.toString.toUpperCase(java.util.Locale.ROOT))
-                        .encode)
-                    case None => writeStr(out, "ERR no job for ticket")
-                  }
-                case "job.submit" =>
-                  tables.get(body) match {
-                    case Some(df) =>
-                      import scala.concurrent.ExecutionContext.Implicits.global
-                      val h = graft.operators.Jobs.submit(df)
-                      writeStr(out, "OK")
-                      writeFrame(out, FlightProto.ActionResult.of(h.ticket).encode)
-                    case None => writeStr(out, s"ERR not found: $body")
-                  }
-                case "info.jobs" =>
-                  writeStr(out, "OK")
-                  val jobs = graft.operators.Jobs.list().toSeq.sortBy(_._1)
-                    .map { case (t, st) => s"$t=$st" }.mkString(",")
-                  writeFrame(out, FlightProto.ActionResult.of(jobs).encode)
-                case "info.version" =>
-                  writeStr(out, "OK")
-                  writeFrame(out,
-                    FlightProto.ActionResult.of(graft.operators.Jobs.version).encode)
-                // cypher.read ≙ CypherActionHandler.java:32,68-150: the
-                // Action body is a wire-codec CypherMessage; the query
-                // runs through our delegation surface (S3/S4 = Catalyst
-                // SQL over the registered flights as temp views) and the
-                // result becomes a new ticketed flight — poll it with
-                // job.status, stream it with GET/FGET, exactly the
-                // reference's submit→ticket→getStream lifecycle.
-                case "cypher.read" =>
-                  try {
-                    val msg =
-                      ActionMessages.CypherMessage.deserialize(action.body)
-                    // flight names that are valid identifiers become
-                    // views; the server session is shared, so a flight
-                    // named like a pre-registered external view would
-                    // shadow it for this query — acceptable for the
-                    // control-plane twin (flights here are namespaced
-                    // by convention, e.g. orders_put)
-                    tables.foreach { case (n, df) =>
-                      if (n.matches("[A-Za-z_][A-Za-z0-9_]*"))
-                        df.createOrReplaceTempView(n)
-                    }
-                    val result = spark.sql(msg.cypher) // analyzes EAGERLY:
-                      // a bad query fails THIS action, not a later read
-                    import scala.concurrent.ExecutionContext.Implicits.global
-                    val h = graft.operators.Jobs.submit(result)
-                    tables.put(h.ticket, result)
-                    writeStr(out, "OK")
-                    writeFrame(out,
-                      FlightProto.ActionResult.of(h.ticket).encode)
-                  } catch { case e: Throwable =>
-                    writeStr(out, s"ERR ${e.getMessage}")
-                  }
-                // gds.read ≙ GdsActionHandler.java:33,69-76: GdsMessage
-                // body resolved against the graph catalog; request type
-                // node/relationship/khop maps to the §2.1-2.3 scans. For
-                // khop the same bytes re-parse as a KHopMessage to carry
-                // k (the reference does exactly this re-read,
-                // GdsActionHandler → KHopMessage.java:75-104), and unlike
-                // the reference (hardcoded 2) we honor the carried k.
-                case "gds.read" =>
-                  try {
-                    val msg =
-                      ActionMessages.GdsMessage.deserialize(action.body)
-                    val ref = graphCatalog.graph(msg.graph)
-                    val result = msg.requestType match {
-                      case "node" =>
-                        ref.nodeScan(props = msg.properties,
-                          labels = msg.filters,
-                          nodeId =
-                            Option(msg.nodeIdProperty).filter(_.nonEmpty))
-                      case "relationship" =>
-                        ref.relScan(props = msg.properties,
-                          types = msg.filters)
-                      case "khop" =>
-                        val kmsg =
-                          ActionMessages.KHopMessage.deserialize(action.body)
-                        graft.operators.KHop.kHopEdges(
-                          if (msg.filters.isEmpty) ref.rels
-                          else ref.rels.where(
-                            org.apache.spark.sql.functions.col("TYPE")
-                              .isin(msg.filters: _*)),
-                          k = kmsg.k)
-                    }
-                    import scala.concurrent.ExecutionContext.Implicits.global
-                    val h = graft.operators.Jobs.submit(result)
-                    tables.put(h.ticket, result)
-                    writeStr(out, "OK")
-                    writeFrame(out,
-                      FlightProto.ActionResult.of(h.ticket).encode)
-                  } catch { case e: Throwable =>
-                    writeStr(out, s"ERR ${e.getMessage}")
-                  }
-                case other => writeStr(out, s"ERR unsupported action: $other")
+              try {
+                val res = service.doAction(action)
+                writeStr(out, "OK")
+                writeFrame(out, res.encode)
+              } catch { case e: Throwable =>
+                writeStr(out, s"ERR ${e.getMessage}")
               }
             case "SUBMIT" :: name :: Nil =>
-              tables.get(name) match {
-                case Some(df) =>
-                  import scala.concurrent.ExecutionContext.Implicits.global
-                  val h = graft.operators.Jobs.submit(df)
-                  writeStr(out, s"OK\t${h.ticket}")
-                case None => writeStr(out, s"ERR not found: $name")
+              try writeStr(out, s"OK\t${service.submit(name)}")
+              catch { case e: Throwable =>
+                writeStr(out, s"ERR ${e.getMessage}")
               }
             case "STATUS" :: ticket :: Nil =>
-              graft.operators.Jobs.status(ticket) match {
-                case Some(st) => writeStr(out, s"OK\t$st")
-                case None => writeStr(out, s"ERR unknown ticket")
+              try writeStr(out, s"OK\t${service.status(ticket)}")
+              catch { case _: Throwable =>
+                writeStr(out, "ERR unknown ticket")
               }
             case "QUIT" :: Nil => live = false
             case other => writeStr(out, s"ERR bad verb: ${other.mkString(" ")}")
