@@ -485,11 +485,39 @@ object SparkEntry {
             graft.sources.ActionMessages.CypherMessage("graft",
               "SELECT o_orderstatus AS status, count(*) AS n, " +
                 "sum(o_custkey) AS sum_cust FROM orders_put GROUP BY 1"))
-          val ticket = new String(qfi.endpoints.head.ticket.ticket,
-            java.nio.charset.StandardCharsets.UTF_8)
-          cli.doGet(s, ticket)
+          require(qfi.endpoints.nonEmpty, "CMD FlightInfo has no endpoints")
+          // faithful consumer: the endpoint SET is the table (one ticket
+          // per staged partition) — union them all
+          cli.readFlight(s, qfi)
             .localCheckpoint(true) // materialize while the server is up
         } finally cli.close()
+      } finally server.close()
+    }),
+    // The DSv2 Flight READER under the gate: spark.read over a live gRPC
+    // Flight endpoint — schema inferred from the wire's Arrow schema,
+    // one input partition per Flight endpoint (ticket `name#i`), each
+    // task draining its endpoint over its own HTTP/2 connection. The
+    // 1000-executor consumption pattern, exercised end-to-end.
+    "flight_source_read" -> ((s, dir) => {
+      val li = TpchGraph.table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+      val server = new graft.sources.FlightGrpc.Server(s, "gate-token").start()
+      try {
+        server.register("lineitem_f", li.repartition(6))
+        val df = s.read.format("graft.sources.FlightSource")
+          .option("host", "127.0.0.1")
+          .option("port", server.port.toString)
+          .option("token", "gate-token")
+          .option("flight", "lineitem_f")
+          .load()
+        require(df.rdd.getNumPartitions == 6,
+          s"expected 6 flight endpoints, got ${df.rdd.getNumPartitions}")
+        df.groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .localCheckpoint(true) // materialize while the server is up
       } finally server.close()
     }),
     // W1: dense id map under the gate. Which original id gets which dense
@@ -1084,6 +1112,11 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY 1""".stripMargin,
+    "flight_source_read" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "arrow_write_roundtrip" ->
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust

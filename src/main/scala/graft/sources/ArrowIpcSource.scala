@@ -115,6 +115,30 @@ object ArrowIpcSource {
   private[sources] def sparkSchema(
       s: org.apache.arrow.vector.types.pojo.Schema): StructType =
     StructType(s.getFields.asScala.map(sparkField).toSeq)
+
+  /** Arrow vector cell → Catalyst value (shared by every partition reader
+    * over this envelope: IPC files, Flight endpoints). */
+  private[sources] def readCatalyst(v: FieldVector, i: Int): Any = {
+    if (v.isNull(i)) null
+    else v match {
+      case iv: IntVector => iv.get(i)
+      case bv: BigIntVector => bv.get(i)
+      case fv: Float4Vector => fv.get(i)
+      case dv: Float8Vector => dv.get(i)
+      case sv: VarCharVector => UTF8String.fromBytes(sv.get(i))
+      case lv: ListVector =>
+        val child = lv.getDataVector.asInstanceOf[FieldVector]
+        new GenericArrayData(
+          (lv.getElementStartIndex(i) until lv.getElementEndIndex(i))
+            .map(j => readCatalyst(child, j)).toArray)
+      case flv: FixedSizeListVector =>
+        val child = flv.getDataVector.asInstanceOf[FieldVector]
+        new GenericArrayData(
+          (flv.getElementStartIndex(i) until flv.getElementEndIndex(i))
+            .map(j => readCatalyst(child, j)).toArray)
+      case other => throw new IllegalStateException(s"vector $other")
+    }
+  }
 }
 
 final class ArrowIpcTable(schema: StructType, path: String)
@@ -195,33 +219,11 @@ final class ArrowIpcPartitionReader(file: String, schema: StructType)
     val values = new Array[Any](vectors.size())
     var c = 0
     while (c < vectors.size()) {
-      values(c) = readCatalyst(vectors.get(c), rowInBatch)
+      values(c) = ArrowIpcSource.readCatalyst(vectors.get(c), rowInBatch)
       c += 1
     }
     rowInBatch += 1
     new GenericInternalRow(values)
-  }
-
-  private def readCatalyst(v: FieldVector, i: Int): Any = {
-    if (v.isNull(i)) null
-    else v match {
-      case iv: IntVector => iv.get(i)
-      case bv: BigIntVector => bv.get(i)
-      case fv: Float4Vector => fv.get(i)
-      case dv: Float8Vector => dv.get(i)
-      case sv: VarCharVector => UTF8String.fromBytes(sv.get(i))
-      case lv: ListVector =>
-        val child = lv.getDataVector.asInstanceOf[FieldVector]
-        new GenericArrayData(
-          (lv.getElementStartIndex(i) until lv.getElementEndIndex(i))
-            .map(j => readCatalyst(child, j)).toArray)
-      case flv: FixedSizeListVector =>
-        val child = flv.getDataVector.asInstanceOf[FieldVector]
-        new GenericArrayData(
-          (flv.getElementStartIndex(i) until flv.getElementEndIndex(i))
-            .map(j => readCatalyst(child, j)).toArray)
-      case other => throw new IllegalStateException(s"vector $other")
-    }
   }
 
   override def close(): Unit = {

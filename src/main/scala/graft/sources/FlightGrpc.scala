@@ -183,6 +183,7 @@ object FlightGrpc {
       if (ch != null) ch.close().sync()
       dispatchPool.shutdownNow()
       group.shutdownGracefully(0, 200, TimeUnit.MILLISECONDS)
+      service.cleanupStaging()
       ()
     }
   }
@@ -332,18 +333,22 @@ object FlightGrpc {
               Status.InvalidArgument, "missing FlightDescriptor")))
           desc.dtype match {
             case FlightProto.DescriptorType.Path =>
+              // one endpoint PER PARTITION (ticket `name#i`) — Flight's
+              // parallel-consumer contract; staging happens HERE, on a
+              // driver-side dispatch thread, so DoGet never nests a
+              // Spark job under a reader fleet holding the task slots
               val name = desc.path.headOption.getOrElse(
                 throw new GrpcException(Status.InvalidArgument, "empty path"))
-              write(service.flightInfoOf(name, service.require(name),
-                location).encode)
+              write(service.partitionedFlightInfo(name,
+                service.require(name), location).encode)
             case FlightProto.DescriptorType.Cmd =>
               // descriptor-as-command (Producer.java:411-437): the cmd is
               // a wire-codec CypherMessage; the answer is a FlightInfo
-              // whose endpoint ticket is the new result flight
+              // whose endpoint tickets cover the new result flight
               val ticket = service.doAction(FlightProto.Action(
                 "cypher.read", desc.cmd)).asString
-              write(service.flightInfoOf(ticket, service.require(ticket),
-                location).encode)
+              write(service.partitionedFlightInfo(ticket,
+                service.require(ticket), location).encode)
             case t => throw new GrpcException(Status.InvalidArgument,
               s"unsupported descriptor type $t")
           }
@@ -359,10 +364,19 @@ object FlightGrpc {
           val ticket = new String(FlightProto.Ticket.decode(
             reqs.headOption.getOrElse(throw new GrpcException(
               Status.InvalidArgument, "missing Ticket"))).ticket, UTF_8)
-          val df = service.require(ticket)
-          flightDataMessages(df).foreach { m =>
-            write(FlightProto.FlightData(None, m.metadata,
-              Array.emptyByteArray, m.body).encode)
+          service.partitionTicketBlob(ticket) match {
+            case Some(blob) =>
+              // a staged `name#i` partition: file bytes, no Spark job
+              FlightProto.splitIpcStream(blob).foreach { m =>
+                write(FlightProto.FlightData(None, m.metadata,
+                  Array.emptyByteArray, m.body).encode)
+              }
+            case None =>
+              val df = service.require(ticket)
+              flightDataMessages(df).foreach { m =>
+                write(FlightProto.FlightData(None, m.metadata,
+                  Array.emptyByteArray, m.body).encode)
+              }
           }
         case "DoPut" =>
           val frames = reqs.map(FlightProto.FlightData.decode)
@@ -509,6 +523,15 @@ object FlightGrpc {
       ArrowIpc.fromIpcStreams(
         spark.createDataset(FlightProto.groupStreams(msgs)), schema)
     }
+
+    /** Read a whole flight the way a faithful Flight consumer does:
+      * fetch EVERY endpoint in the FlightInfo and union them (endpoints
+      * are partitions; the set, not any single ticket, is the table). */
+    def readFlight(spark: SparkSession,
+                   info: FlightProto.FlightInfo): DataFrame =
+      info.endpoints.map(ep =>
+          doGet(spark, new String(ep.ticket.ticket, UTF_8)))
+        .reduceLeft(_.unionAll(_))
 
     /** DoPut a DataFrame as flight `name`; returns the server-side row
       * count (acked through PutResult.app_metadata). */

@@ -27,7 +27,11 @@ final class FlightService(val spark: SparkSession) {
   private val pendingGraphs =
     TrieMap.empty[String, (Option[DataFrame], Option[DataFrame])]
 
-  def register(name: String, df: DataFrame): Unit = { tables.put(name, df); () }
+  def register(name: String, df: DataFrame): Unit = {
+    tables.put(name, df)
+    staged.remove(name) // a re-registered flight invalidates its staging
+    ()
+  }
 
   /** Register a graph for `gds.read` requests (the reference resolves
     * GdsMessage.graph against its graph catalog,
@@ -89,6 +93,90 @@ final class FlightService(val spark: SparkSession) {
 
   private def groupStreams(msgs: Seq[FlightProto.IpcMessage]): Seq[Array[Byte]] =
     FlightProto.groupStreams(msgs)
+
+  // -------------------------- per-partition endpoints (parallel readers)
+  // Flight's scale model: GetFlightInfo returns one endpoint PER
+  // PARTITION so a consumer fleet (e.g. the [[FlightSource]] DSv2
+  // reader) fetches them in parallel — the pattern the public
+  // arrow-flight Spark connectors use. Staging spills each partition's
+  // IPC stream to a server-local file in ONE Spark job triggered at
+  // GetFlightInfo time (driver-side — never inside DoGet, where a reader
+  // fleet already holding every task slot would deadlock a nested job);
+  // DoGet of `name#i` then serves file bytes with no Spark involvement.
+  private val staged = TrieMap.empty[String, Seq[String]]
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+
+  /** Stage a flight's partitions as local IPC files (idempotent per
+    * registration); returns the files in partition order. Empty
+    * partitions produce no file, so endpoint count ≤ partition count. */
+  def stagePartitions(name: String): Seq[String] = synchronized {
+    staged.getOrElse(name, {
+      val df = require(name)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_flight_stage_").toFile
+      stagedDirs.add(dir)
+      ArrowIpc.writeIpcFiles(df, dir.getAbsolutePath)
+      val files = ArrowIpcSource.listFiles(dir.getAbsolutePath)
+      staged.put(name, files)
+      files
+    })
+  }
+
+  /** FlightInfo with one endpoint per staged partition — ticket
+    * `name#<i>` indexes into [[stagePartitions]]'s file list. */
+  def partitionedFlightInfo(name: String, df: DataFrame,
+                            locationUri: String): FlightProto.FlightInfo = {
+    val files = stagePartitions(name)
+    FlightProto.FlightInfo(
+      schema = arrowSchemaBytes(df),
+      descriptor = FlightProto.FlightDescriptor.path(name),
+      endpoints = files.indices.map(i => FlightProto.FlightEndpoint(
+        FlightProto.Ticket.of(s"$name#$i"),
+        Seq(FlightProto.Location(locationUri)))),
+      totalRecords = -1L, totalBytes = -1L)
+  }
+
+  /** Resolve a `name#<i>` partition ticket to its staged blob, or None
+    * if the ticket is a plain flight name. */
+  def partitionTicketBlob(ticket: String): Option[Array[Byte]] = {
+    val cut = ticket.lastIndexOf('#')
+    if (cut < 0) None
+    else {
+      val (name, idxS) = (ticket.substring(0, cut), ticket.substring(cut + 1))
+      if (!idxS.forall(_.isDigit)) None
+      else staged.get(name) match {
+        case None => throw new NoSuchElementException(
+          s"no staged partitions for $name — call GetFlightInfo first")
+        case Some(files) =>
+          val i = idxS.toInt
+          Predef.require(i >= 0 && i < files.size,
+            s"partition $i out of [0, ${files.size})")
+          val p = new org.apache.hadoop.fs.Path(files(i))
+          val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+            new org.apache.hadoop.conf.Configuration())
+          val in = fs.open(p)
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            Some(out.toByteArray)
+          } finally in.close()
+      }
+    }
+  }
+
+  /** Delete staged partition files (transports call this on close). */
+  def cleanupStaging(): Unit = {
+    staged.clear()
+    var d = stagedDirs.poll()
+    while (d != null) {
+      Option(d.listFiles).foreach(_.foreach(_.delete()))
+      d.delete()
+      d = stagedDirs.poll()
+    }
+  }
 
   /** acceptPut with the schema taken from the wire itself. */
   def ingestFlightData(name: String,

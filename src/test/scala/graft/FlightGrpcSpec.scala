@@ -156,8 +156,8 @@ class FlightGrpcSpec extends AnyFunSuite {
       withClient(srv) { c =>
         val fi = c.getFlightInfoCmd(ActionMessages.CypherMessage("graft",
           "SELECT count(*) AS n FROM people"))
-        val ticket = new String(fi.endpoints.head.ticket.ticket, UTF_8)
-        assert(c.doGet(spark, ticket).as[Long].head == 500L)
+        assert(fi.endpoints.nonEmpty)
+        assert(c.readFlight(spark, fi).as[Long].head == 500L)
       }
     }
   }
