@@ -520,6 +520,44 @@ object SparkEntry {
           .localCheckpoint(true) // materialize while the server is up
       } finally server.close()
     }),
+    // STREAMING ingest from the Flight data plane under the gate:
+    // producers DoPut immutable batches onto an append-log flight
+    // (descriptor path ["append", name]); Structured Streaming consumes
+    // the log through the FlightStreamSource MicroBatchStream — offsets
+    // are log sequence numbers, one task per staged file. The
+    // reference's put-stream (BulkImportJob.java:49-51) completed into
+    // a replayable streaming feed.
+    "stream_flight_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = TpchGraph.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val server = new graft.sources.FlightGrpc.Server(s, "gate-token").start()
+      try {
+        val cli = new graft.sources.FlightGrpc.Client(
+          "127.0.0.1", server.port, "gate-token")
+        try {
+          // three producer rounds, each multi-partition
+          (0 until 3).foreach { i =>
+            cli.doPutAppend("ev_log",
+              e.where(col("event_id") % 3 === i).repartition(2))
+          }
+          val qname = s"graft_flight_ingest_${System.nanoTime()}"
+          val q = s.readStream.format("graft.sources.FlightStreamSource")
+            .option("host", "127.0.0.1")
+            .option("port", server.port.toString)
+            .option("token", "gate-token")
+            .option("flight", "ev_log")
+            .load()
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+              round(sum(col("value")), 2).as("val_sum"))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table(qname).localCheckpoint(true)
+        } finally cli.close()
+      } finally server.close()
+    }),
     // W1: dense id map under the gate. Which original id gets which dense
     // offset depends on partition order (unordered-stream contract), so
     // the gate checks the deterministic bijection invariants: n dense ids,
@@ -1117,6 +1155,11 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "stream_flight_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       round(sum(value), 2) AS val_sum
+        |FROM events GROUP BY 1""".stripMargin,
     "arrow_write_roundtrip" ->
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust

@@ -385,12 +385,20 @@ object FlightGrpc {
               "first FlightData must carry a descriptor"))
           desc.dtype match {
             case FlightProto.DescriptorType.Path =>
-              val name = desc.path.headOption.getOrElse(
-                throw new GrpcException(Status.InvalidArgument, "empty path"))
               val msgs = frames.map(fd =>
                 FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
-              write(FlightProto.PutResult.of(
-                service.ingestFlightData(name, msgs).toString).encode)
+              desc.path match {
+                // path ["append", name]: one immutable batch onto the
+                // flight's APPEND LOG (the readStream ingest surface)
+                case Seq("append", name) =>
+                  write(FlightProto.PutResult.of(
+                    service.appendFlightData(name, msgs).toString).encode)
+                case Seq(name) =>
+                  write(FlightProto.PutResult.of(
+                    service.ingestFlightData(name, msgs).toString).encode)
+                case other => throw new GrpcException(
+                  Status.InvalidArgument, s"bad put path: $other")
+              }
             case FlightProto.DescriptorType.Cmd =>
               // gds.write.nodes / gds.write.relationships: CMD carries
               // the serialized write message (GdsActionHandler.java:76-150)
@@ -539,6 +547,14 @@ object FlightGrpc {
       val desc = FlightProto.FlightDescriptor.path(name)
       putFrames(desc, df)
     }
+
+    /** DoPut one immutable batch onto flight `name`'s APPEND LOG
+      * (descriptor path ["append", name]) — the producer half of the
+      * [[FlightStreamSource]] readStream surface. */
+    def doPutAppend(name: String, df: DataFrame): Long =
+      putFrames(FlightProto.FlightDescriptor(
+        FlightProto.DescriptorType.Path, Array.emptyByteArray,
+        Seq("append", name)), df)
 
     /** gds.write.nodes / gds.write.relationships over DoPut: the CMD
       * descriptor carries the serialized write message. */

@@ -137,39 +137,106 @@ final class FlightService(val spark: SparkSession) {
       totalRecords = -1L, totalBytes = -1L)
   }
 
-  /** Resolve a `name#<i>` partition ticket to its staged blob, or None
-    * if the ticket is a plain flight name. */
+  /** Resolve a partition ticket — `name#<i>` (staged table partition) or
+    * `name@<seq>#<i>` (append-log batch partition) — to its staged blob;
+    * None if the ticket is a plain flight name. */
   def partitionTicketBlob(ticket: String): Option[Array[Byte]] = {
     val cut = ticket.lastIndexOf('#')
-    if (cut < 0) None
-    else {
-      val (name, idxS) = (ticket.substring(0, cut), ticket.substring(cut + 1))
-      if (!idxS.forall(_.isDigit)) None
-      else staged.get(name) match {
-        case None => throw new NoSuchElementException(
-          s"no staged partitions for $name — call GetFlightInfo first")
-        case Some(files) =>
-          val i = idxS.toInt
-          Predef.require(i >= 0 && i < files.size,
-            s"partition $i out of [0, ${files.size})")
-          val p = new org.apache.hadoop.fs.Path(files(i))
-          val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
-            new org.apache.hadoop.conf.Configuration())
-          val in = fs.open(p)
-          try {
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-            Some(out.toByteArray)
-          } finally in.close()
-      }
+    if (cut < 0) return None
+    val (prefix, idxS) = (ticket.substring(0, cut), ticket.substring(cut + 1))
+    if (!idxS.nonEmpty || !idxS.forall(_.isDigit)) return None
+    val i = idxS.toInt
+    val at = prefix.lastIndexOf('@')
+    val files =
+      if (at >= 0 && prefix.substring(at + 1).nonEmpty &&
+          prefix.substring(at + 1).forall(_.isDigit)) {
+        val (name, seq) = (prefix.substring(0, at),
+          prefix.substring(at + 1).toInt)
+        val log = appendLog.getOrElse(name,
+          throw new NoSuchElementException(s"no appended flight: $name"))
+        Predef.require(seq >= 0 && seq < log.size,
+          s"log seq $seq out of [0, ${log.size})")
+        log(seq)
+      } else staged.getOrElse(prefix,
+        throw new NoSuchElementException(
+          s"no staged partitions for $prefix — call GetFlightInfo first"))
+    Predef.require(i >= 0 && i < files.size,
+      s"partition $i out of [0, ${files.size})")
+    Some(readLocalFile(files(i)))
+  }
+
+  private def readLocalFile(file: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  // ------------------------- streaming append log (readStream ingest)
+  // A flight can be an APPEND LOG instead of a replaced table: each
+  // DoPut with descriptor path ["append", name] stages one immutable
+  // batch of per-partition IPC files and bumps the log's sequence
+  // number. [[FlightStreamSource]] exposes the log to Structured
+  // Streaming — offsets are log sequence numbers, micro-batch (start,
+  // end] plans one input partition per staged file (ticket
+  // `name@seq#i`), and DoGet serves file bytes with no Spark job, so a
+  // reader fleet can never deadlock the server.
+  private val appendLog = TrieMap.empty[String, Vector[Seq[String]]]
+  private val appendSchemaDdl = TrieMap.empty[String, String]
+
+  /** Append one batch to `name`'s log; returns the row count. The first
+    * append fixes the log's schema; later appends must match. */
+  def appendFlightData(name: String,
+                       msgs: Seq[FlightProto.IpcMessage]): Long =
+    synchronized {
+      val schema = FlightService.sparkSchemaOfStream(msgs)
+      appendSchemaDdl.get(name).foreach(d =>
+        Predef.require(d == schema.toDDL,
+          s"append schema drift for $name: ${schema.toDDL} != $d"))
+      import spark.implicits._
+      val df = ArrowIpc.fromIpcStreams(
+          spark.createDataset(FlightProto.groupStreams(msgs)), schema)
+        .localCheckpoint(true)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_flight_append_").toFile
+      stagedDirs.add(dir)
+      ArrowIpc.writeIpcFiles(df, dir.getAbsolutePath)
+      val files = ArrowIpcSource.listFiles(dir.getAbsolutePath)
+      appendLog.put(name, appendLog.getOrElse(name, Vector.empty) :+ files)
+      appendSchemaDdl.put(name, schema.toDDL)
+      df.count()
     }
+
+  /** Current log length (the streaming source's latestOffset). */
+  def appendLogSize(name: String): Int =
+    appendLog.get(name).map(_.size).getOrElse(0)
+
+  def appendLogSchemaDdl(name: String): String =
+    appendSchemaDdl.getOrElse(name,
+      throw new NoSuchElementException(s"no appended flight: $name"))
+
+  /** Tickets covering log range [from, until): one per staged file. */
+  def appendTickets(name: String, from: Int, until: Int): Seq[String] = {
+    val log = appendLog.getOrElse(name,
+      throw new NoSuchElementException(s"no appended flight: $name"))
+    Predef.require(0 <= from && from <= until && until <= log.size,
+      s"log range [$from, $until) out of [0, ${log.size})")
+    (from until until).flatMap(seq =>
+      log(seq).indices.map(i => s"$name@$seq#$i"))
   }
 
   /** Delete staged partition files (transports call this on close). */
   def cleanupStaging(): Unit = {
     staged.clear()
+    appendLog.clear()
+    appendSchemaDdl.clear()
     var d = stagedDirs.poll()
     while (d != null) {
       Option(d.listFiles).foreach(_.foreach(_.delete()))
@@ -300,7 +367,13 @@ final class FlightService(val spark: SparkSession) {
     FlightProto.ActionType("job.submit",
       "Run a registered table as a ticketed Job"),
     FlightProto.ActionType("info.jobs", "List currently active Jobs"),
-    FlightProto.ActionType("info.version", "Get metadata on server info"))
+    FlightProto.ActionType("info.version", "Get metadata on server info"),
+    FlightProto.ActionType("flight.log",
+      "Length of an append-log flight (streaming latestOffset)"),
+    FlightProto.ActionType("flight.log.schema",
+      "Schema DDL of an append-log flight"),
+    FlightProto.ActionType("flight.log.tickets",
+      "Partition tickets for an append-log range: name\\tfrom\\tuntil"))
 
   /** doAction — dispatch on type like the reference's handler map
     * (Producer.java:513-541; job.status = StatusHandler.java:20,
@@ -331,6 +404,17 @@ final class FlightService(val spark: SparkSession) {
             .map { case (t, st) => s"$t=$st" }.mkString(","))
       case "info.version" =>
         FlightProto.ActionResult.of(graft.operators.Jobs.version)
+      case "flight.log" =>
+        FlightProto.ActionResult.of(appendLogSize(body).toString)
+      case "flight.log.schema" =>
+        FlightProto.ActionResult.of(appendLogSchemaDdl(body))
+      case "flight.log.tickets" =>
+        val parts = body.split("\t")
+        Predef.require(parts.length == 3,
+          "flight.log.tickets body must be name\\tfrom\\tuntil")
+        FlightProto.ActionResult.of(
+          appendTickets(parts(0), parts(1).toInt, parts(2).toInt)
+            .mkString("\n"))
       case "cypher.read" =>
         val msg = ActionMessages.CypherMessage.deserialize(action.body)
         // flight names that are valid identifiers become views; the

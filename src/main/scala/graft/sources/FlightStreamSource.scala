@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Structured Streaming SOURCE over a live Flight server's append log —
+  * continuous ingest from the reference's data plane:
+  *
+  * {{{
+  * spark.readStream.format("graft.sources.FlightStreamSource")
+  *   .option("host", h).option("port", p).option("token", t)
+  *   .option("flight", name).load()
+  * }}}
+  *
+  * Producers `DoPut` immutable batches under descriptor path
+  * ["append", name] ([[FlightGrpc.Client.doPutAppend]]); the server
+  * stages each batch's partitions as local IPC files and bumps a log
+  * sequence number. This source maps Structured Streaming's offset
+  * contract onto that log:
+  *
+  *  - `latestOffset` = log length (one gRPC `flight.log` action);
+  *  - a micro-batch (start, end] plans ONE INPUT PARTITION PER STAGED
+  *    FILE across the log range (`flight.log.tickets` action → tickets
+  *    `name@seq#i`), so batch parallelism follows producer parallelism;
+  *  - tasks reuse [[FlightPartitionReader]] — each drains its ticket
+  *    over its own HTTP/2 connection; the server serves file bytes with
+  *    no Spark job, so a reader fleet can never deadlock the server;
+  *  - batches are immutable once appended and offsets are durable log
+  *    indices, so checkpoint recovery replays exactly the uncommitted
+  *    range — the same exactly-once-per-batch contract as the built-in
+  *    file source.
+  *
+  * The reference's put-stream is fire-and-forget ingest
+  * (BulkImportJob.java:49-51); this completes it into a replayable
+  * streaming feed. */
+class FlightStreamSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (host, port, token, flight) = FlightSource.opts(options)
+    val cli = new FlightGrpc.Client(host, port, token)
+    try StructType.fromDDL(
+      cli.doAction("flight.log.schema", flight).asString)
+    finally cli.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val o = new CaseInsensitiveStringMap(properties)
+    val (host, port, token, flight) = FlightSource.opts(o)
+    new FlightStreamTable(schema, host, port, token, flight)
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final class FlightStreamTable(schema: StructType, host: String, port: Int,
+                              token: String, flight: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"flight-log `$flight` @ $host:$port"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = schema
+      override def toMicroBatchStream(
+          checkpointLocation: String): MicroBatchStream =
+        new FlightMicroBatchStream(schema, host, port, token, flight)
+    }
+}
+
+/** Offset = append-log length; serialized as its decimal string. */
+final case class FlightLogOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+final class FlightMicroBatchStream(schema: StructType, host: String,
+                                   port: Int, token: String, flight: String)
+    extends MicroBatchStream {
+
+  private def withClient[A](f: FlightGrpc.Client => A): A = {
+    val cli = new FlightGrpc.Client(host, port, token)
+    try f(cli) finally cli.close()
+  }
+
+  override def initialOffset(): Offset = FlightLogOffset(0L)
+
+  override def latestOffset(): Offset = FlightLogOffset(
+    withClient(_.doAction("flight.log", flight).asString.toLong))
+
+  override def deserializeOffset(json: String): Offset =
+    FlightLogOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[FlightLogOffset].seq,
+      end.asInstanceOf[FlightLogOffset].seq)
+    if (s == e) Array.empty
+    else withClient(
+        _.doAction("flight.log.tickets", s"$flight\t$s\t$e").asString)
+      .split("\n").filter(_.nonEmpty)
+      .map(t => FlightEndpointPartition(t): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FlightReaderFactory(schema, host, port, token)
+
+  /** Batches are immutable staged files; nothing to release per-commit
+    * (the server's staging lifetime is the server's, not the query's). */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

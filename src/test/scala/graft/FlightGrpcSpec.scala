@@ -185,7 +185,8 @@ class FlightGrpcSpec extends AnyFunSuite {
       withClient(srv) { c =>
         assert(c.listActions().map(_.atype).toSet == Set("cypher.read",
           "gds.read", "job.status", "job.submit", "info.jobs",
-          "info.version"))
+          "info.version", "flight.log", "flight.log.schema",
+          "flight.log.tickets"))
       }
     }
   }

@@ -133,7 +133,8 @@ class FlightProtoSpec extends AnyFunSuite {
         val actions = c.listActions()
         assert(actions.map(_.atype).toSet ==
           Set("cypher.read", "gds.read", "job.status", "job.submit",
-            "info.jobs", "info.version"))
+            "info.jobs", "info.version", "flight.log",
+            "flight.log.schema", "flight.log.tickets"))
         actions.foreach { a =>
           val fs = parse(a.encode) // ActionType fields 1/2 per Flight.proto
           assert(new String(b1(fs, 1), UTF_8) == a.atype)
