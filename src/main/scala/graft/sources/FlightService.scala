@@ -138,9 +138,20 @@ final class FlightService(val spark: SparkSession) {
   }
 
   /** Resolve a partition ticket — `name#<i>` (staged table partition) or
-    * `name@<seq>#<i>` (append-log batch partition) — to its staged blob;
-    * None if the ticket is a plain flight name. */
-  def partitionTicketBlob(ticket: String): Option[Array[Byte]] = {
+    * `name@<seq>#<i>` (append-log batch partition), optionally with a
+    * `?cols=a,b` projection suffix — to its staged blob; None if the
+    * ticket is a plain flight name. Tickets are opaque per the Flight
+    * contract, so carrying the projection inside them is how real Flight
+    * servers push column pruning to the wire: the server re-encodes only
+    * the requested vectors and a 2-column scan of a 40-column flight
+    * ships 2 columns of bytes, not 40. */
+  def partitionTicketBlob(fullTicket: String): Option[Array[Byte]] = {
+    val (ticket, cols) = fullTicket.indexOf("?cols=") match {
+      case -1 => (fullTicket, None)
+      case q => (fullTicket.substring(0, q),
+        Some(fullTicket.substring(q + 6).split(",").toSeq
+          .filter(_.nonEmpty)))
+    }
     val cut = ticket.lastIndexOf('#')
     if (cut < 0) return None
     val (prefix, idxS) = (ticket.substring(0, cut), ticket.substring(cut + 1))
@@ -162,7 +173,8 @@ final class FlightService(val spark: SparkSession) {
           s"no staged partitions for $prefix — call GetFlightInfo first"))
     Predef.require(i >= 0 && i < files.size,
       s"partition $i out of [0, ${files.size})")
-    Some(readLocalFile(files(i)))
+    val blob = readLocalFile(files(i))
+    Some(cols.fold(blob)(FlightService.projectIpcStream(blob, _)))
   }
 
   private def readLocalFile(file: String): Array[Byte] = {
@@ -496,5 +508,41 @@ object FlightService {
           java.nio.channels.Channels.newChannel(
             new java.io.ByteArrayInputStream(bytes))))
     ArrowIpcSource.sparkSchema(arrowSchema)
+  }
+
+  /** Re-encode an IPC stream keeping only `cols`, in the given order —
+    * the server half of column-pruning pushdown. The projected root
+    * WRAPS the reader's vectors (no copy); each batch re-encodes just
+    * the selected columns. `cols` may be empty (a bare `count(*)` scan):
+    * the stream then carries only row counts. */
+  def projectIpcStream(blob: Array[Byte],
+                       cols: Seq[String]): Array[Byte] = {
+    import scala.jdk.CollectionConverters._
+    val allocator =
+      new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(blob), allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val sel = cols.map(c => Option(root.getVector(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"projection column not in stream: $c")))
+      val proj = new org.apache.arrow.vector.VectorSchemaRoot(
+        sel.map(_.getField).asJava,
+        sel.map(v => v: org.apache.arrow.vector.FieldVector).asJava, 0)
+      val out = new java.io.ByteArrayOutputStream()
+      val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+        proj, null, out)
+      writer.start()
+      while (reader.loadNextBatch()) {
+        proj.setRowCount(root.getRowCount)
+        writer.writeBatch()
+      }
+      writer.end()
+      out.toByteArray
+    } finally {
+      reader.close()
+      allocator.close()
+    }
   }
 }

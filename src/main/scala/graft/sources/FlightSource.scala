@@ -82,11 +82,33 @@ final class FlightTable(schema: StructType, host: String, port: Int,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new FlightScan(schema, host, port, token, flight)
+    new FlightScanBuilder(schema, host, port, token, flight)
+}
+
+/** Column pruning pushes THROUGH the wire: the pruned schema rides the
+  * (opaque) DoGet ticket as `?cols=…`, and the server re-encodes only
+  * those vectors — a 2-column projection of a wide flight ships 2
+  * columns of bytes. `.explain` shows the pruned ReadSchema like any
+  * well-behaved DSv2 source. */
+final class FlightScanBuilder(full: StructType, host: String, port: Int,
+                              token: String, flight: String)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+  override def build(): Scan = {
+    val pruned = required.fieldNames.toSeq != full.fieldNames.toSeq
+    new FlightScan(required, host, port, token, flight,
+      colsSuffix = if (pruned)
+        Some("?cols=" + required.fieldNames.mkString(",")) else None)
+  }
 }
 
 final class FlightScan(schema: StructType, host: String, port: Int,
-                       token: String, flight: String) extends Scan with Batch {
+                       token: String, flight: String,
+                       colsSuffix: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
@@ -97,7 +119,8 @@ final class FlightScan(schema: StructType, host: String, port: Int,
     try {
       cli.getFlightInfo(flight).endpoints.map(ep =>
         FlightEndpointPartition(
-          new String(ep.ticket.ticket, UTF_8)): InputPartition).toArray
+          new String(ep.ticket.ticket, UTF_8) + colsSuffix.getOrElse(""))
+          : InputPartition).toArray
     } finally cli.close()
   }
 

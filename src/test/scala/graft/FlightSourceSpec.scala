@@ -69,6 +69,40 @@ class FlightSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("column pruning pushes through the wire: the server re-encodes " +
+      "only the projected vectors and the plan shows the pruned schema") {
+    withServer { srv =>
+      srv.register("t", sample.repartition(3))
+      val df = readFlight(srv.port, "t").select($"id")
+      // plan-level: the DSv2 scan's output is the pruned schema
+      val scanSchemas = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.readSchema().fieldNames.toSeq
+      }
+      assert(scanSchemas == Seq(Seq("id")))
+      assert(df.as[Long].collect().toSet == (0L until 1000L).toSet)
+      // wire-level: a projected ticket's stream carries ONE field
+      val cli = new FlightGrpc.Client("127.0.0.1", srv.port, "sekrit")
+      try {
+        val fi = cli.getFlightInfo("t")
+        val t0 = new String(fi.endpoints.head.ticket.ticket,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val projected = cli.doGet(spark, s"$t0?cols=name")
+        assert(projected.schema.fieldNames.toSeq == Seq("name"))
+        val full = cli.doGet(spark, t0)
+        assert(full.schema.fieldNames.length == 3)
+        assert(projected.count() == full.count())
+      } finally cli.close()
+    }
+  }
+
+  test("a zero-column scan (bare count) still counts rows over the wire") {
+    withServer { srv =>
+      srv.register("t", sample.repartition(3))
+      assert(readFlight(srv.port, "t").count() == 1000L)
+    }
+  }
+
   test("missing flight fails planning loudly (NOT_FOUND from GetSchema)") {
     withServer { srv =>
       val e = intercept[FlightGrpc.GrpcException](
