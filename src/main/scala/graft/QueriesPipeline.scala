@@ -153,6 +153,11 @@ object QueriesPipeline {
     "hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(table(s, dir, "embeddings"),
         queryPred = col("vec_id") < 10, k = 5)),
+    // bitext mining: mutual-best cross-corpus pairs under the CSLS
+    // margin (int64-exact subtraction form) — parallel-data extraction
+    // for MT/contrastive training
+    "bitext_csls" -> ((s, dir) =>
+      Similarity.cslsMinePairs(table(s, dir, "embeddings"), k = 5)),
     // per-class centroid drift between the two vec_id-parity halves —
     // the embedding regression test (two model versions in production)
     "embed_drift" -> ((s, dir) =>
@@ -2809,6 +2814,39 @@ object QueriesPipeline {
          |      ORDER BY ${qd("q", "p")}, p.plabel) AS rn
          |  FROM q, proto p) t WHERE rn = 1)
          |SELECT label, pred, count(*) AS n FROM a GROUP BY 1, 2"""
+        .stripMargin
+    },
+    "bitext_csls" -> {
+      val dimP1 = 65
+      val k = 5
+      s"""WITH q AS (SELECT vec_id, label % 2 = 0 AS is_a,
+         |        list_transform(embedding::DOUBLE[],
+         |          x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+         |      FROM embeddings),
+         |a AS (SELECT vec_id AS aid, qv AS av FROM q WHERE is_a),
+         |b AS (SELECT vec_id AS bid, qv AS bv FROM q WHERE NOT is_a),
+         |d AS (SELECT aid, bid,
+         |        CAST(list_sum(list_transform(range(1, $dimP1),
+         |          j -> av[j] * bv[j])) AS BIGINT) AS dot
+         |      FROM a, b),
+         |ra AS (SELECT aid, CAST(sum(dot) AS BIGINT) AS ska FROM (
+         |        SELECT aid, dot, row_number() OVER (PARTITION BY aid
+         |          ORDER BY dot DESC, bid) AS rn FROM d) t
+         |      WHERE rn <= $k GROUP BY aid),
+         |rb AS (SELECT bid, CAST(sum(dot) AS BIGINT) AS skb FROM (
+         |        SELECT bid, dot, row_number() OVER (PARTITION BY bid
+         |          ORDER BY dot DESC, aid) AS rn FROM d) t
+         |      WHERE rn <= $k GROUP BY bid),
+         |s AS (SELECT d.aid, d.bid, 2 * $k * dot - ska - skb AS csls
+         |      FROM d JOIN ra USING (aid) JOIN rb USING (bid)),
+         |ba AS (SELECT aid, bid FROM (
+         |        SELECT aid, bid, row_number() OVER (PARTITION BY aid
+         |          ORDER BY csls DESC, bid) AS rn FROM s) t WHERE rn = 1),
+         |bb AS (SELECT aid, bid FROM (
+         |        SELECT aid, bid, row_number() OVER (PARTITION BY bid
+         |          ORDER BY csls DESC, aid) AS rn FROM s) t WHERE rn = 1)
+         |SELECT s.aid, s.bid, CAST(s.csls AS BIGINT) AS csls
+         |FROM s JOIN ba USING (aid, bid) JOIN bb USING (aid, bid)"""
         .stripMargin
     },
     "hard_negatives" -> {

@@ -693,4 +693,58 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("grp"), col("dc"),
         (col("rn") === 1).as("keep"))
   }
+
+  /** Cross-corpus pair MINING by CSLS (cross-domain similarity local
+    * scaling, Conneau et al. 2018) — the margin criterion behind
+    * Artetxe & Schwenk-style bitext mining, in its SUBTRACTION form so
+    * every quantity stays an exact int64 (the ratio-margin form divides
+    * by a kNN mean and re-introduces float tie hazards):
+    *
+    *   csls(x, y) = 2k·dot(x, y) − Σ_{z∈NNk(x,B)} dot(x, z)
+    *                             − Σ_{w∈NNk(y,A)} dot(y, w)
+    *
+    * over the two corpus sides A = `label % 2 == 0`, B = the rest (the
+    * synthetic stand-in for source/target languages). The local terms
+    * cancel hubness: a y close to EVERYTHING has a large kNN sum and
+    * must beat its own neighborhood, not just the global scale. A pair
+    * is MINED when each member is the other's csls-argmax (mutual best;
+    * ties → smaller candidate id). Returns (aid, bid, csls).
+    *
+    * Scale shape: one broadcast cross-dot (the queries-broadcast shape
+    * [[bruteTopK]] uses; compose with [[ivfTopK]]'s cell restriction
+    * when |A|·|B| outgrows brute force) + bounded [[TopK.perKey]]
+    * aggregates for the kNN sums and both argmaxes — no global window,
+    * no driver loop. int64-exact: quantized dots ≤ 64·(10³·|x|_max)²
+    * stay far under 2^53, so the TopK double ord is lossless too. */
+  def cslsMinePairs(embeddings: DataFrame, k: Int): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      (col("label") % 2 === 0).as("is_a"),
+      transform(asDouble(col("embedding")),
+        x => floor(x * 1000 + 0.5).cast("long")).as("qv"))
+    val a = q.where(col("is_a"))
+      .select(col("vec_id").as("aid"), col("qv").as("av"))
+    val b = q.where(!col("is_a"))
+      .select(col("vec_id").as("bid"), col("qv").as("bv"))
+    val dots = a.join(broadcast(b), lit(true))
+      .select(col("aid"), col("bid"),
+        longDot(col("av"), col("bv")).as("dot"))
+    val ska = TopK.perKey(dots, key = "aid", ord = "dot",
+        tiebreak = "bid", payload = "bid", k = k)
+      .groupBy(col("aid")).agg(sum(col("dot")).cast("long").as("ska"))
+    val skb = TopK.perKey(dots.select(col("bid"), col("aid"), col("dot")),
+        key = "bid", ord = "dot", tiebreak = "aid", payload = "aid", k = k)
+      .groupBy(col("bid")).agg(sum(col("dot")).cast("long").as("skb"))
+    val scored = dots.join(ska, "aid").join(skb, "bid")
+      .select(col("aid"), col("bid"),
+        (lit(2L * k) * col("dot") - col("ska") - col("skb")).as("csls"))
+    val bestA = TopK.perKey(scored, key = "aid", ord = "csls",
+        tiebreak = "bid", payload = "bid", k = 1)
+      .select(col("aid"), col("bid"))
+    val bestB = TopK.perKey(scored.select(col("bid"), col("aid"),
+        col("csls")), key = "bid", ord = "csls",
+        tiebreak = "aid", payload = "aid", k = 1)
+      .select(col("bid"), col("aid"))
+    scored.join(bestA, Seq("aid", "bid")).join(bestB, Seq("bid", "aid"))
+      .select(col("aid"), col("bid"), col("csls").cast("long").as("csls"))
+  }
 }

@@ -317,4 +317,47 @@ class SimilaritySpec extends AnyFunSuite {
       (98L, 97L, 97L, 43560000L, false),
       (99L, 97L, 99L, 176890000L, true)))
   }
+
+  test("cslsMinePairs equals a naive CSLS mutual-argmax on random sides") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 2).toInt))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val k = 3
+    val got = Similarity.cslsMinePairs(df, k)
+      .as[(Long, Long, Long)].collect().toSet
+
+    // naive reference: quantize, all dots, kNN sums, csls, mutual argmax
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+    val a = rows.filter(_._3 == 0).map(r => r._1 -> quant(r._2))
+    val b = rows.filter(_._3 == 1).map(r => r._1 -> quant(r._2))
+    def dot(x: Array[Long], y: Array[Long]): Long =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val dots = for { (ai, av) <- a; (bi, bv) <- b }
+      yield ((ai, bi), dot(av, bv))
+    val dm = dots.toMap
+    def topSum(items: Seq[(Long, Long)]): Long = // (otherId, dot)
+      items.sortBy { case (id, d) => (-d, id) }.take(k).map(_._2).sum
+    val ska = a.map { case (ai, _) =>
+      ai -> topSum(b.map { case (bi, _) => (bi, dm((ai, bi))) }) }.toMap
+    val skb = b.map { case (bi, _) =>
+      bi -> topSum(a.map { case (ai, _) => (ai, dm((ai, bi))) }) }.toMap
+    val csls = dots.map { case ((ai, bi), d) =>
+      ((ai, bi), 2L * k * d - ska(ai) - skb(bi)) }.toMap
+    def argmax(pairs: Seq[((Long, Long), Long)],
+               pick: ((Long, Long)) => Long): Map[Long, (Long, Long)] =
+      pairs.groupBy { case ((ai, bi), _) => pick((ai, bi)) }
+        .map { case (key, ps) =>
+          key -> ps.maxBy { case ((ai, bi), s) =>
+            (s, -(if (pick((ai, bi)) == ai) bi else ai)) }._1
+        }
+    val bestA = argmax(csls.toSeq, _._1)
+    val bestB = argmax(csls.toSeq, _._2)
+    val want = csls.keys.filter(p =>
+        bestA(p._1) == p && bestB(p._2) == p)
+      .map(p => (p._1, p._2, csls(p))).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the fixture actually mines something
+  }
 }
