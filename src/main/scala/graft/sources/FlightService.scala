@@ -146,12 +146,20 @@ final class FlightService(val spark: SparkSession) {
     * the requested vectors and a 2-column scan of a 40-column flight
     * ships 2 columns of bytes, not 40. */
   def partitionTicketBlob(fullTicket: String): Option[Array[Byte]] = {
-    val (ticket, cols) = fullTicket.indexOf("?cols=") match {
-      case -1 => (fullTicket, None)
+    val (ticket, params) = fullTicket.indexOf('?') match {
+      case -1 => (fullTicket, Map.empty[String, String])
       case q => (fullTicket.substring(0, q),
-        Some(fullTicket.substring(q + 6).split(",").toSeq
-          .filter(_.nonEmpty)))
+        fullTicket.substring(q + 1).split("&").toSeq
+          .filter(_.contains("="))
+          .map { kv =>
+            val eq = kv.indexOf('=')
+            kv.substring(0, eq) -> kv.substring(eq + 1)
+          }.toMap)
     }
+    val cols = params.get("cols")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    val filters = params.get("flt")
+      .map(FlightService.parseTicketFilters).getOrElse(Nil)
     val cut = ticket.lastIndexOf('#')
     if (cut < 0) return None
     val (prefix, idxS) = (ticket.substring(0, cut), ticket.substring(cut + 1))
@@ -174,7 +182,9 @@ final class FlightService(val spark: SparkSession) {
     Predef.require(i >= 0 && i < files.size,
       s"partition $i out of [0, ${files.size})")
     val blob = readLocalFile(files(i))
-    Some(cols.fold(blob)(FlightService.projectIpcStream(blob, _)))
+    Some(
+      if (cols.isEmpty && filters.isEmpty) blob
+      else FlightService.filterProjectIpcStream(blob, filters, cols))
   }
 
   private def readLocalFile(file: String): Array[Byte] = {
@@ -510,36 +520,138 @@ object FlightService {
     ArrowIpcSource.sparkSchema(arrowSchema)
   }
 
-  /** Re-encode an IPC stream keeping only `cols`, in the given order —
-    * the server half of column-pruning pushdown. The projected root
-    * WRAPS the reader's vectors (no copy); each batch re-encodes just
-    * the selected columns. `cols` may be empty (a bare `count(*)` scan):
-    * the stream then carries only row counts. */
-  def projectIpcStream(blob: Array[Byte],
-                       cols: Seq[String]): Array[Byte] = {
+  /** One pushed-down predicate riding an opaque DoGet ticket. `lit` is
+    * typed-encoded: `l:<long>`, `d:<double>`, `s:<url-base64 utf8>`, or
+    * empty for `nn` (IS NOT NULL). Ops: eq/gt/ge/lt/le/nn. */
+  final case class TicketFilter(col: String, op: String, lit: String)
+
+  def encodeTicketFilters(fs: Seq[TicketFilter]): String =
+    fs.map(f => s"${f.col},${f.op},${f.lit}").mkString(";")
+
+  def parseTicketFilters(s: String): Seq[TicketFilter] =
+    s.split(";").toSeq.filter(_.nonEmpty).map { part =>
+      val ps = part.split(",", 3)
+      require(ps.length == 3, s"bad ticket filter: $part")
+      TicketFilter(ps(0), ps(1), ps(2))
+    }
+
+  /** Re-encode an IPC stream keeping only rows matching `filters` and
+    * only the `cols` columns (None = all) — the server half of
+    * filter/column pushdown. Pushed filters are a DATA REDUCTION, not
+    * the verdict: the Spark side re-applies every predicate residually
+    * (the parquet model), so the wire evaluation can only ever ship
+    * extra rows, never change results — but it must still match Spark
+    * semantics to actually reduce (null comparisons false; NaN ordered
+    * greatest and NaN == NaN, i.e. java.lang.Double.compare). `cols`
+    * may be empty (a bare `count(*)` scan): the stream then carries
+    * only row counts. */
+  def filterProjectIpcStream(blob: Array[Byte],
+                             filters: Seq[TicketFilter],
+                             cols: Option[Seq[String]]): Array[Byte] = {
     import scala.jdk.CollectionConverters._
+    import org.apache.arrow.vector.{BigIntVector, Float4Vector, Float8Vector, IntVector, VarCharVector}
     val allocator =
       new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
     val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
       new java.io.ByteArrayInputStream(blob), allocator)
     try {
       val root = reader.getVectorSchemaRoot
-      val sel = cols.map(c => Option(root.getVector(c)).getOrElse(
+
+      def compile(f: TicketFilter): Int => Boolean = {
+        val v = Option(root.getVector(f.col)).getOrElse(
+          throw new IllegalArgumentException(
+            s"filter column not in stream: ${f.col}"))
+        if (f.op == "nn") return i => !v.isNull(i)
+        val test: Int => Boolean = f.op match {
+          case "eq" => _ == 0
+          case "gt" => _ > 0
+          case "ge" => _ >= 0
+          case "lt" => _ < 0
+          case "le" => _ <= 0
+          case other =>
+            throw new IllegalArgumentException(s"bad filter op: $other")
+        }
+        f.lit.splitAt(2) match {
+          case ("l:", s) =>
+            val lit = s.toLong
+            v match {
+              case iv: IntVector => i => !iv.isNull(i) &&
+                test(java.lang.Long.compare(iv.get(i).toLong, lit))
+              case bv: BigIntVector => i => !bv.isNull(i) &&
+                test(java.lang.Long.compare(bv.get(i), lit))
+              case other => throw new IllegalArgumentException(
+                s"long filter on non-integer column ${f.col}: $other")
+            }
+          case ("d:", s) =>
+            val lit = java.lang.Double.parseDouble(s)
+            v match {
+              case fv: Float4Vector => i => !fv.isNull(i) &&
+                test(java.lang.Double.compare(fv.get(i).toDouble, lit))
+              case dv: Float8Vector => i => !dv.isNull(i) &&
+                test(java.lang.Double.compare(dv.get(i), lit))
+              case other => throw new IllegalArgumentException(
+                s"double filter on non-float column ${f.col}: $other")
+            }
+          case ("s:", s) =>
+            // strings push EQUALITY only (byte equality is
+            // collation-free; range would need UTF8String binary order)
+            require(f.op == "eq", s"string filter op must be eq: ${f.op}")
+            val lit = java.util.Base64.getUrlDecoder.decode(s)
+            v match {
+              case sv: VarCharVector => i => !sv.isNull(i) &&
+                java.util.Arrays.equals(sv.get(i), lit)
+              case other => throw new IllegalArgumentException(
+                s"string filter on non-utf8 column ${f.col}: $other")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"bad filter literal: ${f.lit}")
+        }
+      }
+
+      val preds = filters.map(compile)
+      val outNames = cols.getOrElse(
+        root.getSchema.getFields.asScala.map(_.getName).toSeq)
+      val srcVecs = outNames.map(c => Option(root.getVector(c)).getOrElse(
         throw new IllegalArgumentException(
           s"projection column not in stream: $c")))
-      val proj = new org.apache.arrow.vector.VectorSchemaRoot(
-        sel.map(_.getField).asJava,
-        sel.map(v => v: org.apache.arrow.vector.FieldVector).asJava, 0)
+      val outSchema = new org.apache.arrow.vector.types.pojo.Schema(
+        srcVecs.map(_.getField).asJava)
+      val outAlloc =
+        new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+      val outRoot = org.apache.arrow.vector.VectorSchemaRoot
+        .create(outSchema, outAlloc)
       val out = new java.io.ByteArrayOutputStream()
       val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
-        proj, null, out)
-      writer.start()
-      while (reader.loadNextBatch()) {
-        proj.setRowCount(root.getRowCount)
-        writer.writeBatch()
+        outRoot, null, out)
+      try {
+        writer.start()
+        while (reader.loadNextBatch()) {
+          outRoot.allocateNew()
+          val n = root.getRowCount
+          val outVecs = outRoot.getFieldVectors
+          var m = 0
+          var i = 0
+          while (i < n) {
+            if (preds.forall(_(i))) {
+              var c = 0
+              while (c < srcVecs.length) {
+                outVecs.get(c).copyFromSafe(i, m, srcVecs(c))
+                c += 1
+              }
+              m += 1
+            }
+            i += 1
+          }
+          outRoot.setRowCount(m)
+          writer.writeBatch()
+        }
+        writer.end()
+        out.toByteArray
+      } finally {
+        writer.close()
+        outRoot.close()
+        outAlloc.close()
       }
-      writer.end()
-      out.toByteArray
     } finally {
       reader.close()
       allocator.close()

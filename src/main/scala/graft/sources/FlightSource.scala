@@ -85,24 +85,82 @@ final class FlightTable(schema: StructType, host: String, port: Int,
     new FlightScanBuilder(schema, host, port, token, flight)
 }
 
-/** Column pruning pushes THROUGH the wire: the pruned schema rides the
-  * (opaque) DoGet ticket as `?cols=…`, and the server re-encodes only
-  * those vectors — a 2-column projection of a wide flight ships 2
-  * columns of bytes. `.explain` shows the pruned ReadSchema like any
-  * well-behaved DSv2 source. */
+/** Column pruning AND filters push THROUGH the wire: the pruned schema
+  * and a supported-predicate subset ride the (opaque) DoGet ticket as
+  * `?cols=…&flt=…`, and the server re-encodes only the selected rows
+  * and vectors — a filtered 2-column projection of a wide flight ships
+  * just those bytes. Pushed filters are conservative data reduction:
+  * `pushFilters` returns EVERY filter as residual, so Spark re-applies
+  * them post-scan (the parquet model) and wire evaluation can only ship
+  * extra rows, never change results. Pushable: eq/gt/ge/lt/le on
+  * int/long/float/double columns, eq on strings, IsNotNull — per the
+  * envelope the server can evaluate on raw Arrow vectors. */
 final class FlightScanBuilder(full: StructType, host: String, port: Int,
                               token: String, flight: String)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
   }
+
+  private def ident(c: String): Boolean =
+    c.matches("[A-Za-z_][A-Za-z0-9_]*") // keeps the ticket grammar safe
+
+  private def numLit(v: Any): Option[String] = v match {
+    case i: java.lang.Integer => Some(s"l:$i")
+    case l: java.lang.Long => Some(s"l:$l")
+    case f: java.lang.Float => Some(s"d:${f.toDouble}")
+    case d: java.lang.Double => Some(s"d:$d")
+    case _ => None
+  }
+
+  private def eqLit(v: Any): Option[String] = v match {
+    case s: String => Some("s:" + java.util.Base64.getUrlEncoder
+      .withoutPadding.encodeToString(s.getBytes(UTF_8)))
+    case other => numLit(other)
+  }
+
+  private def toTicket(f: Filter): Option[FlightService.TicketFilter] =
+    f match {
+      case EqualTo(c, v) if ident(c) =>
+        eqLit(v).map(FlightService.TicketFilter(c, "eq", _))
+      case GreaterThan(c, v) if ident(c) =>
+        numLit(v).map(FlightService.TicketFilter(c, "gt", _))
+      case GreaterThanOrEqual(c, v) if ident(c) =>
+        numLit(v).map(FlightService.TicketFilter(c, "ge", _))
+      case LessThan(c, v) if ident(c) =>
+        numLit(v).map(FlightService.TicketFilter(c, "lt", _))
+      case LessThanOrEqual(c, v) if ident(c) =>
+        numLit(v).map(FlightService.TicketFilter(c, "le", _))
+      case IsNotNull(c) if ident(c) =>
+        Some(FlightService.TicketFilter(c, "nn", ""))
+      case _ => None
+    }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => toTicket(f).isDefined)
+    filters // ALL residual: Spark re-applies, pushdown is reduction only
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
-    val pruned = required.fieldNames.toSeq != full.fieldNames.toSeq
+    val colsPruned = required.fieldNames.toSeq != full.fieldNames.toSeq
+    val parts = Seq(
+      if (colsPruned) Seq("cols=" + required.fieldNames.mkString(","))
+      else Nil,
+      if (pushed.nonEmpty) Seq("flt=" + FlightService.encodeTicketFilters(
+        pushed.flatMap(toTicket).toSeq))
+      else Nil).flatten
     new FlightScan(required, host, port, token, flight,
-      colsSuffix = if (pruned)
-        Some("?cols=" + required.fieldNames.mkString(",")) else None)
+      colsSuffix = if (parts.isEmpty) None
+        else Some("?" + parts.mkString("&")))
   }
 }
 

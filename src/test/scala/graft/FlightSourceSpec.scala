@@ -96,6 +96,40 @@ class FlightSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("filter pushdown reduces rows ON THE WIRE while Spark re-applies " +
+      "residually (reduction, never the verdict)") {
+    withServer { srv =>
+      srv.register("t", sample.repartition(2))
+      val df = readFlight(srv.port, "t").where($"id" < 100L)
+      assert(df.count() == 100L)
+      assert(df.select(sum($"id")).as[Long].head == (0L until 100L).sum)
+      // wire-level: the same predicate in a ticket ships only 100 rows
+      val cli = new FlightGrpc.Client("127.0.0.1", srv.port, "sekrit")
+      try {
+        val fi = cli.getFlightInfo("t")
+        val counts = fi.endpoints.map { ep =>
+          val t = new String(ep.ticket.ticket,
+            java.nio.charset.StandardCharsets.UTF_8)
+          cli.doGet(spark, s"$t?flt=id,lt,l:100").count()
+        }
+        assert(counts.sum == 100L)
+        // string equality + conjunction
+        val c2 = fi.endpoints.map { ep =>
+          val t = new String(ep.ticket.ticket,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val b64 = java.util.Base64.getUrlEncoder.withoutPadding
+            .encodeToString("n_7".getBytes("UTF-8"))
+          cli.doGet(spark, s"$t?flt=name,eq,s:$b64;id,ge,l:0").count()
+        }
+        assert(c2.sum == 1L)
+      } finally cli.close()
+      // combined filter + projection end-to-end
+      val got = readFlight(srv.port, "t")
+        .where($"name" === "n_42").select($"id").as[Long].collect().toSeq
+      assert(got == Seq(42L))
+    }
+  }
+
   test("a zero-column scan (bare count) still counts rows over the wire") {
     withServer { srv =>
       srv.register("t", sample.repartition(3))
