@@ -53,14 +53,16 @@ class FlightStreamSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val o = new CaseInsensitiveStringMap(properties)
     val (host, port, token, flight) = FlightSource.opts(o)
-    new FlightStreamTable(schema, host, port, token, flight)
+    val maxBatches = Option(o.get("maxBatchesPerTrigger")).map(_.toInt)
+    new FlightStreamTable(schema, host, port, token, flight, maxBatches)
   }
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
 final class FlightStreamTable(schema: StructType, host: String, port: Int,
-                              token: String, flight: String)
+                              token: String, flight: String,
+                              maxBatches: Option[Int])
     extends Table with SupportsRead {
   override def name(): String = s"flight-log `$flight` @ $host:$port"
   override def schema(): StructType = schema
@@ -71,7 +73,8 @@ final class FlightStreamTable(schema: StructType, host: String, port: Int,
       override def readSchema(): StructType = schema
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream =
-        new FlightMicroBatchStream(schema, host, port, token, flight)
+        new FlightMicroBatchStream(schema, host, port, token, flight,
+          maxBatches)
     }
 }
 
@@ -81,18 +84,50 @@ final case class FlightLogOffset(seq: Long) extends Offset {
 }
 
 final class FlightMicroBatchStream(schema: StructType, host: String,
-                                   port: Int, token: String, flight: String)
-    extends MicroBatchStream {
+                                   port: Int, token: String, flight: String,
+                                   maxBatches: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private def withClient[A](f: FlightGrpc.Client => A): A = {
     val cli = new FlightGrpc.Client(host, port, token)
     try f(cli) finally cli.close()
   }
 
+  private def remoteLogSize: Long =
+    withClient(_.doAction("flight.log", flight).asString.toLong)
+
+  // Trigger.AvailableNow snapshot: the query drains to the log length
+  // observed at start, in admission-capped micro-batches, then stops —
+  // appends racing the drain wait for the next run
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(remoteLogSize)
+  }
+
   override def initialOffset(): Offset = FlightLogOffset(0L)
 
-  override def latestOffset(): Offset = FlightLogOffset(
-    withClient(_.doAction("flight.log", flight).asString.toLong))
+  override def latestOffset(): Offset = FlightLogOffset(remoteLogSize)
+
+  /** Admission control: `maxBatchesPerTrigger` caps how many LOG
+    * ENTRIES one micro-batch admits (a log entry is the unit a producer
+    * committed — the analog of the file source's maxFilesPerTrigger). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxBatches.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FlightLogOffset].seq
+    val latest = availableNowCap.getOrElse(remoteLogSize)
+    limit match {
+      case mf: ReadMaxFiles =>
+        FlightLogOffset(math.min(s + mf.maxFiles().toLong, latest))
+      case _ => FlightLogOffset(latest)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = FlightLogOffset(remoteLogSize)
 
   override def deserializeOffset(json: String): Offset =
     FlightLogOffset(json.trim.toLong)

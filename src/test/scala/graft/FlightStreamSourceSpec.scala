@@ -106,6 +106,34 @@ class FlightStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("maxBatchesPerTrigger rate-limits admission: AvailableNow drains " +
+      "the log in capped micro-batches, nothing lost or duplicated") {
+    withServer { srv =>
+      val cli = new FlightGrpc.Client("127.0.0.1", srv.port, "sekrit")
+      try {
+        (0 until 5).foreach(i =>
+          cli.doPutAppend("rl", rows(i * 10L, i * 10L + 10L)))
+        val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+        val total = new java.util.concurrent.atomic.AtomicLong(0L)
+        val q = spark.readStream.format("graft.sources.FlightStreamSource")
+          .option("host", "127.0.0.1").option("port", srv.port.toString)
+          .option("token", "sekrit").option("flight", "rl")
+          .option("maxBatchesPerTrigger", "2")
+          .load()
+          .writeStream.foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              batches.incrementAndGet()
+              total.addAndGet(df.count())
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        assert(total.get() == 50L)
+        assert(batches.get() >= 3) // 5 log entries / 2 per trigger
+      } finally cli.close()
+    }
+  }
+
   test("append schema drift is rejected at the server") {
     withServer { srv =>
       val cli = new FlightGrpc.Client("127.0.0.1", srv.port, "sekrit")
