@@ -414,4 +414,15 @@ class PlanAuditSpec extends AnyFunSuite {
         s"unused column '$absent' read:\n$reads")
     assert(reads.contains("doc_id") && reads.contains("text"))
   }
+
+  test("bitext_csls never ranks through a global window (r9): the cross " +
+      "dot broadcasts one side, kNN sums and argmaxes are bounded TopK " +
+      "aggregates") {
+    val plan = formatted(SparkEntry.queries("bitext_csls")(spark, dir))
+    assert(!plan.contains("()) Window") &&
+      """\(\d+\) Window""".r.findAllIn(plan).isEmpty,
+      s"global window in bitext plan:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"B side not broadcast:\n$plan")
+  }
 }
