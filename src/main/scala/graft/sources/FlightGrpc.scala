@@ -14,6 +14,7 @@ import io.netty.channel.nio.NioIoHandler
 import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
 import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, DefaultHttp2WindowUpdateFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannel, Http2StreamChannelBootstrap}
+import io.netty.handler.ssl.{ApplicationProtocolConfig, ApplicationProtocolNames, ApplicationProtocolNegotiationHandler, SslContext, SslContextBuilder, SslProvider}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -74,6 +75,61 @@ object FlightGrpc {
 
   final class GrpcException(val code: Int, msg: String)
       extends RuntimeException(msg)
+
+  // ---------------------------------------------------------------- TLS
+  /** TLS for the Flight endpoint — the last session-layer delta to a
+    * stock grpc-java Flight deployment (`grpc+tls://` locations). gRPC
+    * over TLS requires ALPN advertising exactly `h2` (PROTOCOL-HTTP2.md);
+    * JDK 17's SSLEngine negotiates ALPN natively, so the JDK provider
+    * suffices — no tcnative. Key material comes from a PKCS12 keystore
+    * (`keytool -genkeypair -storetype PKCS12` — plain JDK tooling; see
+    * FlightTlsSpec), never from code-generated sun.security.* internals.
+    *
+    * Server side: keystore with the private key + cert chain. Client
+    * side: truststore holding the peer's cert (pinned trust — the
+    * loopback-test analog of a CA bundle). */
+  object Tls {
+    final case class ServerTls(keyStorePath: String, password: String)
+    final case class ClientTls(trustStorePath: String, password: String)
+
+    private val alpnH2 = new ApplicationProtocolConfig(
+      ApplicationProtocolConfig.Protocol.ALPN,
+      // NO_ADVERTISE + ACCEPT: the JDK-provider-compatible failure modes
+      // (grpc-netty uses the same pair)
+      ApplicationProtocolConfig.SelectorFailureBehavior.NO_ADVERTISE,
+      ApplicationProtocolConfig.SelectedListenerFailureBehavior.ACCEPT,
+      ApplicationProtocolNames.HTTP_2)
+
+    private def loadKeyStore(path: String,
+                             password: String): java.security.KeyStore = {
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val in = new java.io.FileInputStream(path)
+      try ks.load(in, password.toCharArray) finally in.close()
+      ks
+    }
+
+    private[FlightGrpc] def serverContext(tls: ServerTls): SslContext = {
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(loadKeyStore(tls.keyStorePath, tls.password),
+        tls.password.toCharArray)
+      SslContextBuilder.forServer(kmf)
+        .sslProvider(SslProvider.JDK)
+        .applicationProtocolConfig(alpnH2)
+        .build()
+    }
+
+    private[FlightGrpc] def clientContext(tls: ClientTls): SslContext = {
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(loadKeyStore(tls.trustStorePath, tls.password))
+      SslContextBuilder.forClient()
+        .sslProvider(SslProvider.JDK)
+        .trustManager(tmf)
+        .applicationProtocolConfig(alpnH2)
+        .build()
+    }
+  }
 
   // ------------------------------------------------------ gRPC framing
   /** One length-prefixed gRPC message: flag 0 (identity) + u32 BE length
@@ -140,9 +196,11 @@ object FlightGrpc {
 
   // ------------------------------------------------------------- server
   final class Server(spark: SparkSession, token: String,
-                     sharedService: Option[FlightService] = None) {
+                     sharedService: Option[FlightService] = None,
+                     tls: Option[Tls.ServerTls] = None) {
     val service: FlightService =
       sharedService.getOrElse(new FlightService(spark))
+    private[FlightGrpc] val secure: Boolean = tls.isDefined
     private val group =
       new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
     private[FlightGrpc] val dispatchPool =
@@ -159,20 +217,39 @@ object FlightGrpc {
       ch.localAddress().asInstanceOf[InetSocketAddress].getPort
 
     def start(): this.type = {
+      val sslCtx = tls.map(Tls.serverContext)
+      def installH2(p: io.netty.channel.ChannelPipeline): Unit = {
+        p.addLast(Http2FrameCodecBuilder.forServer().build())
+        p.addLast(new Http2MultiplexHandler(
+          new ChannelInitializer[Channel] {
+            override def initChannel(sc: Channel): Unit = {
+              sc.pipeline().addLast(
+                new ServerStreamHandler(Server.this, token)); ()
+            }
+          }))
+        ()
+      }
       val b = new ServerBootstrap()
         .group(group)
         .channel(classOf[NioServerSocketChannel])
         .childHandler(new ChannelInitializer[SocketChannel] {
-          override def initChannel(c: SocketChannel): Unit = {
-            c.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
-            c.pipeline().addLast(new Http2MultiplexHandler(
-              new ChannelInitializer[Channel] {
-                override def initChannel(sc: Channel): Unit = {
-                  sc.pipeline().addLast(
-                    new ServerStreamHandler(Server.this, token)); ()
+          override def initChannel(c: SocketChannel): Unit = sslCtx match {
+            case None => installH2(c.pipeline())
+            case Some(ssl) =>
+              // TLS first; H2 handlers install only after ALPN settles on
+              // h2 (a client that negotiated anything else is not gRPC)
+              c.pipeline().addLast(ssl.newHandler(c.alloc()))
+              c.pipeline().addLast(new ApplicationProtocolNegotiationHandler(
+                  ApplicationProtocolNames.HTTP_2) {
+                override def configurePipeline(ctx: ChannelHandlerContext,
+                                               protocol: String): Unit = {
+                  if (protocol != ApplicationProtocolNames.HTTP_2)
+                    throw new IllegalStateException(
+                      s"ALPN negotiated '$protocol', need h2")
+                  installH2(ctx.pipeline())
                 }
-              }))
-            ()
+              })
+              ()
           }
         })
       ch = b.bind("127.0.0.1", 0).sync().channel()
@@ -308,7 +385,10 @@ object FlightGrpc {
     private def dispatch(method: String, reqs: Seq[Array[Byte]],
                          write: Array[Byte] => Unit): Unit = {
       val service = srv.service
-      def location = s"grpc+tcp://127.0.0.1:${srv.port}"
+      // Flight location scheme per the upstream convention: grpc+tcp for
+      // cleartext h2c, grpc+tls once the endpoint serves TLS
+      def location =
+        s"grpc+${if (srv.secure) "tls" else "tcp"}://127.0.0.1:${srv.port}"
       method match {
         case "Handshake" =>
           // the reference's auth exchange (HorribleBasicAuthValidator):
@@ -435,25 +515,59 @@ object FlightGrpc {
   /** Blocking Flight client over the same Netty HTTP/2 codec — one
     * connection, one HTTP/2 stream per RPC (so calls multiplex the way
     * grpc-java's do). */
-  final class Client(host: String, port: Int, token: String) {
+  final class Client(host: String, port: Int, token: String,
+                     tls: Option[Tls.ClientTls] = None) {
     private val group =
       new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
+    // with TLS the H2 handlers install asynchronously after ALPN; RPCs
+    // must not open stream channels before the codec is in the pipeline
+    private val h2Ready = new CompletableFuture[Unit]()
     private val ch: Channel = {
+      val sslCtx = tls.map(Tls.clientContext)
+      def installH2(p: io.netty.channel.ChannelPipeline): Unit = {
+        p.addLast(Http2FrameCodecBuilder.forClient().build())
+        // inbound (server-initiated) streams are not a gRPC thing;
+        // the multiplex handler still needs a child handler
+        p.addLast(new Http2MultiplexHandler(
+          new ChannelInboundHandlerAdapter()))
+        h2Ready.complete(()); ()
+      }
       val b = new Bootstrap()
         .group(group)
         .channel(classOf[NioSocketChannel])
         .handler(new ChannelInitializer[SocketChannel] {
-          override def initChannel(c: SocketChannel): Unit = {
-            c.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
-            // inbound (server-initiated) streams are not a gRPC thing;
-            // the multiplex handler still needs a child handler
-            c.pipeline().addLast(new Http2MultiplexHandler(
-              new ChannelInboundHandlerAdapter()))
-            ()
+          override def initChannel(c: SocketChannel): Unit = sslCtx match {
+            case None => installH2(c.pipeline())
+            case Some(ssl) =>
+              c.pipeline().addLast(ssl.newHandler(c.alloc(), host, port))
+              c.pipeline().addLast(new ApplicationProtocolNegotiationHandler(
+                  ApplicationProtocolNames.HTTP_2) {
+                override def configurePipeline(ctx: ChannelHandlerContext,
+                                               protocol: String): Unit = {
+                  if (protocol != ApplicationProtocolNames.HTTP_2) {
+                    h2Ready.completeExceptionally(new IllegalStateException(
+                      s"ALPN negotiated '$protocol', need h2")); ()
+                  } else installH2(ctx.pipeline())
+                }
+                override def handshakeFailure(ctx: ChannelHandlerContext,
+                                              cause: Throwable): Unit = {
+                  h2Ready.completeExceptionally(cause)
+                  ctx.close(); ()
+                }
+              })
+              ()
           }
         })
-      b.connect(host, port).sync().channel()
+      val c = b.connect(host, port).sync().channel()
+      h2Ready.get(30, TimeUnit.SECONDS) // TLS handshake + ALPN barrier
+      c
     }
+
+    /** The ALPN-negotiated application protocol ("h2") — None on
+      * cleartext connections. Exposed for specs/diagnostics. */
+    def negotiatedProtocol: Option[String] =
+      Option(ch.pipeline().get(classOf[io.netty.handler.ssl.SslHandler]))
+        .map(_.applicationProtocol())
 
     /** One RPC with the default bearer credential. */
     def call(method: String, reqs: Seq[Array[Byte]]): RpcResult =
@@ -468,7 +582,7 @@ object FlightGrpc {
         .handler(new ClientStreamHandler(done))
         .open().sync().getNow
       val headers = new DefaultHttp2Headers()
-        .method("POST").scheme("http")
+        .method("POST").scheme(if (tls.isDefined) "https" else "http")
         .authority(s"$host:$port")
         .path(ServicePath + method)
       headers.set("content-type", "application/grpc+proto")
