@@ -20,6 +20,37 @@ object QueriesPipeline {
 
   private val EnStop = Seq("the", "a", "of", "and")
 
+  /** Unrolled-CTE oracle for the batch perceptron (CorpusTools
+    * .perceptronTrain/Score): h = token buckets, w0 = zero weights, then
+    * per iteration t: per-doc score s_t under w_{t-1}, margin-violator
+    * bucket deltas d_t, updated weights w_t. Every sum is CAST to BIGINT
+    * (HUGEINT ban). The caller appends the final SELECT over w{iters}. */
+  private def perceptronCtes(d: Int, iters: Int): String = {
+    val head =
+      s"""WITH t0 AS (SELECT doc_id,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |        unnest(string_split(text, ' ')) AS word FROM documents),
+         |h AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(string_split(word, ''),
+         |                           c -> CAST(ascii(c) AS BIGINT))),
+         |          (a, c) -> (a * 31 + c) % 1000000007) % $d AS f
+         |      FROM t0 WHERE word <> ''),
+         |w0 AS (SELECT CAST(range AS BIGINT) AS f, CAST(0 AS BIGINT) AS w
+         |       FROM range($d))""".stripMargin
+    val its = (1 to iters).map { t =>
+      s"""s$t AS (SELECT h.doc_id, any_value(h.y) AS y,
+         |        CAST(sum(w${t - 1}.w) AS BIGINT) AS s
+         |      FROM h JOIN w${t - 1} ON w${t - 1}.f = h.f GROUP BY h.doc_id),
+         |d$t AS (SELECT h.f, CAST(sum(h.y) AS BIGINT) AS dw
+         |      FROM h JOIN s$t ON s$t.doc_id = h.doc_id AND s$t.y * s$t.s <= 0
+         |      GROUP BY h.f),
+         |w$t AS (SELECT w${t - 1}.f, w${t - 1}.w + COALESCE(d$t.dw, 0) AS w
+         |      FROM w${t - 1} LEFT JOIN d$t ON d$t.f = w${t - 1}.f)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + its
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- deduplication ---------------------------------------------------
@@ -28,6 +59,26 @@ object QueriesPipeline {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.3, maxDf = 50)),
+    // asymmetric containment — the quote/boilerplate axis Jaccard misses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containment(table(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.6, maxDf = 50)),
+    // CCNet-style sub-document dedup: strip chunks seen in >=2 docs
+    "dedup_chunk_strip" -> ((s, dir) =>
+      Dedup.chunkFrequencyStrip(table(s, dir, "documents"), "doc_id",
+        "text", size = 8, minDf = 2)),
+    // DSIR importance selection: most target-like (en) docs from the
+    // raw (non-en) pool, integer-exact bit-length surprisal weights
+    "dsir_select" -> ((s, dir) =>
+      CorpusTools.dsirSelect(table(s, dir, "documents"), "doc_id", "text",
+        langCol = "lang", targetLang = "en", d = 1024, k = 100)),
+    // trained quality filter: integer batch perceptron over hashed words
+    "perceptron_train" -> ((s, dir) =>
+      CorpusTools.perceptronTrain(table(s, dir, "documents"), "doc_id",
+        "text", positive = col("lang") === "en", d = 64, iters = 3)),
+    "perceptron_score" -> ((s, dir) =>
+      CorpusTools.perceptronScore(table(s, dir, "documents"), "doc_id",
+        "text", positive = col("lang") === "en", d = 64, iters = 3)),
     // The gate queries run the PORTABLE hash pipelines (polyHash chains both
     // engines can replay) so DuckDB can verify the full signature/band/join
     // algorithm exactly. The xxhash64 fast paths (Dedup.minhashLsh /
@@ -2629,6 +2680,86 @@ object QueriesPipeline {
         |      JOIN cnt cb ON cb.doc_id = doc_b)
         |SELECT doc_a, doc_b, floor((jac) * 1000000 + 0.5) / 1000000 AS jaccard
         |FROM j WHERE jac >= 0.3""".stripMargin,
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
+        |        WHERE df > 50),
+        |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM shp a JOIN shp b
+        |            ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, c * 1.0 / ca.n AS ca2, c * 1.0 / cb.n AS cb2
+        |      FROM pairs
+        |      JOIN cnt ca ON ca.doc_id = doc_a
+        |      JOIN cnt cb ON cb.doc_id = doc_b)
+        |SELECT doc_a, doc_b,
+        |       floor((ca2) * 1000000 + 0.5) / 1000000 AS cont_a,
+        |       floor((cb2) * 1000000 + 0.5) / 1000000 AS cont_b
+        |FROM j WHERE greatest(ca2, cb2) >= 0.6""".stripMargin,
+    "dedup_chunk_strip" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS len,
+        |        1 + (greatest(len(ws) - 8, 0) + 7) // 8 AS n_chunks FROM d),
+        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |         array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS s
+        |       FROM n, unnest(range(0, n_chunks)) AS t(i)),
+        |hot AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+        |                       FROM ch GROUP BY s) t WHERE df >= 2),
+        |kept AS (SELECT * FROM ch WHERE s NOT IN (SELECT s FROM hot)),
+        |agg AS (SELECT doc_id, count(*) AS kept_chunks,
+        |          string_agg(s, ' ' ORDER BY chunk_idx) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS total_chunks FROM ch GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.total_chunks AS BIGINT) AS total_chunks,
+        |       CAST(COALESCE(a.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+        |       COALESCE(a.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
+    "perceptron_train" ->
+      (perceptronCtes(64, 3) + "\nSELECT f, w FROM w3"),
+    "perceptron_score" ->
+      (perceptronCtes(64, 3) +
+        """,
+          |sc AS (SELECT h.doc_id, CAST(sum(w3.w) AS BIGINT) AS score
+          |       FROM h JOIN w3 ON w3.f = h.f GROUP BY h.doc_id)
+          |SELECT d.doc_id,
+          |       CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+          |       COALESCE(sc.score, 0) AS score,
+          |       CAST(CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE -1 END
+          |            AS BIGINT) AS pred
+          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin),
+    "dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             unnest(string_split(text, ' ')) AS word FROM documents),
+        |t2 AS (SELECT doc_id, lang, word FROM t WHERE word <> ''),
+        |h AS (SELECT doc_id, lang,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(word, ''),
+        |                           c -> CAST(ascii(c) AS BIGINT))),
+        |          (a, c) -> (a * 31 + c) % 1000000007) % 1024 AS f
+        |      FROM t2),
+        |tc AS (SELECT f, count(*) AS ct FROM h WHERE lang = 'en' GROUP BY f),
+        |rc AS (SELECT f, count(*) AS cr FROM h WHERE lang <> 'en' GROUP BY f),
+        |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS t FROM tc),
+        |tr AS (SELECT CAST(sum(cr) AS BIGINT) AS t FROM rc),
+        |b AS (SELECT range AS f FROM range(1024)),
+        |wt AS (SELECT b.f,
+        |         CAST(length(printf('%b',
+        |             (tr.t + 1024) // (COALESCE(rc.cr, 0) + 1))) AS BIGINT)
+        |         - CAST(length(printf('%b',
+        |             (tt.t + 1024) // (COALESCE(tc.ct, 0) + 1))) AS BIGINT)
+        |           AS dw
+        |       FROM b LEFT JOIN tc ON tc.f = b.f
+        |              LEFT JOIN rc ON rc.f = b.f, tt, tr)
+        |SELECT h.doc_id, h.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(wt.dw) AS BIGINT) AS weight
+        |FROM h JOIN wt ON wt.f = h.f WHERE h.lang <> 'en'
+        |GROUP BY 1, 2 ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
     "pipeline_corpus" ->
       s"""WITH RECURSIVE
         |w0 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws

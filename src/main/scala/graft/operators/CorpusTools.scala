@@ -562,6 +562,139 @@ object CorpusTools {
         expr("surprisal_sum * 1000 div n_tokens").as("mean_milli"))
   }
 
+  /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"), integer-exact: hashed
+    * word features (polyHash mod `d` buckets — the paper's hashed
+    * n-gram generative model), add-one-smoothed bucket LMs for the
+    * TARGET domain (docs with `langCol == targetLang`) and the RAW pool
+    * (everything else), and a per-doc importance weight
+    * log p_tgt(x) − log p_raw(x) realized as exact integer bit-length
+    * surprisals (the [[docSurprisal]] trick, immune to IEEE ln drift):
+    *
+    *   s_m(f) = bitlen((T_m + d) div (cnt_m(f) + 1))   — model m's
+    *            smoothed surprisal of bucket f, an int64;
+    *   weight(x) = Σ_tokens (s_raw(f) − s_tgt(f))      — high when the
+    *            doc is likely under the target LM, unlikely under raw.
+    *
+    * Returns the `k` most target-like RAW docs (weight DESC, doc_id ASC
+    * tiebreak): (doc_id, lang, n_tokens, weight).
+    *
+    * Scale: both bucket LMs are ≤ `d` rows — the weight table broadcasts
+    * no matter the corpus size; scoring is one token explode + broadcast
+    * join + per-doc sum with map-side combine; the final top-k is a
+    * TakeOrdered, never a global sort. The vocabulary never
+    * materializes — the property that lets importance-based selection
+    * run over an unbounded 100 TB pool. */
+  def dsirSelect(docs: DataFrame, id: String, text: String,
+                 langCol: String, targetLang: String, d: Int = 1024,
+                 k: Int = 100): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"), col(langCol).as("lang"),
+        explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+      .select(col("doc_id"), col("lang"), (polyHash(col("word")) % d).as("f"))
+    def counts(side: DataFrame, as: String): DataFrame =
+      side.groupBy(col("f")).agg(count(lit(1)).as(as))
+    val tgt = counts(toks.where(col("lang") === targetLang), "ct")
+    val raw = counts(toks.where(col("lang") =!= targetLang), "cr")
+    val totals = tgt.agg(sum(col("ct")).as("tt"))
+      .join(raw.agg(sum(col("cr")).as("tr")), lit(true))
+    // dense bucket domain so never-seen buckets still get their smoothed
+    // (maximal) surprisal rather than dropping tokens
+    val weights = docs.sparkSession.range(d).select(col("id").as("f"))
+      .join(tgt, Seq("f"), "left").join(raw, Seq("f"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+      .join(broadcast(totals), lit(true))
+      .select(col("f"),
+        (graft.functions.VectorFunctions.bitLen(
+            expr(s"(tr + $d) div (cr + 1)")) -
+          graft.functions.VectorFunctions.bitLen(
+            expr(s"(tt + $d) div (ct + 1)"))).as("dw"))
+    toks.where(col("lang") =!= targetLang)
+      .join(broadcast(weights), "f")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("dw")).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("weight"))
+  }
+
+  /** Trained linear quality classifier — the fastText-style filter stage
+    * of CCNet/LLaMA-recipe pipelines ("train a classifier to recognize
+    * target-domain text, score the crawl with it"), as a distributed
+    * batch perceptron over hashed word features. Fully integer, fully
+    * deterministic: feature f = polyHash(word) mod `d`; per-doc score
+    * s = Σ_tokens w[f]; one Rosenblatt batch update per iteration
+    * (Δw_f = Σ y over tokens of margin-violating docs, y·s ≤ 0). No
+    * sigmoid, no learning-rate float — every weight is an exact int64
+    * both engines reproduce bit-for-bit.
+    *
+    * Scale: the weight vector is `d` int64s, shipped into the plan as a
+    * LITERAL array — scoring is a narrow per-row fold over the token
+    * array (no join, no shuffle); the update is one explode + hash agg
+    * with map-side combine onto ≤ d keys; the per-iteration driver
+    * collect is d rows (bounded control, same contract as the k-means
+    * centroid loop). Iterations are a fixed small count — the classic
+    * "few passes of a linear model over the full corpus" shape that runs
+    * at any corpus size because per-pass cost is one scan. */
+  def perceptronTrain(docs: DataFrame, id: String, text: String,
+                      positive: Column, d: Int,
+                      iters: Int): DataFrame = {
+    val w = perceptronWeights(tokenBuckets(docs, id, text, positive, d),
+      d, iters)
+    docs.sparkSession.range(d).select(col("id").as("f"),
+      element_at(array(w.map(lit): _*), (col("id") + 1).cast("int")).as("w"))
+  }
+
+  /** Score every document with a [[perceptronTrain]]-ed classifier:
+    * (doc_id, y, score, pred) where pred = sign(score), ties → −1.
+    * Same narrow fold as training — classification of a 100 TB corpus is
+    * one scan with a broadcast-literal weight vector. */
+  def perceptronScore(docs: DataFrame, id: String, text: String,
+                      positive: Column, d: Int,
+                      iters: Int): DataFrame = {
+    val toks = tokenBuckets(docs, id, text, positive, d)
+    val w = perceptronWeights(toks, d, iters)
+    val wLit = array(w.map(lit): _*)
+    docs.select(col(id).as("doc_id"),
+        when(positive, 1L).otherwise(-1L).as("y"),
+        aggregate(
+          transform(filter(words(col(text)), t => t =!= ""),
+            t => polyHash(t) % d),
+          lit(0L),
+          (acc, f) => acc + element_at(wLit, (f + 1).cast("int")))
+          .as("score"))
+      .withColumn("pred", when(col("score") > 0, 1L).otherwise(-1L))
+  }
+
+  /** (doc_id, y=±1, fs = token bucket array) — the shared feature view. */
+  private def tokenBuckets(docs: DataFrame, id: String, text: String,
+                           positive: Column, d: Int): DataFrame =
+    docs.select(col(id).as("doc_id"),
+      when(positive, 1L).otherwise(-1L).as("y"),
+      transform(filter(words(col(text)), t => t =!= ""),
+        t => polyHash(t) % d).as("fs"))
+
+  /** The driver-controlled update loop: materialize the token view once,
+    * then per iteration filter margin violators with the CURRENT literal
+    * weights and hash-aggregate their bucket deltas (≤ d rows back). */
+  private def perceptronWeights(toks: DataFrame, d: Int,
+                                iters: Int): Array[Long] = {
+    val base = toks.localCheckpoint(true)
+    var w = Array.fill(d)(0L)
+    for (_ <- 1 to iters) {
+      val wLit = array(w.map(lit): _*)
+      val score = aggregate(col("fs"), lit(0L),
+        (acc, f) => acc + element_at(wLit, (f + 1).cast("int")))
+      val delta = base.where(col("y") * score <= 0)
+        .select(col("y"), explode(col("fs")).as("f"))
+        .groupBy(col("f")).agg(sum(col("y")).as("dw"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = Array.tabulate(d)(i => w(i) + delta.getOrElse(i.toLong, 0L))
+    }
+    base.unpersist()
+    w
+  }
+
   /** Per-document top-k keyword extraction by EXACT integer tf·idf:
     * score = tf(doc, word) · (⌊log₂(N / df(word))⌋ + 1), the idf factor
     * computed as the bit length of N div df — the same correctly-rounded

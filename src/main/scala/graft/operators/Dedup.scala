@@ -264,6 +264,86 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round6(col("jac")).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT near-dup: C(A→B) = |sh(A) ∩ sh(B)| /
+    * |sh(A)| — the "is this short doc substantially inside that long
+    * one" question Jaccard cannot answer (a 50-shingle quote of a
+    * 5000-shingle article has Jaccard ≈ 0.01 but containment ≈ 1.0;
+    * Broder 1997 distinguishes "resemblance" from "containment", and
+    * training-data pipelines need both: quote-farms and boilerplate
+    * wrappers are containment dups, not resemblance dups).
+    *
+    * Same inverted-index candidate generation + hot-shingle DF cap as
+    * [[ngramJaccard]] — one posting-list self-join, never all-pairs.
+    * Each surviving pair reports BOTH directions (cont_a = c/|sh(A)|,
+    * cont_b = c/|sh(B)|); a pair is kept when either direction clears
+    * the threshold. Denominators stay pre-prune, so reported scores are
+    * exact for every pair sharing a sub-cap shingle. */
+  def containment(docs: DataFrame, id: String, text: String, k: Int,
+                  threshold: Double,
+                  maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = shingleTable(docs, id, text, k)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pruned = if (maxDf == Long.MaxValue) sh else {
+      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select(col("s"))
+      sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("ca", col("c").cast("double") / col("na"))
+      .withColumn("cb", col("c").cast("double") / col("nb"))
+      .where(greatest(col("ca"), col("cb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round6(col("ca")).as("cont_a"), round6(col("cb")).as("cont_b"))
+  }
+
+  /** Sub-document boilerplate removal by corpus-frequency chunk dedup —
+    * the CCNet/RefinedWeb "line-level dedup" stage (Wenzek et al. 2020
+    * drop paragraphs seen elsewhere in the crawl; Penedo et al. 2023 do
+    * it at line granularity): a document is cleaned by deleting every
+    * fixed-size word chunk whose text occurs in ≥ `minDf` DISTINCT
+    * documents, then re-joining the surviving chunks in order. This is
+    * the frequency axis the pairwise dedups (Jaccard / containment /
+    * spans) don't cover: a nav-bar repeated across 10⁶ pages never
+    * clears a pairwise threshold per doc pair, but its chunk DF is 10⁶.
+    *
+    * Docs whose chunks are ALL boilerplate survive with kept_chunks = 0
+    * and empty clean_text — the caller decides whether to drop them.
+    *
+    * Scale: chunking is a generator (no shuffle); the DF count is one
+    * hash aggregate over (chunk, doc) with map-side combine; the hot set
+    * is broadcast (boilerplate is by definition FEW DISTINCT chunks —
+    * its total occurrence count is unbounded but its distinct count is
+    * tiny, so the anti-join side stays small at any corpus size); the
+    * reassembly is one groupBy(doc_id) whose per-doc state is the doc
+    * itself — the same bound as reading it. */
+  def chunkFrequencyStrip(docs: DataFrame, id: String, text: String,
+                          size: Int, minDf: Long): DataFrame = {
+    val chunks = CorpusTools.chunkWords(docs, id, text, size, overlap = 0)
+      .select(col(id).as("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("chunk_words")).as("s"))
+    val hot = chunks.groupBy(col("s"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf).select(col("s"))
+    val kept = chunks.join(broadcast(hot), Seq("s"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("s")))),
+          c => c.getField("s"))).as("clean_text"))
+    chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("total_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** MinHash + LSH near-dup. Signature: numHashes minima of
     * xxhash64(seed_i, shingle); banding groups rows of the signature so
     * two docs collide in a band iff that band's rows all match — the

@@ -721,4 +721,60 @@ class CorpusToolsSpec extends AnyFunSuite {
       2L -> ((2L, 1L, 1L, "en", 1000000L)),
       3L -> ((3L, 1L, 1L, "en", 1000000L))))
   }
+
+  test("dsirSelect ranks target-like raw docs above raw-like raw docs " +
+      "and never returns target-domain docs") {
+    // target domain speaks {alpha beta gamma}; the raw pool has one doc
+    // of target words, one of raw-only words, plus bulk raw background
+    // that anchors the raw LM on {noise*} words
+    val docs = (
+      (1L to 5L).map(i => (i, "en", "alpha beta gamma alpha beta gamma")) ++
+      (10L to 29L).map(i => (i, "de", s"noise${i % 7} noise${i % 5} noise${i % 3} noise${i % 2}")) ++
+      Seq((50L, "de", "alpha beta gamma alpha"),
+          (51L, "de", "noise0 noise1 noise2 noise0"))
+    ).toDF("doc_id", "lang", "text")
+    val out = CorpusTools.dsirSelect(docs, "doc_id", "text",
+        langCol = "lang", targetLang = "en", d = 64, k = 100)
+      .select("doc_id", "lang", "weight").as[(Long, String, Long)]
+      .collect()
+    assert(out.forall(_._2 != "en"))
+    val w = out.map(r => r._1 -> r._3).toMap
+    // the target-vocabulary doc must outscore every noise doc
+    assert(w(50L) > w(51L))
+    assert((10L to 29L).forall(i => w(50L) > w(i)))
+    // output is sorted weight DESC, doc_id ASC -> first row is doc 50
+    assert(out.head._1 == 50L)
+  }
+
+  test("perceptron separates planted vocabularies and scores empty docs " +
+      "at zero with pred = -1") {
+    val docs = (
+      (1L to 10L).map(i => (i, "en", "good fine nice good")) ++
+      (11L to 20L).map(i => (i, "de", "schlecht mies schlecht arg")) ++
+      Seq((99L, "de", ""))
+    ).toDF("doc_id", "lang", "text")
+    val scored = CorpusTools.perceptronScore(docs, "doc_id", "text",
+        positive = col("lang") === "en", d = 64, iters = 3)
+      .select("doc_id", "y", "score", "pred")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // vocabularies are disjoint: after the first batch update every pos
+    // word bucket carries +counts, every neg bucket -counts (modulo hash
+    // collisions, absent for this planted set at d=64)
+    (1L to 10L).foreach { i =>
+      assert(scored(i)._3 > 0 && scored(i)._4 == 1L, s"doc $i: ${scored(i)}")
+    }
+    (11L to 20L).foreach { i =>
+      assert(scored(i)._3 < 0 && scored(i)._4 == -1L, s"doc $i: ${scored(i)}")
+    }
+    assert(scored(99L) == ((99L, -1L, 0L, -1L)))
+    // the weight table is exactly d rows and integer-deterministic
+    // across re-runs (same literals, same plan)
+    val w1 = CorpusTools.perceptronTrain(docs, "doc_id", "text",
+      positive = col("lang") === "en", d = 64, iters = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val w2 = CorpusTools.perceptronTrain(docs, "doc_id", "text",
+      positive = col("lang") === "en", d = 64, iters = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(w1.size == 64 && w1 == w2)
+  }
 }

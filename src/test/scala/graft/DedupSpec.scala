@@ -363,4 +363,59 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().head
     assert(capped._3 == 0L && capped._5 == 0L && capped._6 == 1000000L)
   }
+
+  test("containment catches a short doc embedded in a long one that " +
+      "Jaccard misses, with exact asymmetric scores") {
+    // long: 40 distinct words -> 38 shingles; short: 8 consecutive words
+    // of it -> 6 shingles, ALL shared. cont(short)=1.0, cont(long)=6/38,
+    // jaccard = 6/38 -- below any useful resemblance threshold.
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (11 to 18).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, long), (1L, short)).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccard(d, "doc_id", "text", k = 3,
+      threshold = 0.6).count()
+    assert(jac == 0L)
+    val cont = Dedup.containment(d, "doc_id", "text", k = 3,
+        threshold = 0.6)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(cont == Seq((0L, 1L, math.floor(6.0 / 38 * 1e6 + 0.5) / 1e6, 1.0)))
+  }
+
+  test("containment DF cap drops hot-shingle-only pairs, keeps exact " +
+      "denominators for survivors") {
+    // 30 docs share ONE hot shingle; two docs also share a rare run
+    val hot = "x y z"
+    val run = "p q r s"
+    val d = ((0 until 30).map(i => (i.toLong, s"$hot u$i v$i")) ++
+      Seq((100L, s"$run a b"), (101L, s"$run c d"))).toDF("doc_id", "text")
+    val pairs = Dedup.containment(d, "doc_id", "text", k = 3,
+        threshold = 0.4, maxDf = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // hot-shingle pairs (sharing only "x y z") are pruned; the rare-run
+    // pair survives: each side has 4 shingles, 2 shared ("p q r","q r s")
+    assert(pairs == Set((100L, 101L)))
+  }
+
+  test("chunkFrequencyStrip removes cross-doc boilerplate chunks, keeps " +
+      "order, and leaves all-boilerplate docs as empty rows") {
+    val header = (1 to 8).map(i => s"h$i").mkString(" ") // shared chunk 0
+    val bodyA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val bodyB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val unique = (1 to 16).map(i => s"u$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$header $bodyA"), (1L, s"$header $bodyB"),
+      (2L, unique),
+      (3L, header), (4L, header) // entirely boilerplate pair
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkFrequencyStrip(d, "doc_id", "text",
+        size = 8, minDf = 2)
+      .select("doc_id", "total_chunks", "kept_chunks", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 2L, 1L, bodyA)))
+    assert(out(1L) == ((1L, 2L, 1L, bodyB)))
+    assert(out(2L) == ((2L, 2L, 2L, unique))) // untouched, order intact
+    assert(out(3L) == ((3L, 1L, 0L, "")))
+    assert(out(4L) == ((4L, 1L, 0L, "")))
+  }
 }
