@@ -1282,6 +1282,13 @@ object QueriesPipeline {
           col("channels").cast("long").as("channels"),
           col("bits").cast("long").as("bits"),
           col("n_samples"), col("sum_abs"), col("sum_val"))),
+    // Energy VAD over the same real WAV bytes: 4-sample frames, integer
+    // energy threshold, maximal speech runs (the silence-trim stage)
+    "audio_segments" -> ((s, dir) =>
+      Multimodal.audioSegments(
+        Multimodal.asSyntheticWavs(table(s, dir, "documents"),
+          "doc_id", "text").toDF(),
+        frame = 4, threshold = 65536L)),
     // REAL video frame-sampling: Y4M containers (codec-free video),
     // header parse + FRAME walk, luma sums over every 2nd frame — the
     // decode that thins raw video to trainable frames
@@ -4153,6 +4160,31 @@ object QueriesPipeline {
         |  CAST(sum((doc_id * 31 + i) % 65536 - 32768) AS BIGINT)
         |    AS sum_val
         |FROM sm GROUP BY doc_id, ns, rate""".stripMargin,
+    "audio_segments" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) % 64 + 8 AS ns
+        |           FROM documents),
+        |sm AS (SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS i
+        |       FROM m),
+        |fe AS (SELECT doc_id, i // 4 AS f,
+        |         CAST(sum(abs((doc_id * 31 + i) % 65536 - 32768)) AS BIGINT)
+        |           AS e
+        |       FROM sm GROUP BY doc_id, i // 4),
+        |isl AS (SELECT doc_id, f,
+        |          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+        |        FROM fe WHERE e >= 65536),
+        |seg AS (SELECT doc_id, g, count(*) AS len FROM isl GROUP BY doc_id, g),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |          CAST(max(len) AS BIGINT) AS longest_seg,
+        |          CAST(sum(len) AS BIGINT) AS n_speech
+        |        FROM seg GROUP BY doc_id),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+        |       FROM fe GROUP BY doc_id)
+        |SELECT nf.doc_id, nf.n_frames,
+        |  COALESCE(a.n_speech, 0) AS n_speech,
+        |  COALESCE(a.n_segments, 0) AS n_segments,
+        |  COALESCE(a.longest_seg, 0) AS longest_seg,
+        |  COALESCE(a.n_speech, 0) * 1000000 // nf.n_frames AS speech_ppm
+        |FROM nf LEFT JOIN agg a ON a.doc_id = nf.doc_id""".stripMargin,
     "multimodal_video" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) % 6 + 2 AS nf

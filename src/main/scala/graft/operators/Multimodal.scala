@@ -268,6 +268,51 @@ object Multimodal {
     }
   }
 
+  /** Energy-based voice-activity segmentation — the silence-trim / VAD
+    * stage an audio training pipeline runs before transcription: frame
+    * the PCM into `frame`-sample windows, mark a frame speech when its
+    * absolute-amplitude energy Σ|v| ≥ `threshold` (pure integers — no
+    * dB floats to drift), and report the maximal speech runs. Returns
+    * per doc (doc_id, n_frames, n_speech, n_segments, longest_seg,
+    * speech_ppm). Real byte decode (RIFF walk + int16 LE), same kernel
+    * contract as [[decodeAudio]]; non-WAV payloads report all-zero.
+    *
+    * Scale: decode is per-partition (codec amortization), the run
+    * detection is a narrow per-row fold over the frame-energy array —
+    * the binary column never shuffles and the output is one short row
+    * per doc. */
+  def audioSegments(media: DataFrame, frame: Int,
+                    threshold: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = media.as[MediaRow].mapPartitions { batch =>
+      batch.map(r => (r.doc_id,
+        MediaKernels.decodeWavFrameEnergies(r.content, frame)))
+    }.toDF("doc_id", "energies")
+    val sp = transform(col("energies"), e => e >= threshold)
+    val fold = aggregate(sp,
+      struct(lit(false).as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit(0L).as("nseg"), lit(0L).as("nsp")),
+      (acc, x) => {
+        val run = when(x, acc.getField("run") + 1).otherwise(lit(0L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("nseg") +
+            when(x && !acc.getField("prev"), 1L).otherwise(0L)).as("nseg"),
+          (acc.getField("nsp") + when(x, 1L).otherwise(0L)).as("nsp"))
+      })
+    frames.select(col("doc_id"),
+        size(col("energies")).cast("long").as("n_frames"),
+        fold.as("st"))
+      .select(col("doc_id"), col("n_frames"),
+        col("st.nsp").as("n_speech"),
+        col("st.nseg").as("n_segments"),
+        col("st.best").as("longest_seg"),
+        when(col("n_frames") > 0,
+          expr("st.nsp * 1000000 div n_frames")).otherwise(0L)
+          .as("speech_ppm"))
+  }
+
   /** Encode each document as a REAL uncompressed video — YUV4MPEG2
     * (C444: full Y/U/V planes per frame), the codec-free container every
     * video toolchain reads. Frame count derives from the text byte
@@ -479,15 +524,34 @@ object Multimodal {
       * (arbitrary chunk order and extra chunks tolerated — the actual
       * wire format, not fixed offsets), then accumulates int16 LE
       * sample sums. */
-    def decodeWavSamples(docId: Long, b: Array[Byte]): WavFeatures = {
+    def decodeWavSamples(docId: Long, b: Array[Byte]): WavFeatures =
+      parseWavPcm(b) match {
+        case None =>
+          WavFeatures(docId, "unknown", 0, 0, 0, 0L, 0L, 0L)
+        case Some((rate, channels, bits, dataOff, n)) =>
+          var sumAbs = 0L; var sumVal = 0L
+          var s = 0
+          while (s < n) {
+            val v = (((b(dataOff + s * 2) & 0xff) |
+              ((b(dataOff + s * 2 + 1) & 0xff) << 8)).toShort).toLong
+            sumAbs += math.abs(v); sumVal += v
+            s += 1
+          }
+          WavFeatures(docId, "wav", rate, channels, bits, n.toLong, sumAbs,
+            sumVal)
+      }
+
+    /** The shared RIFF/WAVE chunk walk: returns (rate, channels, bits,
+      * dataOffset, nSamples) for a valid mono-readable 16-bit PCM
+      * payload, None otherwise (the "unknown format" path). */
+    def parseWavPcm(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
       def u8(i: Int): Int = b(i) & 0xff
       def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
       def u32le(i: Int): Int =
         u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
       def tag(i: Int): String =
         if (i + 4 <= b.length) new String(b.slice(i, i + 4)) else ""
-      val bad = WavFeatures(docId, "unknown", 0, 0, 0, 0L, 0L, 0L)
-      if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+      if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
       var i = 12
       var rate = 0; var channels = 0; var bits = 0
       var dataOff = -1; var dataLen = 0
@@ -503,18 +567,27 @@ object Multimodal {
         i += 8 + len + (len & 1)          // chunks are word-aligned
       }
       if (rate == 0 || dataOff < 0 || bits != 16 ||
-        dataOff + dataLen > b.length) return bad
-      val n = dataLen / 2
-      var sumAbs = 0L; var sumVal = 0L
-      var s = 0
-      while (s < n) {
-        val v = u16le(dataOff + s * 2).toShort.toLong
-        sumAbs += math.abs(v); sumVal += v
-        s += 1
-      }
-      WavFeatures(docId, "wav", rate, channels, bits, n.toLong, sumAbs,
-        sumVal)
+        dataOff + dataLen > b.length) None
+      else Some((rate, channels, bits, dataOff, dataLen / 2))
     }
+
+    /** Per-frame absolute-amplitude energy: sum |v| over each run of
+      * `frame` samples (last frame may be partial). Non-WAV payloads
+      * yield an empty frame list. */
+    def decodeWavFrameEnergies(b: Array[Byte], frame: Int): Array[Long] =
+      parseWavPcm(b) match {
+        case None => Array.empty[Long]
+        case Some((_, _, _, dataOff, n)) =>
+          val out = new Array[Long]((n + frame - 1) / frame)
+          var s = 0
+          while (s < n) {
+            val v = (((b(dataOff + s * 2) & 0xff) |
+              ((b(dataOff + s * 2 + 1) & 0xff) << 8)).toShort).toLong
+            out(s / frame) += math.abs(v)
+            s += 1
+          }
+          out
+      }
 
     /** PNG Paeth predictor (the spec's exact tie-break order: left,
       * above, upper-left). */

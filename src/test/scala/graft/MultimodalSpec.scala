@@ -365,6 +365,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioSegments: frame energies, run detection, and formula mirror") {
+    val docs = Seq((1L, "x" * 20), (2L, "y" * 33)).toDF("doc_id", "text")
+    val got = Multimodal.audioSegments(
+        Multimodal.asSyntheticWavs(docs, "doc_id", "text").toDF(),
+        frame = 4, threshold = 65536L)
+      .select("doc_id", "n_frames", "n_speech", "n_segments",
+        "longest_seg", "speech_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    for ((id, n) <- Seq((1L, 20), (2L, 33))) {
+      val ns = n % 64 + 8
+      val sp = (0 until ns).map(i => math.abs((id * 31 + i) % 65536 - 32768))
+        .grouped(4).map(_.sum >= 65536L).toSeq
+      val runs = sp.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      val want = (id, sp.size.toLong, sp.count(identity).toLong,
+        runs.size.toLong, (if (runs.isEmpty) 0 else runs.max).toLong,
+        sp.count(identity).toLong * 1000000L / sp.size)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    // non-WAV payload: zero frames, zero everything
+    val junk = Seq(Multimodal.MediaRow(9L, "not riff".getBytes, "bin"))
+      .toDF()
+    val z = Multimodal.audioSegments(junk, frame = 4, threshold = 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(z == ((9L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("WAV chunk walk tolerates extra chunks; non-WAV is unknown") {
     val orig = Multimodal.MediaKernels.encodeWav(7L, 16, 8000)
     // splice a 2-byte JUNK chunk between WAVE and fmt
