@@ -20,6 +20,32 @@ object QueriesPipeline {
 
   private val EnStop = Seq("the", "a", "of", "and")
 
+  /** Shared CTE block for the unigram-LM tokenizer oracles
+    * (CorpusTools.unigramVocab/Segment): word counts over the corpus,
+    * all substrings of length 1..4 with multiplicity, top-64 ∪ single
+    * chars, integer bit-length surprisal costs. */
+  private val unigramCtes =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |            FROM documents),
+      |tk AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+      |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tk
+      |       GROUP BY word),
+      |pc AS (SELECT substr(word, CAST(pp AS INT), CAST(ll AS INT)) AS p, c
+      |       FROM wc,
+      |            unnest(range(1, CAST(length(word) AS BIGINT) + 1)) AS a(pp),
+      |            unnest(range(1, 5)) AS b(ll)
+      |       WHERE pp + ll - 1 <= length(word)),
+      |pieces AS (SELECT p, CAST(sum(c) AS BIGINT) AS cnt FROM pc GROUP BY p),
+      |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pieces),
+      |voc AS (SELECT DISTINCT p, cnt FROM (
+      |          SELECT p, cnt FROM pieces ORDER BY cnt DESC, p LIMIT 64
+      |        ) top
+      |        UNION
+      |        SELECT p, cnt FROM pieces WHERE length(p) = 1),
+      |vocab AS (SELECT p, cnt,
+      |            CAST(length(printf('%b', t // cnt)) AS BIGINT) AS cost
+      |          FROM voc, tt)""".stripMargin
+
   /** Unrolled-CTE oracle for the batch perceptron (CorpusTools
     * .perceptronTrain/Score): h = token buckets, w0 = zero weights, then
     * per iteration t: per-doc score s_t under w_{t-1}, margin-violator
@@ -79,6 +105,14 @@ object QueriesPipeline {
     "perceptron_score" -> ((s, dir) =>
       CorpusTools.perceptronScore(table(s, dir, "documents"), "doc_id",
         "text", positive = col("lang") === "en", d = 64, iters = 3)),
+    // unigram-LM tokenizer (the other SentencePiece algorithm): substring
+    // vocab with integer surprisal costs + per-word Viterbi DP
+    "unigram_vocab" -> ((s, dir) =>
+      CorpusTools.unigramVocab(table(s, dir, "documents"), "text",
+        maxLen = 4, v = 64)),
+    "unigram_segment" -> ((s, dir) =>
+      CorpusTools.unigramSegment(table(s, dir, "documents"), "doc_id",
+        "text", maxLen = 4, v = 64)),
     // The gate queries run the PORTABLE hash pipelines (polyHash chains both
     // engines can replay) so DuckDB can verify the full signature/band/join
     // algorithm exactly. The xxhash64 fast paths (Dedup.minhashLsh /
@@ -2727,6 +2761,40 @@ object QueriesPipeline {
         |       CAST(COALESCE(a.kept_chunks, 0) AS BIGINT) AS kept_chunks,
         |       COALESCE(a.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
+    "unigram_vocab" ->
+      (unigramCtes + "\nSELECT p AS piece, cnt, cost FROM vocab"),
+    "unigram_segment" ->
+      (unigramCtes +
+        """,
+          |m1 AS (SELECT map(list(p ORDER BY p), list(cost ORDER BY p)) AS m
+          |       FROM vocab),
+          |seg AS (SELECT word, list_reduce(
+          |          list_prepend([CAST(0 AS BIGINT)],
+          |            list_transform(
+          |              range(1, CAST(length(word) AS BIGINT) + 1),
+          |              i -> [i])),
+          |          (acc, x) -> list_append(acc,
+          |            list_min(list_transform(
+          |              range(greatest(1, x[1] - 3), x[1] + 1),
+          |              j -> acc[CAST(j AS INT)] +
+          |                (COALESCE(m[substr(word, CAST(j AS INT),
+          |                                   CAST(x[1] - j + 1 AS INT))][1],
+          |                   CASE WHEN x[1] = j THEN 63
+          |                        ELSE 1099511627776 END) * 1024 + 1))))
+          |          )[-1] AS enc
+          |        FROM wc, m1),
+          |sw AS (SELECT word, enc % 1024 AS np, enc // 1024 AS wcost
+          |       FROM seg)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(g.nw, 0) AS BIGINT) AS n_words,
+          |  CAST(COALESCE(g.np, 0) AS BIGINT) AS n_pieces,
+          |  CAST(COALESCE(g.cost, 0) AS BIGINT) AS cost
+          |FROM documents d LEFT JOIN (
+          |  SELECT tk.doc_id, count(*) AS nw,
+          |         CAST(sum(sw.np) AS BIGINT) AS np,
+          |         CAST(sum(sw.wcost) AS BIGINT) AS cost
+          |  FROM tk JOIN sw ON sw.word = tk.word GROUP BY tk.doc_id) g
+          |ON g.doc_id = d.doc_id""".stripMargin),
     "perceptron_train" ->
       (perceptronCtes(64, 3) + "\nSELECT f, w FROM w3"),
     "perceptron_score" ->

@@ -909,6 +909,89 @@ object CorpusTools {
         sum(col("n_sym")).as("n_tokens"))
   }
 
+  /** Unigram-LM tokenizer vocabulary (the SentencePiece family's OTHER
+    * algorithm, Kudo 2018): candidate pieces are all substrings of
+    * length 1..`maxLen` of corpus words, counted with word multiplicity;
+    * the vocabulary keeps the top `v` by (count DESC, piece ASC) PLUS
+    * every single character (segmentability guarantee); piece cost is
+    * the exact integer surprisal bitLen(total ÷ count) — the same
+    * correctly-rounded −log₂p stand-in the surprisal/DSIR operators use,
+    * immune to IEEE ln drift. Returns (piece, cnt, cost).
+    *
+    * Scale: piece counting is explode + one hash aggregate over the
+    * DISTINCT-word dictionary (Zipf: ≪ corpus size), the top-v is a
+    * TakeOrdered, and the char union is a filter — no step touches the
+    * corpus more than the one word-count pass. */
+  def unigramVocab(docs: DataFrame, text: String, maxLen: Int,
+                   v: Int): DataFrame = {
+    val wc = docs.select(explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val pieces = wc.select(col("c"),
+        explode(flatten(transform(sequence(lit(1), length(col("word"))),
+          p => transform(
+            sequence(lit(1), least(lit(maxLen), length(col("word")) - p + 1)),
+            l => col("word").substr(p, l))))).as("p"))
+      .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+    val total = pieces.agg(sum(col("cnt")).as("t"))
+    pieces.orderBy(col("cnt").desc, col("p").asc).limit(v)
+      .unionByName(pieces.where(length(col("p")) === 1))
+      .distinct()
+      .join(broadcast(total), lit(true))
+      .select(col("p").as("piece"), col("cnt"),
+        graft.functions.VectorFunctions.bitLen(expr("t div cnt")).as("cost"))
+  }
+
+  /** Viterbi-segment every document with the [[unigramVocab]] just
+    * learned: per distinct word, the classic unigram-LM DP
+    * dp[i] = min over piece endings j..i of dp[j−1] + cost(piece),
+    * with unknown single chars at a fixed cost and unknown longer
+    * pieces forbidden. Each DP value is the lexicographic encode
+    * cost·1024 + n_pieces, so equal-cost ties break to FEWER pieces —
+    * deterministically, in one integer min. Returns per doc
+    * (doc_id, n_words, n_pieces, cost); docs with no tokens report 0s.
+    *
+    * Scale: the vocabulary is v+|chars| rows — collected once (bounded
+    * driver control, same contract as the BPE trainer) and shipped as a
+    * LITERAL map, so segmentation is a narrow per-row fold over the
+    * distinct-word dictionary; the corpus is touched only by the final
+    * (token ⋈ word-result) equi-join + per-doc aggregate. */
+  def unigramSegment(docs: DataFrame, id: String, text: String,
+                     maxLen: Int, v: Int): DataFrame = {
+    val vocab = unigramVocab(docs, text, maxLen, v)
+      .select(col("piece"), col("cost")).collect()
+    val mapLit = map(vocab.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+    val inf = lit(1L << 40)
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(lit(0L)),
+      (acc, i) => concat(acc, array(array_min(
+        transform(sequence(greatest(lit(1), i - (maxLen - 1)), i), j => {
+          val pieceCost = coalesce(
+            element_at(mapLit, col("word").substr(j, i - j + 1)),
+            when(i === j, lit(63L)).otherwise(inf))
+          element_at(acc, j.cast("int")) + pieceCost * 1024L + 1L
+        })))))
+    val toks = docs.select(col(id).as("doc_id"),
+        explode(words(col(text))).as("word"))
+      .where(col("word") =!= "")
+    val seg = toks.select(col("word")).distinct()
+      .select(col("word"),
+        element_at(dp, (length(col("word")) + 1)).as("enc"))
+      .select(col("word"), (col("enc") % 1024L).as("np"),
+        expr("enc div 1024").as("wcost"))
+    val perDoc = toks.join(seg, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(col("np")).as("npieces"),
+        sum(col("wcost")).as("wc"))
+    docs.select(col(id).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        coalesce(col("npieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("wc"), lit(0L)).as("cost"))
+  }
+
   /** Shared trainer core: returns (learned merges, final word→symbols
     * table). */
   private def bpeLoop(docs: DataFrame, text: String, rounds: Int)

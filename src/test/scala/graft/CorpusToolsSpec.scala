@@ -777,4 +777,29 @@ class CorpusToolsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(w1.size == 64 && w1 == w2)
   }
+
+  test("unigram vocab costs are exact integer surprisals and Viterbi " +
+      "prefers one frequent piece over char splits with fewer-pieces " +
+      "tie-break") {
+    // 'abcd' x10 and 'xy' x1: 13 candidate pieces, total mass
+    // 10*10 + 3*1 = 103; cost(cnt=10) = bitlen(103/10=10) = 4,
+    // cost(cnt=1) = bitlen(103) = 7
+    val docs = ((1L to 5L).map(i => (i, "abcd abcd")) ++
+      Seq((6L, "xy"), (7L, "")))
+      .toDF("doc_id", "text")
+    val vocab = CorpusTools.unigramVocab(docs, "text", maxLen = 4, v = 64)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(vocab.size == 13)
+    assert(vocab("abcd") == (("abcd", 10L, 4L)))
+    assert(vocab("a") == (("a", 10L, 4L)))
+    assert(vocab("xy") == (("xy", 1L, 7L)))
+    val seg = CorpusTools.unigramSegment(docs, "doc_id", "text",
+        maxLen = 4, v = 64)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 'abcd' as ONE piece (cost 4) beats any split (>= 8); equal-cost
+    // ties (e.g. 'ab'+'cd' vs 'abc'+'d', both 8) can never beat it
+    assert(seg(1L) == ((1L, 2L, 2L, 8L)))
+    assert(seg(6L) == ((6L, 1L, 1L, 7L)))
+    assert(seg(7L) == ((7L, 0L, 0L, 0L))) // empty doc: all-zero row
+  }
 }
