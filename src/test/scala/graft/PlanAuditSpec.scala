@@ -425,4 +425,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"),
       s"B side not broadcast:\n$plan")
   }
+
+  test("perceptron scoring is one shuffle-free scan (r9): weights ship " +
+      "as a literal array, so classification has no join and no exchange") {
+    // training jobs run at plan-construction time (bounded d-row
+    // collects); the SCORING plan itself must be a pure narrow fold
+    val plan = formatted(SparkEntry.queries("perceptron_score")(spark, dir))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    val joins = """\(\d+\) \w*Join""".r.findAllIn(plan).length
+    assert(exchanges == 0 && joins == 0,
+      s"scoring not narrow ($exchanges exchanges, $joins joins):\n$plan")
+  }
+
+  test("dsir_select broadcasts both bucket LMs and takes the top-k as a " +
+      "bounded TakeOrdered, never a global sort (r9)") {
+    val plan = formatted(SparkEntry.queries("dsir_select")(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      s"weight table not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not a TakeOrdered:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join leaked in:\n$plan")
+  }
+
+  test("chunk-frequency strip prunes boilerplate via a BROADCAST " +
+      "anti-join (r9): the hot set is distinct-bounded at any corpus size") {
+    val plan = formatted(SparkEntry.queries("dedup_chunk_strip")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-chunk prune is not a broadcast anti-join:\n$plan")
+  }
+
+  test("audio segmentation never shuffles the binary column (r9): " +
+      "decode + run-fold is exchange-free end to end") {
+    val plan = formatted(SparkEntry.queries("audio_segments")(spark, dir))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges == 0, s"expected 0 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("unigram segmentation reads only (doc_id, text) from documents " +
+      "(r9): the DP runs over the distinct-word dictionary, not the corpus") {
+    val plan = formatted(SparkEntry.queries("unigram_segment")(spark, dir))
+    val reads = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    for (absent <- Seq("lang", "source", "n_chars"))
+      assert(!reads.contains(absent), s"unused column '$absent' read:\n$reads")
+  }
 }
