@@ -105,6 +105,11 @@ object QueriesPipeline {
     "perceptron_score" -> ((s, dir) =>
       CorpusTools.perceptronScore(table(s, dir, "documents"), "doc_id",
         "text", positive = col("lang") === "en", d = 64, iters = 3)),
+    // length-curriculum order with round-robin source interleave,
+    // ranked via distributed prefix sums (no corpus-scale window)
+    "curriculum_order" -> ((s, dir) =>
+      CorpusTools.curriculumOrder(table(s, dir, "documents"), "doc_id",
+        "text", source = "source", k = 200)),
     // unigram-LM tokenizer (the other SentencePiece algorithm): substring
     // vocab with integer surprisal costs + per-word Viterbi DP
     "unigram_vocab" -> ((s, dir) =>
@@ -2761,6 +2766,22 @@ object QueriesPipeline {
         |       CAST(COALESCE(a.kept_chunks, 0) AS BIGINT) AS kept_chunks,
         |       COALESCE(a.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
+    "curriculum_order" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |         AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(length(printf('%b', n_tokens + 1)) AS BIGINT) AS bucket,
+        |    (doc_id * 2654435761) % 1000000007 AS h
+        |  FROM b),
+        |r AS (SELECT doc_id, source, n_tokens, bucket,
+        |    CAST(row_number() OVER (PARTITION BY bucket, source
+        |                            ORDER BY h, doc_id) AS BIGINT)
+        |      AS src_rank
+        |  FROM c)
+        |SELECT doc_id, source, n_tokens, bucket, src_rank
+        |FROM r ORDER BY bucket, src_rank, source LIMIT 200""".stripMargin,
     "unigram_vocab" ->
       (unigramCtes + "\nSELECT p AS piece, cnt, cost FROM vocab"),
     "unigram_segment" ->

@@ -909,6 +909,52 @@ object CorpusTools {
         sum(col("n_sym")).as("n_tokens"))
   }
 
+  /** Deterministic curriculum training order: length-bucketed easy→hard
+    * progression with fair round-robin source interleaving — the data-
+    * ordering stage between "select the corpus" and "write the shards"
+    * (short-first warmup is the classic length curriculum; the interleave
+    * prevents source-adjacency runs that bias gradient batches).
+    *
+    * bucket = bitLen(n_tokens + 1) (log₂ length classes, no corpus
+    * statistics needed); within (bucket, source) docs take a
+    * deterministic shuffled ordinal ordered by the Knuth multiplicative
+    * hash of their id; the global order (bucket, src_rank, source) then
+    * emits one doc per source per turn, easy buckets first. Returns the
+    * first `k` rows: (doc_id, source, n_tokens, bucket, src_rank).
+    *
+    * Scale: the per-(bucket,source) ordinal is NOT a window — a
+    * (bucket,source) partition is a constant fraction of a 100 TB corpus
+    * and would sort through one task. [[ScaleOps.globalRank]] ranks by
+    * (bucket, source, h, id) with a range repartition + per-partition
+    * prefix sums, then the group ordinal is rank − group_start where the
+    * group-start table (≤ buckets×sources rows) broadcasts. The final
+    * top-k is a TakeOrdered. */
+  def curriculumOrder(docs: DataFrame, id: String, text: String,
+                      source: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(id).as("doc_id"), col(source).as("source"),
+        size(filter(words(col(text)), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        graft.functions.VectorFunctions.bitLen(col("n_tokens") + 1))
+      .withColumn("h", (col("doc_id") * 2654435761L) % 1000000007L)
+    val ranked = ScaleOps.globalRank(base,
+      Seq(col("bucket"), col("source"), col("h"), col("doc_id")))
+    // group starts: a buckets×sources-row table — the bounded window
+    val starts = base.groupBy(col("bucket"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("start", coalesce(sum(col("n")).over(
+        Window.orderBy(col("bucket"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("source"), col("start"))
+    ranked.join(broadcast(starts), Seq("bucket", "source"))
+      .withColumn("src_rank", col("_rank") - col("start"))
+      .orderBy(col("bucket").asc, col("src_rank").asc, col("source").asc)
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"),
+        col("src_rank"))
+  }
+
   /** Unigram-LM tokenizer vocabulary (the SentencePiece family's OTHER
     * algorithm, Kudo 2018): candidate pieces are all substrings of
     * length 1..`maxLen` of corpus words, counted with word multiplicity;

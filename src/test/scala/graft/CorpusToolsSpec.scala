@@ -778,6 +778,32 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(w1.size == 64 && w1 == w2)
   }
 
+  test("curriculumOrder: easy buckets first, sources round-robin within " +
+      "a bucket, ordinals deterministic under repartitioning") {
+    val docs = (
+      Seq((1L, "A", "w"), (2L, "A", "w"), (11L, "B", "w"), (12L, "B", "w")) ++
+      Seq((21L, "A", ("w " * 10).trim), (22L, "B", ("w " * 10).trim))
+    ).toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusTools.curriculumOrder(d, "doc_id", "text", "source", k = 200)
+        .select("doc_id", "source", "n_tokens", "bucket", "src_rank")
+        .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val out = run(docs)
+    assert(out.size == 6)
+    // 1-token docs are bucket bitLen(2)=2, 10-token docs bitLen(11)=4:
+    // all four short docs come first
+    assert(out.take(4).forall(_._4 == 2L) && out.drop(4).forall(_._4 == 4L))
+    // round-robin: rank-1 docs of BOTH sources before any rank-2 doc
+    assert(out.take(2).map(_._2).toSet == Set("A", "B"))
+    assert(out.take(2).forall(_._5 == 1L) && out.slice(2, 4).forall(_._5 == 2L))
+    // per-(bucket,source) ordinals are 1..n
+    out.groupBy(r => (r._4, r._2)).values.foreach { g =>
+      assert(g.map(_._5).sorted == (1L to g.size).toSeq)
+    }
+    // bit-identical under physical repartitioning
+    assert(run(docs.repartition(7)) == out)
+  }
+
   test("unigram vocab costs are exact integer surprisals and Viterbi " +
       "prefers one frequent piece over char splits with fewer-pieces " +
       "tie-break") {
