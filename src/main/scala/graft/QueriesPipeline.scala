@@ -46,6 +46,21 @@ object QueriesPipeline {
       |            CAST(length(printf('%b', t // cnt)) AS BIGINT) AS cost
       |          FROM voc, tt)""".stripMargin
 
+  /** [[perceptronCtes]] extended with per-doc final scores: `scored` =
+    * (doc_id, y, score, pred) over ALL documents (empty docs score 0).
+    * Shared by the perceptron_score and perceptron_auc oracles. */
+  private def perceptronScoredCtes: String =
+    perceptronCtes(64, 3) +
+      """,
+        |sc AS (SELECT h.doc_id, CAST(sum(w3.w) AS BIGINT) AS score
+        |       FROM h JOIN w3 ON w3.f = h.f GROUP BY h.doc_id),
+        |scored AS (SELECT d.doc_id,
+        |    CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+        |    COALESCE(sc.score, 0) AS score,
+        |    CAST(CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE -1 END
+        |         AS BIGINT) AS pred
+        |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
+
   /** Unrolled-CTE oracle for the batch perceptron (CorpusTools
     * .perceptronTrain/Score): h = token buckets, w0 = zero weights, then
     * per iteration t: per-doc score s_t under w_{t-1}, margin-violator
@@ -105,6 +120,31 @@ object QueriesPipeline {
     "perceptron_score" -> ((s, dir) =>
       CorpusTools.perceptronScore(table(s, dir, "documents"), "doc_id",
         "text", positive = col("lang") === "en", d = 64, iters = 3)),
+    // exact rank-based AUC of the trained filter (Mann–Whitney with tie
+    // credit, ppm integers) — the "is this classifier worth deploying"
+    // number, computed over the DISTINCT-score table like link_pred_auc
+    "perceptron_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = CorpusTools.perceptronScore(table(s, dir, "documents"),
+        "doc_id", "text", positive = col("lang") === "en", d = 64,
+        iters = 3)
+      // one row per distinct integer score — the window runs over THIS
+      // table (bounded by the score range, not the corpus); at larger
+      // cardinalities the prefix sum range-partitions like
+      // ScaleOps.globalRank
+      val g = sc.groupBy(col("score").as("s"))
+        .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 1L, 0L).otherwise(1L)).as("nn"))
+      val c = g.withColumn("cumneg",
+        coalesce(sum(col("nn")).over(Window.orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      c.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("np") * col("cumneg")).as("concordant"),
+          sum(col("np") * col("nn")).as("ties"))
+        .select(col("n_pos"), col("n_neg"), col("concordant"), col("ties"),
+          expr("(concordant * 1000000 + ties * 500000) div " +
+            "greatest(n_pos * n_neg, 1)").as("auc_ppm"))
+    }),
     // length-curriculum order with round-robin source interleave,
     // ranked via distributed prefix sums (no corpus-scale window)
     "curriculum_order" -> ((s, dir) =>
@@ -2819,16 +2859,28 @@ object QueriesPipeline {
     "perceptron_train" ->
       (perceptronCtes(64, 3) + "\nSELECT f, w FROM w3"),
     "perceptron_score" ->
-      (perceptronCtes(64, 3) +
+      (perceptronScoredCtes + "\nSELECT doc_id, y, score, pred FROM scored"),
+    "perceptron_auc" ->
+      (perceptronScoredCtes +
         """,
-          |sc AS (SELECT h.doc_id, CAST(sum(w3.w) AS BIGINT) AS score
-          |       FROM h JOIN w3 ON w3.f = h.f GROUP BY h.doc_id)
-          |SELECT d.doc_id,
-          |       CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
-          |       COALESCE(sc.score, 0) AS score,
-          |       CAST(CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE -1 END
-          |            AS BIGINT) AS pred
-          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin),
+          |g AS (SELECT score AS s,
+          |        CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          |        CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+          |      FROM scored GROUP BY score),
+          |cg AS (SELECT np, nn,
+          |         CAST(COALESCE(sum(nn) OVER (ORDER BY s
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |           AS BIGINT) AS cumneg
+          |       FROM g)
+          |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          |  CAST(sum(nn) AS BIGINT) AS n_neg,
+          |  CAST(sum(np * cumneg) AS BIGINT) AS concordant,
+          |  CAST(sum(np * nn) AS BIGINT) AS ties,
+          |  (CAST(sum(np * cumneg) AS BIGINT) * 1000000 +
+          |   CAST(sum(np * nn) AS BIGINT) * 500000) //
+          |    greatest(CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT), 1)
+          |    AS auc_ppm
+          |FROM cg""".stripMargin),
     "dsir_select" ->
       """WITH t AS (SELECT doc_id, lang,
         |             unnest(string_split(text, ' ')) AS word FROM documents),
