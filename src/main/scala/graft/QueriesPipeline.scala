@@ -46,31 +46,73 @@ object QueriesPipeline {
       |            CAST(length(printf('%b', t // cnt)) AS BIGINT) AS cost
       |          FROM voc, tt)""".stripMargin
 
+  /** Chunk-frequency boilerplate-strip CTE block (Dedup
+    * .chunkFrequencyStrip oracle): 8-word chunks, minDf = 2, ending in
+    * `agg` (docs with ≥1 surviving chunk: kept_chunks + clean_text) and
+    * `tot` (total chunks per doc). No leading WITH — composable. */
+  private val chunkStripCtes =
+    """cs_d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |cs_n AS (SELECT doc_id, ws, len(ws) AS len,
+      |        1 + (greatest(len(ws) - 8, 0) + 7) // 8 AS n_chunks FROM cs_d),
+      |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |         array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS s
+      |       FROM cs_n, unnest(range(0, n_chunks)) AS t(i)),
+      |hot AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+      |                       FROM ch GROUP BY s) t WHERE df >= 2),
+      |kept AS (SELECT * FROM ch WHERE s NOT IN (SELECT s FROM hot)),
+      |agg AS (SELECT doc_id, count(*) AS kept_chunks,
+      |          string_agg(s, ' ' ORDER BY chunk_idx) AS clean_text
+      |        FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS total_chunks FROM ch
+      |        GROUP BY doc_id)""".stripMargin
+
+  /** Curriculum-order CTE block (CorpusTools.curriculumOrder oracle)
+    * over any `rel` with (doc_id, source, text): ends in `r` carrying
+    * (doc_id, source, n_tokens, bucket, src_rank). No leading WITH. */
+  private def curriculumCtes(rel: String = "documents"): String =
+    s"""cu_b AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+       |         AS BIGINT) AS n_tokens
+       |  FROM $rel),
+       |cu_c AS (SELECT doc_id, source, n_tokens,
+       |    CAST(length(printf('%b', n_tokens + 1)) AS BIGINT) AS bucket,
+       |    (doc_id * 2654435761) % 1000000007 AS h
+       |  FROM cu_b),
+       |r AS (SELECT doc_id, source, n_tokens, bucket,
+       |    CAST(row_number() OVER (PARTITION BY bucket, source
+       |                            ORDER BY h, doc_id) AS BIGINT)
+       |      AS src_rank
+       |  FROM cu_c)""".stripMargin
+
   /** [[perceptronCtes]] extended with per-doc final scores: `scored` =
-    * (doc_id, y, score, pred) over ALL documents (empty docs score 0).
-    * Shared by the perceptron_score and perceptron_auc oracles. */
-  private def perceptronScoredCtes: String =
-    perceptronCtes(64, 3) +
-      """,
-        |sc AS (SELECT h.doc_id, CAST(sum(w3.w) AS BIGINT) AS score
-        |       FROM h JOIN w3 ON w3.f = h.f GROUP BY h.doc_id),
-        |scored AS (SELECT d.doc_id,
-        |    CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
-        |    COALESCE(sc.score, 0) AS score,
-        |    CAST(CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE -1 END
-        |         AS BIGINT) AS pred
-        |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
+    * (doc_id, y, score, pred) over ALL rows of `rel` (empty docs score
+    * 0). Shared by the perceptron_score / perceptron_auc /
+    * pipeline_training_order oracles. */
+  private def perceptronScoredCtes(rel: String = "documents"): String =
+    perceptronCtes(64, 3, rel) +
+      s""",
+         |sc AS (SELECT h.doc_id, CAST(sum(w3.w) AS BIGINT) AS score
+         |       FROM h JOIN w3 ON w3.f = h.f GROUP BY h.doc_id),
+         |scored AS (SELECT d.doc_id,
+         |    CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+         |    COALESCE(sc.score, 0) AS score,
+         |    CAST(CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE -1 END
+         |         AS BIGINT) AS pred
+         |  FROM $rel d LEFT JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
 
   /** Unrolled-CTE oracle for the batch perceptron (CorpusTools
     * .perceptronTrain/Score): h = token buckets, w0 = zero weights, then
     * per iteration t: per-doc score s_t under w_{t-1}, margin-violator
     * bucket deltas d_t, updated weights w_t. Every sum is CAST to BIGINT
-    * (HUGEINT ban). The caller appends the final SELECT over w{iters}. */
-  private def perceptronCtes(d: Int, iters: Int): String = {
+    * (HUGEINT ban). NOTE: no leading WITH — callers prepend "WITH " (so
+    * the block composes inside larger pipelines over any `rel` with
+    * (doc_id, lang, text)). The caller appends the final SELECT. */
+  private def perceptronCtes(d: Int, iters: Int,
+                             rel: String = "documents"): String = {
     val head =
-      s"""WITH t0 AS (SELECT doc_id,
+      s"""t0 AS (SELECT doc_id,
          |        CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-         |        unnest(string_split(text, ' ')) AS word FROM documents),
+         |        unnest(string_split(text, ' ')) AS word FROM $rel),
          |h AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
          |        list_reduce(list_prepend(CAST(0 AS BIGINT),
          |            list_transform(string_split(word, ''),
@@ -150,6 +192,24 @@ object QueriesPipeline {
     "curriculum_order" -> ((s, dir) =>
       CorpusTools.curriculumOrder(table(s, dir, "documents"), "doc_id",
         "text", source = "source", k = 200)),
+    // END-TO-END training-order pipeline v3 stitching the r9 stages:
+    // boilerplate chunk-strip → perceptron language filter (pred=en) →
+    // length-curriculum order with source interleave
+    "pipeline_training_order" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cleaned = Dedup.chunkFrequencyStrip(docs, "doc_id", "text",
+          size = 8, minDf = 2)
+        .where(col("kept_chunks") > 0)
+        .join(docs.select(col("doc_id"), col("lang"), col("source")),
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("clean_text").as("text"))
+      val scored = CorpusTools.perceptronScore(cleaned, "doc_id", "text",
+        positive = col("lang") === "en", d = 64, iters = 3)
+      val kept = cleaned.join(
+        scored.where(col("pred") === 1L).select("doc_id"), "doc_id")
+      CorpusTools.curriculumOrder(kept, "doc_id", "text", "source", k = 100)
+    }),
     // unigram-LM tokenizer (the other SentencePiece algorithm): substring
     // vocab with integer surprisal costs + per-word Viterbi DP
     "unigram_vocab" -> ((s, dir) =>
@@ -2789,39 +2849,32 @@ object QueriesPipeline {
         |       floor((cb2) * 1000000 + 0.5) / 1000000 AS cont_b
         |FROM j WHERE greatest(ca2, cb2) >= 0.6""".stripMargin,
     "dedup_chunk_strip" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |n AS (SELECT doc_id, ws, len(ws) AS len,
-        |        1 + (greatest(len(ws) - 8, 0) + 7) // 8 AS n_chunks FROM d),
-        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-        |         array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS s
-        |       FROM n, unnest(range(0, n_chunks)) AS t(i)),
-        |hot AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
-        |                       FROM ch GROUP BY s) t WHERE df >= 2),
-        |kept AS (SELECT * FROM ch WHERE s NOT IN (SELECT s FROM hot)),
-        |agg AS (SELECT doc_id, count(*) AS kept_chunks,
-        |          string_agg(s, ' ' ORDER BY chunk_idx) AS clean_text
-        |        FROM kept GROUP BY doc_id),
-        |tot AS (SELECT doc_id, count(*) AS total_chunks FROM ch GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(t.total_chunks AS BIGINT) AS total_chunks,
-        |       CAST(COALESCE(a.kept_chunks, 0) AS BIGINT) AS kept_chunks,
-        |       COALESCE(a.clean_text, '') AS clean_text
-        |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
+      ("WITH " + chunkStripCtes +
+        """
+          |SELECT t.doc_id, CAST(t.total_chunks AS BIGINT) AS total_chunks,
+          |       CAST(COALESCE(a.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+          |       COALESCE(a.clean_text, '') AS clean_text
+          |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin),
     "curriculum_order" ->
-      """WITH b AS (SELECT doc_id, source,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-        |         AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT doc_id, source, n_tokens,
-        |    CAST(length(printf('%b', n_tokens + 1)) AS BIGINT) AS bucket,
-        |    (doc_id * 2654435761) % 1000000007 AS h
-        |  FROM b),
-        |r AS (SELECT doc_id, source, n_tokens, bucket,
-        |    CAST(row_number() OVER (PARTITION BY bucket, source
-        |                            ORDER BY h, doc_id) AS BIGINT)
-        |      AS src_rank
-        |  FROM c)
-        |SELECT doc_id, source, n_tokens, bucket, src_rank
-        |FROM r ORDER BY bucket, src_rank, source LIMIT 200""".stripMargin,
+      ("WITH " + curriculumCtes() +
+        """
+          |SELECT doc_id, source, n_tokens, bucket, src_rank
+          |FROM r ORDER BY bucket, src_rank, source LIMIT 200""".stripMargin),
+    "pipeline_training_order" ->
+      ("WITH " + Seq(
+        chunkStripCtes,
+        """cleaned AS (SELECT a.doc_id, dd.lang, dd.source,
+          |            a.clean_text AS text
+          |            FROM agg a JOIN documents dd ON dd.doc_id = a.doc_id)"""
+          .stripMargin,
+        perceptronScoredCtes("cleaned"),
+        """flt AS (SELECT c.doc_id, c.source, c.text
+          |        FROM scored sr JOIN cleaned c ON c.doc_id = sr.doc_id
+          |        WHERE sr.pred = 1)""".stripMargin,
+        curriculumCtes("flt")).mkString(",\n") +
+        """
+          |SELECT doc_id, source, n_tokens, bucket, src_rank
+          |FROM r ORDER BY bucket, src_rank, source LIMIT 100""".stripMargin),
     "unigram_vocab" ->
       (unigramCtes + "\nSELECT p AS piece, cnt, cost FROM vocab"),
     "unigram_segment" ->
@@ -2857,11 +2910,12 @@ object QueriesPipeline {
           |  FROM tk JOIN sw ON sw.word = tk.word GROUP BY tk.doc_id) g
           |ON g.doc_id = d.doc_id""".stripMargin),
     "perceptron_train" ->
-      (perceptronCtes(64, 3) + "\nSELECT f, w FROM w3"),
+      ("WITH " + perceptronCtes(64, 3) + "\nSELECT f, w FROM w3"),
     "perceptron_score" ->
-      (perceptronScoredCtes + "\nSELECT doc_id, y, score, pred FROM scored"),
+      ("WITH " + perceptronScoredCtes() +
+        "\nSELECT doc_id, y, score, pred FROM scored"),
     "perceptron_auc" ->
-      (perceptronScoredCtes +
+      ("WITH " + perceptronScoredCtes() +
         """,
           |g AS (SELECT score AS s,
           |        CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
