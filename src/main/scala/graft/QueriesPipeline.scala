@@ -1428,6 +1428,13 @@ object QueriesPipeline {
         Multimodal.asSyntheticWavs(table(s, dir, "documents"),
           "doc_id", "text").toDF(),
         frame = 4, threshold = 65536L)),
+    // Shot-cut detection over the same real Y4M bytes: adjacent-frame
+    // luma deltas, integer threshold, maximal cut-free runs = shots
+    "video_scene_cuts" -> ((s, dir) =>
+      Multimodal.videoSceneCuts(
+        Multimodal.asSyntheticVideos(table(s, dir, "documents"),
+          "doc_id", "text").toDF(),
+        threshold = 680L)),
     // REAL video frame-sampling: Y4M containers (codec-free video),
     // header parse + FRAME walk, luma sums over every 2nd frame — the
     // decode that thins raw video to trainable frames
@@ -4380,6 +4387,32 @@ object QueriesPipeline {
         |  COALESCE(a.longest_seg, 0) AS longest_seg,
         |  COALESCE(a.n_speech, 0) * 1000000 // nf.n_frames AS speech_ppm
         |FROM nf LEFT JOIN agg a ON a.doc_id = nf.doc_id""".stripMargin,
+    "video_scene_cuts" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) % 6 + 2 AS nf
+        |           FROM documents),
+        |dp AS (SELECT doc_id, nf, f,
+        |         CAST(sum(abs((doc_id*31 + f*131 + p) % 256 -
+        |                      (doc_id*31 + (f-1)*131 + p) % 256))
+        |              AS BIGINT) AS delta
+        |       FROM m,
+        |            unnest(generate_series(1, nf - 1)) AS a(f),
+        |            unnest(generate_series(0, 7)) AS b(p)
+        |       GROUP BY doc_id, nf, f),
+        |cut AS (SELECT doc_id, nf, f FROM dp WHERE delta >= 680),
+        |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cuts
+        |       FROM cut GROUP BY doc_id),
+        |isl AS (SELECT doc_id, f,
+        |          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+        |        FROM dp WHERE delta < 680),
+        |runs AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS best
+        |         FROM (SELECT doc_id, g, count(*) AS len FROM isl
+        |               GROUP BY doc_id, g) t GROUP BY doc_id)
+        |SELECT m.doc_id, CAST(m.nf AS BIGINT) AS n_frames,
+        |  COALESCE(nc.n_cuts, 0) AS n_cuts,
+        |  COALESCE(nc.n_cuts, 0) + 1 AS n_shots,
+        |  COALESCE(runs.best, 0) + 1 AS longest_shot
+        |FROM m LEFT JOIN nc ON nc.doc_id = m.doc_id
+        |       LEFT JOIN runs ON runs.doc_id = m.doc_id""".stripMargin,
     "multimodal_video" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) % 6 + 2 AS nf

@@ -268,6 +268,45 @@ object Multimodal {
     }
   }
 
+  /** Shot/scene-cut detection — the video twin of [[audioSegments]]:
+    * a cut is an adjacent-frame pair whose summed absolute luma delta
+    * Σ_p |Y_f − Y_{f−1}| ≥ `threshold` (pure integers); shots are the
+    * maximal cut-free runs. The shot list is what a video training
+    * pipeline samples frames WITHIN (sampling across a cut mixes
+    * scenes). Returns per doc (doc_id, n_frames, n_cuts, n_shots,
+    * longest_shot); non-Y4M payloads report all-zero.
+    *
+    * Scale: same contract as the other media kernels — per-partition
+    * byte decode, narrow per-row fold, the binary column never
+    * shuffles. */
+  def videoSceneCuts(media: DataFrame, threshold: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val deltas = media.as[MediaRow].mapPartitions { batch =>
+      batch.map(r => (r.doc_id,
+        MediaKernels.decodeY4mFrameDeltas(r.content)))
+    }.toDF("doc_id", "deltas")
+    val cuts = transform(col("deltas"), d => d >= threshold)
+    val fold = aggregate(cuts,
+      struct(lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("ncut")),
+      (acc, x) => {
+        val run = when(x, lit(0L)).otherwise(acc.getField("run") + 1)
+        struct(run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("ncut") + when(x, 1L).otherwise(0L)).as("ncut"))
+      })
+    // empty delta list = non-Y4M or <2 frames: report all-zero (the
+    // kernel needs two frames before "shots" mean anything)
+    deltas.select(col("doc_id"),
+        size(col("deltas")).cast("long").as("nd"), fold.as("st"))
+      .select(col("doc_id"),
+        when(col("nd") > 0, col("nd") + 1).otherwise(0L).as("n_frames"),
+        col("st.ncut").as("n_cuts"),
+        when(col("nd") > 0, col("st.ncut") + 1).otherwise(0L).as("n_shots"),
+        when(col("nd") > 0, col("st.best") + 1).otherwise(0L)
+          .as("longest_shot"))
+  }
+
   /** Energy-based voice-activity segmentation — the silence-trim / VAD
     * stage an audio training pipeline runs before transcription: frame
     * the PCM into `frame`-sample windows, mark a frame speech when its
@@ -588,6 +627,58 @@ object Multimodal {
           }
           out
       }
+
+    /** Per-adjacent-frame luma delta: Σ_p |Y_f(p) − Y_{f−1}(p)| for each
+      * consecutive frame pair of a Y4M stream (the shot-cut signal).
+      * Non-Y4M payloads yield an empty array; n_frames = result + 1. */
+    def decodeY4mFrameDeltas(b: Array[Byte]): Array[Long] = {
+      val magic = "YUV4MPEG2".getBytes
+      if (b.length < 10 || !b.take(9).sameElements(magic))
+        return Array.empty[Long]
+      var i = 9
+      var w = 0; var h = 0
+      while (i < b.length && b(i) != '\n') {
+        if (b(i) == ' ' && i + 1 < b.length) {
+          val tagC = b(i + 1).toChar
+          var j = i + 2
+          var v = 0
+          var numeric = true
+          while (j < b.length && b(j) != ' ' && b(j) != '\n') {
+            val c = b(j).toChar
+            if (c.isDigit) v = v * 10 + (c - '0') else numeric = false
+            j += 1
+          }
+          if (numeric && tagC == 'W') w = v
+          if (numeric && tagC == 'H') h = v
+          i = j - 1
+        }
+        i += 1
+      }
+      if (w <= 0 || h <= 0 || i >= b.length) return Array.empty[Long]
+      i += 1
+      val frameBytes = 3 * w * h
+      val tag = "FRAME".getBytes
+      val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var prev: Array[Int] = null
+      while (i + tag.length <= b.length &&
+        b.slice(i, i + tag.length).sameElements(tag)) {
+        i += tag.length
+        while (i < b.length && b(i) != '\n') i += 1
+        i += 1
+        if (i + frameBytes > b.length) return Array.empty[Long]
+        val cur = new Array[Int](w * h)
+        var p = 0
+        while (p < w * h) { cur(p) = b(i + p) & 0xff; p += 1 }
+        if (prev != null) {
+          var d = 0L; var q = 0
+          while (q < w * h) { d += math.abs(cur(q) - prev(q)); q += 1 }
+          deltas += d
+        }
+        prev = cur
+        i += frameBytes
+      }
+      deltas.toArray
+    }
 
     /** PNG Paeth predictor (the spec's exact tie-break order: left,
       * above, upper-left). */

@@ -396,6 +396,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(z == ((9L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("videoSceneCuts: adjacent-frame luma deltas, shot runs, and " +
+      "formula mirror; non-Y4M reports zero") {
+    val docs = Seq((1L, "x" * 20), (2L, "y" * 33)).toDF("doc_id", "text")
+    val got = Multimodal.videoSceneCuts(
+        Multimodal.asSyntheticVideos(docs, "doc_id", "text").toDF(),
+        threshold = 680L)
+      .select("doc_id", "n_frames", "n_cuts", "n_shots", "longest_shot")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for ((id, n) <- Seq((1L, 20), (2L, 33))) {
+      val nf = n % 6 + 2
+      def luma(f: Int, p: Int): Long = (id * 31 + f * 131 + p) % 256
+      val cuts = (1 until nf).map(f =>
+        (0 until 8).map(p => math.abs(luma(f, p) - luma(f - 1, p))).sum >= 680L)
+      val runs = cuts.foldLeft(List.empty[Int]) {
+        case (acc, false) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, false) => 1 :: acc
+        case (acc, true) => 0 :: acc
+      }.filter(_ > 0)
+      val want = (id, nf.toLong, cuts.count(identity).toLong,
+        cuts.count(identity).toLong + 1,
+        (if (runs.isEmpty) 0 else runs.max).toLong + 1)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    val junk = Seq(Multimodal.MediaRow(9L, "not y4m".getBytes, "bin")).toDF()
+    val z = Multimodal.videoSceneCuts(junk, threshold = 1L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(z == ((9L, 0L, 0L, 0L, 0L)))
+  }
+
   test("WAV chunk walk tolerates extra chunks; non-WAV is unknown") {
     val orig = Multimodal.MediaKernels.encodeWav(7L, 16, 8000)
     // splice a 2-byte JUNK chunk between WAVE and fmt
