@@ -166,26 +166,12 @@ object QueriesPipeline {
     // credit, ppm integers) — the "is this classifier worth deploying"
     // number, computed over the DISTINCT-score table like link_pred_auc
     "perceptron_auc" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val sc = CorpusTools.perceptronScore(table(s, dir, "documents"),
         "doc_id", "text", positive = col("lang") === "en", d = 64,
         iters = 3)
-      // one row per distinct integer score — the window runs over THIS
-      // table (bounded by the score range, not the corpus); at larger
-      // cardinalities the prefix sum range-partitions like
-      // ScaleOps.globalRank
-      val g = sc.groupBy(col("score").as("s"))
-        .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
-          sum(when(col("y") === 1L, 0L).otherwise(1L)).as("nn"))
-      val c = g.withColumn("cumneg",
-        coalesce(sum(col("nn")).over(Window.orderBy(col("s"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      c.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-          sum(col("np") * col("cumneg")).as("concordant"),
-          sum(col("np") * col("nn")).as("ties"))
-        .select(col("n_pos"), col("n_neg"), col("concordant"), col("ties"),
-          expr("(concordant * 1000000 + ties * 500000) div " +
-            "greatest(n_pos * n_neg, 1)").as("auc_ppm"))
+      graft.operators.GraphAlgos.rankSumAuc(
+        sc.select(col("score").as("s"),
+          when(col("y") === 1L, 1L).otherwise(0L).as("isp")))
     }),
     // length-curriculum order with round-robin source interleave,
     // ranked via distributed prefix sums (no corpus-scale window)

@@ -1022,7 +1022,18 @@ object CorpusTools {
     val toks = docs.select(col(id).as("doc_id"),
         explode(words(col(text))).as("word"))
       .where(col("word") =!= "")
+    // beyond 1023 chars n_pieces could reach 1024 and bleed into the
+    // cost field of the cost·1024+n encode, silently corrupting the DP
+    // min — fail LOUDLY instead (same contract as weightedNegSample's
+    // overflow guard). Real tokenizer inputs pre-split such blobs.
     val seg = toks.select(col("word")).distinct()
+      .select(when(length(col("word")) > 1023,
+          raise_error(concat(
+            lit("unigramSegment: word longer than 1023 chars ("),
+            length(col("word")).cast("string"),
+            lit(") — n_pieces would overflow the cost*1024+n encode; " +
+              "pre-split tokens"))))
+        .otherwise(col("word")).as("word"))
       .select(col("word"),
         element_at(dp, (length(col("word")) + 1)).as("enc"))
       .select(col("word"), (col("enc") % 1024L).as("np"),

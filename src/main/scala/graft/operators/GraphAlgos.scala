@@ -1276,11 +1276,19 @@ object GraphAlgos {
         lit(isPos.toLong).as("isp"))
     val negPairs = negativeSample(e, k, domainBase, domainSize)
       .select(col("src"), col("neg").as("dst")).distinct()
-    val u = scored(test, 1).unionByName(scored(negPairs, 0))
-    val g = u.groupBy(col("s"))
+    rankSumAuc(scored(test, 1).unionByName(scored(negPairs, 0)))
+  }
+
+  /** Exact Mann–Whitney AUC with tie credit over (s, isp∈{0,1}) rows,
+    * in ppm integers: concordant = positives above each negative, ties
+    * credited ½. One aggregate per distinct score, then a window over
+    * the DISTINCT-score table (bounded by score cardinality, never
+    * instances). Shared by the link-prediction and classifier-eval
+    * (perceptron_auc) gates — ONE copy of the formula. */
+  def rankSumAuc(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.groupBy(col("s"))
       .agg(sum(col("isp")).as("np"), sum(lit(1L) - col("isp")).as("nn"))
-    // cumulative negatives below each score: a window over the DISTINCT
-    // score table (bounded by distinct degree products), not instances
     val c = g.withColumn("cumneg",
       coalesce(sum(col("nn")).over(Window.orderBy(col("s"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -481,23 +481,28 @@ object Multimodal {
     /** Y4M header parse + FRAME walk with every-`step`-th luma sum.
       * Handles FRAME parameter strings (bytes to the newline) and stops
       * cleanly at truncated payloads. */
-    def decodeY4mSampled(docId: Long, b: Array[Byte],
-                         step: Int): VideoFeatures = {
-      val bad = VideoFeatures(docId, "unknown", 0, 0, 0L, 0L, 0L)
+    /** Shared YUV4MPEG2 header parse: (width, height, offset of the
+      * first FRAME marker). None for non-Y4M payloads OR dimensions
+      * whose single C444 frame (3·w·h bytes) cannot fit the payload —
+      * the LONG-arithmetic bound that keeps hostile W/H headers from
+      * overflowing `3 * w * h` in Int and crashing the task on a
+      * negative array allocation. */
+    def parseY4mHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
       val magic = "YUV4MPEG2".getBytes
-      if (b.length < 10 || !b.take(9).sameElements(magic)) return bad
+      if (b.length < 10 || !b.take(9).sameElements(magic)) return None
       var i = 9
-      var w = 0; var h = 0
+      var w = 0L; var h = 0L
       // header params: space-separated tokens until newline
       while (i < b.length && b(i) != '\n') {
         if (b(i) == ' ' && i + 1 < b.length) {
           val tagC = b(i + 1).toChar
           var j = i + 2
-          var v = 0
+          var v = 0L
           var numeric = true
           while (j < b.length && b(j) != ' ' && b(j) != '\n') {
             val c = b(j).toChar
-            if (c.isDigit) v = v * 10 + (c - '0') else numeric = false
+            if (c.isDigit && v <= Int.MaxValue) v = v * 10 + (c - '0')
+            else numeric = false
             j += 1
           }
           if (numeric && tagC == 'W') w = v
@@ -506,26 +511,36 @@ object Multimodal {
         }
         i += 1
       }
-      if (w <= 0 || h <= 0 || i >= b.length) return bad
-      i += 1                                 // past header newline
-      val frameBytes = 3 * w * h             // C444 planes
-      var nFrames = 0L; var nSampled = 0L; var sumY = 0L
-      val tag = "FRAME".getBytes
-      while (i + tag.length <= b.length &&
-        b.slice(i, i + tag.length).sameElements(tag)) {
-        i += tag.length
-        while (i < b.length && b(i) != '\n') i += 1  // frame params
-        i += 1
-        if (i + frameBytes > b.length) return bad    // truncated frame
-        if (nFrames % step == 0) {
-          var p = 0
-          while (p < w * h) { sumY += b(i + p) & 0xff; p += 1 }
-          nSampled += 1
-        }
-        nFrames += 1
-        i += frameBytes
+      if (w <= 0 || h <= 0 || i >= b.length || 3L * w * h > b.length) None
+      else Some((w.toInt, h.toInt, i + 1))
+    }
+
+    def decodeY4mSampled(docId: Long, b: Array[Byte],
+                         step: Int): VideoFeatures = {
+      val bad = VideoFeatures(docId, "unknown", 0, 0, 0L, 0L, 0L)
+      parseY4mHeader(b) match {
+        case None => bad
+        case Some((w, h, start)) =>
+          var i = start
+          val frameBytes = 3 * w * h             // C444 planes
+          var nFrames = 0L; var nSampled = 0L; var sumY = 0L
+          val tag = "FRAME".getBytes
+          while (i + tag.length <= b.length &&
+            b.slice(i, i + tag.length).sameElements(tag)) {
+            i += tag.length
+            while (i < b.length && b(i) != '\n') i += 1  // frame params
+            i += 1
+            if (i + frameBytes > b.length) return bad    // truncated frame
+            if (nFrames % step == 0) {
+              var p = 0
+              while (p < w * h) { sumY += b(i + p) & 0xff; p += 1 }
+              nSampled += 1
+            }
+            nFrames += 1
+            i += frameBytes
+          }
+          VideoFeatures(docId, "y4m", w, h, nFrames, nSampled, sumY)
       }
-      VideoFeatures(docId, "y4m", w, h, nFrames, nSampled, sumY)
     }
 
     /** Byte-valid mono 16-bit PCM WAV with formula samples
@@ -563,6 +578,10 @@ object Multimodal {
       * (arbitrary chunk order and extra chunks tolerated — the actual
       * wire format, not fixed offsets), then accumulates int16 LE
       * sample sums. */
+    /** Sign-extended int16 LE sample read — shared by the WAV decoders. */
+    @inline private def i16le(b: Array[Byte], off: Int): Long =
+      (((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toShort).toLong
+
     def decodeWavSamples(docId: Long, b: Array[Byte]): WavFeatures =
       parseWavPcm(b) match {
         case None =>
@@ -571,8 +590,7 @@ object Multimodal {
           var sumAbs = 0L; var sumVal = 0L
           var s = 0
           while (s < n) {
-            val v = (((b(dataOff + s * 2) & 0xff) |
-              ((b(dataOff + s * 2 + 1) & 0xff) << 8)).toShort).toLong
+            val v = i16le(b, dataOff + s * 2)
             sumAbs += math.abs(v); sumVal += v
             s += 1
           }
@@ -620,9 +638,7 @@ object Multimodal {
           val out = new Array[Long]((n + frame - 1) / frame)
           var s = 0
           while (s < n) {
-            val v = (((b(dataOff + s * 2) & 0xff) |
-              ((b(dataOff + s * 2 + 1) & 0xff) << 8)).toShort).toLong
-            out(s / frame) += math.abs(v)
+            out(s / frame) += math.abs(i16le(b, dataOff + s * 2))
             s += 1
           }
           out
@@ -630,55 +646,36 @@ object Multimodal {
 
     /** Per-adjacent-frame luma delta: Σ_p |Y_f(p) − Y_{f−1}(p)| for each
       * consecutive frame pair of a Y4M stream (the shot-cut signal).
-      * Non-Y4M payloads yield an empty array; n_frames = result + 1. */
-    def decodeY4mFrameDeltas(b: Array[Byte]): Array[Long] = {
-      val magic = "YUV4MPEG2".getBytes
-      if (b.length < 10 || !b.take(9).sameElements(magic))
-        return Array.empty[Long]
-      var i = 9
-      var w = 0; var h = 0
-      while (i < b.length && b(i) != '\n') {
-        if (b(i) == ' ' && i + 1 < b.length) {
-          val tagC = b(i + 1).toChar
-          var j = i + 2
-          var v = 0
-          var numeric = true
-          while (j < b.length && b(j) != ' ' && b(j) != '\n') {
-            val c = b(j).toChar
-            if (c.isDigit) v = v * 10 + (c - '0') else numeric = false
-            j += 1
+      * Non-Y4M / malformed payloads yield an empty array; n_frames =
+      * result + 1. Shares [[parseY4mHeader]] with [[decodeY4mSampled]]. */
+    def decodeY4mFrameDeltas(b: Array[Byte]): Array[Long] =
+      parseY4mHeader(b) match {
+        case None => Array.empty[Long]
+        case Some((w, h, start)) =>
+          var i = start
+          val frameBytes = 3 * w * h
+          val tag = "FRAME".getBytes
+          val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var prev: Array[Int] = null
+          while (i + tag.length <= b.length &&
+            b.slice(i, i + tag.length).sameElements(tag)) {
+            i += tag.length
+            while (i < b.length && b(i) != '\n') i += 1
+            i += 1
+            if (i + frameBytes > b.length) return Array.empty[Long]
+            val cur = new Array[Int](w * h)
+            var p = 0
+            while (p < w * h) { cur(p) = b(i + p) & 0xff; p += 1 }
+            if (prev != null) {
+              var d = 0L; var q = 0
+              while (q < w * h) { d += math.abs(cur(q) - prev(q)); q += 1 }
+              deltas += d
+            }
+            prev = cur
+            i += frameBytes
           }
-          if (numeric && tagC == 'W') w = v
-          if (numeric && tagC == 'H') h = v
-          i = j - 1
-        }
-        i += 1
+          deltas.toArray
       }
-      if (w <= 0 || h <= 0 || i >= b.length) return Array.empty[Long]
-      i += 1
-      val frameBytes = 3 * w * h
-      val tag = "FRAME".getBytes
-      val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var prev: Array[Int] = null
-      while (i + tag.length <= b.length &&
-        b.slice(i, i + tag.length).sameElements(tag)) {
-        i += tag.length
-        while (i < b.length && b(i) != '\n') i += 1
-        i += 1
-        if (i + frameBytes > b.length) return Array.empty[Long]
-        val cur = new Array[Int](w * h)
-        var p = 0
-        while (p < w * h) { cur(p) = b(i + p) & 0xff; p += 1 }
-        if (prev != null) {
-          var d = 0L; var q = 0
-          while (q < w * h) { d += math.abs(cur(q) - prev(q)); q += 1 }
-          deltas += d
-        }
-        prev = cur
-        i += frameBytes
-      }
-      deltas.toArray
-    }
 
     /** PNG Paeth predictor (the spec's exact tie-break order: left,
       * above, upper-left). */
