@@ -22,12 +22,31 @@ object Jobs {
   case object Pending extends Status
   case object Producing extends Status
   case object Complete extends Status
+  case object Cancelled extends Status
   final case class Error(cause: Throwable) extends Status
 
   final class JobHandle private[Jobs] (val ticket: String, val df: DataFrame,
                                        result: Future[Long]) {
     @volatile private[Jobs] var state: Status = Pending
+    @volatile private[Jobs] var cancelRequested = false
     def status: Status = state
+
+    /** The reference's `Job.cancel(true)` (Job.java:71, invoked by
+      * Producer on client disconnect and stream teardown,
+      * Producer.java:133-136): interrupt the ticket's running Spark jobs
+      * via the job group (registered with interruptOnCancel) and pin the
+      * terminal CANCELLED state. Returns false if the job already
+      * reached a terminal state — cancel loses the race, same contract
+      * as Future.cancel. */
+    def cancel(): Boolean = state match {
+      case Complete | Cancelled | Error(_) => false
+      case _ =>
+        cancelRequested = true
+        df.sparkSession.sparkContext.cancelJobGroup(ticket)
+        state = Cancelled
+        true
+    }
+
     def await(): Long = {
       import scala.concurrent.duration._
       scala.concurrent.Await.result(result, 30.minutes)
@@ -61,17 +80,34 @@ object Jobs {
     val handle = new JobHandle(ticket, df, promise.future)
     registry.put(ticket, handle)
     val fut = Future {
+      // cancel-before-start: cancelJobGroup only interrupts RUNNING jobs,
+      // so a cancel that lands while Pending must keep the plan from ever
+      // launching; a cancel that lands mid-count interrupts via the group
+      if (handle.cancelRequested)
+        throw new java.util.concurrent.CancellationException(ticket)
       sc.setJobGroup(ticket, s"graft job $ticket", interruptOnCancel = true)
-      try df.count()
-      finally sc.clearJobGroup()
+      try {
+        val n = df.count()
+        // count raced a cancel to completion: honor the cancel verdict
+        if (handle.cancelRequested)
+          throw new java.util.concurrent.CancellationException(ticket)
+        n
+      } finally sc.clearJobGroup()
     }
     promise.completeWith(fut)
     fut.onComplete { r =>
-      handle.state = r.fold(Error(_), _ => Complete)
+      handle.state =
+        if (handle.cancelRequested) Cancelled
+        else r.fold(Error(_), _ => Complete)
       sc.removeSparkListener(listener)
     }
     handle
   }
+
+  /** `CANCEL <ticket>`: cancel a registered job (see
+    * [[JobHandle.cancel]]); None for unknown tickets (NOT_FOUND). */
+  def cancel(ticket: String): Option[Boolean] =
+    Option(registry.get(ticket)).map(_.cancel())
 
   /** `job.status` (StatusHandler.java:33-50). */
   def status(ticket: String): Option[Status] =

@@ -386,6 +386,7 @@ final class FlightService(val spark: SparkSession) {
     FlightProto.ActionType("gds.read",
       "Stream node or relationship properties from a graph"),
     FlightProto.ActionType("job.status", "Check the status of a Job"),
+    FlightProto.ActionType("job.cancel", "Cancel a running Job"),
     FlightProto.ActionType("job.submit",
       "Run a registered table as a ticketed Job"),
     FlightProto.ActionType("info.jobs", "List currently active Jobs"),
@@ -416,6 +417,8 @@ final class FlightService(val spark: SparkSession) {
           case None =>
             throw new NoSuchElementException("no job for ticket")
         }
+      case "job.cancel" =>
+        FlightProto.ActionResult.of(cancel(body))
       case "job.submit" =>
         val df = require(body)
         import scala.concurrent.ExecutionContext.Implicits.global
@@ -490,11 +493,22 @@ final class FlightService(val spark: SparkSession) {
     graft.operators.Jobs.submit(df).ticket
   }
 
-  /** PENDING / PRODUCING / COMPLETE / ERROR, or throws for an unknown
-    * ticket. */
+  /** PENDING / PRODUCING / COMPLETE / ERROR / CANCELLED, or throws for
+    * an unknown ticket. */
   def status(ticket: String): String =
     graft.operators.Jobs.status(ticket) match {
       case Some(st) => st.toString
+      case None => throw new NoSuchElementException("unknown ticket")
+    }
+
+  /** Cancel a job (the reference's Job.cancel(true), Producer.java:
+    * 133-136): CANCELLED if this call stopped it, ALREADY_DONE if the
+    * job beat the cancel to a terminal state; throws for an unknown
+    * ticket. */
+  def cancel(ticket: String): String =
+    graft.operators.Jobs.cancel(ticket) match {
+      case Some(true) => "CANCELLED"
+      case Some(false) => "ALREADY_DONE"
       case None => throw new NoSuchElementException("unknown ticket")
     }
 }

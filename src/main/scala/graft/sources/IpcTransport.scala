@@ -36,7 +36,11 @@ import org.apache.spark.sql.types.StructType
   *                              via [[ArrowIpc.fromIpcStreams]] and registers
   *  - `SUBMIT <name>`         → run the named table as a ticketed job
   *                              (graft.operators.Jobs); returns the ticket
-  *  - `STATUS <ticket>`       → PENDING / PRODUCING / COMPLETE / ERROR
+  *  - `STATUS <ticket>`       → PENDING / PRODUCING / COMPLETE / ERROR /
+  *                              CANCELLED
+  *  - `CANCEL <ticket>`       → CANCELLED (this call stopped it) or
+  *                              ALREADY_DONE (job reached a terminal
+  *                              state first) — Job.cancel(true) analog
   *
   * Scale posture: GET streams partitions through `toLocalIterator` —
   * one partition's IPC blob in driver memory at a time, never the whole
@@ -282,6 +286,11 @@ object IpcTransport {
               catch { case _: Throwable =>
                 writeStr(out, "ERR unknown ticket")
               }
+            case "CANCEL" :: ticket :: Nil =>
+              try writeStr(out, s"OK\t${service.cancel(ticket)}")
+              catch { case _: Throwable =>
+                writeStr(out, "ERR unknown ticket")
+              }
             case "QUIT" :: Nil => live = false
             case other => writeStr(out, s"ERR bad verb: ${other.mkString(" ")}")
           }
@@ -495,6 +504,11 @@ object IpcTransport {
 
     def status(ticket: String): String = {
       writeStr(out, s"STATUS $ticket")
+      expectOk(readStr(in))(0)
+    }
+
+    def cancel(ticket: String): String = {
+      writeStr(out, s"CANCEL $ticket")
       expectOk(readStr(in))(0)
     }
 

@@ -145,6 +145,9 @@ class FlightGrpcSpec extends AnyFunSuite {
         val res = c.doGet(spark, ticket)
         assert(res.as[(Long, Long)].collect().toMap ==
           Map(0L -> 100L, 1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L))
+        // job.cancel on a terminal job loses the race, non-destructively
+        assert(c.doAction("job.cancel", ticket).asString == "ALREADY_DONE")
+        assert(c.doAction("job.status", ticket).asString == "COMPLETE")
       }
     }
   }
@@ -184,8 +187,8 @@ class FlightGrpcSpec extends AnyFunSuite {
     withServer { srv =>
       withClient(srv) { c =>
         assert(c.listActions().map(_.atype).toSet == Set("cypher.read",
-          "gds.read", "job.status", "job.submit", "info.jobs",
-          "info.version", "flight.log", "flight.log.schema",
+          "gds.read", "job.status", "job.cancel", "job.submit",
+          "info.jobs", "info.version", "flight.log", "flight.log.schema",
           "flight.log.tickets"))
       }
     }

@@ -132,8 +132,8 @@ class FlightProtoSpec extends AnyFunSuite {
         // StatusHandler, info.jobs/info.version = ServerInfoHandler)
         val actions = c.listActions()
         assert(actions.map(_.atype).toSet ==
-          Set("cypher.read", "gds.read", "job.status", "job.submit",
-            "info.jobs", "info.version", "flight.log",
+          Set("cypher.read", "gds.read", "job.status", "job.cancel",
+            "job.submit", "info.jobs", "info.version", "flight.log",
             "flight.log.schema", "flight.log.tickets"))
         actions.foreach { a =>
           val fs = parse(a.encode) // ActionType fields 1/2 per Flight.proto

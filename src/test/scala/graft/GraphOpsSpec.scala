@@ -186,4 +186,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(Jobs.status(h.ticket).contains(Jobs.Complete))
     assert(Jobs.list().contains(h.ticket))
   }
+
+  test("job cancel: a Pending job never launches its plan; a terminal " +
+      "job reports cancel=false (Job.cancel contract)") {
+    // a single-thread EC blocked by a latch pins the job in Pending so
+    // the cancel-before-start race is exercised DETERMINISTICALLY
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    pool.execute(() => gate.await())
+    val h = Jobs.submit(nodes)(ec)
+    assert(h.status == Jobs.Pending)
+    assert(h.cancel())                    // wins: job still Pending
+    assert(h.status == Jobs.Cancelled)
+    assert(Jobs.cancel(h.ticket).contains(false)) // idempotent: now loses
+    gate.countDown()                      // release: Future must honor it
+    intercept[Throwable](h.await())       // CancellationException
+    assert(h.status == Jobs.Cancelled)
+    assert(Jobs.status(h.ticket).contains(Jobs.Cancelled))
+    pool.shutdown()
+    // a completed job beats cancel
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val done = Jobs.submit(nodes)
+    done.await()
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (done.status != Jobs.Complete && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    assert(!done.cancel() && done.status == Jobs.Complete)
+    assert(Jobs.cancel("no-such-ticket").isEmpty)
+  }
 }

@@ -127,6 +127,11 @@ class IpcTransportSpec extends AnyFunSuite {
         assert(st == "Complete")
         val e = intercept[IllegalArgumentException](c.status("no-such"))
         assert(e.getMessage.contains("unknown ticket"))
+        // CANCEL verb: a job already at a terminal state loses the race
+        assert(c.cancel(ticket) == "ALREADY_DONE")
+        assert(c.status(ticket) == "Complete") // cancel did NOT clobber it
+        val e2 = intercept[IllegalArgumentException](c.cancel("no-such"))
+        assert(e2.getMessage.contains("unknown ticket"))
       } finally c.close()
     }
   }
