@@ -277,6 +277,43 @@ object QueriesPipeline {
         rm(new java.io.File(base))
       }
     }),
+    // batch-train / online-score: fit the perceptron on the STATIC
+    // corpus, ship the weight vector into a streaming scoring fold
+    // (stateless narrow projection — the serving path), confusion
+    // counts in complete mode; oracle = the batch scored table grouped
+    "stream_quality_score" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val w = CorpusTools.perceptronFit(docs, "doc_id", "text",
+        positive = col("lang") === "en", d = 64, iters = 3)
+      val base = s"/tmp/graft_sqscore_" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
+      try {
+        docs.coalesce(1).write.mode("overwrite").parquet(base)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(base)
+        val scored = CorpusTools.perceptronScoreWith(stream, "doc_id",
+          "text", positive = col("lang") === "en", d = 64, weights = w)
+        val agg = scored.groupBy(col("y"), col("pred"))
+          .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
+        val qname = s"graft_sqscore_${System.nanoTime()}"
+        val ck = "spark.sql.shuffle.partitions"
+        val prev = s.conf.get(ck)
+        s.conf.set(ck, "8")
+        try {
+          val q = agg.writeStream.format("memory").queryName(qname)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set(ck, prev)
+        s.table(qname).localCheckpoint(true)
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(base))
+      }
+    }),
     // ingest-time shape: a new batch (doc_id % 4 = 0) screened against
     // the existing corpus (the rest) — band keys meet in one equi-join,
     // the corpus never self-joins; novel docs report match_id = −1
@@ -2907,6 +2944,12 @@ object QueriesPipeline {
     "perceptron_score" ->
       ("WITH " + perceptronScoredCtes() +
         "\nSELECT doc_id, y, score, pred FROM scored"),
+    "stream_quality_score" ->
+      ("WITH " + perceptronScoredCtes() +
+        """
+          |SELECT y, pred, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(score) AS BIGINT) AS score_sum
+          |FROM scored GROUP BY y, pred""".stripMargin),
     "perceptron_auc" ->
       ("WITH " + perceptronScoredCtes() +
         """,

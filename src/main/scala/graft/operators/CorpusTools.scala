@@ -645,16 +645,22 @@ object CorpusTools {
       element_at(array(w.map(lit): _*), (col("id") + 1).cast("int")).as("w"))
   }
 
-  /** Score every document with a [[perceptronTrain]]-ed classifier:
-    * (doc_id, y, score, pred) where pred = sign(score), ties → −1.
-    * Same narrow fold as training — classification of a 100 TB corpus is
-    * one scan with a broadcast-literal weight vector. */
-  def perceptronScore(docs: DataFrame, id: String, text: String,
-                      positive: Column, d: Int,
-                      iters: Int): DataFrame = {
-    val toks = tokenBuckets(docs, id, text, positive, d)
-    val w = perceptronWeights(toks, d, iters)
-    val wLit = array(w.map(lit): _*)
+  /** Train on a STATIC corpus and return the raw weight vector — the
+    * artifact a serving path ships (see [[perceptronScoreWith]], which
+    * accepts a streaming frame: the scoring fold is stateless). */
+  def perceptronFit(docs: DataFrame, id: String, text: String,
+                    positive: Column, d: Int, iters: Int): Array[Long] =
+    perceptronWeights(tokenBuckets(docs, id, text, positive, d), d, iters)
+
+  /** Score a corpus — batch OR streaming — with a trained weight
+    * vector: (doc_id, y, score, pred), pred = sign(score), ties → −1.
+    * A pure narrow fold over a broadcast-literal vector (no join, no
+    * state), so the same call serves a 100 TB batch scan and a
+    * readStream micro-batch. */
+  def perceptronScoreWith(docs: DataFrame, id: String, text: String,
+                          positive: Column, d: Int,
+                          weights: Array[Long]): DataFrame = {
+    val wLit = array(weights.map(lit): _*)
     docs.select(col(id).as("doc_id"),
         when(positive, 1L).otherwise(-1L).as("y"),
         aggregate(
@@ -665,6 +671,13 @@ object CorpusTools {
           .as("score"))
       .withColumn("pred", when(col("score") > 0, 1L).otherwise(-1L))
   }
+
+  /** Train-and-score in one call (the batch gate path). */
+  def perceptronScore(docs: DataFrame, id: String, text: String,
+                      positive: Column, d: Int,
+                      iters: Int): DataFrame =
+    perceptronScoreWith(docs, id, text, positive, d,
+      perceptronFit(docs, id, text, positive, d, iters))
 
   /** (doc_id, y=±1, fs = token bucket array) — the shared feature view. */
   private def tokenBuckets(docs: DataFrame, id: String, text: String,
