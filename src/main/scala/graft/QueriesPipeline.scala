@@ -341,6 +341,15 @@ object QueriesPipeline {
       Dedup.clusters(
         Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
           k = 3, threshold = 0.3, maxDf = 50))),
+    // leakage-safe splitting: near-dup clusters are the split unit, so
+    // a duplicate pair can never straddle train and eval; the leak
+    // count is MEASURED from the pair list (invariant column, must be 0)
+    "cluster_safe_split" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.clusterSafeSplit(d, "doc_id",
+        Dedup.ngramJaccard(d, "doc_id", "text", k = 3, threshold = 0.3,
+          maxDf = 50))
+    }),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(table(s, dir, "embeddings"), threshold = 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -3068,6 +3077,54 @@ object QueriesPipeline {
         |)
         |SELECT node AS doc_id, min(lbl) AS rep
         |FROM reach GROUP BY node""".stripMargin,
+    "cluster_safe_split" ->
+      // the dedup_clusters component CTEs + rep-hash split + leak count
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
+        |        WHERE df > 50),
+        |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM shp a JOIN shp b
+        |            ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
+        |      FROM pairs
+        |      JOIN cnt ca ON ca.doc_id = doc_a
+        |      JOIN cnt cb ON cb.doc_id = doc_b),
+        |p2 AS (SELECT doc_a AS x, doc_b AS y FROM j WHERE jac >= 0.3),
+        |edges AS (SELECT x AS a, y AS b FROM p2 UNION SELECT y, x FROM p2),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        |),
+        |crep AS (SELECT node AS doc_id, min(lbl) AS rep
+        |         FROM reach GROUP BY node),
+        |sp AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep,
+        |         CASE WHEN (COALESCE(c.rep, d.doc_id) * 2654435761)
+        |                   % 1000000007 % 100 < 80 THEN 'train'
+        |              WHEN (COALESCE(c.rep, d.doc_id) * 2654435761)
+        |                   % 1000000007 % 100 < 90 THEN 'valid'
+        |              ELSE 'test' END AS split
+        |       FROM documents d LEFT JOIN crep c ON c.doc_id = d.doc_id),
+        |lk AS (SELECT sa.split, CAST(count(*) AS BIGINT) AS leaked
+        |       FROM p2 JOIN sp sa ON sa.doc_id = p2.x
+        |               JOIN sp sb ON sb.doc_id = p2.y
+        |       WHERE sa.split <> sb.split GROUP BY sa.split),
+        |fin AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+        |          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |        FROM sp GROUP BY split)
+        |SELECT f.split, f.n_docs, f.n_clusters, f.id_sum,
+        |       COALESCE(lk.leaked, 0) AS cross_split_pairs
+        |FROM fin f LEFT JOIN lk ON lk.split = f.split""".stripMargin,
     "dedup_keep_best" ->
       // the dedup_clusters component CTEs + quality-argmax resolution:
       // per component keep the max-n_chars doc (ties → min doc_id);

@@ -737,6 +737,48 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 
+  /** Leakage-safe train/valid/test split: near-dup CLUSTERS are the
+    * split unit, not documents — a near-duplicate pair straddling train
+    * and eval is benchmark contamination (the reason C4/Pile-style
+    * corpora dedup ACROSS splits, not just within). Every doc joins its
+    * [[clusters]] representative (singletons are their own rep) and the
+    * Knuth multiplicative hash of the REP picks the split, so members
+    * always land together. Returns per split: (split, n_docs,
+    * n_clusters, id_sum, cross_split_pairs) — the last column is the
+    * leakage invariant, COUNTED from the pair list rather than assumed
+    * (must be 0; a regression in rep assignment shows up here, in data).
+    *
+    * Scale: clusters is the min-label fixpoint (O(diameter) rounds, or
+    * [[clustersStar]] for adversarial diameters); everything after is
+    * one left join + narrow hash arithmetic + two aggregates. */
+  def clusterSafeSplit(docs: DataFrame, id: String, pairs: DataFrame,
+                       trainPct: Int = 80,
+                       validPct: Int = 10): DataFrame = {
+    val reps = clusters(pairs)
+    val bucket = (col("rep") * 2654435761L) % 1000000007L % 100L
+    val withSplit = docs.select(col(id).as("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validPct, "valid")
+          .otherwise("test"))
+    val sides = withSplit.select(col("doc_id"), col("split"))
+    val leaks = pairs
+      .join(sides.toDF("doc_a", "sa"), "doc_a")
+      .join(sides.toDF("doc_b", "sb"), "doc_b")
+      .where(col("sa") =!= col("sb"))
+      .groupBy(col("sa").as("split")).agg(count(lit(1)).as("leaked"))
+    withSplit.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("rep")).as("n_clusters"),
+        sum(col("doc_id")).as("id_sum"))
+      .join(leaks, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("id_sum"),
+        coalesce(col("leaked"), lit(0L)).as("cross_split_pairs"))
+  }
+
   /** Fixed seeded integer hyperplanes for [[embeddingNearDupLsh]] — small
     * pseudo-random components in [-128, 128), exact int64 arithmetic, so
     * the identical literals embed in the DuckDB oracle. */

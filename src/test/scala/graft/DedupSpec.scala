@@ -397,6 +397,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((100L, 101L)))
   }
 
+  test("clusterSafeSplit keeps near-dup clusters in one split, counts " +
+      "singletons as their own cluster, and measures zero leakage") {
+    // component {1,2,3} (chain), component {10,11}, singletons 20..29
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 29L))
+      .toDF("doc_id")
+    val out = Dedup.clusterSafeSplit(docs, "doc_id", pairs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == 15L)           // every doc exactly once
+    assert(out.forall(_._5 == 0L))             // leakage invariant
+    // cluster members landed together: recompute each doc's split from
+    // its rep and compare against the aggregate checksums
+    def split(rep: Long): String = {
+      val b = rep * 2654435761L % 1000000007L % 100L
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val rep = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L) ++
+      (20L to 29L).map(i => i -> i)
+    val expect = rep.toSeq.groupBy { case (d, r) => split(r) }
+      .map { case (sp, ds) =>
+        (sp, ds.size.toLong, ds.map(_._2).distinct.size.toLong,
+          ds.map(_._1).sum, 0L)
+      }.toSet
+    assert(out.toSet == expect)
+  }
+
   test("chunkFrequencyStrip removes cross-doc boilerplate chunks, keeps " +
       "order, and leaves all-boilerplate docs as empty rows") {
     val header = (1 to 8).map(i => s"h$i").mkString(" ") // shared chunk 0
