@@ -25,7 +25,7 @@ object QueriesPipeline {
     * all substrings of length 1..4 with multiplicity, top-64 ∪ single
     * chars, integer bit-length surprisal costs. */
   private val unigramCtes =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |            FROM documents),
       |tk AS (SELECT doc_id, word FROM tok WHERE word <> ''),
       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tk
@@ -83,6 +83,31 @@ object QueriesPipeline {
        |                            ORDER BY h, doc_id) AS BIGINT)
        |      AS src_rank
        |  FROM cu_c)""".stripMargin
+
+  /** [[unigramCtes]] + the Viterbi DP: `sw` = per distinct word
+    * (word, np = piece count, wcost = total cost). Shared by the
+    * unigram_segment and tokenizer_bakeoff oracles. */
+  private val unigramSwCtes: String = unigramCtes +
+    """,
+      |um1 AS (SELECT map(list(p ORDER BY p), list(cost ORDER BY p)) AS m
+      |        FROM vocab),
+      |seg AS (SELECT word, list_reduce(
+      |          list_prepend([CAST(0 AS BIGINT)],
+      |            list_transform(
+      |              range(1, CAST(length(word) AS BIGINT) + 1),
+      |              i -> [i])),
+      |          (acc, x) -> list_append(acc,
+      |            list_min(list_transform(
+      |              range(greatest(1, x[1] - 3), x[1] + 1),
+      |              j -> acc[CAST(j AS INT)] +
+      |                (COALESCE(m[substr(word, CAST(j AS INT),
+      |                                   CAST(x[1] - j + 1 AS INT))][1],
+      |                   CASE WHEN x[1] = j THEN 63
+      |                        ELSE 1099511627776 END) * 1024 + 1))))
+      |          )[-1] AS enc
+      |        FROM wc, um1),
+      |sw AS (SELECT word, enc % 1024 AS np, enc // 1024 AS wcost
+      |       FROM seg)""".stripMargin
 
   /** [[perceptronCtes]] extended with per-doc final scores: `scored` =
     * (doc_id, y, score, pred) over ALL rows of `rel` (empty docs score
@@ -204,6 +229,27 @@ object QueriesPipeline {
     "unigram_segment" -> ((s, dir) =>
       CorpusTools.unigramSegment(table(s, dir, "documents"), "doc_id",
         "text", maxLen = 4, v = 64)),
+    // tokenizer bakeoff: BPE vs unigram fertility per language on the
+    // SAME corpus — the decision table for choosing a tokenizer
+    "tokenizer_bakeoff" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val bpe = CorpusTools.bpeEncode(d, "doc_id", "text", rounds = 3)
+        .select(col("doc_id"), col("n_words"),
+          col("n_tokens").as("bpe_tokens"))
+      val uni = CorpusTools.unigramSegment(d, "doc_id", "text",
+          maxLen = 4, v = 64)
+        .select(col("doc_id"), col("n_pieces").as("uni_pieces"))
+      d.select(col("doc_id"), col("lang"))
+        .join(bpe, "doc_id").join(uni, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("bpe_tokens")).as("bpe_tokens"),
+          sum(col("uni_pieces")).as("uni_pieces"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("bpe_tokens"), col("uni_pieces"),
+          expr("bpe_tokens * 1000 div n_words").as("bpe_milli"),
+          expr("uni_pieces * 1000 div n_words").as("uni_milli"))
+    }),
     // The gate queries run the PORTABLE hash pipelines (polyHash chains both
     // engines can replay) so DuckDB can verify the full signature/band/join
     // algorithm exactly. The xxhash64 fast paths (Dedup.minhashLsh /
@@ -2915,29 +2961,10 @@ object QueriesPipeline {
           |SELECT doc_id, source, n_tokens, bucket, src_rank
           |FROM r ORDER BY bucket, src_rank, source LIMIT 100""".stripMargin),
     "unigram_vocab" ->
-      (unigramCtes + "\nSELECT p AS piece, cnt, cost FROM vocab"),
+      ("WITH " + unigramCtes + "\nSELECT p AS piece, cnt, cost FROM vocab"),
     "unigram_segment" ->
-      (unigramCtes +
-        """,
-          |m1 AS (SELECT map(list(p ORDER BY p), list(cost ORDER BY p)) AS m
-          |       FROM vocab),
-          |seg AS (SELECT word, list_reduce(
-          |          list_prepend([CAST(0 AS BIGINT)],
-          |            list_transform(
-          |              range(1, CAST(length(word) AS BIGINT) + 1),
-          |              i -> [i])),
-          |          (acc, x) -> list_append(acc,
-          |            list_min(list_transform(
-          |              range(greatest(1, x[1] - 3), x[1] + 1),
-          |              j -> acc[CAST(j AS INT)] +
-          |                (COALESCE(m[substr(word, CAST(j AS INT),
-          |                                   CAST(x[1] - j + 1 AS INT))][1],
-          |                   CASE WHEN x[1] = j THEN 63
-          |                        ELSE 1099511627776 END) * 1024 + 1))))
-          |          )[-1] AS enc
-          |        FROM wc, m1),
-          |sw AS (SELECT word, enc % 1024 AS np, enc // 1024 AS wcost
-          |       FROM seg)
+      ("WITH " + unigramSwCtes +
+        """
           |SELECT d.doc_id,
           |  CAST(COALESCE(g.nw, 0) AS BIGINT) AS n_words,
           |  CAST(COALESCE(g.np, 0) AS BIGINT) AS n_pieces,
@@ -2948,6 +2975,26 @@ object QueriesPipeline {
           |         CAST(sum(sw.wcost) AS BIGINT) AS cost
           |  FROM tk JOIN sw ON sw.word = tk.word GROUP BY tk.doc_id) g
           |ON g.doc_id = d.doc_id""".stripMargin),
+    "tokenizer_bakeoff" ->
+      (s"WITH $BpeRoundsSql,\n" + unigramSwCtes +
+        """,
+          |bp AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |         CAST(sum(len(s3.syms)) AS BIGINT) AS bpe_tokens
+          |       FROM tk JOIN s3 USING (word) GROUP BY tk.doc_id),
+          |un AS (SELECT tk.doc_id, CAST(sum(sw.np) AS BIGINT) AS uni_pieces
+          |       FROM tk JOIN sw ON sw.word = tk.word GROUP BY tk.doc_id)
+          |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(bp.n_words) AS BIGINT) AS n_words,
+          |  CAST(sum(bp.bpe_tokens) AS BIGINT) AS bpe_tokens,
+          |  CAST(sum(un.uni_pieces) AS BIGINT) AS uni_pieces,
+          |  CAST(sum(bp.bpe_tokens) AS BIGINT) * 1000 //
+          |    CAST(sum(bp.n_words) AS BIGINT) AS bpe_milli,
+          |  CAST(sum(un.uni_pieces) AS BIGINT) * 1000 //
+          |    CAST(sum(bp.n_words) AS BIGINT) AS uni_milli
+          |FROM documents d
+          |JOIN bp ON bp.doc_id = d.doc_id
+          |JOIN un ON un.doc_id = d.doc_id
+          |GROUP BY d.lang""".stripMargin),
     "perceptron_train" ->
       ("WITH " + perceptronCtes(64, 3) + "\nSELECT f, w FROM w3"),
     "perceptron_score" ->
