@@ -470,4 +470,18 @@ class PlanAuditSpec extends AnyFunSuite {
     for (absent <- Seq("lang", "source", "n_chars"))
       assert(!reads.contains(absent), s"unused column '$absent' read:\n$reads")
   }
+
+  test("curriculum order's final top-k is a bounded TakeOrdered, and " +
+      "the only Windows are the prefix-sum/per-pid shapes (r9)") {
+    val plan = formatted(SparkEntry.queries("curriculum_order")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"final k not a TakeOrdered:\n$plan")
+    // every Window node must be a globalRank internal (partitioned by
+    // _pid) or the bounded group-start prefix sum — never a window keyed
+    // by (bucket, source) over corpus rows
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(!windows.contains("source#") || windows.contains("_pid"),
+      s"corpus-scale window keyed by source:\n$windows")
+  }
 }
