@@ -24,6 +24,65 @@ object QueriesPipeline {
     * (CorpusTools.unigramVocab/Segment): word counts over the corpus,
     * all substrings of length 1..4 with multiplicity, top-64 ∪ single
     * chars, integer bit-length surprisal costs. */
+  /** Shared streaming-gate scaffold: run `out` to a memory sink with
+    * AvailableNow under 8 shuffle partitions, eagerly materialize the
+    * sink table, then DROP the temp view (a leaked view per gate run
+    * otherwise accumulates on the driver). */
+  private def runStreamToMemory(s: SparkSession, out: DataFrame,
+                                prefix: String, mode: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val qname = s"${prefix}_${System.nanoTime()}"
+    val ck = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(ck)
+    s.conf.set(ck, "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set(ck, prev)
+    val result = s.table(qname).localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    result
+  }
+
+  /** Recursive delete for a gate's staging directory. */
+  private def rmTree(p: java.io.File): Unit = {
+    Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(); ()
+  }
+
+  /** The dedup_clusters component chain (3-shingle inverted index +
+    * DF cap + Jaccard >= 0.3 pairs + recursive min-label fixpoint),
+    * ending in `reach(node, lbl)`. Starts with the RECURSIVE keyword —
+    * callers prepend "WITH " only. ONE copy, shared by dedup_clusters /
+    * dedup_keep_best / cluster_safe_split. */
+  private val dedupClusterCtes: String =
+    """RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
+      |        WHERE df > 50),
+      |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |          FROM shp a JOIN shp b
+      |            ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
+      |      FROM pairs
+      |      JOIN cnt ca ON ca.doc_id = doc_a
+      |      JOIN cnt cb ON cb.doc_id = doc_b),
+      |p2 AS (SELECT doc_a AS x, doc_b AS y FROM j WHERE jac >= 0.3),
+      |edges AS (SELECT x AS a, y AS b FROM p2 UNION SELECT y, x FROM p2),
+      |nodes AS (SELECT DISTINCT a AS node FROM edges),
+      |reach(node, lbl) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+      |)""".stripMargin
+
   private val unigramCtes =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |            FROM documents),
@@ -271,7 +330,6 @@ object QueriesPipeline {
     // band joins (shared MinhashCtes text), proving the maintained
     // index ≡ batch recompute.
     "stream_dedup_lsh" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       import java.nio.file.{Files, Paths, StandardCopyOption}
       import java.nio.file.attribute.FileTime
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -303,32 +361,17 @@ object QueriesPipeline {
               col("a.key") === col("b.key") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        val qname = s"graft_sdlsh_${System.nanoTime()}"
-        val ck = "spark.sql.shuffle.partitions"
-        val prev = s.conf.get(ck)
-        s.conf.set(ck, "8")
-        try {
-          val q = joined.writeStream.format("memory").queryName(qname)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        } finally s.conf.set(ck, prev)
-        s.table(qname).distinct()
+        runStreamToMemory(s, joined, "graft_sdlsh", "append").distinct()
           .groupBy(col("doc_a"))
           .agg(count(lit(1)).as("n_pairs"), sum(col("doc_b")).as("checksum"))
           .localCheckpoint(true)
-      } finally {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        rm(new java.io.File(base))
-      }
+      } finally rmTree(new java.io.File(base))
     }),
     // batch-train / online-score: fit the perceptron on the STATIC
     // corpus, ship the weight vector into a streaming scoring fold
     // (stateless narrow projection — the serving path), confusion
     // counts in complete mode; oracle = the batch scored table grouped
     "stream_quality_score" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
       val w = CorpusTools.perceptronFit(docs, "doc_id", "text",
@@ -341,24 +384,11 @@ object QueriesPipeline {
           .option("maxFilesPerTrigger", 1).parquet(base)
         val scored = CorpusTools.perceptronScoreWith(stream, "doc_id",
           "text", positive = col("lang") === "en", d = 64, weights = w)
-        val agg = scored.groupBy(col("y"), col("pred"))
-          .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
-        val qname = s"graft_sqscore_${System.nanoTime()}"
-        val ck = "spark.sql.shuffle.partitions"
-        val prev = s.conf.get(ck)
-        s.conf.set(ck, "8")
-        try {
-          val q = agg.writeStream.format("memory").queryName(qname)
-            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        } finally s.conf.set(ck, prev)
-        s.table(qname).localCheckpoint(true)
-      } finally {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        rm(new java.io.File(base))
-      }
+        runStreamToMemory(s,
+          scored.groupBy(col("y"), col("pred"))
+            .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum")),
+          "graft_sqscore", "complete")
+      } finally rmTree(new java.io.File(base))
     }),
     // ingest-time shape: a new batch (doc_id % 4 = 0) screened against
     // the existing corpus (the rest) — band keys meet in one equi-join,
@@ -3096,68 +3126,22 @@ object QueriesPipeline {
         |       floor((avg(len(ws) * 1.0)) * 1000000 + 0.5) / 1000000 AS avg_words
         |FROM surv GROUP BY lang""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-        |       FROM w WHERE len(ws) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
-        |        WHERE df > 50),
-        |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |          FROM shp a JOIN shp b
-        |            ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
-        |      FROM pairs
-        |      JOIN cnt ca ON ca.doc_id = doc_a
-        |      JOIN cnt cb ON cb.doc_id = doc_b),
-        |p2 AS (SELECT doc_a AS x, doc_b AS y FROM j WHERE jac >= 0.3),
-        |edges AS (SELECT x AS a, y AS b FROM p2 UNION SELECT y, x FROM p2),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |reach(node, lbl) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-        |)
-        |SELECT node AS doc_id, min(lbl) AS rep
-        |FROM reach GROUP BY node""".stripMargin,
+      ("WITH " + dedupClusterCtes +
+        """
+          |SELECT node AS doc_id, min(lbl) AS rep
+          |FROM reach GROUP BY node""".stripMargin),
     "cluster_safe_split" ->
       // the dedup_clusters component CTEs + rep-hash split + leak count
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-        |       FROM w WHERE len(ws) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
-        |        WHERE df > 50),
-        |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |          FROM shp a JOIN shp b
-        |            ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
-        |      FROM pairs
-        |      JOIN cnt ca ON ca.doc_id = doc_a
-        |      JOIN cnt cb ON cb.doc_id = doc_b),
-        |p2 AS (SELECT doc_a AS x, doc_b AS y FROM j WHERE jac >= 0.3),
-        |edges AS (SELECT x AS a, y AS b FROM p2 UNION SELECT y, x FROM p2),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |reach(node, lbl) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-        |),
-        |crep AS (SELECT node AS doc_id, min(lbl) AS rep
+      ("WITH " + dedupClusterCtes +
+        """,
+          |crep AS (SELECT node AS doc_id, min(lbl) AS rep
         |         FROM reach GROUP BY node),
         |sp AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep,
-        |         CASE WHEN (COALESCE(c.rep, d.doc_id) * 2654435761)
+        |         CASE WHEN (COALESCE(c.rep, d.doc_id) % 1000000007
+        |                    * 2654435761)
         |                   % 1000000007 % 100 < 80 THEN 'train'
-        |              WHEN (COALESCE(c.rep, d.doc_id) * 2654435761)
+        |              WHEN (COALESCE(c.rep, d.doc_id) % 1000000007
+        |                    * 2654435761)
         |                   % 1000000007 % 100 < 90 THEN 'valid'
         |              ELSE 'test' END AS split
         |       FROM documents d LEFT JOIN crep c ON c.doc_id = d.doc_id),
@@ -3171,45 +3155,21 @@ object QueriesPipeline {
         |        FROM sp GROUP BY split)
         |SELECT f.split, f.n_docs, f.n_clusters, f.id_sum,
         |       COALESCE(lk.leaked, 0) AS cross_split_pairs
-        |FROM fin f LEFT JOIN lk ON lk.split = f.split""".stripMargin,
+        |FROM fin f LEFT JOIN lk ON lk.split = f.split""".stripMargin),
     "dedup_keep_best" ->
       // the dedup_clusters component CTEs + quality-argmax resolution:
       // per component keep the max-n_chars doc (ties → min doc_id);
       // docs outside every component are singleton components
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-        |       FROM w WHERE len(ws) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) t
-        |        WHERE df > 50),
-        |shp AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |          FROM shp a JOIN shp b
-        |            ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b, c * 1.0 / (ca.n + cb.n - c) AS jac
-        |      FROM pairs
-        |      JOIN cnt ca ON ca.doc_id = doc_a
-        |      JOIN cnt cb ON cb.doc_id = doc_b),
-        |p2 AS (SELECT doc_a AS x, doc_b AS y FROM j WHERE jac >= 0.3),
-        |edges AS (SELECT x AS a, y AS b FROM p2 UNION SELECT y, x FROM p2),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |reach(node, lbl) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-        |),
-        |comp AS (SELECT node AS doc_id, min(lbl) AS component
+      ("WITH " + dedupClusterCtes +
+        """,
+          |comp AS (SELECT node AS doc_id, min(lbl) AS component
         |         FROM reach GROUP BY node)
-        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
-        |  d.n_chars AS q,
-        |  (row_number() OVER (
-        |     PARTITION BY coalesce(c.component, d.doc_id)
-        |     ORDER BY d.n_chars DESC, d.doc_id)) = 1 AS keep
-        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+          |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+          |  d.n_chars AS q,
+          |  (row_number() OVER (
+          |     PARTITION BY coalesce(c.component, d.doc_id)
+          |     ORDER BY d.n_chars DESC, d.doc_id)) = 1 AS keep
+          |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin),
     "dedup_semantic" -> {
       // mirrors Similarity.semanticDedup exactly: 1 Lloyd iteration of
       // integer k-means (same CTEs as sim_ivf_trained), within-cell

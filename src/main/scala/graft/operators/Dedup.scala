@@ -755,7 +755,12 @@ object Dedup {
                        trainPct: Int = 80,
                        validPct: Int = 10): DataFrame = {
     val reps = clusters(pairs)
-    val bucket = (col("rep") * 2654435761L) % 1000000007L % 100L
+    // reduce mod p BEFORE the Knuth multiply: rep·2654435761 would wrap
+    // int64 for ids past ~3.5e9 (snowflake-style 1e18 ids) and a wrapped
+    // negative value silently lands every doc in 'train'; (p−1)·K ≈
+    // 2.7e18 stays in range. Ids are non-negative by contract.
+    val bucket =
+      ((col("rep") % 1000000007L) * 2654435761L) % 1000000007L % 100L
     val withSplit = docs.select(col(id).as("doc_id"))
       .join(reps, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("rep"), col("doc_id")))

@@ -37,14 +37,18 @@ object Jobs {
       * via the job group (registered with interruptOnCancel) and pin the
       * terminal CANCELLED state. Returns false if the job already
       * reached a terminal state — cancel loses the race, same contract
-      * as Future.cancel. */
-    def cancel(): Boolean = state match {
-      case Complete | Cancelled | Error(_) => false
-      case _ =>
-        cancelRequested = true
-        df.sparkSession.sparkContext.cancelJobGroup(ticket)
-        state = Cancelled
-        true
+      * as Future.cancel. State transitions are synchronized on the
+      * handle, so concurrent cancels can't both win and a cancel can't
+      * clobber an already-recorded Complete/Error. */
+    def cancel(): Boolean = this.synchronized {
+      state match {
+        case Complete | Cancelled | Error(_) => false
+        case _ =>
+          cancelRequested = true
+          df.sparkSession.sparkContext.cancelJobGroup(ticket)
+          state = Cancelled
+          true
+      }
     }
 
     def await(): Long = {
@@ -66,7 +70,7 @@ object Jobs {
         if (Option(jobStart.properties)
           .exists(_.getProperty("spark.jobGroup.id") == ticket)) {
           Option(registry.get(ticket)).foreach { h =>
-            if (h.state == Pending) h.state = Producing
+            h.synchronized { if (h.state == Pending) h.state = Producing }
           }
         }
       }
@@ -82,11 +86,16 @@ object Jobs {
     val fut = Future {
       // cancel-before-start: cancelJobGroup only interrupts RUNNING jobs,
       // so a cancel that lands while Pending must keep the plan from ever
-      // launching; a cancel that lands mid-count interrupts via the group
-      if (handle.cancelRequested)
-        throw new java.util.concurrent.CancellationException(ticket)
+      // launching. The check sits AFTER setJobGroup: once the group is
+      // registered, a later cancel interrupts mid-count via the group.
+      // The residual window — cancel between this check and the first
+      // job actually launching inside count() — lets that count run, but
+      // the post-count check still reports the cancel verdict; closing
+      // it fully would need cooperative per-task checks.
       sc.setJobGroup(ticket, s"graft job $ticket", interruptOnCancel = true)
       try {
+        if (handle.cancelRequested)
+          throw new java.util.concurrent.CancellationException(ticket)
         val n = df.count()
         // count raced a cancel to completion: honor the cancel verdict
         if (handle.cancelRequested)
@@ -96,9 +105,14 @@ object Jobs {
     }
     promise.completeWith(fut)
     fut.onComplete { r =>
-      handle.state =
-        if (handle.cancelRequested) Cancelled
-        else r.fold(Error(_), _ => Complete)
+      handle.synchronized {
+        // a cancel that already pinned Cancelled must not be clobbered;
+        // conversely a genuine result recorded here makes a LATER
+        // cancel() lose (it sees the terminal state under the same lock)
+        handle.state =
+          if (handle.cancelRequested) Cancelled
+          else r.fold(Error(_), _ => Complete)
+      }
       sc.removeSparkListener(listener)
     }
     handle

@@ -493,8 +493,9 @@ final class FlightService(val spark: SparkSession) {
     graft.operators.Jobs.submit(df).ticket
   }
 
-  /** PENDING / PRODUCING / COMPLETE / ERROR / CANCELLED, or throws for
-    * an unknown ticket. */
+  /** The Status as rendered by Scala (`Pending`/`Producing`/`Complete`/
+    * `Cancelled`/`Error(…)`) — the gRPC job.status action uppercases it
+    * at its own layer; throws for an unknown ticket. */
   def status(ticket: String): String =
     graft.operators.Jobs.status(ticket) match {
       case Some(st) => st.toString

@@ -36,8 +36,11 @@ import org.apache.spark.sql.types.StructType
   *                              via [[ArrowIpc.fromIpcStreams]] and registers
   *  - `SUBMIT <name>`         → run the named table as a ticketed job
   *                              (graft.operators.Jobs); returns the ticket
-  *  - `STATUS <ticket>`       → PENDING / PRODUCING / COMPLETE / ERROR /
-  *                              CANCELLED
+  *  - `STATUS <ticket>`       → the Status as rendered by Scala
+  *                              (`Pending`/`Producing`/`Complete`/
+  *                              `Cancelled`/`Error(…)`); the gRPC
+  *                              job.status action uppercases, this
+  *                              framed verb does NOT
   *  - `CANCEL <ticket>`       → CANCELLED (this call stopped it) or
   *                              ALREADY_DONE (job reached a terminal
   *                              state first) — Job.cancel(true) analog
@@ -287,9 +290,15 @@ object IpcTransport {
                 writeStr(out, "ERR unknown ticket")
               }
             case "CANCEL" :: ticket :: Nil =>
+              // unlike STATUS, cancel does side-effecting work that can
+              // fail for reasons OTHER than a bad ticket — report those
+              // honestly instead of a bogus not-found diagnosis
               try writeStr(out, s"OK\t${service.cancel(ticket)}")
-              catch { case _: Throwable =>
-                writeStr(out, "ERR unknown ticket")
+              catch {
+                case _: NoSuchElementException =>
+                  writeStr(out, "ERR unknown ticket")
+                case t: Throwable =>
+                  writeStr(out, s"ERR cancel failed: ${t.getMessage}")
               }
             case "QUIT" :: Nil => live = false
             case other => writeStr(out, s"ERR bad verb: ${other.mkString(" ")}")

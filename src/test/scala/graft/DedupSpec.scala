@@ -410,7 +410,7 @@ class DedupSpec extends AnyFunSuite {
     // cluster members landed together: recompute each doc's split from
     // its rep and compare against the aggregate checksums
     def split(rep: Long): String = {
-      val b = rep * 2654435761L % 1000000007L % 100L
+      val b = rep % 1000000007L * 2654435761L % 1000000007L % 100L
       if (b < 80) "train" else if (b < 90) "valid" else "test"
     }
     val rep = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L) ++

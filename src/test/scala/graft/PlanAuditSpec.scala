@@ -477,11 +477,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"final k not a TakeOrdered:\n$plan")
     // every Window node must be a globalRank internal (partitioned by
-    // _pid) or the bounded group-start prefix sum — never a window keyed
-    // by (bucket, source) over corpus rows
-    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition"))
-      .mkString("\n")
-    assert(!windows.contains("source#") || windows.contains("_pid"),
-      s"corpus-scale window keyed by source:\n$windows")
+    // _pid) or the bounded group-start prefix sum over the AGGREGATED
+    // (bucket, source) table. PER LINE: exactly one window spec may
+    // mention source# without _pid (the group-start prefix sum); a
+    // second one means a corpus-scale (bucket, source) window crept
+    // back into the ordinal computation.
+    val sourceOnly = plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .count(l => l.contains("source#") && !l.contains("_pid"))
+    assert(sourceOnly <= 1,
+      s"$sourceOnly corpus-scale windows keyed by source:\n$plan")
   }
 }
