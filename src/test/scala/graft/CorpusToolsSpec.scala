@@ -778,6 +778,42 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(w1.size == 64 && w1 == w2)
   }
 
+  test("unigram Viterbi is optimal: segment cost never exceeds the " +
+      "all-single-chars cost, and AUC is exactly 1.0 ppm on separable " +
+      "perceptron data") {
+    // random words over a small alphabet so multi-char pieces are common
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(5)(Seq.fill(2 + rnd.nextInt(5))(
+        ('a' + rnd.nextInt(3)).toChar).mkString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val vocab = CorpusTools.unigramVocab(docs, "text", maxLen = 4, v = 64)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val seg = CorpusTools.unigramSegment(docs, "doc_id", "text",
+        maxLen = 4, v = 64)
+      .as[(Long, Long, Long, Long)].collect()
+    val texts = docs.as[(Long, String)].collect().toMap
+    for ((id, nw, np, cost) <- seg) {
+      val words = texts(id).split(" ").filter(_.nonEmpty)
+      val charCost = words.map(_.map(c => vocab(c.toString)).sum).sum
+      assert(cost <= charCost, s"doc $id: DP cost $cost > char cost $charCost")
+      assert(np <= words.map(_.length.toLong).sum && np >= nw)
+    }
+    // perfectly separable labels -> rank AUC exactly 1e6 ppm
+    val sep = ((1L to 10L).map(i => (i, "en", "alpha beta")) ++
+      (11L to 20L).map(i => (i, "de", "gamma delta")))
+      .toDF("doc_id", "lang", "text")
+    val w = CorpusTools.perceptronFit(sep, "doc_id", "text",
+      positive = col("lang") === "en", d = 64, iters = 3)
+    val scored = CorpusTools.perceptronScoreWith(sep, "doc_id", "text",
+      positive = col("lang") === "en", d = 64, weights = w)
+    val auc = graft.operators.GraphAlgos.rankSumAuc(
+        scored.select(col("score").as("s"),
+          when(col("y") === 1L, 1L).otherwise(0L).as("isp")))
+      .select("auc_ppm").as[Long].collect().head
+    assert(auc == 1000000L)
+  }
+
   test("curriculumOrder: easy buckets first, sources round-robin within " +
       "a bucket, ordinals deterministic under repartitioning") {
     val docs = (

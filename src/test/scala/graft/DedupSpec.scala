@@ -397,6 +397,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((100L, 101L)))
   }
 
+  test("containment dominates Jaccard on every surviving pair " +
+      "(C(A,B) >= J(A,B) — Broder's inequality, checked on random docs)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 12).map(i => s"v$i")
+    val d = (0L until 40L).map(i =>
+      (i, Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccard(d, "doc_id", "text", k = 3,
+        threshold = 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val cont = Dedup.containment(d, "doc_id", "text", k = 3,
+        threshold = 0.0)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(jac.nonEmpty && jac.keySet == cont.keySet)
+    for ((pair, j) <- jac; (ca, cb) = cont(pair)) {
+      assert(math.max(ca, cb) + 1e-6 >= j, s"$pair: max($ca,$cb) < $j")
+      assert(math.min(ca, cb) + 1e-6 >= j, s"$pair: min($ca,$cb) < $j")
+    }
+  }
+
   test("clusterSafeSplit keeps near-dup clusters in one split, counts " +
       "singletons as their own cluster, and measures zero leakage") {
     // component {1,2,3} (chain), component {10,11}, singletons 20..29
