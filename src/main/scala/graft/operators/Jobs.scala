@@ -131,6 +131,10 @@ object Jobs {
   def list(): Map[String, Status] =
     registry.asScala.map { case (t, h) => t -> h.status }.toMap
 
-  /** `info.version`. */
-  val version: String = "graft 0.1.0"
+  /** `info.version` — a JSON object, because the reference's client
+    * `json.loads`es the body and requires a dict
+    * (neo4j_arrow.py:146-155 `info()`; ServerInfoHandler serializes a
+    * map server-side). */
+  val version: String =
+    """{"serverName":"graft","serverVersion":"0.1.0"}"""
 }

@@ -278,10 +278,17 @@ final class ArrowIpcBatchWrite(schema: StructType, path: String,
                                truncate: Boolean)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
+  // Job-unique token baked into every part-file name: Spark task IDs are
+  // only unique within ONE application, so append-mode jobs from two
+  // applications writing the same directory would otherwise collide on
+  // part-<pid>-<tid>.arrows and silently overwrite each other's commits.
+  private val jobToken =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new ArrowIpcWriterFactory(schema, path)
+    new ArrowIpcWriterFactory(schema, path, jobToken)
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -322,11 +329,12 @@ final class ArrowIpcBatchWrite(schema: StructType, path: String,
   }
 }
 
-final class ArrowIpcWriterFactory(schema: StructType, path: String)
+final class ArrowIpcWriterFactory(schema: StructType, path: String,
+                                  jobToken: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new ArrowIpcDataWriter(schema, path, partitionId, taskId)
+    new ArrowIpcDataWriter(schema, path, partitionId, taskId, jobToken)
 }
 
 /** Streams one partition into one IPC file, batch-by-batch (≤ batchSize
@@ -334,13 +342,14 @@ final class ArrowIpcWriterFactory(schema: StructType, path: String)
   * empty partitions produce no file at all (matching the read side's
   * one-partition-per-file contract). */
 final class ArrowIpcDataWriter(schema: StructType, path: String,
-                               partitionId: Int, taskId: Long)
+                               partitionId: Int, taskId: Long,
+                               jobToken: String)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val tmpPath =
-    new Path(path, f".part-$partitionId%05d-$taskId.arrows.tmp")
+    new Path(path, f".part-$partitionId%05d-$jobToken-$taskId.arrows.tmp")
   private val finalPath =
-    new Path(path, f"part-$partitionId%05d-$taskId.arrows")
+    new Path(path, f"part-$partitionId%05d-$jobToken-$taskId.arrows")
   private val deser = org.apache.spark.sql.catalyst.encoders
     .ExpressionEncoder(schema).resolveAndBind().createDeserializer()
 
@@ -392,7 +401,9 @@ final class ArrowIpcDataWriter(schema: StructType, path: String,
     out.close()
     val fs = FileSystem.get(tmpPath.toUri,
       new org.apache.hadoop.conf.Configuration())
-    fs.delete(finalPath, false) // a prior failed job's leftover
+    // no delete(finalPath): the job token makes the name unique across
+    // applications, so an existing file is a REAL conflict and the
+    // rename below fails loudly instead of silently clobbering it
     require(fs.rename(tmpPath, finalPath),
       s"task commit rename failed: $tmpPath -> $finalPath")
     ArrowIpcCommitMessage(finalPath.toString)

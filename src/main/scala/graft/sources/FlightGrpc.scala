@@ -76,6 +76,11 @@ object FlightGrpc {
   final class GrpcException(val code: Int, msg: String)
       extends RuntimeException(msg)
 
+  /** Actions whose gRPC Result.body is a serialized Ticket protobuf
+    * (the reference's `_submit` contract, neo4j_arrow.py:157-168). */
+  private val TicketActions = Set("cypher.read", "gds.read", "job.submit",
+    "gds.write.nodes", "gds.write.relationships")
+
   // ---------------------------------------------------------------- TLS
   /** TLS for the Flight endpoint — the last session-layer delta to a
     * stock grpc-java Flight deployment (`grpc+tls://` locations). gRPC
@@ -293,6 +298,17 @@ object FlightGrpc {
       } else false
     }
 
+    /** gRPC BINARY metadata (`-bin` suffix) rides base64 on the wire,
+      * padding optional per the gRPC spec — the credential an upstream
+      * client's legacy AuthHandler sends after a payload Handshake. */
+    private def tokenBinOk(header: Option[String]): Boolean = header.exists { v =>
+      val padded = v + "=" * ((4 - v.length % 4) % 4)
+      val decoded =
+        try java.util.Base64.getDecoder.decode(padded)
+        catch { case NonFatal(_) => return false }
+      java.security.MessageDigest.isEqual(decoded, token.getBytes(UTF_8))
+    }
+
     override def channelRead(ctx: ChannelHandlerContext,
                              msg: AnyRef): Unit = msg match {
       case h: Http2HeadersFrame =>
@@ -300,7 +316,9 @@ object FlightGrpc {
           method = p.toString.stripPrefix(ServicePath)
         }
         authorized = authorized || authOk(
-          Option(h.headers().get("authorization")).map(_.toString))
+          Option(h.headers().get("authorization")).map(_.toString)) ||
+          tokenBinOk(
+            Option(h.headers().get("auth-token-bin")).map(_.toString))
         if (h.isEndStream) finish(ctx)
       case d: Http2DataFrame =>
         val n = d.content().readableBytes()
@@ -326,6 +344,34 @@ object FlightGrpc {
       ctx.close(); ()
     }
 
+    // ---- outbound backpressure: the dispatch thread must not outrun the
+    // client's HTTP/2 flow-control window. The stream channel turns
+    // unwritable when its window (or the parent's buffer) fills; the
+    // producer loop then parks HERE until the event loop signals
+    // writability back — so a slow DoGet consumer holds at most one
+    // in-flight message on the heap, never the dataset.
+    private val writeGate = new Object
+    override def channelWritabilityChanged(ctx: ChannelHandlerContext): Unit = {
+      writeGate.synchronized { writeGate.notifyAll() }
+      ctx.fireChannelWritabilityChanged(); ()
+    }
+    override def channelInactive(ctx: ChannelHandlerContext): Unit = {
+      writeGate.synchronized { writeGate.notifyAll() }
+      ctx.fireChannelInactive(); ()
+    }
+    private def awaitWritable(ctx: ChannelHandlerContext): Unit = {
+      val ch = ctx.channel()
+      writeGate.synchronized {
+        while (!ch.isWritable && ch.isActive) writeGate.wait(100)
+      }
+      // a closed stream (client cancel / disconnect) aborts the
+      // producer loop instead of burning Spark work into a void —
+      // the reference's disconnect hook (Producer.java:133-136)
+      if (!ch.isActive)
+        throw new GrpcException(Status.Unknown,
+          "stream closed by client mid-response")
+    }
+
     /** Spark work (ingest, query, egress) runs on the dispatch pool — a
       * long DoGet must never stall the event loop that carries OTHER
       * streams' frames. Netty writes are thread-safe (scheduled onto the
@@ -344,9 +390,14 @@ object FlightGrpc {
         if (!headersSent) {
           val h = new DefaultHttp2Headers().status("200")
           h.set("content-type", "application/grpc+proto")
+          // a successful Handshake hands the bearer back in response
+          // metadata — the upstream AuthenticateBasicToken contract
+          if (method == "Handshake")
+            h.set("authorization", s"Bearer $token")
           ctx.write(new DefaultHttp2HeadersFrame(h))
           headersSent = true
         }
+        awaitWritable(ctx)
         ctx.writeAndFlush(new DefaultHttp2DataFrame(grpcFrame(ctx, payload)))
         ()
       }
@@ -356,6 +407,8 @@ object FlightGrpc {
           t.status("200")
           t.set("content-type", "application/grpc+proto")
         }
+        if (method == "Handshake" && status == Status.Ok)
+          t.set("authorization", s"Bearer $token")
         t.set("grpc-status", status.toString)
         if (message.nonEmpty)
           t.set("grpc-message",
@@ -367,7 +420,7 @@ object FlightGrpc {
         val reqs = parseGrpcMessages(bytes)
         if (!ok && method != "Handshake")
           throw new GrpcException(Status.Unauthenticated, "unauthenticated")
-        dispatch(method, reqs, writeMsg)
+        dispatch(method, reqs, ok, writeMsg)
         finishRpc(Status.Ok, "")
       } catch {
         case e: GrpcException => finishRpc(e.code, e.getMessage)
@@ -383,6 +436,7 @@ object FlightGrpc {
     }
 
     private def dispatch(method: String, reqs: Seq[Array[Byte]],
+                         headerAuthorized: Boolean,
                          write: Array[Byte] => Unit): Unit = {
       val service = srv.service
       // Flight location scheme per the upstream convention: grpc+tcp for
@@ -393,15 +447,28 @@ object FlightGrpc {
         case "Handshake" =>
           // the reference's auth exchange (HorribleBasicAuthValidator):
           // payload carries the shared secret; success hands back the
-          // bearer the client then sends as `authorization`
-          val hs = FlightProto.Handshake.decode(reqs.headOption.getOrElse(
-            throw new GrpcException(Status.InvalidArgument,
-              "missing HandshakeRequest")))
-          if (!java.security.MessageDigest.isEqual(hs.payload,
-              token.getBytes(UTF_8)))
-            throw new GrpcException(Status.Unauthenticated,
-              "invalid handshake secret")
-          write(FlightProto.Handshake.of(token).encode)
+          // bearer the client then sends as `authorization`. An upstream
+          // AuthenticateBasicToken client instead sends NO payload
+          // messages — its Basic header is the credential and the bearer
+          // rides back in the response metadata (set in respond()), so
+          // an empty-bodied, header-authorized Handshake succeeds
+          // trailers-only.
+          reqs.headOption match {
+            case Some(req) =>
+              val hs = FlightProto.Handshake.decode(req)
+              val payloadOk = java.security.MessageDigest.isEqual(
+                hs.payload, token.getBytes(UTF_8))
+              if (!payloadOk && !(hs.payload.isEmpty && headerAuthorized))
+                throw new GrpcException(Status.Unauthenticated,
+                  "invalid handshake secret")
+              write(FlightProto.Handshake.of(token).encode)
+            case None =>
+              if (!headerAuthorized)
+                throw new GrpcException(Status.Unauthenticated,
+                  "handshake carried no credential")
+              // no response message: the client half-closed without
+              // writing and reads only the metadata, not the body
+          }
         case "ListFlights" =>
           // Criteria ignored like the reference's listFlights
           service.list().foreach { case (n, df) =>
@@ -498,7 +565,17 @@ object FlightGrpc {
           val action = FlightProto.Action.decode(reqs.headOption.getOrElse(
             throw new GrpcException(Status.InvalidArgument,
               "missing Action")))
-          write(service.doAction(action).encode)
+          val res = service.doAction(action)
+          // ticket-producing actions answer with a serialized Ticket
+          // PROTOBUF in Result.body — the reference contract its client
+          // depends on (neo4j_arrow.py:157-168 `_submit` runs
+          // Ticket.deserialize on the body). The framed-TCP transport
+          // keeps its raw-string contract; this wrapping is the gRPC
+          // wire's fidelity layer.
+          if (TicketActions(action.atype.toLowerCase))
+            write(FlightProto.ActionResult(
+              FlightProto.Ticket(res.body).encode).encode)
+          else write(res.encode)
         case "ListActions" =>
           service.actionTypes.foreach(a => write(a.encode))
         case other =>
@@ -724,6 +801,18 @@ object FlightGrpc {
 
     def doAction(atype: String, body: String): FlightProto.ActionResult =
       doAction(atype, body.getBytes(UTF_8))
+
+    /** doAction for a ticket-producing job — the gRPC Result.body is a
+      * serialized Ticket protobuf (the reference client's `_submit`
+      * contract); returns the ticket string. */
+    def submitJob(atype: String, body: Array[Byte]): String =
+      FlightProto.Ticket.decode(doAction(atype, body).body).asString
+
+    /** job.status the way the reference client polls it: the action
+      * body is the SERIALIZED Ticket protobuf (neo4j_arrow.py:287-294),
+      * not the raw string. */
+    def jobStatus(ticket: String): String =
+      doAction("job.status", FlightProto.Ticket.of(ticket).encode).asString
 
     def listActions(): Seq[FlightProto.ActionType] =
       callOk("ListActions", Seq(Array.emptyByteArray))

@@ -26,6 +26,11 @@ final class FlightService(val spark: SparkSession) {
   // graph parts staged by the write actions until both halves arrive
   private val pendingGraphs =
     TrieMap.empty[String, (Option[DataFrame], Option[DataFrame])]
+  // gds.write.* messages ticketed by doAction, resolved by a later
+  // DoPut whose CMD descriptor carries the serialized Ticket — the
+  // reference's client flow (neo4j_arrow.py:200-225 gds_write_nodes →
+  // put with FlightDescriptor.for_command(ticket.serialize()))
+  private val pendingWriteMsgs = TrieMap.empty[String, Array[Byte]]
 
   def register(name: String, df: DataFrame): Unit = {
     tables.put(name, df)
@@ -355,16 +360,19 @@ final class FlightService(val spark: SparkSession) {
     val df = ArrowIpc.fromIpcStreams(
         spark.createDataset(groupStreams(msgs)), schema)
       .localCheckpoint(true)
-    val cmdJson = new String(desc.cmd, UTF_8)
+    // the CMD is either the write message itself or a serialized Ticket
+    // from a prior gds.write.* action (the reference client's flow)
+    val cmdBytes = resolveWriteCmd(desc.cmd)
+    val cmdJson = new String(cmdBytes, UTF_8)
     val (graphName, canon, isRels) =
       if (cmdJson.contains("\"source_field\"")) {
-        val m = ActionMessages.GdsWriteRelsMessage.deserialize(desc.cmd)
+        val m = ActionMessages.GdsWriteRelsMessage.deserialize(cmdBytes)
         (m.graph, df
           .withColumnRenamed(m.sourceField, "START_ID")
           .withColumnRenamed(m.targetField, "END_ID")
           .withColumnRenamed(m.typeField, "TYPE"), true)
       } else {
-        val m = ActionMessages.GdsWriteNodeMessage.deserialize(desc.cmd)
+        val m = ActionMessages.GdsWriteNodeMessage.deserialize(cmdBytes)
         val renamed = df.withColumnRenamed(m.idField, "ID")
           .withColumnRenamed(m.labelsField, "LABELS")
         // a scalar label column canonicalizes to a 1-elem label set
@@ -396,7 +404,25 @@ final class FlightService(val spark: SparkSession) {
     FlightProto.ActionType("flight.log.schema",
       "Schema DDL of an append-log flight"),
     FlightProto.ActionType("flight.log.tickets",
-      "Partition tickets for an append-log range: name\\tfrom\\tuntil"))
+      "Partition tickets for an append-log range: name\\tfrom\\tuntil"),
+    FlightProto.ActionType("gds.write.nodes",
+      "Ticket a graph node-write; stream the rows via DoPut on the ticket"),
+    FlightProto.ActionType("gds.write.relationships",
+      "Ticket a graph rel-write; stream the rows via DoPut on the ticket"))
+
+  /** Action bodies arrive in two encodings: our transports send the raw
+    * ticket string; the reference's client sends a serialized Ticket
+    * PROTOBUF (neo4j_arrow.py:287-294 `status` passes
+    * `ticket.serialize()`). Sniff: a proto Ticket decodes to field 1
+    * bytes; raw strings fail the proto walk (or yield no field-1
+    * payload) and pass through verbatim. */
+  private def ticketString(body: Array[Byte]): String = {
+    val raw = new String(body, UTF_8)
+    try {
+      val t = FlightProto.Ticket.decode(body)
+      if (t.ticket.nonEmpty) t.asString else raw
+    } catch { case scala.util.control.NonFatal(_) => raw }
+  }
 
   /** doAction — dispatch on type like the reference's handler map
     * (Producer.java:513-541; job.status = StatusHandler.java:20,
@@ -408,7 +434,7 @@ final class FlightService(val spark: SparkSession) {
     val body = new String(action.body, UTF_8)
     action.atype.toLowerCase match {
       case "job.status" =>
-        graft.operators.Jobs.status(body) match {
+        graft.operators.Jobs.status(ticketString(action.body)) match {
           case Some(st) =>
             // reference wire contract: PENDING/PRODUCING/COMPLETE/ERROR
             // (StatusHandler serializes the enum name uppercase)
@@ -418,7 +444,7 @@ final class FlightService(val spark: SparkSession) {
             throw new NoSuchElementException("no job for ticket")
         }
       case "job.cancel" =>
-        FlightProto.ActionResult.of(cancel(body))
+        FlightProto.ActionResult.of(cancel(ticketString(action.body)))
       case "job.submit" =>
         val df = require(body)
         import scala.concurrent.ExecutionContext.Implicits.global
@@ -481,9 +507,32 @@ final class FlightService(val spark: SparkSession) {
         val h = graft.operators.Jobs.submit(result)
         tables.put(h.ticket, result)
         FlightProto.ActionResult.of(h.ticket)
+      case "gds.write.nodes" | "gds.write.relationships" =>
+        // ticket the write MESSAGE now (validating it parses); the rows
+        // arrive via a later DoPut whose CMD descriptor is the
+        // serialized Ticket (GdsActionHandler.java:76-150 server-side;
+        // neo4j_arrow.py:200-225 + 352-377 client-side)
+        if (action.atype.toLowerCase.endsWith("relationships"))
+          ActionMessages.GdsWriteRelsMessage.deserialize(action.body)
+        else ActionMessages.GdsWriteNodeMessage.deserialize(action.body)
+        val ticket = java.util.UUID.randomUUID().toString
+        pendingWriteMsgs.put(ticket, action.body)
+        FlightProto.ActionResult.of(ticket)
       case other =>
         throw new UnsupportedOperationException(s"unsupported action: $other")
     }
+  }
+
+  /** A gds.write DoPut's CMD payload is either the write message itself
+    * (our transports) or a serialized Ticket from a prior gds.write.*
+    * action (the reference's flow) — resolve to the message bytes. */
+  private[sources] def resolveWriteCmd(cmd: Array[Byte]): Array[Byte] = {
+    val asTicket =
+      try {
+        val t = FlightProto.Ticket.decode(cmd)
+        if (t.ticket.nonEmpty) pendingWriteMsgs.get(t.asString) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    asTicket.getOrElse(cmd)
   }
 
   /** Run a registered flight as a ticketed job; returns the ticket. */

@@ -151,7 +151,12 @@ final class FlightScanBuilder(full: StructType, host: String, port: Int,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
-    val colsPruned = required.fieldNames.toSeq != full.fieldNames.toSeq
+    // push the projection only when EVERY required column name passes
+    // the same ident() grammar the filters use — a name containing
+    // '?', '&', ',' or '#' would corrupt the ticket's query-string
+    // parse server-side; fall back to a full-stream fetch instead
+    val colsPruned = required.fieldNames.toSeq != full.fieldNames.toSeq &&
+      required.fieldNames.forall(ident)
     val parts = Seq(
       if (colsPruned) Seq("cols=" + required.fieldNames.mkString(","))
       else Nil,

@@ -120,6 +120,15 @@ final class FlightMicroBatchStream(schema: StructType, host: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FlightLogOffset].seq
     val latest = availableNowCap.getOrElse(remoteLogSize)
+    // a remote log SHORTER than the checkpointed offset means the
+    // server restarted and lost appends — fail with the real diagnosis
+    // instead of letting an inverted (start, end] range die in an
+    // opaque server-side range check
+    if (latest < s)
+      throw new IllegalStateException(
+        s"flight append log truncated below the checkpointed offset: " +
+          s"remote length $latest < offset $s — the server lost " +
+          "appends (restart?); clear the checkpoint or replay the log")
     limit match {
       case mf: ReadMaxFiles =>
         FlightLogOffset(math.min(s + mf.maxFiles().toLong, latest))

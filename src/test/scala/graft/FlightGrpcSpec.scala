@@ -130,16 +130,19 @@ class FlightGrpcSpec extends AnyFunSuite {
     withServer { srv =>
       srv.register("people", sample)
       withClient(srv) { c =>
-        val ticket = c.doAction("cypher.read",
+        // submitJob decodes the serialized-Ticket Result.body (the
+        // reference client's `_submit` contract over gRPC); jobStatus
+        // polls with a serialized-Ticket body the same way
+        val ticket = c.submitJob("cypher.read",
           ActionMessages.CypherMessage("graft",
             "SELECT id % 5 AS g, count(*) AS n FROM people GROUP BY 1")
-            .serialize).asString
+            .serialize)
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        var st = c.doAction("job.status", ticket).asString
+        var st = c.jobStatus(ticket)
         while (st != "COMPLETE" && st != "ERROR" &&
             System.nanoTime() < deadline) {
           Thread.sleep(50)
-          st = c.doAction("job.status", ticket).asString
+          st = c.jobStatus(ticket)
         }
         assert(st == "COMPLETE")
         val res = c.doGet(spark, ticket)
@@ -189,7 +192,8 @@ class FlightGrpcSpec extends AnyFunSuite {
         assert(c.listActions().map(_.atype).toSet == Set("cypher.read",
           "gds.read", "job.status", "job.cancel", "job.submit",
           "info.jobs", "info.version", "flight.log", "flight.log.schema",
-          "flight.log.tickets"))
+          "flight.log.tickets", "gds.write.nodes",
+            "gds.write.relationships"))
       }
     }
   }

@@ -134,7 +134,8 @@ class FlightProtoSpec extends AnyFunSuite {
         assert(actions.map(_.atype).toSet ==
           Set("cypher.read", "gds.read", "job.status", "job.cancel",
             "job.submit", "info.jobs", "info.version", "flight.log",
-            "flight.log.schema", "flight.log.tickets"))
+            "flight.log.schema", "flight.log.tickets", "gds.write.nodes",
+            "gds.write.relationships"))
         actions.foreach { a =>
           val fs = parse(a.encode) // ActionType fields 1/2 per Flight.proto
           assert(new String(b1(fs, 1), UTF_8) == a.atype)
