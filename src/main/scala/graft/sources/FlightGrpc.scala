@@ -334,10 +334,24 @@ object FlightGrpc {
         // (the multiplex stream channel forwards this as consumed bytes)
         if (fc > 0) { ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(fc)); () }
         if (end) finish(ctx)
+        else if (method == "Handshake" && hasCompleteMessage(body.toByteArray))
+          // Handshake is BIDI: an upstream auth handler blocks reading
+          // the HandshakeResponse BEFORE half-closing its side, so the
+          // server must answer the first message eagerly — waiting for
+          // END_STREAM here deadlocks a stock client's authenticate()
+          finish(ctx)
       case other =>
         io.netty.util.ReferenceCountUtil.release(other)
         ()
     }
+
+    /** At least one complete length-prefixed gRPC message buffered? */
+    private def hasCompleteMessage(bytes: Array[Byte]): Boolean =
+      bytes.length >= 5 && {
+        val len = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
+          ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+        len >= 0 && bytes.length >= 5 + len
+      }
 
     override def exceptionCaught(ctx: ChannelHandlerContext,
                                  cause: Throwable): Unit = {
@@ -376,7 +390,10 @@ object FlightGrpc {
       * long DoGet must never stall the event loop that carries OTHER
       * streams' frames. Netty writes are thread-safe (scheduled onto the
       * loop). */
+    private var dispatched = false
     private def finish(ctx: ChannelHandlerContext): Unit = {
+      if (dispatched) return // eager-Handshake path already answered
+      dispatched = true
       val bytes = body.toByteArray
       val m = method
       val ok = authorized
@@ -431,7 +448,9 @@ object FlightGrpc {
         case e: IllegalArgumentException =>
           finishRpc(Status.InvalidArgument, String.valueOf(e.getMessage))
         case NonFatal(e) =>
-          finishRpc(Status.Unknown, String.valueOf(e.getMessage))
+          // e.toString when there is no message: "null" diagnoses nothing
+          finishRpc(Status.Unknown,
+            if (e.getMessage == null) e.toString else e.getMessage)
       }
     }
 
@@ -532,8 +551,11 @@ object FlightGrpc {
               "first FlightData must carry a descriptor"))
           desc.dtype match {
             case FlightProto.DescriptorType.Path =>
-              val msgs = frames.map(fd =>
-                FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+              // skip headerless frames (descriptor- or metadata-only)
+              val msgs = frames.collect {
+                case fd if fd.dataHeader.nonEmpty =>
+                  FlightProto.IpcMessage(fd.dataHeader, fd.dataBody)
+              }
               desc.path match {
                 // path ["append", name]: one immutable batch onto the
                 // flight's APPEND LOG (the readStream ingest surface)

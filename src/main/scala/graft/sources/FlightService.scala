@@ -272,6 +272,17 @@ final class FlightService(val spark: SparkSession) {
     }
   }
 
+  /** FlightData frames → IPC messages, skipping frames with no header:
+    * an upstream client's first DoExchange/DoPut frame may carry ONLY
+    * the descriptor (pyarrow sends descriptor-only, then Schema), and
+    * metadata-only frames are legal anywhere in a stream. */
+  private def ipcMessages(
+      frames: Seq[FlightProto.FlightData]): Seq[FlightProto.IpcMessage] =
+    frames.collect {
+      case fd if fd.dataHeader.nonEmpty =>
+        FlightProto.IpcMessage(fd.dataHeader, fd.dataBody)
+    }
+
   /** acceptPut with the schema taken from the wire itself. */
   def ingestFlightData(name: String,
                        msgs: Seq[FlightProto.IpcMessage]): Long =
@@ -280,13 +291,13 @@ final class FlightService(val spark: SparkSession) {
 
   /** DoExchange with the schema taken from the wire itself. */
   def exchange(frames: Seq[FlightProto.FlightData]): DataFrame =
-    exchange(FlightService.sparkSchemaOfStream(frames.map(fd =>
-      FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))).toDDL, frames)
+    exchange(FlightService.sparkSchemaOfStream(ipcMessages(frames)).toDDL,
+      frames)
 
   /** Graph-part put with the schema taken from the wire itself. */
   def putGraphPart(frames: Seq[FlightProto.FlightData]): Long =
-    putGraphPart(FlightService.sparkSchemaOfStream(frames.map(fd =>
-      FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))).toDDL, frames)
+    putGraphPart(FlightService.sparkSchemaOfStream(ipcMessages(frames)).toDDL,
+      frames)
 
   /** Ingest raw per-partition IPC stream blobs as flight `name`.
     * Materializes NOW: ingest must fail on this request (bad schema,
@@ -328,8 +339,7 @@ final class FlightService(val spark: SparkSession) {
     Predef.require(desc.dtype == FlightProto.DescriptorType.Cmd,
       "descriptor must be CMD (a serialized CypherMessage)")
     val msg = ActionMessages.CypherMessage.deserialize(desc.cmd)
-    val msgs = frames.map(fd =>
-      FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+    val msgs = ipcMessages(frames)
     val schema = StructType.fromDDL(ddl)
     import spark.implicits._
     val inputDf = ArrowIpc.fromIpcStreams(
@@ -353,8 +363,7 @@ final class FlightService(val spark: SparkSession) {
         "first FlightData must carry a descriptor"))
     Predef.require(desc.dtype == FlightProto.DescriptorType.Cmd,
       "descriptor must be CMD (a serialized write message)")
-    val msgs = frames.map(fd =>
-      FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
+    val msgs = ipcMessages(frames)
     val schema = StructType.fromDDL(ddl)
     import spark.implicits._
     val df = ArrowIpc.fromIpcStreams(

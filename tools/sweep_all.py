@@ -38,6 +38,24 @@ def main():
             [sys.executable, os.path.join(REPO, "tools", "check.py"),
              sf_dir, out_dir, res_json], cwd=REPO, check=False)
         combined[f"sf{sf}"] = json.load(open(res_json))
+    # upstream-client interop gate: the stock pyarrow.flight client must
+    # complete the full verb set against the gRPC server (a self-verified
+    # wire is not proof; see tools/flight_interop.py). One merged row per
+    # interop step so a wire regression reds the sweep like any oracle
+    # mismatch.
+    print("=== flight interop (upstream pyarrow client)", flush=True)
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "flight_interop.py"),
+         "/root/testdata/sf0.001"], cwd=REPO, check=False).returncode
+    try:
+        steps = json.load(open(os.path.join(REPO, "INTEROP.json")))["steps"]
+    except Exception:
+        steps = {"interop_run": "FAILED to produce INTEROP.json"}
+    combined["interop"] = {
+        f"flight_interop:{k}": ("OK" if v == "pass" else f"FAIL {v}")
+        for k, v in steps.items()}
+    if rc != 0:
+        combined["interop"]["flight_interop:exit"] = f"FAIL rc={rc}"
     out_path = os.path.join(REPO, "CORRECTNESS_local.json")
     with open(out_path, "w") as f:
         json.dump(combined, f, indent=1, sort_keys=True)
