@@ -81,6 +81,12 @@ object FlightGrpc {
   private val TicketActions = Set("cypher.read", "gds.read", "job.submit",
     "gds.write.nodes", "gds.write.relationships")
 
+  /** Raised by the producer loop when the client closes its stream
+    * mid-response — the disconnect hook (Producer.java:133-136 analog):
+    * the remaining work is abandoned, not burned into a dead socket. */
+  private[sources] final class ClientGoneException
+      extends RuntimeException("stream closed by client mid-response")
+
   // ---------------------------------------------------------------- TLS
   /** TLS for the Flight endpoint — the last session-layer delta to a
     * stock grpc-java Flight deployment (`grpc+tls://` locations). gRPC
@@ -205,6 +211,9 @@ object FlightGrpc {
                      tls: Option[Tls.ServerTls] = None) {
     val service: FlightService =
       sharedService.getOrElse(new FlightService(spark))
+    /** Responses abandoned because the client went away mid-stream —
+      * observable evidence the disconnect hook fired (specs poll it). */
+    val abortedResponses = new java.util.concurrent.atomic.AtomicInteger(0)
     private[FlightGrpc] val secure: Boolean = tls.isDefined
     private val group =
       new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
@@ -333,6 +342,7 @@ object FlightGrpc {
         // replenish stream + connection windows for what we consumed
         // (the multiplex stream channel forwards this as consumed bytes)
         if (fc > 0) { ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(fc)); () }
+        if (method == "DoPut" && putParseError == null) drainPut()
         if (end) finish(ctx)
         else if (method == "Handshake" && hasCompleteMessage(body.toByteArray))
           // Handshake is BIDI: an upstream auth handler blocks reading
@@ -352,6 +362,120 @@ object FlightGrpc {
           ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
         len >= 0 && bytes.length >= 5 + len
       }
+
+    // ---- streaming DoPut ingest: FlightData messages decode AS THEY
+    // ARRIVE (the request body is consumed, never accumulated) and, past
+    // SpillThreshold, the decoded IPC streams spill to `.arrows` files —
+    // so a 100 GB upload holds ONE message on the heap, and the flight
+    // registers as a lazy DSv2 read over the spill files
+    // (FlightService.ingestSpilledPut). CMD-descriptor puts (graph
+    // parts) keep the buffered route: their ingest re-shapes columns
+    // eagerly anyway.
+    private val SpillThreshold = 4 << 20
+    private var putFramesRev = List.empty[FlightProto.FlightData]
+    private var putBytes = 0L
+    private var putDescriptor: Option[FlightProto.FlightDescriptor] = None
+    private var putSchemaDdl: String = null
+    private var spillDir: java.io.File = null
+    private var spillOut: java.io.OutputStream = null
+    private var spillFileIdx = 0
+    private var putParseError: GrpcException = null
+
+    /** Drain complete gRPC messages from `body` (DoPut only): decode
+      * each FlightData immediately; keep only the unparsed tail. */
+    private def drainPut(): Unit = {
+      val bytes = body.toByteArray
+      var pos = 0
+      try {
+        var more = true
+        while (more) {
+          more = false
+          if (bytes.length - pos >= 5) {
+            val flag = bytes(pos) & 0xFF
+            if (flag != 0)
+              throw new GrpcException(Status.Unimplemented,
+                "compressed gRPC messages not supported (identity only)")
+            val len = ((bytes(pos + 1) & 0xFF) << 24) |
+              ((bytes(pos + 2) & 0xFF) << 16) |
+              ((bytes(pos + 3) & 0xFF) << 8) | (bytes(pos + 4) & 0xFF)
+            if (len < 0)
+              throw new GrpcException(Status.Internal,
+                s"bad gRPC frame length $len")
+            if (bytes.length - pos >= 5 + len) {
+              onPutMessage(java.util.Arrays.copyOfRange(
+                bytes, pos + 5, pos + 5 + len))
+              pos += 5 + len
+              more = true
+            }
+          }
+        }
+      } catch {
+        case e: GrpcException => putParseError = e
+        case NonFatal(e) =>
+          putParseError = new GrpcException(Status.Internal,
+            s"put stream decode failed: ${e.getMessage}")
+      }
+      if (pos > 0) {
+        body.reset()
+        body.write(bytes, pos, bytes.length - pos)
+      }
+    }
+
+    private def spillEligible: Boolean = putDescriptor.exists(d =>
+      d.dtype == FlightProto.DescriptorType.Path)
+
+    private def onPutMessage(payload: Array[Byte]): Unit = {
+      val fd = FlightProto.FlightData.decode(payload)
+      if (putDescriptor.isEmpty) putDescriptor = fd.descriptor
+      if (spillOut == null) {
+        putFramesRev ::= fd
+        putBytes += payload.length
+        if (putBytes > SpillThreshold && spillEligible) {
+          spillDir = java.nio.file.Files
+            .createTempDirectory("graft_put_spill_").toFile
+          val buffered = putFramesRev.reverse
+          putFramesRev = Nil
+          buffered.foreach(writeSpill)
+        }
+      } else writeSpill(fd)
+    }
+
+    /** One FlightData onto the spill: a Schema header rolls to the next
+      * `.arrows` file (one file per logical partition stream). */
+    private def writeSpill(fd: FlightProto.FlightData): Unit = {
+      if (fd.dataHeader.isEmpty) return // descriptor-/metadata-only frame
+      val msg = FlightProto.IpcMessage(fd.dataHeader, fd.dataBody)
+      if (FlightProto.isSchemaMessage(msg)) {
+        if (putSchemaDdl == null)
+          putSchemaDdl =
+            FlightService.sparkSchemaOfStream(Seq(msg)).toDDL
+        rollSpillFile()
+      } else if (spillOut == null)
+        throw new GrpcException(Status.InvalidArgument,
+          "put stream does not start with a Schema message")
+      val hdr = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(-1); hdr.putInt(msg.metadata.length)
+      spillOut.write(hdr.array())
+      spillOut.write(msg.metadata)
+      spillOut.write(msg.body)
+    }
+
+    private val SpillEos: Array[Byte] =
+      Array(-1, -1, -1, -1, 0, 0, 0, 0).map(_.toByte)
+
+    private def rollSpillFile(): Unit = {
+      if (spillOut != null) { spillOut.write(SpillEos); spillOut.close() }
+      val f = new java.io.File(spillDir, f"part-$spillFileIdx%05d.arrows")
+      spillFileIdx += 1
+      spillOut = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f), 1 << 16)
+    }
+
+    private def closeSpill(): Unit = {
+      if (spillOut != null) { spillOut.write(SpillEos); spillOut.close() }
+      spillOut = null
+    }
 
     override def exceptionCaught(ctx: ChannelHandlerContext,
                                  cause: Throwable): Unit = {
@@ -381,9 +505,7 @@ object FlightGrpc {
       // a closed stream (client cancel / disconnect) aborts the
       // producer loop instead of burning Spark work into a void —
       // the reference's disconnect hook (Producer.java:133-136)
-      if (!ch.isActive)
-        throw new GrpcException(Status.Unknown,
-          "stream closed by client mid-response")
+      if (!ch.isActive) throw new ClientGoneException
     }
 
     /** Spark work (ingest, query, egress) runs on the dispatch pool — a
@@ -397,11 +519,23 @@ object FlightGrpc {
       val bytes = body.toByteArray
       val m = method
       val ok = authorized
-      srv.dispatchPool.execute(() => respond(ctx, m, ok, bytes))
+      val frames = putFramesRev.reverse
+      val spilled =
+        if (spillDir != null) {
+          closeSpill()
+          Some((putDescriptor, spillDir, putSchemaDdl))
+        } else None
+      val err = putParseError
+      srv.dispatchPool.execute(() =>
+        respond(ctx, m, ok, bytes, frames, spilled, err))
     }
 
     private def respond(ctx: ChannelHandlerContext, method: String,
-                        ok: Boolean, bytes: Array[Byte]): Unit = {
+                        ok: Boolean, bytes: Array[Byte],
+                        putFrames: Seq[FlightProto.FlightData],
+                        spilled: Option[(Option[FlightProto.FlightDescriptor],
+                          java.io.File, String)],
+                        putError: GrpcException): Unit = {
       var headersSent = false
       def writeMsg(payload: Array[Byte]): Unit = {
         if (!headersSent) {
@@ -434,12 +568,32 @@ object FlightGrpc {
         ()
       }
       try {
-        val reqs = parseGrpcMessages(bytes)
+        if (putError != null) throw putError
+        // DoPut bodies were consumed incrementally — bytes holds only
+        // an (empty) tail for them
+        val reqs =
+          if (method == "DoPut") Seq.empty else parseGrpcMessages(bytes)
         if (!ok && method != "Handshake")
           throw new GrpcException(Status.Unauthenticated, "unauthenticated")
-        dispatch(method, reqs, ok, writeMsg)
+        spilled match {
+          case Some((Some(desc), dir, ddl)) =>
+            if (ddl == null)
+              throw new GrpcException(Status.InvalidArgument,
+                "put stream carried no Schema message")
+            writeMsg(FlightProto.PutResult.of(
+              srv.service.ingestSpilledPut(desc, dir, ddl).toString).encode)
+          case Some((None, _, _)) =>
+            throw new GrpcException(Status.InvalidArgument,
+              "first FlightData must carry a descriptor")
+          case None =>
+            dispatch(method, reqs, ok, putFrames, writeMsg)
+        }
         finishRpc(Status.Ok, "")
       } catch {
+        case _: ClientGoneException =>
+          // the socket is gone: count the abort, send nothing
+          srv.abortedResponses.incrementAndGet()
+          ()
         case e: GrpcException => finishRpc(e.code, e.getMessage)
         case e: NoSuchElementException =>
           finishRpc(Status.NotFound, String.valueOf(e.getMessage))
@@ -456,6 +610,7 @@ object FlightGrpc {
 
     private def dispatch(method: String, reqs: Seq[Array[Byte]],
                          headerAuthorized: Boolean,
+                         putFrames: Seq[FlightProto.FlightData],
                          write: Array[Byte] => Unit): Unit = {
       val service = srv.service
       // Flight location scheme per the upstream convention: grpc+tcp for
@@ -545,7 +700,7 @@ object FlightGrpc {
               }
           }
         case "DoPut" =>
-          val frames = reqs.map(FlightProto.FlightData.decode)
+          val frames = putFrames // decoded incrementally by drainPut()
           val desc = frames.headOption.flatMap(_.descriptor).getOrElse(
             throw new GrpcException(Status.InvalidArgument,
               "first FlightData must carry a descriptor"))
@@ -707,6 +862,43 @@ object FlightGrpc {
       r.messages
     }
 
+    /** One RPC whose request messages stream from an iterator, each
+      * write SYNCED through the event loop before the next is pulled —
+      * the upload never materializes client-side and a full HTTP/2
+      * window backpressures the producer instead of growing the
+      * outbound buffer. Requires a non-empty iterator. */
+    def callStreamingOk(method: String,
+                        reqs: Iterator[Array[Byte]]): Seq[Array[Byte]] = {
+      val done = new CompletableFuture[RpcResult]()
+      val sc: Http2StreamChannel = new Http2StreamChannelBootstrap(ch)
+        .handler(new ClientStreamHandler(done))
+        .open().sync().getNow
+      val headers = new DefaultHttp2Headers()
+        .method("POST").scheme(if (tls.isDefined) "https" else "http")
+        .authority(s"$host:$port")
+        .path(ServicePath + method)
+      headers.set("content-type", "application/grpc+proto")
+      headers.set("te", "trailers")
+      headers.set("authorization", s"Bearer $token")
+      sc.write(new DefaultHttp2HeadersFrame(headers, false))
+      var cur = reqs.next()
+      var more = true
+      while (more) {
+        more = reqs.hasNext
+        val buf = sc.alloc().buffer(5 + cur.length)
+        buf.writeByte(0); buf.writeInt(cur.length); buf.writeBytes(cur)
+        // sync(): completes only once the frame clears the flow-control
+        // window — one in-flight message, backpressure for free
+        sc.writeAndFlush(new DefaultHttp2DataFrame(buf, !more)).sync()
+        if (more) cur = reqs.next()
+      }
+      val r = done.get(180, TimeUnit.SECONDS)
+      if (r.status != 0)
+        throw new GrpcException(r.status,
+          s"$method failed: grpc-status ${r.status} ${r.statusMessage}")
+      r.messages
+    }
+
     /** Flight auth handshake; true iff the server accepted the secret. */
     def handshake(secret: String): Boolean =
       callRaw("Handshake", Seq(FlightProto.Handshake.of(secret).encode),
@@ -777,18 +969,31 @@ object FlightGrpc {
 
     private def putFrames(desc: FlightProto.FlightDescriptor,
                           df: DataFrame): Long = {
-      val frames = Seq.newBuilder[Array[Byte]]
+      // one partition's IPC stream in memory at a time, streamed out
+      // message-by-message — the client-side mirror of the server's
+      // spill ingest (never the whole upload as a frame list)
+      val blobs = ArrowIpc.toIpcStreams(df).toLocalIterator()
       var first = true
-      ArrowIpc.toIpcStreams(df).toLocalIterator().forEachRemaining { blob =>
-        FlightProto.splitIpcStream(blob).foreach { m =>
-          frames += FlightProto.FlightData(
-            if (first) Some(desc) else None,
-            m.metadata, Array.emptyByteArray, m.body).encode
-          first = false
+      val frames: Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+        private var queue: List[Array[Byte]] = Nil
+        private def refill(): Unit =
+          while (queue.isEmpty && blobs.hasNext) {
+            queue = FlightProto.splitIpcStream(blobs.next()).map { m =>
+              val fd = FlightProto.FlightData(
+                if (first) Some(desc) else None,
+                m.metadata, Array.emptyByteArray, m.body).encode
+              first = false
+              fd
+            }.toList
+          }
+        def hasNext: Boolean = { refill(); queue.nonEmpty }
+        def next(): Array[Byte] = {
+          refill()
+          val h = queue.head; queue = queue.tail; h
         }
       }
       FlightProto.PutResult.decode(
-        callOk("DoPut", frames.result()).head).asString.toLong
+        callStreamingOk("DoPut", frames).head).asString.toLong
     }
 
     /** DoExchange: stream `df` up under a CMD CypherMessage descriptor

@@ -31,6 +31,9 @@ final class FlightService(val spark: SparkSession) {
   // reference's client flow (neo4j_arrow.py:200-225 gds_write_nodes →
   // put with FlightDescriptor.for_command(ticket.serialize()))
   private val pendingWriteMsgs = TrieMap.empty[String, Array[Byte]]
+  /** Large uploads ingested via the disk-spill path (observable in
+    * specs: proves a big DoPut really avoided the heap route). */
+  val spilledPuts = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def register(name: String, df: DataFrame): Unit = {
     tables.put(name, df)
@@ -310,6 +313,42 @@ final class FlightService(val spark: SparkSession) {
       .localCheckpoint(true)
     tables.put(name, df)
     df.count()
+  }
+
+  /** acceptPut of a LARGE upload the transport spilled to disk: `dir`
+    * holds the decoded per-stream `.arrows` files (exactly the framing
+    * [[ArrowIpc.writeIpcFiles]] produces), so the flight registers as a
+    * LAZY DSv2 read over them — the table never materializes on the
+    * server heap; readers stream file bytes per partition. The count
+    * ack streams the files once (bounded: one batch of one file in
+    * memory at a time). */
+  def ingestSpilledPut(desc: FlightProto.FlightDescriptor,
+                       dir: java.io.File, ddl: String): Long = {
+    spilledPuts.incrementAndGet()
+    stagedDirs.add(dir)
+    val schema = StructType.fromDDL(ddl)
+    val files = ArrowIpcSource.listFiles(dir.getAbsolutePath)
+    Predef.require(files.nonEmpty, "spilled put produced no streams")
+    def lazyDf: DataFrame = spark.read
+      .format("graft.sources.ArrowIpcSource")
+      .schema(schema)
+      .option("path", dir.getAbsolutePath).load()
+    desc.path match {
+      case Seq("append", name) => synchronized {
+        appendSchemaDdl.get(name).foreach(d =>
+          Predef.require(d == schema.toDDL,
+            s"append schema drift for $name: ${schema.toDDL} != $d"))
+        // the spill files ARE the staged batch — no re-write
+        appendLog.put(name, appendLog.getOrElse(name, Vector.empty) :+ files)
+        appendSchemaDdl.put(name, schema.toDDL)
+        lazyDf.count()
+      }
+      case Seq(name) =>
+        register(name, lazyDf)
+        lazyDf.count()
+      case other => throw new IllegalArgumentException(
+        s"bad put path: $other")
+    }
   }
 
   /** acceptPut: a FlightData message stream (Schema headers delimit the

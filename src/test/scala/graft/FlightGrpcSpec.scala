@@ -186,6 +186,61 @@ class FlightGrpcSpec extends AnyFunSuite {
     }
   }
 
+  test("a DoPut past the spill threshold ingests via disk (lazy DSv2 " +
+      "read), round-trips exactly, and a second append batch follows") {
+    withServer { srv =>
+      withClient(srv) { c =>
+        // ~12 MB of padded rows: well past the 4 MB spill threshold
+        val big = spark.range(0L, 150000L)
+          .select($"id", lpad($"id".cast("string"), 64, "p").as("pad"))
+          .repartition(3)
+        assert(c.doPut("spilled", big) == 150000L)
+        assert(srv.service.spilledPuts.get() == 1,
+          "large put did not take the spill route")
+        val back = c.doGet(spark, "spilled")
+        assert(back.count() == 150000L)
+        assert(back.agg(sum(length($"pad")), sum($"id")).as[(Long, Long)]
+          .head == (150000L * 64, 150000L * 149999L / 2))
+        // append-log spill: the staged batch IS the spill files
+        assert(c.doPutAppend("spill_log", big) == 150000L)
+        assert(srv.service.spilledPuts.get() == 2)
+        assert(c.doAction("flight.log", "spill_log").asString == "1")
+        // a small put still takes the in-memory route
+        c.doPut("tiny", spark.range(0L, 10L).toDF("id"))
+        assert(srv.service.spilledPuts.get() == 2)
+        assert(c.doGet(spark, "tiny").count() == 10L)
+      }
+    }
+  }
+
+  test("a client vanishing mid-DoGet aborts the server's producer loop " +
+      "(disconnect hook) and leaves the server serving") {
+    withServer { srv =>
+      // big enough that the stream is still in flight when the client
+      // dies: ~60 MB of padded rows
+      srv.register("big_stream", spark.range(0L, 800000L)
+        .select($"id", lpad($"id".cast("string"), 64, "x").as("pad"))
+        .repartition(4))
+      val c = new FlightGrpc.Client("127.0.0.1", srv.port, "sekrit")
+      val puller = new Thread(() =>
+        try c.call("DoGet", Seq(FlightProto.Ticket.of("big_stream").encode))
+        catch { case _: Throwable => () })
+      puller.start()
+      Thread.sleep(300) // let the producer start streaming
+      c.close()         // vanish mid-response
+      puller.join(10000)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (srv.abortedResponses.get() == 0 &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      assert(srv.abortedResponses.get() == 1,
+        "producer loop did not abort on client disconnect")
+      // the server is unharmed: a fresh connection completes a full RPC
+      withClient(srv) { c2 =>
+        assert(c2.doGet(spark, "big_stream").count() == 800000L)
+      }
+    }
+  }
+
   test("listActions matches the service's action surface") {
     withServer { srv =>
       withClient(srv) { c =>

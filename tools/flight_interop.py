@@ -186,6 +186,27 @@ def run_battery(results, client, options, ready, nation_pq, orders_pq):
         assert_tables_equal(got, t, ["k"], "do_put_roundtrip")
     step("do_put_roundtrip", s_do_put_roundtrip)
 
+    # -- a LARGE upload (past the server's 4 MB spill threshold): the
+    # ingest must take the disk-spill route and still serve back exactly
+    def s_do_put_large_spill():
+        n = 120000
+        t = pa.table({
+            "k": pa.array(range(n), pa.int64()),
+            "pad": pa.array([f"{i:064d}" for i in range(n)], pa.string()),
+        })
+        desc = flight.FlightDescriptor.for_path("py_big")
+        writer, reader = client.do_put(desc, t.schema, options)
+        writer.write_table(t, max_chunksize=4096)
+        writer.done_writing()
+        assert reader.read().to_pybytes() == str(n).encode()
+        writer.close()
+        info = client.get_flight_info(desc, options)
+        got = read_flight(client, options, info)
+        assert got.num_rows == n
+        assert pc.sum(got.column("k")).as_py() == n * (n - 1) // 2
+        assert pc.sum(pc.utf8_length(got.column("pad"))).as_py() == n * 64
+    step("do_put_large_spill", s_do_put_large_spill)
+
     # -- actions
     def s_list_actions():
         kinds = {a.type for a in client.list_actions(options)}
