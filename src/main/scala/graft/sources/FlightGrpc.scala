@@ -495,6 +495,15 @@ object FlightGrpc {
     }
     override def channelInactive(ctx: ChannelHandlerContext): Unit = {
       writeGate.synchronized { writeGate.notifyAll() }
+      // an upload that died before END_STREAM never reaches finish():
+      // reclaim its spill files here (after finish(), respond() owns
+      // the cleanup-or-transfer decision)
+      if (!dispatched && spillDir != null) {
+        try closeSpill() catch { case NonFatal(_) => () }
+        Option(spillDir.listFiles).foreach(_.foreach(_.delete()))
+        spillDir.delete()
+        spillDir = null
+      }
       ctx.fireChannelInactive(); ()
     }
     private def awaitWritable(ctx: ChannelHandlerContext): Unit = {
@@ -567,6 +576,8 @@ object FlightGrpc {
         ctx.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
         ()
       }
+      // dropped on any failure UNLESS ingest transferred ownership
+      var spillPending = spilled
       try {
         if (putError != null) throw putError
         // DoPut bodies were consumed incrementally — bytes holds only
@@ -580,8 +591,9 @@ object FlightGrpc {
             if (ddl == null)
               throw new GrpcException(Status.InvalidArgument,
                 "put stream carried no Schema message")
-            writeMsg(FlightProto.PutResult.of(
-              srv.service.ingestSpilledPut(desc, dir, ddl).toString).encode)
+            val n = srv.service.ingestSpilledPut(desc, dir, ddl)
+            spillPending = None // the service owns the files now
+            writeMsg(FlightProto.PutResult.of(n.toString).encode)
           case Some((None, _, _)) =>
             throw new GrpcException(Status.InvalidArgument,
               "first FlightData must carry a descriptor")
@@ -593,19 +605,35 @@ object FlightGrpc {
         case _: ClientGoneException =>
           // the socket is gone: count the abort, send nothing
           srv.abortedResponses.incrementAndGet()
-          ()
-        case e: GrpcException => finishRpc(e.code, e.getMessage)
+          dropSpill(spillPending)
+        case e: GrpcException =>
+          dropSpill(spillPending)
+          finishRpc(e.code, e.getMessage)
         case e: NoSuchElementException =>
+          dropSpill(spillPending)
           finishRpc(Status.NotFound, String.valueOf(e.getMessage))
         case e: UnsupportedOperationException =>
+          dropSpill(spillPending)
           finishRpc(Status.Unimplemented, String.valueOf(e.getMessage))
         case e: IllegalArgumentException =>
+          dropSpill(spillPending)
           finishRpc(Status.InvalidArgument, String.valueOf(e.getMessage))
         case NonFatal(e) =>
           // e.toString when there is no message: "null" diagnoses nothing
+          dropSpill(spillPending)
           finishRpc(Status.Unknown,
             if (e.getMessage == null) e.toString else e.getMessage)
       }
+    }
+
+    /** Delete an un-ingested spill directory (an RPC that failed before
+      * FlightService took ownership of the files). */
+    private def dropSpill(
+        pending: Option[(Option[FlightProto.FlightDescriptor],
+          java.io.File, String)]): Unit = pending.foreach { case (_, dir, _) =>
+      Option(dir.listFiles).foreach(_.foreach(_.delete()))
+      dir.delete()
+      ()
     }
 
     private def dispatch(method: String, reqs: Seq[Array[Byte]],

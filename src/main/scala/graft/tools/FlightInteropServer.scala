@@ -76,6 +76,24 @@ object FlightInteropServer {
     plain.register("nation", nation)
     plain.register("orders", orders)
 
+    // optional 3rd arg "bench": also serve the reference's headline
+    // egress workload (speed/26-aug-2021/README.md:92-112 — 1,892,751
+    // rows of (long, float[256])) so tools/flight_egress_bench.py can
+    // measure DoGet throughput with the STOCK pyarrow client, the same
+    // client stack the reference's own measurement used. Partition
+    // staging happens at GetFlightInfo (before the clock), mirroring
+    // the reference's data-ready-in-GDS-memory methodology.
+    if (args.length > 2 && args(2) == "bench") {
+      import org.apache.spark.sql.functions.{lit, sequence, transform}
+      val rows = 1892751L
+      val dim = 256
+      plain.register("bench_embeddings", spark.range(rows)
+        .select(col("id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => ((col("id") + i) % 997).cast("float") / 997.0f)
+            .as("embedding")))
+    }
+
     val ready =
       s"""{"port":${plain.port},"tlsPort":${secure.port},""" +
         s""""token":"$token","certPem":"${certPem.toString}",""" +

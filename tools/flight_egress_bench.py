@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""DoGet throughput with the STOCK pyarrow.flight client on the
+reference's headline workload (speed/26-aug-2021/README.md:92-112:
+1,892,751 rows of (long nodeId, float[256] embedding); the reference
+published 1,031,461 rows/s avg-best-3, measured with ITS python client
+between two VMs).
+
+Here the same payload streams from graft's hand-rolled gRPC/HTTP/2
+Flight server to the same upstream client stack over the loopback —
+the closest apples-to-apples the sandbox allows. Partition staging runs
+at GetFlightInfo (before the clock), mirroring the reference's
+data-already-in-GDS-memory methodology; the timed section is pure
+transport + client-side Arrow decode, 8 consumer threads.
+
+Usage: python3 tools/flight_egress_bench.py
+Writes EGRESS.json and prints one JSON line.
+"""
+import json
+import pathlib
+import queue
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+import pyarrow as pa
+import pyarrow.flight as flight
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from flight_interop import ADD_OPENS, REPO  # noqa: E402
+
+ROWS = 1892751
+THREADS = 8
+
+
+def start_server(ctl_dir):
+    cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+    cmd = ["java"] + [a for p in ADD_OPENS
+                      for a in ("--add-opens", f"{p}=ALL-UNNAMED")] + [
+        "-Xmx8g", "-Dspark.ui.enabled=false", "-cp", cp,
+        "graft.tools.FlightInteropServer", "/root/testdata/sf0.001",
+        ctl_dir, "bench"]
+    log = open(f"{ctl_dir}/server.log", "w")
+    proc = subprocess.Popen(cmd, stdout=log, stderr=log)
+    ready = pathlib.Path(ctl_dir, "ready.json")
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise RuntimeError(f"server died; see {ctl_dir}/server.log")
+        if ready.exists():
+            return proc, json.loads(ready.read_text())
+        time.sleep(0.5)
+    raise RuntimeError("server not ready in 300s")
+
+
+def timed_run(port, options, tickets):
+    q = queue.Queue()
+    for t in tickets:
+        q.put(t)
+    counts = []
+    lock = threading.Lock()
+
+    def worker():
+        client = flight.FlightClient(f"grpc+tcp://127.0.0.1:{port}")
+        n = 0
+        try:
+            while True:
+                try:
+                    tk = q.get_nowait()
+                except queue.Empty:
+                    break
+                reader = client.do_get(tk, options)
+                while True:
+                    try:
+                        chunk = reader.read_chunk()
+                    except StopIteration:
+                        break
+                    n += chunk.data.num_rows
+        finally:
+            client.close()
+        with lock:
+            counts.append(n)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=worker) for _ in range(THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.time() - t0
+    assert sum(counts) == ROWS, f"row drift: {sum(counts)}"
+    return dt
+
+
+def main():
+    ctl_dir = tempfile.mkdtemp(prefix="flight_egress_")
+    proc = None
+    try:
+        print("[egress] starting bench server ...", flush=True)
+        proc, ready = start_server(ctl_dir)
+        port = ready["port"]
+        client = flight.FlightClient(f"grpc+tcp://127.0.0.1:{port}")
+        pair = client.authenticate_basic_token("u", ready["token"])
+        options = flight.FlightCallOptions(headers=[pair])
+        # staging job runs HERE (one endpoint per partition) — the clock
+        # below times transport + decode only
+        info = client.get_flight_info(
+            flight.FlightDescriptor.for_path("bench_embeddings"), options)
+        tickets = [ep.ticket for ep in info.endpoints]
+        print(f"[egress] {len(tickets)} endpoints staged", flush=True)
+        timed_run(port, options, tickets)  # warm-up
+        runs = [timed_run(port, options, tickets) for _ in range(3)]
+        client.close()
+        best = min(runs)
+        out = {
+            "metric": "arrow-egress",
+            "envelope": "grpc-flight-pyarrow-client",
+            "client": f"pyarrow {pa.__version__} (upstream)",
+            "rows": ROWS, "dim": 256, "threads": THREADS,
+            "best_sec": round(best, 2),
+            "rows_per_sec": int(ROWS / best),
+            "runs_sec": [round(r, 2) for r in runs],
+            "reference_rows_per_sec": 1031461,
+            "reference_provenance": "speed/26-aug-2021/README.md:104-112",
+        }
+        pathlib.Path(REPO, "EGRESS.json").write_text(
+            json.dumps(out, indent=1) + "\n")
+        print(json.dumps(out))
+    finally:
+        pathlib.Path(ctl_dir, "stop").touch()
+        if proc is not None:
+            try:
+                proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+
+
+if __name__ == "__main__":
+    main()
