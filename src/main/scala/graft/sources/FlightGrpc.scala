@@ -372,6 +372,7 @@ object FlightGrpc {
     // parts) keep the buffered route: their ingest re-shapes columns
     // eagerly anyway.
     private val SpillThreshold = 4 << 20
+    private val SpillRollBytes = 64L << 20 // new file every ~64 MB
     private var putFramesRev = List.empty[FlightProto.FlightData]
     private var putBytes = 0L
     private var putDescriptor: Option[FlightProto.FlightDescriptor] = None
@@ -442,23 +443,40 @@ object FlightGrpc {
 
     /** One FlightData onto the spill: a Schema header rolls to the next
       * `.arrows` file (one file per logical partition stream). */
+    private var spillSchemaMsg: FlightProto.IpcMessage = null
+    private var spillFileBytes = 0L
+
     private def writeSpill(fd: FlightProto.FlightData): Unit = {
       if (fd.dataHeader.isEmpty) return // descriptor-/metadata-only frame
       val msg = FlightProto.IpcMessage(fd.dataHeader, fd.dataBody)
       if (FlightProto.isSchemaMessage(msg)) {
-        if (putSchemaDdl == null)
+        if (putSchemaDdl == null) {
           putSchemaDdl =
             FlightService.sparkSchemaOfStream(Seq(msg)).toDDL
+          spillSchemaMsg = msg
+        }
         rollSpillFile()
       } else if (spillOut == null)
         throw new GrpcException(Status.InvalidArgument,
           "put stream does not start with a Schema message")
+      else if (spillFileBytes > SpillRollBytes) {
+        // roll at a batch boundary so a single-stream upload of any
+        // size reads back with file-level parallelism; each file is a
+        // self-contained stream, so re-head it with the schema
+        rollSpillFile()
+        writeSpillMsg(spillSchemaMsg)
+      }
+      writeSpillMsg(msg)
+    }
+
+    private def writeSpillMsg(msg: FlightProto.IpcMessage): Unit = {
       val hdr = java.nio.ByteBuffer.allocate(8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       hdr.putInt(-1); hdr.putInt(msg.metadata.length)
       spillOut.write(hdr.array())
       spillOut.write(msg.metadata)
       spillOut.write(msg.body)
+      spillFileBytes += 8L + msg.metadata.length + msg.body.length
     }
 
     private val SpillEos: Array[Byte] =
@@ -468,6 +486,7 @@ object FlightGrpc {
       if (spillOut != null) { spillOut.write(SpillEos); spillOut.close() }
       val f = new java.io.File(spillDir, f"part-$spillFileIdx%05d.arrows")
       spillFileIdx += 1
+      spillFileBytes = 0L
       spillOut = new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(f), 1 << 16)
     }
@@ -985,9 +1004,14 @@ object FlightGrpc {
       * (descriptor path ["append", name]) — the producer half of the
       * [[FlightStreamSource]] readStream surface. */
     def doPutAppend(name: String, df: DataFrame): Long =
+      // singleStream = false: the append log is a graft extension whose
+      // contract stages one file PER PRODUCER PARTITION (the streaming
+      // reader plans one task per file), so partition streams keep
+      // their Schema delimiters — only plain DoPut, which upstream
+      // servers also serve, uses the spec's single-stream shape
       putFrames(FlightProto.FlightDescriptor(
         FlightProto.DescriptorType.Path, Array.emptyByteArray,
-        Seq("append", name)), df)
+        Seq("append", name)), df, singleStream = false)
 
     /** gds.write.nodes / gds.write.relationships over DoPut: the CMD
       * descriptor carries the serialized write message. */
@@ -996,22 +1020,33 @@ object FlightGrpc {
         FlightProto.DescriptorType.Cmd, cmd, Nil), df)
 
     private def putFrames(desc: FlightProto.FlightDescriptor,
-                          df: DataFrame): Long = {
+                          df: DataFrame,
+                          singleStream: Boolean = true): Long = {
       // one partition's IPC stream in memory at a time, streamed out
       // message-by-message — the client-side mirror of the server's
-      // spill ingest (never the whole upload as a frame list)
+      // spill ingest (never the whole upload as a frame list). A DoPut
+      // is ONE logical Arrow stream per the Flight spec, so partition
+      // streams after the first drop their redundant Schema headers
+      // (an upstream server rejects a mid-stream Schema; ours groups
+      // streams at Schema boundaries and handles both shapes).
       val blobs = ArrowIpc.toIpcStreams(df).toLocalIterator()
       var first = true
+      var sentSchema = false
       val frames: Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
         private var queue: List[Array[Byte]] = Nil
         private def refill(): Unit =
           while (queue.isEmpty && blobs.hasNext) {
-            queue = FlightProto.splitIpcStream(blobs.next()).map { m =>
-              val fd = FlightProto.FlightData(
-                if (first) Some(desc) else None,
-                m.metadata, Array.emptyByteArray, m.body).encode
-              first = false
-              fd
+            queue = FlightProto.splitIpcStream(blobs.next()).flatMap { m =>
+              if (singleStream && FlightProto.isSchemaMessage(m) &&
+                  sentSchema) None
+              else {
+                if (FlightProto.isSchemaMessage(m)) sentSchema = true
+                val fd = FlightProto.FlightData(
+                  if (first) Some(desc) else None,
+                  m.metadata, Array.emptyByteArray, m.body).encode
+                first = false
+                Some(fd)
+              }
             }.toList
           }
         def hasNext: Boolean = { refill(); queue.nonEmpty }
@@ -1033,12 +1068,16 @@ object FlightGrpc {
         FlightProto.DescriptorType.Cmd, msg.serialize, Nil)
       val frames = Seq.newBuilder[Array[Byte]]
       var first = true
+      var sentSchema = false
       ArrowIpc.toIpcStreams(df).toLocalIterator().forEachRemaining { blob =>
         FlightProto.splitIpcStream(blob).foreach { m =>
-          frames += FlightProto.FlightData(
-            if (first) Some(desc) else None,
-            m.metadata, Array.emptyByteArray, m.body).encode
-          first = false
+          if (!(FlightProto.isSchemaMessage(m) && sentSchema)) {
+            if (FlightProto.isSchemaMessage(m)) sentSchema = true
+            frames += FlightProto.FlightData(
+              if (first) Some(desc) else None,
+              m.metadata, Array.emptyByteArray, m.body).encode
+            first = false
+          }
         }
       }
       val msgs = callOk("DoExchange", frames.result())

@@ -180,10 +180,19 @@ final class FlightScan(schema: StructType, host: String, port: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     val cli = new FlightGrpc.Client(host, port, token)
     try {
-      cli.getFlightInfo(flight).endpoints.map(ep =>
+      cli.getFlightInfo(flight).endpoints.map { ep =>
+        val raw = new String(ep.ticket.ticket, UTF_8)
+        // the ?cols=/?flt= suffix is a GRAFT-SERVER ticket extension;
+        // Flight tickets are opaque, so it may only ride tickets that
+        // match our server's own `name#<i>` shape — a foreign server's
+        // ticket passes through untouched (wire pushdown lost, but the
+        // reader projects/filters client-side, so results are equal)
+        val isGraftTicket = raw.startsWith(flight + "#") &&
+          raw.substring(flight.length + 1).forall(_.isDigit)
         FlightEndpointPartition(
-          new String(ep.ticket.ticket, UTF_8) + colsSuffix.getOrElse(""))
-          : InputPartition).toArray
+          if (isGraftTicket) raw + colsSuffix.getOrElse("") else raw)
+          : InputPartition
+      }.toArray
     } finally cli.close()
   }
 
@@ -225,11 +234,23 @@ final class FlightPartitionReader(schema: StructType, host: String,
   private val allocator = new RootAllocator(Long.MaxValue)
   private val reader =
     new ArrowStreamReader(new ByteArrayInputStream(blob), allocator)
-  private val root = {
-    val r = reader.getVectorSchemaRoot
-    require(ArrowIpcSource.sparkSchema(r.getSchema) == schema,
-      s"flight stream schema ${r.getSchema} != inferred table schema")
-    r
+  private val root = reader.getVectorSchemaRoot
+  // project BY NAME: a server that ignored (or never saw) the ticket's
+  // cols= suffix ships its full column set — select what the scan
+  // needs and verify the types, instead of requiring schema identity
+  private val vectors = {
+    import scala.jdk.CollectionConverters._
+    val vs = schema.fields.map { f =>
+      Option(root.getVector(f.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column ${f.name} missing from flight stream ${root.getSchema}"))
+    }
+    require(ArrowIpcSource.sparkSchema(
+        new org.apache.arrow.vector.types.pojo.Schema(
+          vs.map(_.getField).toSeq.asJava)) == schema,
+      s"flight stream schema ${root.getSchema} incompatible with " +
+        s"expected $schema")
+    vs
   }
   private var rowInBatch = 0
   private var batchRows = 0
@@ -244,11 +265,10 @@ final class FlightPartitionReader(schema: StructType, host: String,
   }
 
   override def get(): InternalRow = {
-    val vectors = root.getFieldVectors
-    val values = new Array[Any](vectors.size())
+    val values = new Array[Any](vectors.length)
     var c = 0
-    while (c < vectors.size()) {
-      values(c) = ArrowIpcSource.readCatalyst(vectors.get(c), rowInBatch)
+    while (c < vectors.length) {
+      values(c) = ArrowIpcSource.readCatalyst(vectors(c), rowInBatch)
       c += 1
     }
     rowInBatch += 1

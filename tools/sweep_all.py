@@ -56,6 +56,24 @@ def main():
         for k, v in steps.items()}
     if rc != 0:
         combined["interop"]["flight_interop:exit"] = f"FAIL rc={rc}"
+    # and the reverse direction: graft client + DSv2 reader against a
+    # stock pyarrow.flight SERVER (tools/flight_reverse_interop.py)
+    print("=== flight reverse interop (graft client -> upstream server)",
+          flush=True)
+    rc2 = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "flight_reverse_interop.py")],
+        cwd=REPO, check=False).returncode
+    try:
+        steps2 = json.load(
+            open(os.path.join(REPO, "INTEROP_REVERSE.json")))["steps"]
+    except Exception:
+        steps2 = {"reverse_run": "FAILED to produce INTEROP_REVERSE.json"}
+    combined["interop"].update({
+        f"flight_reverse:{k}": ("OK" if v == "pass" else f"FAIL {v}")
+        for k, v in steps2.items()})
+    if rc2 != 0:
+        combined["interop"]["flight_reverse:exit"] = f"FAIL rc={rc2}"
     out_path = os.path.join(REPO, "CORRECTNESS_local.json")
     with open(out_path, "w") as f:
         json.dump(combined, f, indent=1, sort_keys=True)
