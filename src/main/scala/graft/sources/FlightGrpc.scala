@@ -732,13 +732,14 @@ object FlightGrpc {
           val ticket = new String(FlightProto.Ticket.decode(
             reqs.headOption.getOrElse(throw new GrpcException(
               Status.InvalidArgument, "missing Ticket"))).ticket, UTF_8)
-          service.partitionTicketBlob(ticket) match {
-            case Some(blob) =>
-              // a staged `name#i` partition: file bytes, no Spark job
-              FlightProto.splitIpcStream(blob).foreach { m =>
+          service.partitionTicketMessages(ticket) match {
+            case Some((msgs, closer)) =>
+              // a staged `name#i` partition STREAMED from its file: one
+              // message on the heap per write, no Spark job
+              try msgs.foreach { m =>
                 write(FlightProto.FlightData(None, m.metadata,
                   Array.emptyByteArray, m.body).encode)
-              }
+              } finally closer()
             case None =>
               val df = service.require(ticket)
               flightDataMessages(df).foreach { m =>

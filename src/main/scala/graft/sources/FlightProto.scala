@@ -343,6 +343,41 @@ object FlightProto {
   }
   private def truncated = new IllegalArgumentException("truncated IPC stream")
 
+  /** Stream an Arrow IPC STREAM's encapsulated messages from an
+    * InputStream, one at a time — the heap-bounded form of
+    * [[splitIpcStream]] for serving staged partition files: a DoGet of
+    * a multi-GB partition holds ONE message in memory, not the file
+    * plus a full split copy (the 8-concurrent-consumers OOM shape).
+    * The caller owns closing the input. */
+  def ipcMessageIterator(in: java.io.InputStream): Iterator[IpcMessage] =
+    new Iterator[IpcMessage] {
+      private val data = new java.io.DataInputStream(in)
+      private var nextMsg: IpcMessage = _
+      private var done = false
+      private def le(i: Int): Int = Integer.reverseBytes(i)
+      private def advance(): Unit = {
+        if (done || nextMsg != null) return
+        val first =
+          try le(data.readInt())
+          catch { case _: java.io.EOFException => done = true; return }
+        val metaLen = if (first == -1) le(data.readInt()) else first
+        if (metaLen == 0) { done = true; return }
+        val meta = new Array[Byte](metaLen)
+        data.readFully(meta)
+        val fb = org.apache.arrow.flatbuf.Message.getRootAsMessage(
+          ByteBuffer.wrap(meta).order(ByteOrder.LITTLE_ENDIAN))
+        val body = new Array[Byte](fb.bodyLength().toInt)
+        data.readFully(body)
+        nextMsg = IpcMessage(meta, body)
+      }
+      def hasNext: Boolean = { advance(); nextMsg != null }
+      def next(): IpcMessage = {
+        advance()
+        if (nextMsg == null) throw new NoSuchElementException
+        val m = nextMsg; nextMsg = null; m
+      }
+    }
+
   /** Reassemble messages (e.g. decoded FlightData frames) back into a
     * self-contained IPC stream — byte-exact inverse of [[splitIpcStream]]
     * (metadata arrives already 8-padded from the original writer). */

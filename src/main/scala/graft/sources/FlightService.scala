@@ -153,7 +153,8 @@ final class FlightService(val spark: SparkSession) {
     * servers push column pruning to the wire: the server re-encodes only
     * the requested vectors and a 2-column scan of a 40-column flight
     * ships 2 columns of bytes, not 40. */
-  def partitionTicketBlob(fullTicket: String): Option[Array[Byte]] = {
+  def partitionTicketMessages(fullTicket: String)
+      : Option[(Iterator[FlightProto.IpcMessage], () => Unit)] = {
     val (ticket, params) = fullTicket.indexOf('?') match {
       case -1 => (fullTicket, Map.empty[String, String])
       case q => (fullTicket.substring(0, q),
@@ -189,24 +190,30 @@ final class FlightService(val spark: SparkSession) {
           s"no staged partitions for $prefix — call GetFlightInfo first"))
     Predef.require(i >= 0 && i < files.size,
       s"partition $i out of [0, ${files.size})")
-    val blob = readLocalFile(files(i))
-    Some(
-      if (cols.isEmpty && filters.isEmpty) blob
-      else FlightService.filterProjectIpcStream(blob, filters, cols))
+    if (cols.isEmpty && filters.isEmpty) {
+      // STREAM the staged file: one IPC message on the heap at a time —
+      // N concurrent DoGets cost N messages, never N whole partitions
+      // (the pre-r10 whole-blob read OOMed 8 consumers x 240 MB files)
+      val in = openLocalFile(files(i))
+      Some((FlightProto.ipcMessageIterator(
+        new java.io.BufferedInputStream(in, 1 << 16)), () => in.close()))
+    } else {
+      // pushdown path: input STREAMS from the file; only the projected/
+      // filtered output (<= the pruned subset) materializes
+      val in = openLocalFile(files(i))
+      val out =
+        try FlightService.filterProjectIpcStream(
+          new java.io.BufferedInputStream(in, 1 << 16), filters, cols)
+        finally in.close()
+      Some((FlightProto.splitIpcStream(out).iterator, () => ()))
+    }
   }
 
-  private def readLocalFile(file: String): Array[Byte] = {
+  private def openLocalFile(file: String): java.io.InputStream = {
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
       new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } finally in.close()
+    fs.open(p)
   }
 
   // ------------------------- streaming append log (readStream ingest)
@@ -659,13 +666,19 @@ object FlightService {
     * only row counts. */
   def filterProjectIpcStream(blob: Array[Byte],
                              filters: Seq[TicketFilter],
+                             cols: Option[Seq[String]]): Array[Byte] =
+    filterProjectIpcStream(new java.io.ByteArrayInputStream(blob),
+      filters, cols)
+
+  def filterProjectIpcStream(input: java.io.InputStream,
+                             filters: Seq[TicketFilter],
                              cols: Option[Seq[String]]): Array[Byte] = {
     import scala.jdk.CollectionConverters._
     import org.apache.arrow.vector.{BigIntVector, Float4Vector, Float8Vector, IntVector, VarCharVector}
     val allocator =
       new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
     val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
-      new java.io.ByteArrayInputStream(blob), allocator)
+      input, allocator)
     try {
       val root = reader.getVectorSchemaRoot
 

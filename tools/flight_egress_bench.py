@@ -15,6 +15,7 @@ transport + client-side Arrow decode, 8 consumer threads.
 Usage: python3 tools/flight_egress_bench.py
 Writes EGRESS.json and prints one JSON line.
 """
+import faulthandler
 import json
 import pathlib
 import queue
@@ -23,6 +24,8 @@ import sys
 import tempfile
 import threading
 import time
+
+faulthandler.register(__import__("signal").SIGUSR1)
 
 import pyarrow as pa
 import pyarrow.flight as flight
@@ -61,6 +64,8 @@ def timed_run(port, options, tickets):
     counts = []
     lock = threading.Lock()
 
+    errors = []
+
     def worker():
         client = flight.FlightClient(f"grpc+tcp://127.0.0.1:{port}")
         n = 0
@@ -77,6 +82,9 @@ def timed_run(port, options, tickets):
                     except StopIteration:
                         break
                     n += chunk.data.num_rows
+        except Exception as e:  # noqa: BLE001 — surface worker failures
+            with lock:
+                errors.append(f"{type(e).__name__}: {e}")
         finally:
             client.close()
         with lock:
@@ -89,7 +97,9 @@ def timed_run(port, options, tickets):
     for t in threads:
         t.join()
     dt = time.time() - t0
+    assert not errors, f"worker failures: {errors[:3]}"
     assert sum(counts) == ROWS, f"row drift: {sum(counts)}"
+    print(f"[egress] run: {dt:.2f}s ({int(ROWS/dt)} rows/s)", flush=True)
     return dt
 
 
