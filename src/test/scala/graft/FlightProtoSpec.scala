@@ -96,6 +96,15 @@ class FlightProtoSpec extends AnyFunSuite {
       assert(msgs.head.body.isEmpty) // Schema message carries no body
       // re-framing the messages reproduces the original stream bytes
       assert(FlightProto.joinIpcStream(msgs).toSeq == blob.toSeq)
+      // the streaming iterator (staged-DoGet serving: one message on
+      // the heap at a time) yields exactly the batch splitter's output
+      val streamed = FlightProto.ipcMessageIterator(
+        new java.io.ByteArrayInputStream(blob)).toSeq
+      assert(streamed.size == msgs.size)
+      streamed.zip(msgs).foreach { case (a, b) =>
+        assert(a.metadata.toSeq == b.metadata.toSeq)
+        assert(a.body.toSeq == b.body.toSeq)
+      }
     }
   }
 
