@@ -87,6 +87,40 @@ object FlightGrpc {
   private[sources] final class ClientGoneException
       extends RuntimeException("stream closed by client mid-response")
 
+  /** Growable byte accumulator with a read cursor — O(1) amortized
+    * append/consume (a BAOS here forced a full copy of the buffered
+    * tail per HTTP/2 DATA frame: quadratic memcpy per large message). */
+  private final class ByteAccum {
+    private var buf = new Array[Byte](1 << 16)
+    private var start = 0
+    private var end = 0
+    def size: Int = end - start
+    def append(b: Array[Byte], off: Int, n: Int): Unit = {
+      if (end + n > buf.length) {
+        if (size + n <= buf.length / 2) {
+          System.arraycopy(buf, start, buf, 0, size) // compact in place
+        } else {
+          val nb = new Array[Byte](
+            java.lang.Math.max(buf.length * 2, size + n))
+          System.arraycopy(buf, start, nb, 0, size)
+          buf = nb
+        }
+        end = size; start = 0
+      }
+      System.arraycopy(b, off, buf, end, n)
+      end += n
+    }
+    def peek(i: Int): Int = buf(start + i) & 0xFF
+    def skip(n: Int): Unit = { start += n }
+    def take(n: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(buf, start, start + n)
+      start += n
+      out
+    }
+    def toByteArray: Array[Byte] =
+      java.util.Arrays.copyOfRange(buf, start, end)
+  }
+
   // ---------------------------------------------------------------- TLS
   /** TLS for the Flight endpoint — the last session-layer delta to a
     * stock grpc-java Flight deployment (`grpc+tls://` locations). gRPC
@@ -286,7 +320,7 @@ object FlightGrpc {
       extends ChannelInboundHandlerAdapter {
     private var method = ""
     private var authorized = false
-    private val body = new ByteArrayOutputStream()
+    private val body = new ByteAccum
 
     private def authOk(header: Option[String]): Boolean = header.exists { v =>
       // Bearer <token> (what our Handshake hands back) or the reference's
@@ -330,11 +364,16 @@ object FlightGrpc {
             Option(h.headers().get("auth-token-bin")).map(_.toString))
         if (h.isEndStream) finish(ctx)
       case d: Http2DataFrame =>
+        // an unauthenticated request's body is DISCARDED as it arrives:
+        // buffering (or spilling!) bytes for a caller that will be
+        // rejected at END_STREAM is a free memory/disk-exhaustion hole.
+        // The credential rides the HEADERS frame, which precedes DATA.
+        val wanted = authorized || method == "Handshake"
         val n = d.content().readableBytes()
-        if (n > 0) {
+        if (n > 0 && wanted) {
           val tmp = new Array[Byte](n)
           d.content().readBytes(tmp)
-          body.write(tmp)
+          body.append(tmp, 0, n)
         }
         val fc = d.initialFlowControlledBytes()
         val end = d.isEndStream
@@ -344,7 +383,7 @@ object FlightGrpc {
         if (fc > 0) { ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(fc)); () }
         if (method == "DoPut" && putParseError == null) drainPut()
         if (end) finish(ctx)
-        else if (method == "Handshake" && hasCompleteMessage(body.toByteArray))
+        else if (method == "Handshake" && hasCompleteMessage())
           // Handshake is BIDI: an upstream auth handler blocks reading
           // the HandshakeResponse BEFORE half-closing its side, so the
           // server must answer the first message eagerly — waiting for
@@ -356,11 +395,11 @@ object FlightGrpc {
     }
 
     /** At least one complete length-prefixed gRPC message buffered? */
-    private def hasCompleteMessage(bytes: Array[Byte]): Boolean =
-      bytes.length >= 5 && {
-        val len = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
-          ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
-        len >= 0 && bytes.length >= 5 + len
+    private def hasCompleteMessage(): Boolean =
+      body.size >= 5 && {
+        val len = (body.peek(1) << 24) | (body.peek(2) << 16) |
+          (body.peek(3) << 8) | body.peek(4)
+        len >= 0 && body.size >= 5 + len
       }
 
     // ---- streaming DoPut ingest: FlightData messages decode AS THEY
@@ -383,29 +422,26 @@ object FlightGrpc {
     private var putParseError: GrpcException = null
 
     /** Drain complete gRPC messages from `body` (DoPut only): decode
-      * each FlightData immediately; keep only the unparsed tail. */
+      * each FlightData immediately; the accumulator's read cursor
+      * advances past consumed messages with no tail re-copy. */
     private def drainPut(): Unit = {
-      val bytes = body.toByteArray
-      var pos = 0
       try {
         var more = true
         while (more) {
           more = false
-          if (bytes.length - pos >= 5) {
-            val flag = bytes(pos) & 0xFF
+          if (body.size >= 5) {
+            val flag = body.peek(0)
             if (flag != 0)
               throw new GrpcException(Status.Unimplemented,
                 "compressed gRPC messages not supported (identity only)")
-            val len = ((bytes(pos + 1) & 0xFF) << 24) |
-              ((bytes(pos + 2) & 0xFF) << 16) |
-              ((bytes(pos + 3) & 0xFF) << 8) | (bytes(pos + 4) & 0xFF)
+            val len = (body.peek(1) << 24) | (body.peek(2) << 16) |
+              (body.peek(3) << 8) | body.peek(4)
             if (len < 0)
               throw new GrpcException(Status.Internal,
                 s"bad gRPC frame length $len")
-            if (bytes.length - pos >= 5 + len) {
-              onPutMessage(java.util.Arrays.copyOfRange(
-                bytes, pos + 5, pos + 5 + len))
-              pos += 5 + len
+            if (body.size >= 5 + len) {
+              body.skip(5)
+              onPutMessage(body.take(len))
               more = true
             }
           }
@@ -415,10 +451,6 @@ object FlightGrpc {
         case NonFatal(e) =>
           putParseError = new GrpcException(Status.Internal,
             s"put stream decode failed: ${e.getMessage}")
-      }
-      if (pos > 0) {
-        body.reset()
-        body.write(bytes, pos, bytes.length - pos)
       }
     }
 
@@ -928,17 +960,23 @@ object FlightGrpc {
       headers.set("content-type", "application/grpc+proto")
       headers.set("te", "trailers")
       headers.set("authorization", s"Bearer $token")
-      sc.write(new DefaultHttp2HeadersFrame(headers, false))
-      var cur = reqs.next()
-      var more = true
-      while (more) {
-        more = reqs.hasNext
-        val buf = sc.alloc().buffer(5 + cur.length)
-        buf.writeByte(0); buf.writeInt(cur.length); buf.writeBytes(cur)
-        // sync(): completes only once the frame clears the flow-control
-        // window — one in-flight message, backpressure for free
-        sc.writeAndFlush(new DefaultHttp2DataFrame(buf, !more)).sync()
-        if (more) cur = reqs.next()
+      if (!reqs.hasNext) {
+        // empty upload (e.g. a put of an empty DataFrame): half-close on
+        // the headers and let the server answer — never reqs.next() here
+        sc.writeAndFlush(new DefaultHttp2HeadersFrame(headers, true)).sync()
+      } else {
+        sc.write(new DefaultHttp2HeadersFrame(headers, false))
+        var cur = reqs.next()
+        var more = true
+        while (more) {
+          more = reqs.hasNext
+          val buf = sc.alloc().buffer(5 + cur.length)
+          buf.writeByte(0); buf.writeInt(cur.length); buf.writeBytes(cur)
+          // sync(): completes only once the frame clears the flow-control
+          // window — one in-flight message, backpressure for free
+          sc.writeAndFlush(new DefaultHttp2DataFrame(buf, !more)).sync()
+          if (more) cur = reqs.next()
+        }
       }
       val r = done.get(180, TimeUnit.SECONDS)
       if (r.status != 0)

@@ -340,6 +340,13 @@ final class FlightService(val spark: SparkSession) {
       .format("graft.sources.ArrowIpcSource")
       .schema(schema)
       .option("path", dir.getAbsolutePath).load()
+    // VALIDATE BEFORE MUTATING: the count is a deliberate full Arrow
+    // decode of the spill (the fail-on-this-request contract, and the
+    // ack value) — if it throws, the transport reclaims the files and
+    // no catalog/append-log entry ever pointed at them. It also runs
+    // OUTSIDE the lock below, so a 100 GB validation scan never blocks
+    // other appends.
+    val n = lazyDf.count()
     desc.path match {
       case Seq("append", name) => synchronized {
         appendSchemaDdl.get(name).foreach(d =>
@@ -348,11 +355,11 @@ final class FlightService(val spark: SparkSession) {
         // the spill files ARE the staged batch — no re-write
         appendLog.put(name, appendLog.getOrElse(name, Vector.empty) :+ files)
         appendSchemaDdl.put(name, schema.toDDL)
-        lazyDf.count()
+        n
       }
       case Seq(name) =>
         register(name, lazyDf)
-        lazyDf.count()
+        n
       case other => throw new IllegalArgumentException(
         s"bad put path: $other")
     }
@@ -585,7 +592,10 @@ final class FlightService(val spark: SparkSession) {
     val asTicket =
       try {
         val t = FlightProto.Ticket.decode(cmd)
-        if (t.ticket.nonEmpty) pendingWriteMsgs.get(t.asString) else None
+        // consume-once: the reference flow is one DoPut per write
+        // ticket, and removal keeps pendingWriteMsgs from growing
+        // unboundedly on a long-lived server (a failed put re-actions)
+        if (t.ticket.nonEmpty) pendingWriteMsgs.remove(t.asString) else None
       } catch { case scala.util.control.NonFatal(_) => None }
     asTicket.getOrElse(cmd)
   }

@@ -181,16 +181,21 @@ final class FlightScan(schema: StructType, host: String, port: Int,
     val cli = new FlightGrpc.Client(host, port, token)
     try {
       cli.getFlightInfo(flight).endpoints.map { ep =>
-        val raw = new String(ep.ticket.ticket, UTF_8)
+        val raw = ep.ticket.ticket
         // the ?cols=/?flt= suffix is a GRAFT-SERVER ticket extension;
-        // Flight tickets are opaque, so it may only ride tickets that
-        // match our server's own `name#<i>` shape — a foreign server's
-        // ticket passes through untouched (wire pushdown lost, but the
-        // reader projects/filters client-side, so results are equal)
-        val isGraftTicket = raw.startsWith(flight + "#") &&
-          raw.substring(flight.length + 1).forall(_.isDigit)
+        // Flight tickets are opaque BYTES, so it may only ride tickets
+        // that match our server's own printable `name#<i>` shape — a
+        // foreign server's ticket passes through byte-identical (a
+        // lossy UTF-8 round-trip would corrupt binary tickets); wire
+        // pushdown is lost there, but the reader projects client-side
+        val isAscii = raw.forall(b => b >= 0x20 && b < 0x7f)
+        val asString = if (isAscii) new String(raw, UTF_8) else ""
+        val isGraftTicket = isAscii && asString.startsWith(flight + "#") &&
+          asString.substring(flight.length + 1).forall(_.isDigit)
         FlightEndpointPartition(
-          if (isGraftTicket) raw + colsSuffix.getOrElse("") else raw)
+          if (isGraftTicket)
+            (asString + colsSuffix.getOrElse("")).getBytes(UTF_8)
+          else raw)
           : InputPartition
       }.toArray
     } finally cli.close()
@@ -200,7 +205,7 @@ final class FlightScan(schema: StructType, host: String, port: Int,
     new FlightReaderFactory(schema, host, port, token)
 }
 
-final case class FlightEndpointPartition(ticket: String)
+final case class FlightEndpointPartition(ticket: Array[Byte])
     extends InputPartition
 
 final class FlightReaderFactory(schema: StructType, host: String,
@@ -215,17 +220,19 @@ final class FlightReaderFactory(schema: StructType, host: String,
 /** One task's endpoint drain: its own gRPC connection, one DoGet, rows
   * streamed batch-by-batch out of the reassembled IPC stream. */
 final class FlightPartitionReader(schema: StructType, host: String,
-                                  port: Int, token: String, ticket: String)
+                                  port: Int, token: String,
+                                  ticket: Array[Byte])
     extends PartitionReader[InternalRow] {
 
   private val blob: Array[Byte] = {
     val cli = new FlightGrpc.Client(host, port, token)
     try {
       val msgs = cli.callOk("DoGet",
-          Seq(FlightProto.Ticket.of(ticket).encode))
+          Seq(FlightProto.Ticket(ticket).encode))
         .map(FlightProto.FlightData.decode)
         .map(fd => FlightProto.IpcMessage(fd.dataHeader, fd.dataBody))
-      require(msgs.nonEmpty, s"empty DoGet stream for ticket $ticket")
+      require(msgs.nonEmpty,
+        s"empty DoGet stream for ticket ${new String(ticket, UTF_8)}")
       // one endpoint = one partition = one self-contained IPC stream
       FlightProto.joinIpcStream(msgs)
     } finally cli.close()

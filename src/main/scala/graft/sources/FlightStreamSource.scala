@@ -149,7 +149,8 @@ final class FlightMicroBatchStream(schema: StructType, host: String,
     else withClient(
         _.doAction("flight.log.tickets", s"$flight\t$s\t$e").asString)
       .split("\n").filter(_.nonEmpty)
-      .map(t => FlightEndpointPartition(t): InputPartition)
+      .map(t => FlightEndpointPartition(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8)): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

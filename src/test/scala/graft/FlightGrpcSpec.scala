@@ -186,6 +186,20 @@ class FlightGrpcSpec extends AnyFunSuite {
     }
   }
 
+  test("a DoPut of an EMPTY DataFrame fails with a clean InvalidArgument, " +
+      "not a client-side crash") {
+    withServer { srv =>
+      withClient(srv) { c =>
+        val e = intercept[FlightGrpc.GrpcException](
+          c.doPut("empty", spark.range(0L).toDF("id")))
+        assert(e.code == FlightGrpc.Status.InvalidArgument)
+        // the connection survives the empty upload
+        c.doPut("after", spark.range(5L).toDF("id"))
+        assert(c.doGet(spark, "after").count() == 5L)
+      }
+    }
+  }
+
   test("a DoPut past the spill threshold ingests via disk (lazy DSv2 " +
       "read), round-trips exactly, and a second append batch follows") {
     withServer { srv =>
