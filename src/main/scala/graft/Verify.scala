@@ -11,8 +11,15 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER lets the multi-JVM sweep run the same gate set
+    // under `local-cluster[2,8,4096]` — real separate executor JVMs, real
+    // closure serialization, no shared driver heap (tools/cluster_sweep.py
+    // compares its hashes against local[N]). Executors launched by the
+    // local-cluster Worker need the app classes (extraClassPath) and the
+    // JDK17 module opens (extraJavaOptions) the driver JVM already has.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -22,7 +29,39 @@ object Verify {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3500m"))
+      ()
+    }
+    // SPARK_GRAFT_SPECULATION=1: pathological speculative execution —
+    // speculate a copy of EVERY task that runs at least as long as the
+    // median (quantile 0, multiplier 1). Only meaningful under
+    // local-cluster (the local-mode scheduler never starts the
+    // speculation thread); used by tools/cluster_sweep.py --speculation
+    // to prove the hash-deterministic operators are stable when duplicate
+    // attempts race and the committer picks first-wins.
+    if (sys.env.get("SPARK_GRAFT_SPECULATION").contains("1")) {
+      builder.config("spark.speculation", "true")
+        .config("spark.speculation.interval", "50ms")
+        .config("spark.speculation.multiplier", "1.0")
+        .config("spark.speculation.quantile", "0.0")
+      ()
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     def deleteRecursively(p: java.io.File): Unit = {

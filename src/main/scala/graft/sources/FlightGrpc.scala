@@ -370,25 +370,56 @@ object FlightGrpc {
         // The credential rides the HEADERS frame, which precedes DATA.
         val wanted = authorized || method == "Handshake"
         val n = d.content().readableBytes()
-        if (n > 0 && wanted) {
-          val tmp = new Array[Byte](n)
-          d.content().readBytes(tmp)
-          body.append(tmp, 0, n)
-        }
         val fc = d.initialFlowControlledBytes()
         val end = d.isEndStream
-        d.release()
-        // replenish stream + connection windows for what we consumed
-        // (the multiplex stream channel forwards this as consumed bytes)
-        if (fc > 0) { ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(fc)); () }
-        if (method == "DoPut" && putParseError == null) drainPut()
-        if (end) finish(ctx)
-        else if (method == "Handshake" && hasCompleteMessage())
-          // Handshake is BIDI: an upstream auth handler blocks reading
-          // the HandshakeResponse BEFORE half-closing its side, so the
-          // server must answer the first message eagerly — waiting for
-          // END_STREAM here deadlocks a stock client's authenticate()
-          finish(ctx)
+        if (method == "DoPut" && wanted) {
+          // DoPut DATA routes through a per-stream ingest worker: the
+          // FlightData decode and the blocking spill-file disk writes
+          // happen OFF the (2-thread) event loop, so a slow disk during
+          // one large upload never stalls frame delivery for other
+          // streams. Backpressure: the flow-control credit for a chunk
+          // is replenished only AFTER the worker consumed it, so the
+          // client can never run ahead of the disk by more than the
+          // HTTP/2 window (which also bounds the queue).
+          if (putQueue == null) startPutWorker(ctx)
+          if (putParseError != null) {
+            // the RPC is already doomed: drop arriving bytes on the
+            // floor (buffering a failed upload to END_STREAM is the
+            // same exhaustion hole the auth gate closes) and replenish
+            // the window directly so the client reaches END_STREAM and
+            // the error trailer
+            d.release()
+            if (fc > 0) {
+              ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(fc)); ()
+            }
+            putQueue.put(new PutChunk(null, 0, end))
+          } else {
+            val tmp = if (n > 0) {
+              val a = new Array[Byte](n); d.content().readBytes(a); a
+            } else null
+            d.release()
+            putQueue.put(new PutChunk(tmp, fc, end))
+          }
+        } else {
+          if (n > 0 && wanted) {
+            val tmp = new Array[Byte](n)
+            d.content().readBytes(tmp)
+            body.append(tmp, 0, n)
+          }
+          d.release()
+          // replenish stream + connection windows for what we consumed
+          // (the multiplex stream channel forwards this as consumed bytes)
+          if (fc > 0) {
+            ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(fc)); ()
+          }
+          if (end) finish(ctx)
+          else if (method == "Handshake" && hasCompleteMessage())
+            // Handshake is BIDI: an upstream auth handler blocks reading
+            // the HandshakeResponse BEFORE half-closing its side, so the
+            // server must answer the first message eagerly — waiting for
+            // END_STREAM here deadlocks a stock client's authenticate()
+            finish(ctx)
+        }
       case other =>
         io.netty.util.ReferenceCountUtil.release(other)
         ()
@@ -419,7 +450,75 @@ object FlightGrpc {
     private var spillDir: java.io.File = null
     private var spillOut: java.io.OutputStream = null
     private var spillFileIdx = 0
-    private var putParseError: GrpcException = null
+    // written by the put worker, read by the event loop (early-discard
+    // gate) — hence volatile
+    @volatile private var putParseError: GrpcException = null
+
+    // ---- per-stream DoPut ingest worker (decode + spill off the event
+    // loop). One chunk per DATA frame; `credit` is the flow-control
+    // replenish deferred until the worker consumed the bytes; a
+    // bytes=null chunk carries only credit/END_STREAM ordering.
+    private final class PutChunk(val bytes: Array[Byte], val credit: Int,
+                                 val end: Boolean)
+    private var putQueue:
+      java.util.concurrent.LinkedBlockingQueue[PutChunk] = null
+    @volatile private var putAborted = false
+
+    private def startPutWorker(ctx: ChannelHandlerContext): Unit = {
+      putQueue = new java.util.concurrent.LinkedBlockingQueue[PutChunk]()
+      val t = new Thread(() => putWorkerLoop(ctx), "graft-grpc-put-ingest")
+      t.setDaemon(true)
+      t.start()
+    }
+
+    private def putWorkerLoop(ctx: ChannelHandlerContext): Unit = {
+      var done = false
+      while (!done) {
+        val c = putQueue.take()
+        if (putAborted) {
+          // client went away before END_STREAM: reclaim the spill here —
+          // this thread owns all put state, so no cleanup races the
+          // decode path
+          try closeSpill() catch { case NonFatal(_) => () }
+          if (spillDir != null) {
+            Option(spillDir.listFiles).foreach(_.foreach(_.delete()))
+            spillDir.delete()
+            spillDir = null
+          }
+          return
+        }
+        if (c.bytes != null && putParseError == null) {
+          body.append(c.bytes, 0, c.bytes.length)
+          drainPut()
+        }
+        // replenish only now: the bytes are consumed (decoded/spilled),
+        // so a stalled disk withholds window credit instead of letting
+        // the client fill an unbounded queue. Netty schedules the write
+        // onto the event loop; calling from here is safe.
+        if (c.credit > 0) {
+          ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(c.credit)); ()
+        }
+        if (c.end) done = true
+      }
+      finishPut(ctx)
+    }
+
+    /** END_STREAM path for worker-routed DoPut — same hand-off as
+      * finish(), but reading the put state this worker thread owns. */
+    private def finishPut(ctx: ChannelHandlerContext): Unit = {
+      if (dispatched) return
+      dispatched = true
+      val ok = authorized
+      val frames = putFramesRev.reverse
+      val spilled =
+        if (spillDir != null) {
+          closeSpill()
+          Some((putDescriptor, spillDir, putSchemaDdl))
+        } else None
+      val err = putParseError
+      srv.dispatchPool.execute(() =>
+        respond(ctx, "DoPut", ok, Array.emptyByteArray, frames, spilled, err))
+    }
 
     /** Drain complete gRPC messages from `body` (DoPut only): decode
       * each FlightData immediately; the accumulator's read cursor
@@ -546,14 +645,14 @@ object FlightGrpc {
     }
     override def channelInactive(ctx: ChannelHandlerContext): Unit = {
       writeGate.synchronized { writeGate.notifyAll() }
-      // an upload that died before END_STREAM never reaches finish():
-      // reclaim its spill files here (after finish(), respond() owns
-      // the cleanup-or-transfer decision)
-      if (!dispatched && spillDir != null) {
-        try closeSpill() catch { case NonFatal(_) => () }
-        Option(spillDir.listFiles).foreach(_.foreach(_.delete()))
-        spillDir.delete()
-        spillDir = null
+      // an upload that died before END_STREAM never reaches finishPut():
+      // signal the ingest worker (which owns the spill state) to reclaim
+      // the files — a poison chunk wakes it if it is parked on take().
+      // After finishPut(), respond() owns the cleanup-or-transfer
+      // decision and the worker has already exited.
+      if (putQueue != null && !dispatched) {
+        putAborted = true
+        putQueue.put(new PutChunk(null, 0, end = false))
       }
       ctx.fireChannelInactive(); ()
     }
@@ -572,7 +671,9 @@ object FlightGrpc {
       * long DoGet must never stall the event loop that carries OTHER
       * streams' frames. Netty writes are thread-safe (scheduled onto the
       * loop). */
-    private var dispatched = false
+    // set by the event loop (finish) or the put worker (finishPut), read
+    // by both plus channelInactive — volatile
+    @volatile private var dispatched = false
     private def finish(ctx: ChannelHandlerContext): Unit = {
       if (dispatched) return // eager-Handshake path already answered
       dispatched = true
@@ -960,6 +1061,7 @@ object FlightGrpc {
       headers.set("content-type", "application/grpc+proto")
       headers.set("te", "trailers")
       headers.set("authorization", s"Bearer $token")
+      var sentBytes = 0L
       if (!reqs.hasNext) {
         // empty upload (e.g. a put of an empty DataFrame): half-close on
         // the headers and let the server answer — never reqs.next() here
@@ -972,13 +1074,21 @@ object FlightGrpc {
           more = reqs.hasNext
           val buf = sc.alloc().buffer(5 + cur.length)
           buf.writeByte(0); buf.writeInt(cur.length); buf.writeBytes(cur)
+          sentBytes += 5L + cur.length
           // sync(): completes only once the frame clears the flow-control
           // window — one in-flight message, backpressure for free
           sc.writeAndFlush(new DefaultHttp2DataFrame(buf, !more)).sync()
           if (more) cur = reqs.next()
         }
       }
-      val r = done.get(180, TimeUnit.SECONDS)
+      // The server validates a spilled put with a full decode before it
+      // acks, so the wait after the last frame scales with what was
+      // uploaded: a fixed cap would fail the client on exactly the
+      // multi-GB uploads the spill path exists for while the server-side
+      // ingest succeeds. Floor 180 s + 1 s per MiB, env-overridable.
+      val ackTimeoutSec = sys.env.get("GRAFT_FLIGHT_ACK_TIMEOUT_SEC")
+        .map(_.toLong).getOrElse(180L + (sentBytes >> 20))
+      val r = done.get(ackTimeoutSec, TimeUnit.SECONDS)
       if (r.status != 0)
         throw new GrpcException(r.status,
           s"$method failed: grpc-status ${r.status} ${r.statusMessage}")

@@ -477,14 +477,30 @@ final class FlightService(val spark: SparkSession) {
     * PROTOBUF (neo4j_arrow.py:287-294 `status` passes
     * `ticket.serialize()`). Sniff: a proto Ticket decodes to field 1
     * bytes; raw strings fail the proto walk (or yield no field-1
-    * payload) and pass through verbatim. */
+    * payload) and pass through verbatim. The proto reading wins only
+    * when the whole buffer decoded AND the extracted payload has the
+    * UUID shape every ticket this server issues has (Jobs.submit and
+    * gds.write.* both mint `UUID.randomUUID`) — a raw body whose bytes
+    * coincidentally parse as a field-1 proto can then never be
+    * misread as a ticket. */
   private def ticketString(body: Array[Byte]): String = {
     val raw = new String(body, UTF_8)
     try {
       val t = FlightProto.Ticket.decode(body)
-      if (t.ticket.nonEmpty) t.asString else raw
+      if (t.ticket.nonEmpty && isUuidTicket(t.asString)) t.asString else raw
     } catch { case scala.util.control.NonFatal(_) => raw }
   }
+
+  /** 8-4-4-4-12 lowercase/uppercase hex — `UUID.randomUUID().toString`'s
+    * exact shape. No raw UUID string can itself decode as a field-1
+    * proto (its first byte is hex ASCII, never the 0x0a tag), so the
+    * two encodings are disjoint under this guard. */
+  private def isUuidTicket(s: String): Boolean =
+    s.length == 36 && s.zipWithIndex.forall { case (c, i) =>
+      if (i == 8 || i == 13 || i == 18 || i == 23) c == '-'
+      else (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')
+    }
 
   /** doAction — dispatch on type like the reference's handler map
     * (Producer.java:513-541; job.status = StatusHandler.java:20,
@@ -594,8 +610,13 @@ final class FlightService(val spark: SparkSession) {
         val t = FlightProto.Ticket.decode(cmd)
         // consume-once: the reference flow is one DoPut per write
         // ticket, and removal keeps pendingWriteMsgs from growing
-        // unboundedly on a long-lived server (a failed put re-actions)
-        if (t.ticket.nonEmpty) pendingWriteMsgs.remove(t.asString) else None
+        // unboundedly on a long-lived server (a failed put re-actions).
+        // Same UUID-shape guard as ticketString: a write MESSAGE whose
+        // bytes happen to parse as a field-1 proto must not take the
+        // ticket path.
+        if (t.ticket.nonEmpty && isUuidTicket(t.asString))
+          pendingWriteMsgs.remove(t.asString)
+        else None
       } catch { case scala.util.control.NonFatal(_) => None }
     asTicket.getOrElse(cmd)
   }

@@ -6,7 +6,11 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 4]: 4 threads, maxFailures=4 — task retries ENABLED so
+      // RetryDeterminismSpec can inject first-attempt failures; behavior
+      // is identical to local[4] unless a task actually fails (and a
+      // deterministic failure still propagates, after 4 attempts).
+      .master("local[4, 4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
