@@ -75,6 +75,16 @@ object FlightInteropServer {
       tls = Some(FlightGrpc.Tls.ServerTls(ks.toString, pass))).start()
     plain.register("nation", nation)
     plain.register("orders", orders)
+    // a LONG flight (~2M rows, thousands of ≤1024-row IPC messages on the
+    // wire) for the soak battery: cancel-mid-stream needs a DoGet that is
+    // still producing when the client sends RST_STREAM, and the
+    // concurrent soak needs real streaming volume per reader
+    import org.apache.spark.sql.functions.{concat, lit, lpad}
+    plain.register("bulk", spark.range(2000000L)
+      .select(col("id"),
+        concat(lit("pad-"), lpad(col("id").cast("string"), 60, "0"))
+          .as("pad"))
+      .repartition(2))
 
     // optional 3rd arg "bench": also serve the reference's headline
     // egress workload (speed/26-aug-2021/README.md:92-112 — 1,892,751
@@ -107,8 +117,34 @@ object FlightInteropServer {
 
     val stop = Paths.get(ctlDir, "stop")
     val deadline = System.nanoTime() + 30L * 60 * 1000 * 1000 * 1000
-    while (!Files.exists(stop) && System.nanoTime() < deadline)
+    // stat protocol for the soak battery: the Python side writes a seq
+    // number into `stat_req`; we answer in `stat.json` (same seq echoed,
+    // so the reader never trusts a stale answer) with the observable
+    // evidence the cancel/abandon paths fired: aborted-response count and
+    // live put-spill directory count under java.io.tmpdir.
+    val statReq = Paths.get(ctlDir, "stat_req")
+    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
+    def spillDirCount: Int = {
+      val s = Files.list(tmpRoot)
+      try s.filter(p =>
+        p.getFileName.toString.startsWith("graft_put_spill_")).count().toInt
+      finally s.close()
+    }
+    while (!Files.exists(stop) && System.nanoTime() < deadline) {
+      if (Files.exists(statReq)) {
+        val seq = Files.readString(statReq).trim
+        Files.delete(statReq)
+        val stat =
+          s"""{"seq":"$seq","aborted":${plain.abortedResponses.get() +
+            secure.abortedResponses.get()},"spillDirs":$spillDirCount}"""
+        val st = Paths.get(ctlDir, ".stat.tmp")
+        Files.writeString(st, stat + "\n")
+        Files.move(st, Paths.get(ctlDir, "stat.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       Thread.sleep(200)
+    }
     secure.close()
     plain.close()
     spark.stop()

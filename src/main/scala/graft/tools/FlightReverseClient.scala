@@ -81,6 +81,39 @@ object FlightReverseClient {
       val st = cli.doAction("job.status", "any").asString
       require(st == "COMPLETE", s"action answered '$st'")
     }
+    step("do_exchange") {
+      // bidi verb against the stock server (an echo handler): the graft
+      // client streams 500 rows up under a CMD descriptor and must read
+      // the identical rows back in the same RPC
+      import spark.implicits._
+      val up = (0L until 500L).map(i => (i, i * 2)).toDF("a", "b")
+      val echoed = cli.doExchange(spark,
+        graft.sources.ActionMessages.CypherMessage("db", "RETURN input"), up)
+      val (n, s) = echoed.agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)), sum(col("a")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      require(n == 500L && s == 500L * 499L / 2,
+        s"do_exchange echo drift: n=$n sum=$s")
+    }
+    // args 4/5 (optional): a TLS port of the same stock server + a PKCS12
+    // truststore holding its cert — proves the graft client's TLS+ALPN
+    // stack against an upstream TLS listener, not just our own
+    if (args.length > 5) {
+      val (tlsPort, trustStore) = (args(4).toInt, args(5))
+      step("tls_do_get") {
+        val tcli = new FlightGrpc.Client(host, tlsPort, "reverse-token",
+          tls = Some(FlightGrpc.Tls.ClientTls(trustStore, "changeit")))
+        try {
+          require(tcli.negotiatedProtocol.contains("h2"),
+            s"ALPN negotiated ${tcli.negotiatedProtocol}, need h2")
+          val fi = tcli.getFlightInfo("t")
+          val df = tcli.readFlight(spark, fi)
+          val s = df.agg(sum(col("id"))).collect().head.getLong(0)
+          require(s == expectedIdSum, s"tls do_get sum drift: $s")
+        } finally tcli.close()
+      }
+    }
     cli.close()
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -339,6 +339,191 @@ def run_battery(results, client, options, ready, nation_pq, orders_pq):
     step("not_found_maps_to_key_error", s_not_found)
 
 
+# ---------------------------------------------------------------- soak
+def server_stat(ctl_dir, seq):
+    """Ask the server for {aborted, spillDirs} via the ctl-dir stat
+    protocol; the echoed seq guards against reading a stale answer."""
+    pathlib.Path(ctl_dir, "stat_req").write_text(str(seq))
+    p = pathlib.Path(ctl_dir, "stat.json")
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        if p.exists():
+            try:
+                s = json.loads(p.read_text())
+                if s.get("seq") == str(seq):
+                    return s
+            except (json.JSONDecodeError, OSError):
+                pass
+        time.sleep(0.1)
+    raise RuntimeError("server stat timed out")
+
+
+def rss_kb(pid):
+    for line in open(f"/proc/{pid}/status"):
+        if line.startswith("VmRSS:"):
+            return int(line.split()[1])
+    raise RuntimeError("no VmRSS")
+
+
+def run_soak(results, ready, ctl_dir, server_pid):
+    url = f"grpc+tcp://127.0.0.1:{ready['port']}"
+    token = ready["token"]
+    seq = [0]
+
+    def stat():
+        seq[0] += 1
+        return server_stat(ctl_dir, seq[0])
+
+    def authed_client():
+        c = flight.FlightClient(url)
+        pair = c.authenticate_basic_token("anyuser", token)
+        return c, flight.FlightCallOptions(headers=[pair])
+
+    # (a) 8 concurrent clients mixing DoGet (incl. the 2M-row bulk
+    # flight), spill-crossing DoPut, and actions against ONE server with
+    # a capped heap (-Xmx4g): everything completes, RSS stays bounded —
+    # the head-of-line / memory claims under real concurrency.
+    def s_concurrent_soak():
+        import concurrent.futures as cf
+
+        def worker(i):
+            c, opt = authed_client()
+            try:
+                for it in range(2):
+                    info = c.get_flight_info(
+                        flight.FlightDescriptor.for_path("orders"), opt)
+                    t = read_flight(c, opt, info)
+                    assert t.num_rows == ready["ordersRows"]
+                    if i % 2 == 0:
+                        binfo = c.get_flight_info(
+                            flight.FlightDescriptor.for_path("bulk"), opt)
+                        bt = read_flight(c, opt, binfo)
+                        assert bt.num_rows == 2000000, bt.num_rows
+                    n = 20000
+                    up = pa.table({
+                        "k": pa.array(range(n), pa.int64()),
+                        "pad": pa.array([f"{j:0256d}" for j in range(n)],
+                                        pa.string()),
+                    })
+                    w, r = c.do_put(
+                        flight.FlightDescriptor.for_path(f"soak_{i}_{it}"),
+                        up.schema, opt)
+                    w.write_table(up, max_chunksize=2048)
+                    w.done_writing()
+                    assert r.read().to_pybytes() == str(n).encode()
+                    w.close()
+                    list(c.do_action(flight.Action("info.version", b""),
+                                     opt))
+            finally:
+                c.close()
+
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [ex.submit(worker, i) for i in range(8)]
+            for f in cf.as_completed(futs, timeout=600):
+                f.result()
+        rss = rss_kb(server_pid)
+        # heap is capped at 4g; 6 GiB RSS allows metaspace + native Netty
+        # buffers while still catching an O(dataset) regression (the bulk
+        # flight alone is ~1.9 GiB × 8 readers if ever materialized)
+        assert rss < 6 * 1024 * 1024, f"server RSS {rss} kB unbounded"
+
+    # (b) cancel after 2 batches of the 2M-row DoGet: the server must
+    # abort the producer (observable: abortedResponses), and another
+    # in-flight full read of the SAME flight must still finish whole.
+    def s_cancel_mid_stream():
+        import threading as th
+        before = stat()["aborted"]
+        full_rows = []
+
+        def full_read():
+            c2, opt2 = authed_client()
+            try:
+                info2 = c2.get_flight_info(
+                    flight.FlightDescriptor.for_path("bulk"), opt2)
+                full_rows.append(read_flight(c2, opt2, info2).num_rows)
+            finally:
+                c2.close()
+
+        t = th.Thread(target=full_read)
+        t.start()
+        c, opt = authed_client()
+        info = c.get_flight_info(
+            flight.FlightDescriptor.for_path("bulk"), opt)
+        reader = c.do_get(info.endpoints[0].ticket, opt)
+        reader.read_chunk()
+        reader.read_chunk()
+        reader.cancel()
+        c.close()
+        deadline = time.time() + 60
+        aborted = before
+        while time.time() < deadline and aborted <= before:
+            time.sleep(0.5)
+            aborted = stat()["aborted"]
+        assert aborted > before, \
+            f"producer never aborted (count {aborted} <= {before})"
+        t.join(timeout=300)
+        assert full_rows == [2000000], \
+            f"concurrent full read broken by the cancel: {full_rows}"
+
+    # (c) abandon a spill-crossing DoPut mid-upload: the server must
+    # reclaim the spill directory. NB a graceful client close() after
+    # write_table HALF-CLOSES the stream (pyarrow sends END_STREAM), so
+    # the server rightly treats that as a complete upload and registers
+    # the flight — to genuinely abandon, the uploader runs in a child
+    # process that is SIGKILLed mid-stream, so the connection dies with
+    # no END_STREAM and the server's channelInactive→abort path must
+    # fire and delete the spill files.
+    def s_abandoned_put_reclaims_spill():
+        before = stat()["spillDirs"]
+        uploader = f"""
+import time
+import pyarrow as pa, pyarrow.flight as flight
+c = flight.FlightClient({url!r})
+pair = c.authenticate_basic_token("anyuser", {token!r})
+opt = flight.FlightCallOptions(headers=[pair])
+n = 60000
+up = pa.table({{"k": pa.array(range(n), pa.int64()),
+               "pad": pa.array([f"{{j:0128d}}" for j in range(n)],
+                               pa.string())}})
+w, _ = c.do_put(flight.FlightDescriptor.for_path("abandoned"),
+                up.schema, opt)
+w.write_table(up, max_chunksize=2048)  # ~8 MB: past the spill threshold
+print("WRITTEN", flush=True)
+time.sleep(600)  # never done_writing — parent SIGKILLs us here
+"""
+        proc = subprocess.Popen([sys.executable, "-c", uploader],
+                                stdout=subprocess.PIPE, text=True)
+        try:
+            # wait until the upload crossed the spill threshold server-side
+            assert proc.stdout.readline().strip() == "WRITTEN"
+            deadline = time.time() + 60
+            while time.time() < deadline and stat()["spillDirs"] <= before:
+                time.sleep(0.2)
+            grew = stat()["spillDirs"]
+            assert grew > before, f"upload never spilled ({grew})"
+        finally:
+            proc.kill()  # TCP dies with the process: no END_STREAM
+            proc.wait()
+        deadline = time.time() + 60
+        dirs = None
+        while time.time() < deadline:
+            dirs = stat()["spillDirs"]
+            if dirs <= before:
+                break
+            time.sleep(0.5)
+        assert dirs is not None and dirs <= before, \
+            f"spill dirs leaked: {before} -> {dirs}"
+
+    for name, fn in [("concurrent_soak_8_clients", s_concurrent_soak),
+                     ("cancel_mid_stream_aborts_producer",
+                      s_cancel_mid_stream),
+                     ("abandoned_put_reclaims_spill",
+                      s_abandoned_put_reclaims_spill)]:
+        fn()
+        results[name] = "pass"
+        print(f"  ok {name}")
+
+
 class SecretAuthHandler(flight.ClientAuthHandler):
     """The LEGACY Flight auth flow: handshake payload carries the secret,
     the response payload is the bearer, later calls ride auth-token-bin."""
@@ -437,6 +622,9 @@ def main():
         print("  ok tls_do_get")
         tls_client.close()
         client.close()
+
+        # ---- soak: concurrency, cancel-mid-stream, abandoned-put reclaim
+        run_soak(results, ready, ctl_dir, proc.pid)
         ok = True
     except Exception as e:  # noqa: BLE001 — report, then fail the run
         results["FAILED"] = f"{type(e).__name__}: {e}"

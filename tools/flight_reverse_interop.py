@@ -75,20 +75,67 @@ class StockServer(flight.FlightServerBase):
             return iter([flight.Result(b"COMPLETE")])
         raise NotImplementedError(action.type)
 
+    def do_exchange(self, context, descriptor, reader, writer):
+        # echo: read the client's whole upload, stream it straight back —
+        # any framing misreading (descriptor-only first frame, schema
+        # handling, body offsets) breaks the roundtrip checksum
+        data = reader.read_all()
+        writer.begin(data.schema)
+        writer.write_table(data)
+
+
+class StockTlsServer(StockServer):
+    """The same surface behind TLS — proves the graft CLIENT's TLS+ALPN
+    stack against an upstream TLS listener."""
+
+    def __init__(self, cert_pem, key_pem):
+        flight.FlightServerBase.__init__(
+            self, "grpc+tls://127.0.0.1:0",
+            tls_certificates=[(cert_pem, key_pem)])
+        self.received = {}
+
+
+def make_tls_material(tmpdir):
+    """Self-signed PEM pair (openssl) for the pyarrow server + a PKCS12
+    truststore (keytool) holding the cert for the graft client."""
+    cert = f"{tmpdir}/stock.crt"
+    key = f"{tmpdir}/stock.key"
+    trust = f"{tmpdir}/stock_trust.p12"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "1",
+         "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True)
+    subprocess.run(
+        ["keytool", "-importcert", "-alias", "stock", "-noprompt",
+         "-storetype", "PKCS12", "-keystore", trust,
+         "-storepass", "changeit", "-file", cert],
+        check=True, capture_output=True)
+    return (pathlib.Path(cert).read_bytes(), pathlib.Path(key).read_bytes(),
+            trust)
+
 
 def main():
     server = StockServer()
     port = server.port
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
-    print(f"[reverse] pyarrow {pa.__version__} server on :{port}")
+    import tempfile
+    tmpdir = tempfile.mkdtemp(prefix="graft_reverse_tls_")
+    cert_pem, key_pem, truststore = make_tls_material(tmpdir)
+    tls_server = StockTlsServer(cert_pem, key_pem)
+    tls_port = tls_server.port
+    threading.Thread(target=tls_server.serve, daemon=True).start()
+    print(f"[reverse] pyarrow {pa.__version__} server on :{port}, "
+          f"tls on :{tls_port}")
 
     cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
     cmd = ["java"] + [a for p in ADD_OPENS
                       for a in ("--add-opens", f"{p}=ALL-UNNAMED")] + [
         "-Xmx4g", "-Dspark.ui.enabled=false", "-cp", cp,
         "graft.tools.FlightReverseClient", "127.0.0.1", str(port),
-        str(ROWS), str(ID_SUM)]
+        str(ROWS), str(ID_SUM), str(tls_port), truststore]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     steps = {}
     for line in proc.stdout.splitlines():
@@ -120,6 +167,7 @@ def main():
         json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
     server.shutdown()
+    tls_server.shutdown()
     sys.exit(0 if ok else 1)
 
 
