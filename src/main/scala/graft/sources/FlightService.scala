@@ -35,11 +35,31 @@ final class FlightService(val spark: SparkSession) {
     * specs: proves a big DoPut really avoided the heap route). */
   val spilledPuts = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def register(name: String, df: DataFrame): Unit = {
-    tables.put(name, df)
-    staged.remove(name) // a re-registered flight invalidates its staging
-    ()
-  }
+  def register(name: String, df: DataFrame): Unit =
+    registerBacked(name, df, None)
+
+  /** Register `name`, recording the server-local dir backing `df` when
+    * the data IS those files (a spilled put). Replacing a registration
+    * invalidates its staged partition files (so partitioned readers
+    * can never be served the PREVIOUS upload's rows) and retires the
+    * previous registration's backing dirs. Synchronized against
+    * [[stagePartitions]]: either the replacement retires the
+    * just-staged files, or staging sees the new table — never a stale
+    * `staged` entry over a new `tables` one. */
+  private def registerBacked(name: String, df: DataFrame,
+                             backing: Option[java.io.File]): Unit =
+    synchronized {
+      tables.put(name, df)
+      // staged paths are Hadoop Path strings (`file:/tmp/...`) — resolve
+      // through the URI or java.io.File would silently never match disk
+      val oldStage = staged.remove(name).getOrElse(Nil)
+        .map(f => FlightService.localFile(f).getParentFile).toSet
+      val oldBacking = (backing match {
+        case Some(d) => flightDirs.put(name, Set(d))
+        case None => flightDirs.remove(name)
+      }).getOrElse(Set.empty)
+      retire(oldStage ++ (oldBacking -- backing))
+    }
 
   /** Register a graph for `gds.read` requests (the reference resolves
     * GdsMessage.graph against its graph catalog,
@@ -114,6 +134,50 @@ final class FlightService(val spark: SparkSession) {
   private val staged = TrieMap.empty[String, Seq[String]]
   private val stagedDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+
+  // -------------------------- replaced-flight reclamation
+  // A re-registered flight's previous backing files (staged partition
+  // files from [[stagePartitions]], put-spill dirs from
+  // [[ingestSpilledPut]]) are dead the moment the name points at new
+  // data — without reclamation, a long-lived ingest server
+  // re-uploading the same flight name grows disk linearly until
+  // close(). Deletion happens after a grace window rather than
+  // immediately: a reader that already OPENED a file is safe
+  // regardless (unlink keeps the inode readable), so the grace only
+  // covers the GetFlightInfo→DoGet gap of a reader racing the
+  // replacement — after it, a straggler reading the replaced flight
+  // fails loudly instead of being served deleted data. Retired dirs
+  // stay in `stagedDirs`, so close() reclaims any still inside their
+  // grace window; double deletes are idempotent.
+  /** Grace before a replaced flight's files are deleted (ms). */
+  @volatile var retireGraceMs: Long = 60000L
+  private val flightDirs = TrieMap.empty[String, Set[java.io.File]]
+  private lazy val retirer = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-flight-retire")
+        th.setDaemon(true)
+        th
+      })
+    t.setExecuteExistingDelayedTasksAfterShutdownPolicy(false)
+    t
+  }
+  private def deleteDir(d: java.io.File): Unit = {
+    Option(d.listFiles).foreach(_.foreach(_.delete()))
+    d.delete()
+    ()
+  }
+  private def retire(dirs: Set[java.io.File]): Unit =
+    if (dirs.nonEmpty) {
+      val grace = retireGraceMs
+      if (grace <= 0) dirs.foreach(deleteDir)
+      else {
+        retirer.schedule(new Runnable {
+          override def run(): Unit = dirs.foreach(deleteDir)
+        }, grace, java.util.concurrent.TimeUnit.MILLISECONDS)
+        ()
+      }
+    }
 
   /** Stage a flight's partitions as local IPC files (idempotent per
     * registration); returns the files in partition order. Empty
@@ -274,6 +338,7 @@ final class FlightService(val spark: SparkSession) {
     staged.clear()
     appendLog.clear()
     appendSchemaDdl.clear()
+    flightDirs.clear()
     var d = stagedDirs.poll()
     while (d != null) {
       Option(d.listFiles).foreach(_.foreach(_.delete()))
@@ -318,7 +383,7 @@ final class FlightService(val spark: SparkSession) {
     import spark.implicits._
     val df = ArrowIpc.fromIpcStreams(spark.createDataset(blobs), schema)
       .localCheckpoint(true)
-    tables.put(name, df)
+    register(name, df) // invalidates any staging of the PREVIOUS upload
     df.count()
   }
 
@@ -358,7 +423,7 @@ final class FlightService(val spark: SparkSession) {
         n
       }
       case Seq(name) =>
-        register(name, lazyDf)
+        registerBacked(name, lazyDf, Some(dir))
         n
       case other => throw new IllegalArgumentException(
         s"bad put path: $other")
@@ -374,7 +439,7 @@ final class FlightService(val spark: SparkSession) {
     val df = ArrowIpc.fromIpcStreams(
         spark.createDataset(groupStreams(msgs)), schema)
       .localCheckpoint(true)
-    tables.put(name, df)
+    register(name, df) // invalidates any staging of the PREVIOUS upload
     df.count()
   }
 
@@ -650,6 +715,15 @@ final class FlightService(val spark: SparkSession) {
 }
 
 object FlightService {
+
+  /** A server-local file from either a plain path or a Hadoop Path
+    * string (`file:/tmp/...`) — the staging/spill machinery only ever
+    * writes to local disk, so a scheme other than file never appears. */
+  private[sources] def localFile(path: String): java.io.File = {
+    val uri = new org.apache.hadoop.fs.Path(path).toUri
+    if (uri.getScheme == null) new java.io.File(path)
+    else new java.io.File(uri.getPath)
+  }
   /** Spark schema decoded from a stream's LEADING Arrow Schema message —
     * how a real Flight stream carries its schema (no side-channel DDL;
     * the gRPC transport uses this on both ends, while the framed-TCP

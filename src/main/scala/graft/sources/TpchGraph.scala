@@ -33,8 +33,47 @@ object TpchGraph {
   val NationBase   = 5000000000L
   val RegionBase   = 6000000000L
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val base = normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+    sys.env.get("SPARK_GRAFT_BLOWUP").map(_.trim.toInt).filter(_ > 1)
+      .map(blowUp(base, name, _)).getOrElse(base)
+  }
+
+  // -------------------------- scale-up measurement mode
+  // SPARK_GRAFT_BLOWUP=N (bench-only; never set by Verify or the driver)
+  // models a ×N SCALE FACTOR the way TPC-H itself scales: fact tables
+  // become N disjoint copies with every entity key offset per copy
+  // (copies never join to each other), while region/nation stay fixed
+  // dimensions. Payload columns repeat identically across copies, so
+  // dedup/similarity gates run a HIGH-DUPLICATION regime (every doc has
+  // N-1 exact twins — the web-corpus shape those operators exist for);
+  // their candidate generators must keep pair work bounded by bucket,
+  // which is exactly the 100 TB claim the measurement is probing. The
+  // blowup is a narrow union of pruned scans — the measured cost is the
+  // operator's, not the harness's.
+  private val BlowupKeys: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Key offset per copy: far above any driver-data key (≤150k at
+    * sf0.1) and N·stride stays far under the 1e9 id-family bases. */
+  val BlowupStride = 10000000L
+
+  private[graft] def blowUp(df: DataFrame, name: String, n: Int): DataFrame =
+    BlowupKeys.get(name) match {
+      case None => df // region/nation: fixed dimension tables
+      case Some(keys) =>
+        (0 until n).map { i =>
+          keys.foldLeft(df)((d, k) =>
+            d.withColumn(k, col(k) + lit(i * BlowupStride)))
+        }.reduce(_ unionByName _)
+    }
 
   /** Normalize the driver parquet's timestamp encodings — which have varied
     * across testdata drops — to session-zone TimestampType micros:
