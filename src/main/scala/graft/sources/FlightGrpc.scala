@@ -362,7 +362,16 @@ object FlightGrpc {
           Option(h.headers().get("authorization")).map(_.toString)) ||
           tokenBinOk(
             Option(h.headers().get("auth-token-bin")).map(_.toString))
-        if (h.isEndStream) finish(ctx)
+        if (h.isEndStream) {
+          // once a DoPut routed through the ingest worker, ALL put
+          // state belongs to that thread — END_STREAM on a trailing
+          // HEADERS frame (legal HTTP/2 half-close) must flow through
+          // the queue like END_STREAM on DATA does; finish() here would
+          // race the worker mid-drain (closeSpill under its writes,
+          // dispatch with a partial frame list, double respond)
+          if (putQueue != null) putQueue.put(new PutChunk(null, 0, end = true))
+          else finish(ctx)
+        }
       case d: Http2DataFrame =>
         // an unauthenticated request's body is DISCARDED as it arrives:
         // buffering (or spilling!) bytes for a caller that will be
@@ -466,9 +475,10 @@ object FlightGrpc {
 
     private def startPutWorker(ctx: ChannelHandlerContext): Unit = {
       putQueue = new java.util.concurrent.LinkedBlockingQueue[PutChunk]()
-      val t = new Thread(() => putWorkerLoop(ctx), "graft-grpc-put-ingest")
-      t.setDaemon(true)
-      t.start()
+      // the dispatch pool is cached (unbounded, reused threads): same
+      // one-thread-owns-the-stream model as a dedicated Thread, without
+      // per-RPC thread creation on the ingest hot path
+      srv.dispatchPool.execute(() => putWorkerLoop(ctx))
     }
 
     private def putWorkerLoop(ctx: ChannelHandlerContext): Unit = {
@@ -1087,7 +1097,10 @@ object FlightGrpc {
       // multi-GB uploads the spill path exists for while the server-side
       // ingest succeeds. Floor 180 s + 1 s per MiB, env-overridable.
       val ackTimeoutSec = sys.env.get("GRAFT_FLIGHT_ACK_TIMEOUT_SEC")
-        .map(_.toLong).getOrElse(180L + (sentBytes >> 20))
+        .map(v => scala.util.Try(v.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"GRAFT_FLIGHT_ACK_TIMEOUT_SEC must be a long, got '$v'")))
+        .getOrElse(180L + (sentBytes >> 20))
       val r = done.get(ackTimeoutSec, TimeUnit.SECONDS)
       if (r.status != 0)
         throw new GrpcException(r.status,

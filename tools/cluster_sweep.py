@@ -94,11 +94,21 @@ def main():
 
     local_hashes = hashes_of(local_out)
     wanted = queries
-    if not local_hashes or (wanted and not all(q in local_hashes
-                                               for q in wanted)):
+    # with no filter, a leftover baseline from a prior FILTERED run would
+    # silently narrow the comparison to its subset: an unfiltered sweep
+    # must compare the FULL gate set, so a _FILTERED marker on the
+    # baseline dir forces a re-run
+    marker = os.path.join(local_out, "_FILTERED")
+    if not local_hashes or \
+            (wanted and not all(q in local_hashes for q in wanted)) or \
+            (wanted is None and os.path.exists(marker)):
         print(f"=== local[16] baseline -> {local_out}", flush=True)
         run_verify(sf_dir, local_out, "local[16]", wanted)
         local_hashes = hashes_of(local_out)
+        if wanted:
+            open(marker, "w").write(",".join(sorted(wanted)))
+        elif os.path.exists(marker):
+            os.remove(marker)
 
     print(f"=== {master} -> {cluster_out}", flush=True)
     run_verify(sf_dir, cluster_out, master, wanted)
@@ -126,6 +136,11 @@ def main():
     if speculation:
         spec_out = f"{cluster_out}_speculation"
         spec_gates = [g for g in SPECULATION_GATES if g in local_hashes]
+        if not spec_gates:
+            # an empty filter would read as NO filter in run_verify and
+            # re-run the whole gate set while recording nothing
+            sys.exit("--speculation: none of the speculation gates are "
+                     "in the selected query set")
         print(f"=== {master} + pathological speculation -> {spec_out}",
               flush=True)
         run_verify(sf_dir, spec_out, master, spec_gates, speculation=True)

@@ -342,8 +342,13 @@ def run_battery(results, client, options, ready, nation_pq, orders_pq):
 # ---------------------------------------------------------------- soak
 def server_stat(ctl_dir, seq):
     """Ask the server for {aborted, spillDirs} via the ctl-dir stat
-    protocol; the echoed seq guards against reading a stale answer."""
-    pathlib.Path(ctl_dir, "stat_req").write_text(str(seq))
+    protocol; the echoed seq guards against reading a stale answer.
+    The request is written atomically (tmp + rename) — the server's
+    poll does read-then-delete, so a write_text could be consumed
+    half-written."""
+    tmp = pathlib.Path(ctl_dir, ".stat_req.tmp")
+    tmp.write_text(str(seq))
+    os.replace(tmp, pathlib.Path(ctl_dir, "stat_req"))
     p = pathlib.Path(ctl_dir, "stat.json")
     deadline = time.time() + 15
     while time.time() < deadline:

@@ -25,11 +25,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BF = os.path.join(REPO, "bench_full.json")
 
+# node2vec_walks (the UNBOUNDED variant) is deliberately absent: its
+# documented supernode caveat becomes decisive at x10 — nations are
+# fixed dimensions, so their degree grows with the blowup, and the
+# per-step transform x array_contains is quadratic in hub degree
+# (measured: one walk pass ran >35 min at x10 vs 10 s at sf0.1). The
+# hub-BOUNDED variant below (maxNb=16 TopK adjacency) is the 100 TB
+# path and is what the upward point measures.
 DEFAULT = [
     "sql_q1", "four_cycles", "kcore", "dag_levels", "khop_2",
-    "khop_dense", "node2vec_walks", "dedup_ngram", "dedup_containment",
-    "dedup_clusters", "cluster_safe_split", "decontaminate",
-    "textrank_terms", "sim_topk", "bm25_topk", "tokenizer_bakeoff",
+    "khop_dense", "node2vec_walks_hub", "dedup_ngram",
+    "dedup_containment", "dedup_clusters", "cluster_safe_split",
+    "decontaminate", "textrank_terms", "sim_topk", "bm25_topk",
+    "tokenizer_bakeoff",
 ]
 
 
@@ -72,7 +80,11 @@ def main():
                      "ratio": round(b / s, 2)})
     path = os.path.join(REPO, "SCALE_UP.json")
     if os.path.exists(path):
-        prior = {r["query"]: r for r in json.load(open(path))["rows"]}
+        # merge only rows measured at the SAME blowup — a mixed-ratio
+        # artifact under one data_ratio label would lie, and the
+        # summary print would KeyError on the other ratio's column
+        prior = {r["query"]: r for r in json.load(open(path))["rows"]
+                 if f"x{blowup}_sec" in r}
     else:
         prior = {}
     for r in rows:
