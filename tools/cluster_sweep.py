@@ -92,8 +92,17 @@ def main():
     cluster_out = os.environ.get("CLUSTER_OUT", f"/tmp/graft_cluster/sf{sf}")
     master = os.environ.get("CLUSTER_MASTER", "local-cluster[2,8,4096]")
 
-    local_hashes = hashes_of(local_out)
     wanted = queries
+    # --speculation preconditions are knowable from the CLI args alone —
+    # check them BEFORE any multi-minute verify pass, and honor the
+    # user's query filter (never run gates outside the requested set)
+    spec_gates = [g for g in SPECULATION_GATES
+                  if wanted is None or g in wanted] if speculation else []
+    if speculation and not spec_gates:
+        sys.exit("--speculation: none of the speculation gates are in "
+                 "the selected query set")
+
+    local_hashes = hashes_of(local_out)
     # with no filter, a leftover baseline from a prior FILTERED run would
     # silently narrow the comparison to its subset: an unfiltered sweep
     # must compare the FULL gate set, so a _FILTERED marker on the
@@ -103,11 +112,16 @@ def main():
             (wanted and not all(q in local_hashes for q in wanted)) or \
             (wanted is None and os.path.exists(marker)):
         print(f"=== local[16] baseline -> {local_out}", flush=True)
+        # marker BEFORE the run, cleared only after a COMPLETE unfiltered
+        # one: an interrupted baseline (filtered or not) must force a
+        # later unfiltered sweep to re-run rather than silently compare
+        # against a partial hash set
+        os.makedirs(local_out, exist_ok=True)
+        open(marker, "w").write(
+            ",".join(sorted(wanted)) if wanted else "*incomplete*")
         run_verify(sf_dir, local_out, "local[16]", wanted)
         local_hashes = hashes_of(local_out)
-        if wanted:
-            open(marker, "w").write(",".join(sorted(wanted)))
-        elif os.path.exists(marker):
+        if wanted is None:
             os.remove(marker)
 
     print(f"=== {master} -> {cluster_out}", flush=True)
@@ -135,12 +149,13 @@ def main():
     spec_rows = None
     if speculation:
         spec_out = f"{cluster_out}_speculation"
-        spec_gates = [g for g in SPECULATION_GATES if g in local_hashes]
+        # all requested speculation gates must be in the baseline (they
+        # are, for an unfiltered or superset baseline) — an empty filter
+        # would read as NO filter in run_verify
+        spec_gates = [g for g in spec_gates if g in local_hashes]
         if not spec_gates:
-            # an empty filter would read as NO filter in run_verify and
-            # re-run the whole gate set while recording nothing
-            sys.exit("--speculation: none of the speculation gates are "
-                     "in the selected query set")
+            sys.exit("--speculation: baseline is missing every requested "
+                     "speculation gate (inconsistent LOCAL_OUT?)")
         print(f"=== {master} + pathological speculation -> {spec_out}",
               flush=True)
         run_verify(sf_dir, spec_out, master, spec_gates, speculation=True)

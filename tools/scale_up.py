@@ -78,6 +78,11 @@ def main():
             continue
         rows.append({"query": q, "sf0.1_sec": s, f"x{blowup}_sec": b,
                      "ratio": round(b / s, 2)})
+    if not rows:
+        # don't clobber the committed artifact (or crash in the summary
+        # print) after two full bench passes that measured nothing
+        sys.exit("no query produced both measurements; "
+                 "SCALE_UP.json left untouched")
     path = os.path.join(REPO, "SCALE_UP.json")
     if os.path.exists(path):
         # merge only rows measured at the SAME blowup — a mixed-ratio
