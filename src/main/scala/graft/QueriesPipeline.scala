@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions.round6
 import graft.functions.TextFunctions._
-import graft.operators.{CorpusTools, Dedup, Multimodal, Quality, Similarity, Skew}
+import graft.operators.{CorpusTools, Dedup, Multimodal, Preference, Quality, Similarity, Skew}
 import graft.sources.TpchGraph.table
 
 /** North-star LLM-training-data pipeline operators over the `documents` /
@@ -217,6 +217,39 @@ object QueriesPipeline {
     }.mkString(",\n")
     head + ",\n" + its
   }
+
+  /** Shared matchup-derivation CTE block (Preference.matchups oracle):
+    * consecutive same-user events of different type+value → (w, l)
+    * matches (higher value wins) → directed win counts `wl(w, l, c)`.
+    * No leading WITH — composable. */
+  private val matchupCtes =
+    """seq AS (SELECT user_id, event_type, value,
+      |          lag(event_type) OVER
+      |            (PARTITION BY user_id ORDER BY ts, event_id) AS pt,
+      |          lag(value) OVER
+      |            (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      |        FROM events),
+      |mt AS (SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS w,
+      |              CASE WHEN value > pv THEN pt ELSE event_type END AS l
+      |       FROM seq
+      |       WHERE pt IS NOT NULL AND pt <> event_type AND pv <> value),
+      |wl AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c
+      |       FROM mt GROUP BY w, l)""".stripMargin
+
+  /** One Bradley–Terry MM round as CTEs d{k}/s{k} reading strengths
+    * from `prev` (Preference.btStrength's integer contract: SCALE² =
+    * 10^12, denominators floored at 1). */
+  private def btRound(k: Int, prev: String): String =
+    s"""d$k AS (SELECT n.i AS item,
+       |         CAST(sum((n.n * 1000000000000)
+       |           // greatest(si.st + sj.st, 1)) AS BIGINT) AS dd
+       |       FROM n JOIN $prev si ON si.item = n.i
+       |            JOIN $prev sj ON sj.item = n.j
+       |       GROUP BY n.i),
+       |s$k AS (SELECT items.item,
+       |         CAST((items.wins * 1000000000000)
+       |           // greatest(d$k.dd, 1) AS BIGINT) AS st
+       |       FROM items JOIN d$k ON d$k.item = items.item)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1191,6 +1224,27 @@ object QueriesPipeline {
       Quality.anonymityAudit(table(s, dir, "customer"),
         qi = Seq("c_nationkey", "c_mktsegment"), sensitive = "c_acctbal",
         k = 10L, l = 5L)),
+
+    // RLHF-style preference aggregation: consecutive same-user events of
+    // different type+value are matchups (higher value wins); per-type
+    // Bradley–Terry strengths by 3 integer-exact MM rounds
+    "pref_bt_strength" -> ((s, dir) =>
+      Preference.btStrength(table(s, dir, "events"), iters = 3)),
+
+    // judgment-consistency audit of the same matchup log: majority-
+    // tournament cyclic triads + Kendall consistency coefficient (ppm)
+    "pref_consistency" -> ((s, dir) =>
+      Preference.cyclicTriads(table(s, dir, "events"))),
+
+    // chance-corrected agreement between the declared lang column and
+    // the n-gram langId prediction — Cohen's kappa, exact ppm (the
+    // metadata-vs-classifier drift monitor over langid_confusion's data)
+    "agreement_kappa" -> ((s, dir) =>
+      Quality.cohenKappa(
+        table(s, dir, "documents")
+          .select(col("lang"),
+            TextFunctions.langId(words(col("text"))).as("pred")),
+        "lang", "pred")),
 
     // distribution drift across dataset versions (v2 = dataset_diff's
     // mutation: every 7th doc dropped, every 10th upper-cased): top-50
@@ -2382,6 +2436,91 @@ object QueriesPipeline {
         |    AS n_groups_below_l,
         |  CAST(min(ndist) AS BIGINT) AS min_l_diversity
         |FROM g""".stripMargin,
+    "pref_bt_strength" ->
+      s"""WITH $matchupCtes,
+         |n AS (SELECT i, j, CAST(sum(c) AS BIGINT) AS n FROM (
+         |        SELECT w AS i, l AS j, c FROM wl
+         |        UNION ALL SELECT l AS i, w AS j, c FROM wl) u
+         |      GROUP BY i, j),
+         |it AS (SELECT n.i AS item, CAST(sum(n.n) AS BIGINT) AS matches
+         |       FROM n GROUP BY n.i),
+         |wn AS (SELECT w AS item, CAST(sum(c) AS BIGINT) AS wins
+         |       FROM wl GROUP BY w),
+         |items AS (SELECT it.item,
+         |            CAST(coalesce(wn.wins, 0) AS BIGINT) AS wins,
+         |            it.matches
+         |          FROM it LEFT JOIN wn ON wn.item = it.item),
+         |s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS st FROM items),
+         |${btRound(1, "s0")},
+         |${btRound(2, "s1")},
+         |${btRound(3, "s2")}
+         |SELECT items.item, items.wins, items.matches, s3.st AS strength
+         |FROM items JOIN s3 ON s3.item = items.item""".stripMargin,
+    "pref_consistency" ->
+      s"""WITH $matchupCtes,
+         |paired AS (SELECT a.w, a.l, a.c,
+         |             CAST(coalesce(b.c, 0) AS BIGINT) AS rc
+         |           FROM wl a LEFT JOIN wl b
+         |             ON b.w = a.l AND b.l = a.w),
+         |e AS (SELECT w AS a, l AS b FROM paired WHERE c > rc),
+         |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM
+         |        (SELECT w AS x FROM wl UNION SELECT l FROM wl) t),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tied_pairs
+         |       FROM paired WHERE c = rc AND w < l),
+         |cy AS (SELECT CAST(count(*) AS BIGINT) AS cyclic_triads
+         |       FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |            JOIN e e3 ON e3.a = e2.b AND e3.b = e1.a
+         |       WHERE e1.a < e1.b AND e1.a < e2.b),
+         |mx AS (SELECT CAST(CASE WHEN n_items % 2 = 0
+         |         THEN (n_items * (n_items * n_items - 4)) // 24
+         |         ELSE (n_items * (n_items * n_items - 1)) // 24
+         |       END AS BIGINT) AS max_triads FROM ni)
+         |SELECT ni.n_items, ne.n_edges, nt.n_tied_pairs,
+         |  cy.cyclic_triads, mx.max_triads,
+         |  CAST(CASE WHEN mx.max_triads > 0
+         |    THEN ((mx.max_triads - cy.cyclic_triads) * 1000000)
+         |         // mx.max_triads
+         |    ELSE 1000000 END AS BIGINT) AS consistency_ppm
+         |FROM ni, ne, nt, cy, mx""".stripMargin,
+    "agreement_kappa" -> {
+      val scoreExprs = TextFunctions.LangMarkers.map { case (l, m) =>
+        val list = m.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(ws, x -> list_contains($list, x))) AS s_$l"
+      }.mkString(",\n         ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+        .mkString("\n         ")
+      s"""WITH w AS (SELECT lang, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |sc AS (SELECT lang,
+         |         $scoreExprs
+         |       FROM w),
+         |b AS (SELECT *, $best AS best FROM sc),
+         |p AS (SELECT lang AS la, CASE $cases END AS lb FROM b),
+         |m AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM p GROUP BY la, lb),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN la = lb THEN cnt ELSE 0 END)
+         |          AS BIGINT) AS agree FROM m),
+         |ma AS (SELECT la AS cls, sum(cnt) AS na FROM m GROUP BY la),
+         |mb AS (SELECT lb AS cls, sum(cnt) AS nb FROM m GROUP BY lb),
+         |pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT)
+         |         AS pe_num
+         |       FROM ma JOIN mb USING (cls))
+         |SELECT t.n, t.agree, pe.pe_num,
+         |  CAST(CASE
+         |    WHEN t.n * t.n - pe.pe_num <= 0 THEN 0
+         |    WHEN t.agree * t.n - pe.pe_num >= 0
+         |      THEN ((t.agree * t.n - pe.pe_num) * 1000000)
+         |           // (t.n * t.n - pe.pe_num)
+         |    ELSE -(((pe.pe_num - t.agree * t.n) * 1000000
+         |            + (t.n * t.n - pe.pe_num) - 1)
+         |           // (t.n * t.n - pe.pe_num))
+         |  END AS BIGINT) AS kappa_ppm
+         |FROM t, pe""".stripMargin
+    },
     "vocab_drift" ->
       """WITH v1 AS (SELECT text FROM documents),
         |v2 AS (SELECT CASE WHEN doc_id % 10 = 0 THEN upper(text)

@@ -89,4 +89,51 @@ object Quality {
           (col("n_xy") - col("n_x")).as("violations"),
           (col("n_xy") === col("n_x")).as("holds"))
     }.reduce(_.unionByName(_))
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelings of the same rows (annotator-vs-annotator, or
+    * metadata-vs-classifier drift monitoring). With n rows, `agree`
+    * matching rows, and pe_num = Σ_c rowmarginal_c · colmarginal_c:
+    *
+    *   κ = (agree·n − pe_num) / (n² − pe_num)
+    *
+    * reported as exact ppm. κ can be negative, and Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — so the signed
+    * floor is computed branch-wise over NON-negative operands only
+    * (floor(a/b) = −ceil(|a|/b) for a<0), making the two engines
+    * bit-identical; the oracle carries the same CASE. Degenerate
+    * denominator (all mass in one class → n² = pe_num) reports κ = 0.
+    *
+    * Scale: one hash aggregate to the confusion matrix (bounded by the
+    * label-vocabulary square), then 1-row folds and broadcast-sized
+    * marginal joins — nothing after the scan touches row count.
+    * Overflow: exact while n < ~3.0·10^6 (10^6·n² < 2^63); a larger
+    * corpus first scales the confusion counts by a common factor
+    * (κ is invariant to it, like every count-ratio statistic).
+    * Returns one row: (n, agree, pe_num, kappa_ppm). */
+  def cohenKappa(pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val m = pairs
+      .select(col(aCol).as("la"), col(bCol).as("lb"))
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val totals = m.agg(sum(col("cnt")).as("n"),
+      sum(when(col("la") === col("lb"), col("cnt")).otherwise(0L))
+        .as("agree"))
+    val pe = m.groupBy(col("la").as("cls")).agg(sum(col("cnt")).as("na"))
+      .join(m.groupBy(col("lb").as("cls")).agg(sum(col("cnt")).as("nb")),
+        Seq("cls"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    totals.join(pe, lit(true))
+      .select(col("n"), col("agree"), col("pe_num"),
+        expr("""CASE
+               |  WHEN n * n - pe_num <= 0 THEN 0
+               |  WHEN agree * n - pe_num >= 0
+               |    THEN ((agree * n - pe_num) * 1000000)
+               |         div (n * n - pe_num)
+               |  ELSE -(((pe_num - agree * n) * 1000000
+               |          + (n * n - pe_num) - 1)
+               |         div (n * n - pe_num))
+               |END""".stripMargin).as("kappa_ppm"))
+  }
 }
