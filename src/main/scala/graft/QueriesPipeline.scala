@@ -1246,6 +1246,55 @@ object QueriesPipeline {
             TextFunctions.langId(words(col("text"))).as("pred")),
         "lang", "pred")),
 
+    // STREAMING preference-count maintenance: the matchup derivation as
+    // a stateful operator (O(1) predecessor state per user, never the
+    // corpus-wide lag sort) over three event-time-range files arriving
+    // as separate micro-batches; the emitted matches' win-count
+    // aggregate (a sum monoid) must land exactly on the batch matchup
+    // counts — the continuously maintained Bradley–Terry input table.
+    "stream_pref_counts" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      val mm = e.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * ((hi - lo) / 3)
+      val base = s"/tmp/graft_sprefc_" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
+      try {
+        val src = s"$base/src"
+        Files.createDirectories(Paths.get(src))
+        def stage(df: DataFrame, n: Int): Unit = {
+          val tmp = s"$base/stage$n"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Paths.get(tmp).toFile.listFiles
+            .find(_.getName.endsWith(".parquet")).get.toPath
+          val dest = Paths.get(src, f"$n%02d.parquet")
+          Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+          // strictly increasing mtimes: FileStreamSource orders by mtime
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * n))
+        }
+        // global time cuts preserve per-user time order across batches
+        // (StatefulMatchups' arrival contract)
+        stage(e.where(unix_micros(col("ts")) <= c1), 1)
+        stage(e.where(unix_micros(col("ts")) > c1 &&
+          unix_micros(col("ts")) <= c2), 2)
+        stage(e.where(unix_micros(col("ts")) > c2), 3)
+        import s.implicits._
+        val stream = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .as[graft.streaming.PrefEvent]
+        val out = graft.streaming.StatefulMatchups.matches(stream).toDF()
+        runStreamToMemory(s, out, "graft_sprefc", "update")
+          .groupBy(col("winner"), col("loser"))
+          .agg(count(lit(1)).as("n_matches"))
+      } finally rmTree(new java.io.File(base))
+    }),
+
     // distribution drift across dataset versions (v2 = dataset_diff's
     // mutation: every 7th doc dropped, every 10th upper-cased): top-50
     // words by absolute ppm rate change — the TV-distance contributors
@@ -2521,6 +2570,9 @@ object QueriesPipeline {
          |  END AS BIGINT) AS kappa_ppm
          |FROM t, pe""".stripMargin
     },
+    "stream_pref_counts" ->
+      s"""WITH $matchupCtes
+         |SELECT w AS winner, l AS loser, c AS n_matches FROM wl""".stripMargin,
     "vocab_drift" ->
       """WITH v1 AS (SELECT text FROM documents),
         |v2 AS (SELECT CASE WHEN doc_id % 10 = 0 THEN upper(text)

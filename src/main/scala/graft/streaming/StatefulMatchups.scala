@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class PrefEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                     event_type: String, value: Double)
+
+/** Per-user carry: the last event seen, as (epoch micros, event_id,
+  * type, value). Constant size — the streaming matchup derivation holds
+  * ONE predecessor per user where the batch lag window re-sorts the
+  * whole corpus every run. */
+case class PrefLast(t: Long, eid: Long, typ: String, v: Double)
+
+case class PrefMatch(winner: String, loser: String)
+
+/** STREAMING matchup derivation — the incremental twin of
+  * [[graft.operators.Preference.matchups]] (the `pref_bt_strength` /
+  * `pref_consistency` input): consecutive same-user events of different
+  * type and different value are one match, higher value wins. Emitted
+  * matchup rows feed the win-count aggregate, which is a sum monoid —
+  * so the Bradley–Terry input table maintains itself continuously and
+  * must land exactly on the batch counts.
+  *
+  * State per user is a constant-size [[PrefLast]] (the predecessor for
+  * the next pair), never an event list. Each micro-batch sorts only
+  * that user's batch slice by (event-time micros, event_id) — the same
+  * total order as the batch lag window.
+  *
+  * Correctness contract: arrival must respect per-user event-time order
+  * ACROSS micro-batches (the changelog contract the other incremental
+  * gates use — [[StatefulFunnel]]'s note; the gate stages global
+  * time-range files to enforce it, which preserves per-user order
+  * because the cuts are on ts alone). Within a batch the sort restores
+  * any intra-batch disorder. */
+object StatefulMatchups {
+
+  def matches(events: Dataset[PrefEvent]): Dataset[PrefMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // local def: the stateful closure must capture only serializable
+    // locals, never the enclosing module
+    def micros(t: Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, evs: Iterator[PrefEvent], state: GroupState[PrefLast]) =>
+          val out = ArrayBuffer.empty[PrefMatch]
+          var last = state.getOption
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            last.foreach { p =>
+              // the predecessor ALWAYS advances (batch pairs are
+              // consecutive regardless of whether the pair qualifies)
+              if (p.typ != e.event_type && p.v != e.value) {
+                if (e.value > p.v) out += PrefMatch(e.event_type, p.typ)
+                else out += PrefMatch(p.typ, e.event_type)
+              }
+            }
+            last = Some(PrefLast(micros(e.ts), e.event_id,
+              e.event_type, e.value))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+}

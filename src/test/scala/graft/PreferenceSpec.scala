@@ -111,6 +111,35 @@ class PreferenceSpec extends AnyFunSuite {
     assert(r == Seq((3L, 3L, 9L, 0L)))
   }
 
+  test("streaming matchups carry predecessor state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{PrefEvent, StatefulMatchups}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[PrefEvent]
+    val qn = s"graft_smatch_${System.nanoTime()}"
+    val q = StatefulMatchups.matches(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("update").start()
+    try {
+      // batch 1: A(1) then B(2) -> B beats A; same-type and tied-value
+      // pairs are dropped exactly as in the batch derivation
+      in.addData(
+        PrefEvent(1L, t("2024-01-01 00:00:01"), 1L, "A", 1.0),
+        PrefEvent(1L, t("2024-01-01 00:00:02"), 2L, "B", 2.0),
+        PrefEvent(2L, t("2024-01-01 00:00:01"), 3L, "C", 5.0),
+        PrefEvent(2L, t("2024-01-01 00:00:02"), 4L, "C", 6.0))
+      q.processAllAvailable()
+      // batch 2: user 1's A(3) pairs with the PREVIOUS batch's B(2) —
+      // the state carry the batch lag window gets from its global sort
+      in.addData(PrefEvent(1L, t("2024-01-01 00:00:03"), 5L, "A", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(qn).as[(String, String)].collect().sorted.toSeq
+    spark.catalog.dropTempView(qn)
+    assert(got == Seq(("A", "B"), ("B", "A")))
+  }
+
   test("btStrength and cyclicTriads are repartition-stable") {
     val ev = events(
       (1L, "2024-01-01 00:00:01", 1L, "S", 1.0),
