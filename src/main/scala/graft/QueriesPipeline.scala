@@ -50,6 +50,26 @@ object QueriesPipeline {
     Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(); ()
   }
 
+  /** Stage `df` as the seq-th single-parquet source file under `src`,
+    * with a forced strictly-increasing mtime — FileStreamSource orders
+    * files by modification time, so synthetic mtimes make multi-batch
+    * arrival order deterministic. ONE copy of the staging pattern for
+    * this file's streaming gates (the relational gates carry their
+    * own). */
+  private def stageTimedParquet(df: DataFrame, base: String, src: String,
+                                seq: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val tmp = s"$base/stage$seq"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Paths.get(tmp).toFile.listFiles
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    val dest = Paths.get(src, f"$seq%02d.parquet")
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * seq))
+    ()
+  }
+
   /** The dedup_clusters component chain (3-shingle inverted index +
     * DF cap + Jaccard >= 0.3 pairs + recursive min-label fixpoint),
     * ending in `reach(node, lbl)`. Starts with the RECURSIVE keyword —
@@ -363,26 +383,16 @@ object QueriesPipeline {
     // band joins (shared MinhashCtes text), proving the maintained
     // index ≡ batch recompute.
     "stream_dedup_lsh" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      import java.nio.file.attribute.FileTime
+      import java.nio.file.{Files, Paths}
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val base = s"/tmp/graft_sdlsh_" +
         s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
       try {
         val src = s"$base/src"
         Files.createDirectories(Paths.get(src))
-        for (i <- 0 until 3) {
-          val tmp = s"$base/stage$i"
-          d.where(pmod(col("doc_id"), lit(3L)) === i).coalesce(1)
-            .write.mode("overwrite").parquet(tmp)
-          val part = Paths.get(tmp).toFile.listFiles
-            .find(_.getName.endsWith(".parquet")).get.toPath
-          val dest = Paths.get(src, f"$i%02d.parquet")
-          Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-          // strictly increasing mtimes: FileStreamSource orders by mtime
-          Files.setLastModifiedTime(dest,
-            FileTime.fromMillis(1000000L * (i + 1)))
-        }
+        for (i <- 0 until 3)
+          stageTimedParquet(d.where(pmod(col("doc_id"), lit(3L)) === i),
+            base, src, i + 1)
         // two INDEPENDENT stream derivations (Spark refuses a literal
         // self-join of one streaming DF)
         def feed = graft.operators.Dedup.bandKeyTable(
@@ -1236,15 +1246,34 @@ object QueriesPipeline {
     "pref_consistency" -> ((s, dir) =>
       Preference.cyclicTriads(table(s, dir, "events"))),
 
-    // chance-corrected agreement between the declared lang column and
-    // the n-gram langId prediction — Cohen's kappa, exact ppm (the
-    // metadata-vs-classifier drift monitor over langid_confusion's data)
-    "agreement_kappa" -> ((s, dir) =>
-      Quality.cohenKappa(
-        table(s, dir, "documents")
-          .select(col("lang"),
-            TextFunctions.langId(words(col("text"))).as("pred")),
-        "lang", "pred")),
+    // chance-corrected agreement (Cohen's kappa) with BOTH signed
+    // branches exercised on real data: annotator A = the declared lang
+    // column; annotator B = (noisy row) A perturbed to the
+    // cyclic-successor label on every 7th doc — the vocab_drift-style
+    // deterministic mutation — and (adversarial row) the successor
+    // everywhere, a derangement, so agreement is zero and kappa is
+    // genuinely negative. A langId-based B would be vacuous here: the
+    // shared synthetic vocabulary makes the heuristic emit one constant
+    // label, and for ANY constant predictor agree·n − pe_num ≡ 0.
+    "agreement_kappa" -> ((s, dir) => {
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val succ = langs.zip(langs.tail :+ langs.head).toMap
+      def succOf(c: org.apache.spark.sql.Column) =
+        langs.foldLeft(lit(null).cast("string")) { (acc, l) =>
+          when(c === l, lit(succ(l))).otherwise(acc)
+        }
+      val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val noisy = d.select(col("lang").as("a"),
+        when(col("doc_id") % 7 === 0, succOf(col("lang")))
+          .otherwise(col("lang")).as("b"))
+      val adv = d.select(col("lang").as("a"), succOf(col("lang")).as("b"))
+      Quality.cohenKappa(noisy, "a", "b")
+        .select(lit("noisy").as("pair"), col("n"), col("agree"),
+          col("pe_num"), col("kappa_ppm"))
+        .unionByName(Quality.cohenKappa(adv, "a", "b")
+          .select(lit("adversarial").as("pair"), col("n"), col("agree"),
+            col("pe_num"), col("kappa_ppm")))
+    }),
 
     // STREAMING preference-count maintenance: the matchup derivation as
     // a stateful operator (O(1) predecessor state per user, never the
@@ -1253,13 +1282,13 @@ object QueriesPipeline {
     // aggregate (a sum monoid) must land exactly on the batch matchup
     // counts — the continuously maintained Bradley–Terry input table.
     "stream_pref_counts" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      import java.nio.file.attribute.FileTime
+      import java.nio.file.{Files, Paths}
       val e = table(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"), col("value"))
       val mm = e.agg(min(unix_micros(col("ts"))).as("lo"),
         max(unix_micros(col("ts"))).as("hi")).head()
+      require(!mm.isNullAt(0), "events table is empty — nothing to stage")
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val c1 = lo + (hi - lo) / 3
       val c2 = lo + 2 * ((hi - lo) / 3)
@@ -1268,22 +1297,14 @@ object QueriesPipeline {
       try {
         val src = s"$base/src"
         Files.createDirectories(Paths.get(src))
-        def stage(df: DataFrame, n: Int): Unit = {
-          val tmp = s"$base/stage$n"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = Paths.get(tmp).toFile.listFiles
-            .find(_.getName.endsWith(".parquet")).get.toPath
-          val dest = Paths.get(src, f"$n%02d.parquet")
-          Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-          // strictly increasing mtimes: FileStreamSource orders by mtime
-          Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * n))
-        }
         // global time cuts preserve per-user time order across batches
         // (StatefulMatchups' arrival contract)
-        stage(e.where(unix_micros(col("ts")) <= c1), 1)
-        stage(e.where(unix_micros(col("ts")) > c1 &&
-          unix_micros(col("ts")) <= c2), 2)
-        stage(e.where(unix_micros(col("ts")) > c2), 3)
+        stageTimedParquet(e.where(unix_micros(col("ts")) <= c1),
+          base, src, 1)
+        stageTimedParquet(e.where(unix_micros(col("ts")) > c1 &&
+          unix_micros(col("ts")) <= c2), base, src, 2)
+        stageTimedParquet(e.where(unix_micros(col("ts")) > c2),
+          base, src, 3)
         import s.implicits._
         val stream = s.readStream.schema(e.schema)
           .option("maxFilesPerTrigger", 1).parquet(src)
@@ -2533,42 +2554,46 @@ object QueriesPipeline {
          |    ELSE 1000000 END AS BIGINT) AS consistency_ppm
          |FROM ni, ne, nt, cy, mx""".stripMargin,
     "agreement_kappa" -> {
-      val scoreExprs = TextFunctions.LangMarkers.map { case (l, m) =>
-        val list = m.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(ws, x -> list_contains($list, x))) AS s_$l"
-      }.mkString(",\n         ")
       val langs = TextFunctions.LangMarkers.map(_._1)
-      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'")
-        .mkString("\n         ")
-      s"""WITH w AS (SELECT lang, string_split(text, ' ') AS ws
-         |           FROM documents),
-         |sc AS (SELECT lang,
-         |         $scoreExprs
-         |       FROM w),
-         |b AS (SELECT *, $best AS best FROM sc),
-         |p AS (SELECT lang AS la, CASE $cases END AS lb FROM b),
-         |m AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS cnt
-         |      FROM p GROUP BY la, lb),
-         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
-         |        CAST(sum(CASE WHEN la = lb THEN cnt ELSE 0 END)
-         |          AS BIGINT) AS agree FROM m),
-         |ma AS (SELECT la AS cls, sum(cnt) AS na FROM m GROUP BY la),
-         |mb AS (SELECT lb AS cls, sum(cnt) AS nb FROM m GROUP BY lb),
-         |pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT)
-         |         AS pe_num
-         |       FROM ma JOIN mb USING (cls))
-         |SELECT t.n, t.agree, pe.pe_num,
-         |  CAST(CASE
-         |    WHEN t.n * t.n - pe.pe_num <= 0 THEN 0
-         |    WHEN t.agree * t.n - pe.pe_num >= 0
-         |      THEN ((t.agree * t.n - pe.pe_num) * 1000000)
-         |           // (t.n * t.n - pe.pe_num)
-         |    ELSE -(((pe.pe_num - t.agree * t.n) * 1000000
-         |            + (t.n * t.n - pe.pe_num) - 1)
-         |           // (t.n * t.n - pe.pe_num))
-         |  END AS BIGINT) AS kappa_ppm
-         |FROM t, pe""".stripMargin
+      val succCase = langs.zip(langs.tail :+ langs.head)
+        .map { case (a, b) => s"WHEN '$a' THEN '$b'" }
+        .mkString("CASE lang ", " ", " END")
+      // kappa fold over a (la, lb) pair CTE named `p` — confusion
+      // matrix, 1-row totals, marginal cross-sum
+      def kappaCtes(p: String) =
+        s"""${p}_m AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM $p GROUP BY la, lb),
+           |${p}_t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           |        CAST(sum(CASE WHEN la = lb THEN cnt ELSE 0 END)
+           |          AS BIGINT) AS agree FROM ${p}_m),
+           |${p}_pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT)
+           |         AS pe_num
+           |       FROM (SELECT la AS cls, sum(cnt) AS na FROM ${p}_m
+           |             GROUP BY la) ma
+           |       JOIN (SELECT lb AS cls, sum(cnt) AS nb FROM ${p}_m
+           |             GROUP BY lb) mb USING (cls))""".stripMargin
+      // the engine-portable signed floor division (Quality.cohenKappa)
+      def kappaRow(p: String, label: String) =
+        s"""SELECT '$label' AS pair, t.n, t.agree, pe.pe_num,
+           |  CAST(CASE
+           |    WHEN t.n * t.n - pe.pe_num <= 0 THEN 0
+           |    WHEN t.agree * t.n - pe.pe_num >= 0
+           |      THEN ((t.agree * t.n - pe.pe_num) * 1000000)
+           |           // (t.n * t.n - pe.pe_num)
+           |    ELSE -(((pe.pe_num - t.agree * t.n) * 1000000
+           |            + (t.n * t.n - pe.pe_num) - 1)
+           |           // (t.n * t.n - pe.pe_num))
+           |  END AS BIGINT) AS kappa_ppm
+           |FROM ${p}_t t, ${p}_pe pe""".stripMargin
+      s"""WITH np AS (SELECT lang AS la,
+         |        CASE WHEN doc_id % 7 = 0 THEN $succCase
+         |             ELSE lang END AS lb FROM documents),
+         |ap AS (SELECT lang AS la, $succCase AS lb FROM documents),
+         |${kappaCtes("np")},
+         |${kappaCtes("ap")}
+         |${kappaRow("np", "noisy")}
+         |UNION ALL
+         |${kappaRow("ap", "adversarial")}""".stripMargin
     },
     "stream_pref_counts" ->
       s"""WITH $matchupCtes

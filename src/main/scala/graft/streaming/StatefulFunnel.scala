@@ -42,10 +42,7 @@ object StatefulFunnel {
     // serializable local (the closure must not capture the module)
     val stageSeq = stages.toIndexedSeq
 
-    def micros(t: Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000
-    }
+    def micros(t: Timestamp): Long = StreamTime.micros(t)
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(),

@@ -36,38 +36,42 @@ case class PrefMatch(winner: String, loser: String)
   * gates use — [[StatefulFunnel]]'s note; the gate stages global
   * time-range files to enforce it, which preserves per-user order
   * because the cuts are on ts alone). Within a batch the sort restores
-  * any intra-batch disorder. */
+  * any intra-batch disorder — and a CROSS-batch violation fails loudly:
+  * the carried (micros, event_id) predecessor key is compared against
+  * each arriving event, so a late arrival raises instead of silently
+  * pairing as-if-newest and drifting from the batch oracle. */
 object StatefulMatchups {
 
   def matches(events: Dataset[PrefEvent]): Dataset[PrefMatch] = {
     val spark = events.sparkSession
     import spark.implicits._
 
-    // local def: the stateful closure must capture only serializable
-    // locals, never the enclosing module
-    def micros(t: Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000
-    }
-
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) {
-        (_: Long, evs: Iterator[PrefEvent], state: GroupState[PrefLast]) =>
+        (user: Long, evs: Iterator[PrefEvent], state: GroupState[PrefLast]) =>
           val out = ArrayBuffer.empty[PrefMatch]
           var last = state.getOption
-          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-            last.foreach { p =>
-              // the predecessor ALWAYS advances (batch pairs are
-              // consecutive regardless of whether the pair qualifies)
-              if (p.typ != e.event_type && p.v != e.value) {
-                if (e.value > p.v) out += PrefMatch(e.event_type, p.typ)
-                else out += PrefMatch(p.typ, e.event_type)
+          evs.toSeq.sortBy(e => (StreamTime.micros(e.ts), e.event_id))
+            .foreach { e =>
+              val t = StreamTime.micros(e.ts)
+              last.foreach { p =>
+                if (t < p.t || (t == p.t && e.event_id < p.eid))
+                  throw new IllegalStateException(
+                    s"out-of-order arrival for user $user: event " +
+                      s"(${e.event_id}, t=$t) after state predecessor " +
+                      s"(${p.eid}, t=${p.t}) — the per-user time-ordered " +
+                      "arrival contract is violated; stage sources by " +
+                      "event-time ranges")
+                // the predecessor ALWAYS advances (batch pairs are
+                // consecutive regardless of whether the pair qualifies)
+                if (p.typ != e.event_type && p.v != e.value) {
+                  if (e.value > p.v) out += PrefMatch(e.event_type, p.typ)
+                  else out += PrefMatch(p.typ, e.event_type)
+                }
               }
+              last = Some(PrefLast(t, e.event_id, e.event_type, e.value))
             }
-            last = Some(PrefLast(micros(e.ts), e.event_id,
-              e.event_type, e.value))
-          }
           last.foreach(state.update)
           out.iterator
       }

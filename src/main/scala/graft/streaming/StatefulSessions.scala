@@ -34,11 +34,9 @@ object StatefulSessions {
     val gapUs = gapMs * 1000L
 
     // local defs: the stateful closure must capture only serializable
-    // locals, never the enclosing module
-    def micros(t: Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000
-    }
+    // locals, never the enclosing module (StreamTime is a standalone
+    // top-level object — static access, no capture)
+    def micros(t: Timestamp): Long = StreamTime.micros(t)
     def tsOf(us: Long): Timestamp =
       Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000))

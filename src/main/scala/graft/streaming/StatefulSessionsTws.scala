@@ -30,10 +30,7 @@ class SessionProcessor(gapUs: Long)
     buf = getHandle.getValueState[SessionBuf]("session",
       Encoders.product[SessionBuf], TTLConfig.NONE)
 
-  private def micros(t: Timestamp): Long = {
-    val i = t.toInstant
-    i.getEpochSecond * 1000000L + i.getNano / 1000
-  }
+  private def micros(t: Timestamp): Long = StreamTime.micros(t)
   private def tsOf(us: Long): Timestamp =
     Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000))

@@ -140,6 +140,34 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got == Seq(("A", "B"), ("B", "A")))
   }
 
+  test("streaming matchups fail loudly on a cross-batch arrival violation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{PrefEvent, StatefulMatchups}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[PrefEvent]
+    val qn = s"graft_smatch_ooo_${System.nanoTime()}"
+    val q = StatefulMatchups.matches(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("update").start()
+    try {
+      in.addData(PrefEvent(1L, t("2024-01-01 00:00:05"), 1L, "A", 1.0))
+      q.processAllAvailable()
+      // a batch-2 event BEHIND the carried predecessor violates the
+      // per-user time-ordered arrival contract — silent as-if-newest
+      // pairing would drift from the batch oracle, so it must throw
+      in.addData(PrefEvent(1L, t("2024-01-01 00:00:01"), 2L, "B", 2.0))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(e: Throwable): Seq[Throwable] =
+        if (e == null) Seq.empty else e +: chain(e.getCause)
+      assert(chain(ex).exists(c =>
+        c.getMessage != null && c.getMessage.contains("out-of-order arrival")))
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
   test("btStrength and cyclicTriads are repartition-stable") {
     val ev = events(
       (1L, "2024-01-01 00:00:01", 1L, "S", 1.0),
