@@ -50,25 +50,10 @@ object QueriesPipeline {
     Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(); ()
   }
 
-  /** Stage `df` as the seq-th single-parquet source file under `src`,
-    * with a forced strictly-increasing mtime — FileStreamSource orders
-    * files by modification time, so synthetic mtimes make multi-batch
-    * arrival order deterministic. ONE copy of the staging pattern for
-    * this file's streaming gates (the relational gates carry their
-    * own). */
+  /** Multi-batch file staging — see [[graft.streaming.StageFiles]]. */
   private def stageTimedParquet(df: DataFrame, base: String, src: String,
-                                seq: Int): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import java.nio.file.attribute.FileTime
-    val tmp = s"$base/stage$seq"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Paths.get(tmp).toFile.listFiles
-      .find(_.getName.endsWith(".parquet")).get.toPath
-    val dest = Paths.get(src, f"$seq%02d.parquet")
-    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * seq))
-    ()
-  }
+                                seq: Int): Unit =
+    graft.streaming.StageFiles.stageTimedParquet(df, base, src, seq)
 
   /** The dedup_clusters component chain (3-shingle inverted index +
     * DF cap + Jaccard >= 0.3 pairs + recursive min-label fixpoint),

@@ -74,16 +74,8 @@ object QueriesRelational {
     val src = s"$base/src"
     Files.createDirectories(Paths.get(src))
     Paths.get(src).toFile.listFiles.foreach(_.delete())
-    def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
-      val tmp = s"$base/stage$n"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Paths.get(tmp).toFile.listFiles
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      val dest = Paths.get(src, f"$n%02d.parquet")
-      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-      // strictly increasing mtimes: FileStreamSource orders by mtime
-      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * n))
-    }
+    def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit =
+      graft.streaming.StageFiles.stageTimedParquet(df, base, src, n)
     stage(e, 1); stage(sentinels(20), 2); stage(sentinels(40), 3)
     def stream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
@@ -876,16 +868,8 @@ object QueriesRelational {
         s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${System.nanoTime()}"
       val src = s"$base/src"
       Files.createDirectories(Paths.get(src))
-      def stage(df: DataFrame, n: Int): Unit = {
-        val tmp = s"$base/stage$n"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Paths.get(tmp).toFile.listFiles
-          .find(_.getName.endsWith(".parquet")).get.toPath
-        val dest = Paths.get(src, f"$n%02d.parquet")
-        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-        // strictly increasing mtimes: FileStreamSource orders by mtime
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * n))
-      }
+      def stage(df: DataFrame, n: Int): Unit =
+        graft.streaming.StageFiles.stageTimedParquet(df, base, src, n)
       stage(e.where(unix_micros(col("ts")) <= c1), 1)
       stage(e.where(unix_micros(col("ts")) > c1 &&
         unix_micros(col("ts")) <= c2), 2)

@@ -167,20 +167,13 @@ object GraphStreams {
     * maintenance rather than a one-shot batch join. */
   def stageEdgeChangelog(edges: DataFrame, base: String,
                          nSlices: Int): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import java.nio.file.attribute.FileTime
+    import java.nio.file.{Files, Paths}
     val src = s"$base/src"
     Files.createDirectories(Paths.get(src))
-    for (i <- 0 until nSlices) {
-      val tmp = s"$base/stage$i"
-      edges.where(pmod(col("src"), lit(nSlices.toLong)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Paths.get(tmp).toFile.listFiles
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      val dest = Paths.get(src, f"$i%02d.parquet")
-      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L * (i + 1)))
-    }
+    for (i <- 0 until nSlices)
+      StageFiles.stageTimedParquet(
+        edges.where(pmod(col("src"), lit(nSlices.toLong)) === i),
+        base, src, i + 1)
     src
   }
 

@@ -46,6 +46,17 @@ object StatefulMatchups {
     val spark = events.sparkSession
     import spark.implicits._
 
+    // local defs (the closure-capture convention of the sibling
+    // operators): Spark-SQL double semantics for the JVM-side fold, so
+    // the stream agrees with the batch twin's `=!=` / `>` comparisons
+    // on EVERY double — SQL says NaN = NaN (Scala primitives say
+    // NaN ≠ NaN) and −0.0 = 0.0 (Double.compare says they differ), and
+    // NaN sorts above every other value.
+    def sqlEq(a: Double, b: Double): Boolean =
+      (a == b) || (a.isNaN && b.isNaN)
+    def sqlGt(a: Double, b: Double): Boolean =
+      !sqlEq(a, b) && java.lang.Double.compare(a, b) > 0
+
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) {
@@ -65,8 +76,9 @@ object StatefulMatchups {
                       "event-time ranges")
                 // the predecessor ALWAYS advances (batch pairs are
                 // consecutive regardless of whether the pair qualifies)
-                if (p.typ != e.event_type && p.v != e.value) {
-                  if (e.value > p.v) out += PrefMatch(e.event_type, p.typ)
+                if (p.typ != e.event_type && !sqlEq(p.v, e.value)) {
+                  if (sqlGt(e.value, p.v))
+                    out += PrefMatch(e.event_type, p.typ)
                   else out += PrefMatch(p.typ, e.event_type)
                 }
               }

@@ -140,6 +140,44 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got == Seq(("A", "B"), ("B", "A")))
   }
 
+  test("streaming matchups match batch Spark-SQL double semantics (NaN, -0.0)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{PrefEvent, StatefulMatchups}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // SQL: NaN = NaN (pair dropped), NaN > 5 (NaN wins), -0.0 = 0.0
+    // (pair dropped) — Scala primitive comparisons disagree on all three
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "A", Double.NaN),
+      (2L, "2024-01-01 00:00:02", 1L, "B", Double.NaN),
+      (3L, "2024-01-01 00:00:03", 1L, "C", 5.0),
+      (4L, "2024-01-01 00:00:01", 2L, "A", -0.0),
+      (5L, "2024-01-01 00:00:02", 2L, "B", 0.0))
+    val batch = Preference.matchups(events(rows: _*))
+      .as[(String, String)].collect().sorted.toSeq
+    assert(batch == Seq(("B", "C")))
+    val in = MemoryStream[PrefEvent]
+    val qn = s"graft_smatch_nan_${System.nanoTime()}"
+    val q = StatefulMatchups.matches(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("update").start()
+    try {
+      // split so the NaN predecessor crosses a batch boundary
+      in.addData(
+        PrefEvent(1L, t("2024-01-01 00:00:01"), 1L, "A", Double.NaN),
+        PrefEvent(1L, t("2024-01-01 00:00:02"), 2L, "B", Double.NaN))
+      q.processAllAvailable()
+      in.addData(
+        PrefEvent(1L, t("2024-01-01 00:00:03"), 3L, "C", 5.0),
+        PrefEvent(2L, t("2024-01-01 00:00:01"), 4L, "A", -0.0),
+        PrefEvent(2L, t("2024-01-01 00:00:02"), 5L, "B", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(qn).as[(String, String)].collect().sorted.toSeq
+    spark.catalog.dropTempView(qn)
+    assert(got == batch)
+  }
+
   test("streaming matchups fail loudly on a cross-batch arrival violation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{PrefEvent, StatefulMatchups}
