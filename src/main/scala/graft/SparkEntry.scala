@@ -285,17 +285,21 @@ object SparkEntry {
     // 2 there) and 40 at the sf0.1 bench — k=3 reach saturates most
     // orders, so output ≈ origins × |E| is the operator's INHERENT
     // complexity and the thinning keeps the bench proportionate.
-    "khop_3_dense" -> ((s, dir) => graft.operators.KHop.withKHopEdgesSkew(
+    // r11 OPT: the gate's aggregate is PUSHED THROUGH the incidence step
+    // (KHop.kHopStatsSkew — inclusion–exclusion over per-node origin
+    // arrays): same (origin, n_edges, checksum) rows, same skew-aware
+    // frontier, but the ~origins×|E| incidence set is never materialized
+    // or globally deduplicated (the old plan's 287 MB exchange + distinct
+    // was 60% of the query). Equivalence pinned by KHopSpec
+    // ("stats ≡ edges+aggregate") and by this gate's unchanged oracle.
+    "khop_3_dense" -> ((s, dir) => graft.operators.KHop.withKHopStatsSkew(
         graph(s, dir).rels
           .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
         k = 3, hotThreshold = 256,
         originPred = Some(col("origin").between(2000000000L, 2999999999L) &&
-          col("origin") % 500 < 20)) {
-      _.groupBy(col("origin"))
-        .agg(count(lit(1)).as("n_edges"),
-          sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
-            .as("checksum"))
-        .localCheckpoint(true)
+          col("origin") % 500 < 20),
+        f = (src, dst) => (src % 100003L) * 100003L + (dst % 100003L)) {
+      _.localCheckpoint(true)
     }),
     // P6: write-path null/NaN property skip (NodeInputIterator.java:97,
     // 135-142 skips null cells and non-finite floats). NaN/null injected

@@ -49,8 +49,11 @@ object CorpusTools {
     * lexicographically — deterministic. Returns (group, ngram, cnt, rn). */
   def topNgrams(docs: DataFrame, group: String, text: String, n: Int,
                 k: Int): DataFrame = {
-    val ws = words(col(text))
-    val grams = docs.select(col(group),
+    // two-step select: an inlined words() inside the transform lambda
+    // re-evaluates the split per element — O(words²) per doc, interpreted
+    val ws = col("ws")
+    val grams = docs.select(col(group), words(col(text)).as("ws"))
+      .select(col(group),
         explode(when(size(ws) >= n,
           transform(sequence(lit(1), size(ws) - (n - 1)),
             i => concat_ws(" ",
@@ -266,7 +269,11 @@ object CorpusTools {
     * via `aggregate`, so no per-doc group-by is ever needed. */
   def repetitionSignals(docs: DataFrame, id: String,
                         text: String): DataFrame = {
-    val ws = words(col(text))
+    // staged selects: each stage materializes what the next references
+    // more than once (ws → tg/bg → fold), so no lambda re-evaluates the
+    // tokenizer or the n-gram transform per element (O(words²)/doc,
+    // interpreted — see decontaminate)
+    val ws = col("ws")
     def ngrams(n: Int): Column =
       when(size(ws) >= n,
         transform(sequence(lit(1), size(ws) - (n - 1)),
@@ -277,7 +284,7 @@ object CorpusTools {
     val bg = ngrams(2)
     // max run length over the sorted bigrams = count of the modal bigram
     val topBigram = aggregate(
-      array_sort(bg),
+      array_sort(col("bg")),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"),
@@ -287,7 +294,9 @@ object CorpusTools {
       },
       acc => acc.getField("best"))
     docs
-      .select(col(id), ws.as("ws"), tg.as("tg"), bg.as("bg"),
+      .select(col(id), words(col(text)).as("ws"))
+      .select(col(id), col("ws"), tg.as("tg"), bg.as("bg"))
+      .select(col(id), col("ws"), col("tg"), col("bg"),
         topBigram.as("top_bg"))
       .select(col(id),
         size(col("ws")).cast("long").as("n_words"),
@@ -326,8 +335,13 @@ object CorpusTools {
     // and generate train×bench pairs inside each row. One wide shuffle
     // total, versus the join formulation's three re-executions of the
     // explode (df count, bench side, train side) plus a self-join.
-    val sh = docs.select(col(id).as("d"), benchPred.as("b"),
-      explode(shingles(words(col(text)), n)).as("s"))
+    // materialize the token array BEFORE the shingle transform: inlined,
+    // every element_at in the lambda re-evaluates the split per element —
+    // O(words²) per doc, interpreted (same trap winnowFingerprints
+    // documents; measured 10.4 s → ~1 s on the sf0.1 gate)
+    val sh = docs
+      .select(col(id).as("d"), benchPred.as("b"), words(col(text)).as("ws"))
+      .select(col("d"), col("b"), explode(shingles(col("ws"), n)).as("s"))
     val posts = sh.groupBy(col("s"))
       .agg(collect_list(struct(col("d"), col("b"))).as("ds"))
       .where(size(col("ds")) <= maxDf)
@@ -365,8 +379,11 @@ object CorpusTools {
     // maxDf mirrors dedup_ngram's boilerplate ceiling: a shingle in
     // more than maxDf docs is definitionally non-novel prose furniture
     // and credits NO doc (not even its first).
-    val pairs = docs.select(col(id).as("d"),
-      explode(shingles(words(col(text)), n)).as("s"))
+    // two-step select: see decontaminate — an inlined words() inside the
+    // shingle lambda re-evaluates the split per element (O(words²)/doc)
+    val pairs = docs
+      .select(col(id).as("d"), words(col(text)).as("ws"))
+      .select(col("d"), explode(shingles(col("ws"), n)).as("s"))
     val stats = pairs.groupBy(col("s"))
       .agg(min(col("d")).as("fd"), count(lit(1)).as("df"))
     val novel = stats.where(col("df") <= maxDf)
@@ -865,8 +882,11 @@ object CorpusTools {
     * the final top-k is TakeOrdered, never a full sort. */
   def textrankTerms(docs: DataFrame, text: String, iters: Int = 2,
                     k: Int = 20): DataFrame = {
-    val ws = words(col(text))
-    val pairs = docs.select(
+    // two-step select: see collocations — inlined words() in the lambda
+    // re-evaluates the split per element (O(words²)/doc, interpreted)
+    val ws = col("ws")
+    val pairs = docs.select(words(col(text)).as("ws"))
+      .select(
         explode(when(size(ws) >= 2,
           transform(sequence(lit(1), size(ws) - 1),
             i => struct(element_at(ws, i).as("w1"),
@@ -1166,10 +1186,13 @@ object CorpusTools {
     * TakeOrderedAndProject. Returns (w1, w2, cnt, score). */
   def collocations(docs: DataFrame, text: String, minCount: Long,
                    k: Int): DataFrame = {
-    val ws = words(col(text))
-    val toks = docs.select(explode(ws).as("w"))
+    // two-step select for the bigram transform: an inlined words() inside
+    // the lambda re-evaluates the split per element (O(words²)/doc)
+    val ws = col("ws")
+    val toks = docs.select(explode(words(col(text))).as("w"))
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val big = docs.select(explode(when(size(ws) >= 2,
+    val big = docs.select(words(col(text)).as("ws"))
+      .select(explode(when(size(ws) >= 2,
         transform(sequence(lit(1), size(ws) - 1),
           i => struct(element_at(ws, i).as("w1"),
             element_at(ws, i + 1).as("w2"))))
@@ -1451,8 +1474,11 @@ object CorpusTools {
   def contaminationRatio(docs: DataFrame, id: String, text: String,
                          benchPred: Column, n: Int = 4,
                          maxDf: Int = 50): DataFrame = {
-    val sh = docs.select(col(id).as("d"), benchPred.as("b"),
-      explode(shingles(words(col(text)), n)).as("s"))
+    // two-step select: see decontaminate — an inlined words() inside the
+    // shingle lambda re-evaluates the split per element (O(words²)/doc)
+    val sh = docs
+      .select(col(id).as("d"), benchPred.as("b"), words(col(text)).as("ws"))
+      .select(col("d"), col("b"), explode(shingles(col("ws"), n)).as("s"))
     val bench = sh.where(col("b")).select(col("s")).distinct()
       .join(sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDf), "s")

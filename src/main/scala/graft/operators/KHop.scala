@@ -109,29 +109,127 @@ object KHop {
     try f(df) finally cached.foreach(_.unpersist(blocking = false))
   }
 
-  private[graft] def kHopSkewBuild(rels: DataFrame, k: Int, hotThreshold: Long,
-                                   originPred: Option[Column], persist: Boolean)
+  /** Aggregate-pushdown twin of [[kHopEdgesSkew]] (optimization round 11,
+    * guide §1.2 "don't compute things you throw away"): when the consumer
+    * only needs per-origin COUNT and an edge-checksum SUM over the k-hop
+    * incidence set, the set itself never has to be materialized or
+    * globally deduplicated. With A(o) = {e : src ∈ R(o)}, B(o) = {e :
+    * dst ∈ R(o)} over the distinct edge set E and reach R(o):
+    *
+    *   |S(o)|  = |A| + |B| − |A∩B|      (inclusion–exclusion; E distinct
+    *   Σf(S)   = Σf(A) + Σf(B) − Σf(A∩B)   ⇒ A,B carry no duplicates)
+    *
+    * and every term is computable WITHOUT shuffling the incidence rows:
+    * group R by node into per-node origin arrays (bounded by |origins| —
+    * a hub's array is its qualifying-ORIGIN set, not its adjacency), join
+    * E to the arrays of its two endpoints (node-keyed, multiplicity-1
+    * build side), then explode os(src) for the A-term, os(dst) for the
+    * B-term and array_intersect for the A∩B-term straight into a
+    * map-side-combined per-origin aggregate. The ~|origins|·|E| incidence
+    * rows are generated and partially aggregated INSIDE each task — they
+    * never cross an exchange, versus the materializing plan's
+    * union+distinct which shuffles 2·|S| rows twice (measured on
+    * khop_3_dense at sf0.1: a 287 MB exchange + 105 s of distinct CPU).
+    *
+    * The reach R is built by the same hot/cold skew frontier as
+    * [[kHopEdgesSkew]]. Overflow note: per-origin Σf(A)+Σf(B) ≤ 2× the
+    * materializing plan's checksum magnitude — the mod-100003 checksum
+    * terms the dense gates use keep that far inside int64 (≤ ~1e17 at a
+    * 10× blowup).
+    *
+    * Returns (origin, n_edges, checksum) — bit-identical to
+    * `kHopEdgesSkew(...).groupBy(origin).agg(count(1), sum(f(src,dst)))`
+    * (KHopSpec pins the equivalence; the khop_3_dense oracle gate pins it
+    * against DuckDB at all SFs). */
+  def kHopStatsSkew(rels: DataFrame, k: Int, hotThreshold: Long,
+                    originPred: Option[Column],
+                    f: (Column, Column) => Column,
+                    persist: Boolean = true): DataFrame =
+    kHopStatsBuild(rels, k, hotThreshold, originPred, f, persist)._1
+
+  /** [[kHopStatsSkew]] with deterministic cache release — materialize the
+    * result inside `fn` (same bracket contract as [[withKHopEdgesSkew]]). */
+  def withKHopStatsSkew[A](rels: DataFrame, k: Int, hotThreshold: Long,
+                           originPred: Option[Column],
+                           f: (Column, Column) => Column)
+                          (fn: DataFrame => A): A = {
+    val (df, cached) = kHopStatsBuild(rels, k, hotThreshold, originPred, f,
+      persist = true)
+    try fn(df) finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  private[graft] def kHopStatsBuild(rels: DataFrame, k: Int,
+                                    hotThreshold: Long,
+                                    originPred: Option[Column],
+                                    f: (Column, Column) => Column,
+                                    persist: Boolean)
       : (DataFrame, Seq[DataFrame]) = {
+    val core = new SkewCore(rels, k, hotThreshold, originPred, persist)
+    val (reach, e) = (core.reach, core.e)
+    val fe = f(col("src"), col("dst"))
+    // per-node origin arrays: bounded by the qualifying-origin count, so
+    // no hot/cold split is needed here — a supernode's array is its
+    // origin set, never its adjacency. Persisted (bracket-released): four
+    // consumers below (two term joins + both endpoints of the A∩B join)
+    // would otherwise re-run the collect_set shuffle four times
+    // (measured: 4 × 48-task stages, ~60 s of the query's CPU).
+    val os = core.maybePersist(
+      reach.groupBy(col("node")).agg(collect_set(col("origin")).as("os")))
+    // per-node incident-edge aggregates (1 row per node and side)
+    val srcAgg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("c"), sum(fe).as("fs"))
+    val dstAgg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("c"), sum(fe).as("fs"))
+    // A and B terms: one node-keyed join each, then a narrow explode into
+    // the map-side-combined per-origin sum
+    def term(agg: DataFrame): DataFrame = agg.join(os, Seq("node"))
+      .select(explode(col("os")).as("origin"), col("c"), col("fs"))
+    // A∩B term (negative sign): edges with BOTH endpoints in R(o) —
+    // array_intersect of the two endpoint origin arrays, per edge
+    val osS = os.select(col("node").as("src"), col("os").as("os_s"))
+    val osD = os.select(col("node").as("dst"), col("os").as("os_d"))
+    val both = e.join(osS, Seq("src")).join(osD, Seq("dst"))
+      .select(explode(array_intersect(col("os_s"), col("os_d")))
+          .as("origin"),
+        lit(-1L).as("c"), (-fe).as("fs"))
+    val stats = term(srcAgg).union(term(dstAgg)).union(both)
+      .groupBy(col("origin"))
+      .agg(sum(col("c")).as("n_edges"), sum(col("fs")).as("checksum"))
+    (stats, core.cached)
+  }
+
+  /** Shared skew-aware scaffolding for the k-hop builds: deduped edge set,
+    * undirected adjacency, hot-key classification, and the k−1 hot/cold
+    * frontier-expansion loop producing the reach set. Extracted (round 11)
+    * so [[kHopStatsBuild]] reuses the exact frontier the materializing
+    * [[kHopSkewBuild]] runs, instead of duplicating it. All doc comments
+    * on the mechanics live on the members below. */
+  private[graft] final class SkewCore(rels: DataFrame, k: Int,
+                                      hotThreshold: Long,
+                                      originPred: Option[Column],
+                                      persist: Boolean) {
     require(k >= 1, "k must be >= 1")
     require(hotThreshold >= 0, "hotThreshold must be >= 0")
-    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    private val cachedBuf =
+      scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cached: List[DataFrame] = cachedBuf.toList
     def maybePersist(df: DataFrame): DataFrame =
       if (persist) {
-        cached += df
+        cachedBuf += df
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else df
     // multi-edges collapse here instead of in the final distinct: every
     // downstream join shrinks and the output set is unchanged
-    val e = maybePersist(
+    val e: DataFrame = maybePersist(
       rels.select(col("START_ID").as("src"), col("END_ID").as("dst"))
         .distinct())
-    val adj = maybePersist(
+    val adj: DataFrame = maybePersist(
       e.union(e.select(col("dst"), col("src"))).distinct().toDF("a", "b"))
     // hot = adjacency fan-out above threshold; the set is small by
     // definition, so classification is a broadcast join — no shuffle
-    val hot = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    private val hot = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .where(col("deg") > hotThreshold).select(col("a").as("node"))
-    val hotMark = broadcast(hot.withColumn("_hot", lit(true)))
+    private val hotMark = broadcast(hot.withColumn("_hot", lit(true)))
     def mark(df: DataFrame, key: String, flag: String): DataFrame =
       df.join(hotMark.select(col("node").as(key), col("_hot").as(flag)),
           Seq(key), "left")
@@ -145,34 +243,56 @@ object KHop {
     // measured 3.6× the plain plan's wall time at sf0.1). Each table is
     // marked once, persisted, and both branches filter the materialized
     // rows. e carries both endpoint flags in ONE marked table.
-    val adjM = maybePersist(mark(adj, "a", "_hot_a"))
-    val adjCold = adjM.where(col("_hot_a").isNull).drop("_hot_a")
-    val adjHot = adjM.where(col("_hot_a").isNotNull).drop("_hot_a")
-    val eM = maybePersist(mark(mark(e, "src", "_hot_s"), "dst", "_hot_d"))
-    val allOrigins = adj.select(col("a").as("origin")).distinct()
-    val origins = originPred.fold(allOrigins)(p => allOrigins.where(p))
-    var reach = origins.select(col("origin"), col("origin").as("node"))
-    for (_ <- 1 until k) {
-      val reachM = maybePersist(mark(reach, "node", "_hot_n"))
-      val reachCold = reachM.where(col("_hot_n").isNull).drop("_hot_n")
-      val reachHot = reachM.where(col("_hot_n").isNotNull).drop("_hot_n")
-      // cold×cold shuffle join: every key's fan-out ≤ hotThreshold.
-      // hot: hub adjacency STREAMS against the broadcast hot reach rows.
-      val expanded = reachCold
-        .join(adjCold, col("node") === col("a"))
-        .select(col("origin"), col("b").as("node"))
-        .union(adjHot.join(broadcast(reachHot), col("a") === col("node"))
-          .select(col("origin"), col("b").as("node")))
-      // dedup on (origin, node): the composite key dilutes hub skew
-      reach = reachM.drop("_hot_n").union(expanded).distinct()
+    // (lazy: the stats path never touches the marked tables)
+    private val adjM = maybePersist(mark(adj, "a", "_hot_a"))
+    val adjCold: DataFrame = adjM.where(col("_hot_a").isNull).drop("_hot_a")
+    val adjHot: DataFrame = adjM.where(col("_hot_a").isNotNull).drop("_hot_a")
+    lazy val eM: DataFrame =
+      maybePersist(mark(mark(e, "src", "_hot_s"), "dst", "_hot_d"))
+    val reach: DataFrame = {
+      val allOrigins = adj.select(col("a").as("origin")).distinct()
+      val origins = originPred.fold(allOrigins)(p => allOrigins.where(p))
+      var r = origins.select(col("origin"), col("origin").as("node"))
+      for (step <- 1 until k) {
+        // lineage truncation per round (r11 opt, guide §5/§7.3): with the
+        // old per-round persist the logical tree kept every prior round
+        // alive, and at k=3 the driver spent ~8 s per action just
+        // analyzing/canonicalizing it (measured gap before the first
+        // stage). An eager localCheckpoint makes each round a LogicalRDD
+        // leaf; the mark join's two filter branches then re-evaluate a
+        // cheap broadcast join over in-memory blocks, so the mark-once
+        // persist is dropped along with its cache-lookup cost. Eagerness
+        // costs nothing extra: the rounds are a sequential frontier
+        // anyway (each distinct consumes the previous one fully).
+        val rc = r.localCheckpoint(true)
+        val rM = mark(rc, "node", "_hot_n")
+        val reachCold = rM.where(col("_hot_n").isNull).drop("_hot_n")
+        val reachHot = rM.where(col("_hot_n").isNotNull).drop("_hot_n")
+        // cold×cold shuffle join: every key's fan-out ≤ hotThreshold.
+        // hot: hub adjacency STREAMS against the broadcast hot reach rows.
+        val expanded = reachCold
+          .join(adjCold, col("node") === col("a"))
+          .select(col("origin"), col("b").as("node"))
+          .union(adjHot.join(broadcast(reachHot), col("a") === col("node"))
+            .select(col("origin"), col("b").as("node")))
+        // dedup on (origin, node): the composite key dilutes hub skew
+        r = rc.union(expanded).distinct()
+      }
+      r
     }
-    val reachM = maybePersist(mark(reach, "node", "_hot_n"))
+  }
+
+  private[graft] def kHopSkewBuild(rels: DataFrame, k: Int, hotThreshold: Long,
+                                   originPred: Option[Column], persist: Boolean)
+      : (DataFrame, Seq[DataFrame]) = {
+    val core = new SkewCore(rels, k, hotThreshold, originPred, persist)
+    val reachM = core.maybePersist(core.mark(core.reach, "node", "_hot_n"))
     val reachCold = reachM.where(col("_hot_n").isNull).drop("_hot_n")
     val reachHot = reachM.where(col("_hot_n").isNotNull).drop("_hot_n")
     def incidence(endpoint: String, flag: String): DataFrame = {
-      val eCold = eM.where(col(flag).isNull)
+      val eCold = core.eM.where(col(flag).isNull)
         .drop("_hot_s", "_hot_d")
-      val eHot = eM.where(col(flag).isNotNull)
+      val eHot = core.eM.where(col(flag).isNotNull)
         .drop("_hot_s", "_hot_d")
       eCold.join(reachCold, col(endpoint) === col("node"))
         .select(col("origin"), col("src"), col("dst"))
@@ -182,7 +302,7 @@ object KHop {
     // an edge can qualify via both endpoints — the final distinct is the
     // semantics' own dedup (NodeHistory bitsets, KHop.java:151-154)
     (incidence("src", "_hot_s").union(incidence("dst", "_hot_d")).distinct(),
-      cached.toList)
+      core.cached)
   }
 
   /** CSR-style 2-hop: same result set as [[twoHopEdges]], different plan.

@@ -33,8 +33,26 @@ object TpchGraph {
   val NationBase   = 5000000000L
   val RegionBase   = 6000000000L
 
+  /** Parquet schema memo (r11 opt, guide §6 metadata costs): without an
+    * explicit schema every `spark.read.parquet` runs a footer-inference
+    * JOB, and the graph builders call [[table]] 6–12× per query — ~11
+    * single-task stages (~1.5 s) of pure scheduling per graph query,
+    * ~2000 such jobs across one bench run. The memo holds METADATA only
+    * (a StructType derived from the file footer, the thing a catalog
+    * would hold); every query still scans the parquet data itself
+    * fresh. Keyed by path + the nanosAsLong flag, since that session
+    * flag changes how int64-nanos columns surface in the inferred
+    * schema. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val base = normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+    val path = s"$sfDir/$name.parquet"
+    val key = path + "|nanos=" + spark.conf
+      .get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    val base = normalizeTimestamps(spark.read.schema(schema).parquet(path))
     sys.env.get("SPARK_GRAFT_BLOWUP").map(_.trim.toInt).filter(_ > 1)
       .map(blowUp(base, name, _)).getOrElse(base)
   }

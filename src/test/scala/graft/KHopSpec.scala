@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -95,6 +96,37 @@ class KHopSpec extends AnyFunSuite {
               persist = false)
             .as[(Long, Long, Long)].collect().toSet
           assert(got == want, s"k=$k threshold=$t edges=$es")
+        }
+      }
+    }
+  }
+
+  test("stats pushdown equals edges+aggregate at every k and threshold") {
+    // kHopStatsSkew must be BIT-identical to aggregating the materialized
+    // incidence set — the khop_3_dense gate rides on this equivalence
+    val f = (src: Column, dst: Column) =>
+      (src % 100003L) * 100003L + (dst % 100003L)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 3 + rnd.nextInt(7)
+      val es = Seq.fill(1 + rnd.nextInt(14))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .distinct.filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        val df = es.toDF("START_ID", "END_ID").withColumn("TYPE", lit("E"))
+        val pred =
+          if (trial % 2 == 0) Some(col("origin") % 2 === 0) else None
+        for (k <- Seq(1, 2, 3); t <- Seq(0L, 2L, 100L)) {
+          val want = KHop.kHopEdgesSkew(df, k, hotThreshold = t,
+              originPred = pred, persist = false)
+            .groupBy(col("origin"))
+            .agg(count(lit(1)).as("n_edges"),
+              sum(f(col("src"), col("dst"))).as("checksum"))
+            .as[(Long, Long, Long)].collect().toSet
+          val got = KHop.kHopStatsSkew(df, k, hotThreshold = t,
+              originPred = pred, f = f, persist = false)
+            .as[(Long, Long, Long)].collect().toSet
+          assert(got == want, s"k=$k threshold=$t edges=$es pred=$pred")
         }
       }
     }
