@@ -197,15 +197,15 @@ object QueriesScale {
       val o = table(s, dir, "orders")
       val x = col("o_orderkey") % 2048
       val y = col("o_custkey") % 2048
-      def audit(name: String, key: org.apache.spark.sql.Column) =
-        graft.operators.Layout.boxQueryAudit(o, name, key,
+      type C = org.apache.spark.sql.Column
+      def audit(name: String, keyOf: (C, C) => C) =
+        graft.operators.Layout.boxQueryAudit(o, name, keyOf,
           col("o_orderkey"), x, y,
           xLo = 128L, xHi = 1919L, yLo = 256L, yHi = 511L,
           blockRows = 256L)
-      audit("by_hilbert", graft.operators.Layout.hilbertKey(x, y))
-        .unionByName(audit("by_morton",
-          graft.operators.Layout.mortonKey(x, y)))
-        .unionByName(audit("by_lex", x * 2048L + y))
+      audit("by_hilbert", graft.operators.Layout.hilbertKey)
+        .unionByName(audit("by_morton", graft.operators.Layout.mortonKey))
+        .unionByName(audit("by_lex", (kx, ky) => kx * 2048L + ky))
     }),
 
     // Consistent-hashing rebalance: adding shard 9 of 9 moves ~11% of

@@ -36,6 +36,19 @@ object GraphAlgos {
     edges.select(col(a).as("u"), col(b).as("v"))
       .union(edges.select(col(b).as("u"), col(a).as("v")))
 
+  /** Explicit parallelism floor before an EXPLODING join (r11 opt, guide
+    * §2.5): AQE sizes post-shuffle partitions by input BYTES, so a
+    * small-input wedge/self join coalesces to one task and its blown-up
+    * output (the quadratic part) is produced serially — measured: the
+    * wedge-join operators ran with wall ≈ single-core CPU. A user
+    * repartition with an explicit partition count is exempt from AQE
+    * coalescing; keying it by the join key means the join reuses the
+    * exchange instead of adding one. At scale the inputs are large and
+    * the planner would shuffle by this key anyway — this only stops the
+    * small-input case from serializing. */
+  private def spreadBy(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   /** Integer-quantized PageRank, fixed iteration count.
     *
     * rank_0 = scale (1e6); rank_{k+1}(v) = base + damp * Σ_{u→v} ⌊rank_k(u)
@@ -202,8 +215,9 @@ object GraphAlgos {
           .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("o"))
       .select(col("o.x").as("x"), col("o.y").as("y"))
       .localCheckpoint(true)
-    val wedges = oriented.as("o1")
-      .join(oriented.as("o2"),
+    val or1 = spreadBy(oriented, col("x"))
+    val wedges = or1.as("o1")
+      .join(or1.as("o2"),
         col("o1.x") === col("o2.x") && col("o1.y") < col("o2.y"))
       .select(col("o1.y").as("wa"), col("o2.y").as("wb"))
     val tri = wedges.join(e.as("e3"),
@@ -249,7 +263,8 @@ object GraphAlgos {
     val und = e.select(col("a").as("u"), col("b").as("c"))
       .union(e.select(col("b").as("u"), col("a").as("c")))
       .join(deg.select(col("n").as("c"), col("deg").as("dc")), "c")
-    val wedges = oriented.join(und, col("y") === col("u"))
+    val wedges = spreadBy(oriented, col("y"))
+      .join(spreadBy(und, col("u")), col("y") === col("u"))
       .where(col("c") =!= col("x") &&
         struct(col("dc"), col("c")) > struct(col("dx"), col("x")))
       .select(col("x"), col("c"))
@@ -287,8 +302,9 @@ object GraphAlgos {
           .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("o"))
       .select(col("o.x").as("x"), col("o.y").as("y"))
       .localCheckpoint(true)
-    val wedges = oriented.as("o1")
-      .join(oriented.as("o2"),
+    val or1 = spreadBy(oriented, col("x"))
+    val wedges = or1.as("o1")
+      .join(or1.as("o2"),
         col("o1.x") === col("o2.x") && col("o1.y") < col("o2.y"))
       .select(col("o1.x").as("piv"), col("o1.y").as("wa"),
         col("o2.y").as("wb"))
@@ -840,8 +856,9 @@ object GraphAlgos {
             .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("o"))
         .select(col("o.x").as("x"), col("o.y").as("y"))
         .localCheckpoint(true)
-      val tri = oriented.as("o1")
-        .join(oriented.as("o2"),
+      val or1 = spreadBy(oriented, col("x"))
+      val tri = or1.as("o1")
+        .join(or1.as("o2"),
           col("o1.x") === col("o2.x") && col("o1.y") < col("o2.y"))
         .select(col("o1.x").as("p"), col("o1.y").as("q"), col("o2.y").as("r"))
         .join(e.as("e3"),
@@ -993,18 +1010,38 @@ object GraphAlgos {
           val nbPrev = nbArr.select(col("node").as("prev"),
             col("nb").as("nbp"))
           // LAMBDA-BINDING RULE (hard-won): `transform` lambdas resolve
-          // outer ARRAY columns (nbp) correctly; `aggregate` lambdas do
+          // outer ARRAY columns (nbi) correctly; `aggregate` lambdas do
           // NOT — an outer array referenced inside an aggregate's merge
           // mis-binds (observed: nbp resolving to nb, inflating stay
           // weights). So the ONE transform below builds the (c, w)
           // struct array — weights computed inline, no separate weight
           // or zip arrays — and both folds touch only that array plus
           // SCALAR staged columns (tot, r), which bind fine.
+          //
+          // r11 opt, two parts. (1) The triangle test is ONE hash
+          // intersection per row (nbi = nb ∩ nbp) instead of an
+          // O(deg(cur)·deg(prev)) array_contains per candidate — a
+          // hub→hub step went quadratic in the hub degrees. c ranges
+          // over nb, so c ∈ nbp ⟺ c ∈ nbi. nbp is dropped before the
+          // shuffle (project early). (2) The explicit dp-way repartition
+          // between the nbi projection and the fold: AQE sizes
+          // post-shuffle partitions by input BYTES, so the tiny walk
+          // set coalesced to one task and the whole per-row fold ran
+          // serially (measured: wall ≈ executor CPU ≈ 13 s on one
+          // core); a user repartition with explicit N is exempt. It
+          // also blocks CollapseProject from re-inlining nbi into the
+          // per-element lambda. At scale the walk set is large and
+          // this is a parallelism floor, not a reorg.
+          val dp = rels.sparkSession.sparkContext.defaultParallelism
           val staged = cur.join(nbArr, Seq("node")).join(nbPrev, Seq("prev"))
+            .withColumn("nbi", array_intersect(col("nb"), col("nbp")))
+            .select(col("walk_id"), col("prev"), col("node"),
+              col("nb"), col("nbi"))
+            .repartition(dp, col("walk_id"))
             .withColumn("z", transform(col("nb"), c => struct(
               c.as("c"),
               when(c === col("prev"), lit(wReturn))
-                .when(array_contains(col("nbp"), c), lit(wStay))
+                .when(array_contains(col("nbi"), c), lit(wStay))
                 .otherwise(lit(wFar)).as("w"))))
             .withColumn("tot", aggregate(col("z"), lit(0L),
               (a, x) => a + x.getField("w")))

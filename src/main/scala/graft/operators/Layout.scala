@@ -79,12 +79,27 @@ object Layout {
     * single-partition window. One row out:
     * (layout, n_rows, n_blocks, blocks_scanned, rows_scanned,
     * rows_matched). */
-  def boxQueryAudit(df: DataFrame, layoutName: String, orderKey: Column,
+  def boxQueryAudit(df: DataFrame, layoutName: String,
+                    orderKeyOf: (Column, Column) => Column,
                     tiebreak: Column, x: Column, y: Column,
                     xLo: Long, xHi: Long, yLo: Long, yHi: Long,
                     blockRows: Long): DataFrame = {
-    val base = df.select(x.cast("long").as("_x"), y.cast("long").as("_y"),
-      orderKey.cast("long").as("_k"), tiebreak.cast("long").as("_t"))
+    // r11 opt: the curve key (for Hilbert, a 16-round interpreted fold
+    // per row) used to be computed inside the scan stage — one task on a
+    // single-split input — and then AGAIN when globalRank's
+    // repartitionByRange sampled its child. Project the two coordinates
+    // narrowly, spread them across the cores (explicit N: exempt from
+    // AQE's input-size-based coalescing), compute the key once there,
+    // and pin it with a checkpoint so the range sampler reads memory
+    // instead of re-evaluating the fold. At scale the scan has ≥ cores
+    // splits and the repartition is a parallelism floor, not a reorg.
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    val base = df
+      .select(x.cast("long").as("_x"), y.cast("long").as("_y"),
+        tiebreak.cast("long").as("_t"))
+      .repartition(dp, col("_t"))
+      .withColumn("_k", orderKeyOf(col("_x"), col("_y")).cast("long"))
+      .localCheckpoint(true)
     val ranked = ScaleOps.globalRank(base, Seq(col("_k"), col("_t")))
     val inBox = col("_x").between(xLo, xHi) && col("_y").between(yLo, yHi)
     val blocks = ranked

@@ -99,13 +99,14 @@ class LayoutSpec extends AnyFunSuite {
     // 0..7 strip lands in a different region.
     val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y))
       .toDF("x", "y")
-    def audit(name: String, key: org.apache.spark.sql.Column) =
-      Layout.boxQueryAudit(grid, name, key,
+    type C = org.apache.spark.sql.Column
+    def audit(name: String, keyOf: (C, C) => C) =
+      Layout.boxQueryAudit(grid, name, keyOf,
         col("x") * 32 + col("y"), col("x"), col("y"),
         0L, 7L, 0L, 7L, blockRows = 64L)
         .as[(String, Long, Long, Long, Long, Long)].collect().head
-    val lex = audit("lex", col("x") * 32 + col("y"))
-    val hil = audit("hil", Layout.hilbertKey(col("x"), col("y")))
+    val lex = audit("lex", (kx, ky) => kx * 32 + ky)
+    val hil = audit("hil", Layout.hilbertKey)
     assert(lex._2 == 1024 && lex._3 == 16 && hil._2 == 1024 &&
       hil._3 == 16)                               // n_rows, n_blocks
     assert(lex._6 == 64 && hil._6 == 64)          // rows_matched
