@@ -333,18 +333,28 @@ object GraphAlgos {
       .select(lit(source).as("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = visited.select(col("id"))
-    var exhausted = false
-    for (k <- 1 to maxHops if !exhausted) {
+    // conditional broadcast hints (r11 opt): the frontier and visited
+    // counts are known exactly in the driver, but the checkpointed
+    // tables carry no stats, so the planner re-shuffled the whole edge
+    // list every hop. Broadcasting the (small) frontier/visited sides
+    // lets the edge list stream map-side.
+    var frontierN = 1L
+    var visitedN = 1L
+    def hinted(df: DataFrame, n: Long): DataFrame =
+      if (n <= 2000000L) broadcast(df) else df
+    for (k <- 1 to maxHops if frontierN > 0) {
       val next = und
-        .join(frontier.withColumnRenamed("id", "f_id"), col("u") === col("f_id"))
+        .join(hinted(frontier.withColumnRenamed("id", "f_id"), frontierN),
+          col("u") === col("f_id"))
         .select(col("v").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
+        .join(hinted(visited, visitedN), Seq("id"), "left_anti")
         .select(col("id"), lit(k.toLong).as("dist"))
         .localCheckpoint(true)
       visited = visited.union(next).localCheckpoint(true)
       frontier = next.select(col("id"))
       // an empty frontier cannot grow again — remaining hops are no-ops
-      exhausted = next.isEmpty
+      frontierN = next.count()
+      visitedN += frontierN
     }
     visited
   }
@@ -1082,21 +1092,40 @@ object GraphAlgos {
       .union(e.select(col("dst"))).distinct()
     var lvl = nodes.select(col("id"), lit(0L).as("lvl"))
       .localCheckpoint(true)
-    // levels only grow, so an unchanged sum(lvl) is the fixpoint — the
-    // same monotone early exit as the peel loops, detected by one cheap
-    // aggregate on the checkpointed table
-    var prevSum = 0L
-    var converged = false
-    for (_ <- 1 to rounds if !converged) {
+    // DELTA iteration (r11 opt, guide §1.2 "the distributed algorithm"):
+    // max-merge is idempotent, so a node whose level did NOT change in
+    // round r−1 contributes exactly what it already contributed — only
+    // the CHANGED frontier needs to join the edge list. Identical
+    // per-round levels by induction; on this data round 1 touches every
+    // node and rounds 2..k shrink geometrically (the old full recompute
+    // re-joined all |E|×|V| every round). The empty frontier is the same
+    // fixpoint the old sum(lvl) check detected (levels only grow), one
+    // action per round either way.
+    var frontier = lvl
+    var frontierN = frontier.count()
+    for (_ <- 1 to rounds if frontierN > 0) {
+      // the frontier's exact row count is already in hand (the loop
+      // condition) — when it fits, broadcast it so the edge list streams
+      // map-side instead of re-shuffling all |E| every round (checkpointed
+      // tables carry no size statistics, so the planner can't make this
+      // call itself). 2M rows × 16 B ≈ 32 MB broadcast, safe at any
+      // executor size; above that the ordinary shuffle join is right.
+      val f = if (frontierN <= 2000000L) broadcast(frontier) else frontier
       val contrib = e
-        .join(lvl.select(col("id").as("src"), col("lvl").as("sl")), "src")
-        .select(col("dst").as("id"), (col("sl") + 1L).as("lvl"))
-      lvl = lvl.union(contrib)
-        .groupBy(col("id")).agg(max(col("lvl")).as("lvl"))
+        .join(f.select(col("id").as("src"), col("lvl").as("sl")),
+          "src")
+        .groupBy(col("dst").as("id"))
+        .agg((max(col("sl")) + 1L).as("cand"))
+      val merged = lvl.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          greatest(col("lvl"), coalesce(col("cand"), col("lvl")))
+            .as("nl"),
+          (coalesce(col("cand"), col("lvl")) > col("lvl")).as("chg"))
         .localCheckpoint(true)
-      val s = lvl.agg(sum(col("lvl"))).head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
+      lvl = merged.select(col("id"), col("nl").as("lvl"))
+      frontier = merged.where(col("chg"))
+        .select(col("id"), col("nl").as("lvl"))
+      frontierN = frontier.count()
     }
     lvl
   }
@@ -1115,13 +1144,35 @@ object GraphAlgos {
     var dist = spark.range(1)
       .select(lit(source).as("id"), lit(0L).as("d"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // delta Bellman-Ford (r11 opt, the dagLevels pattern): a node whose
+    // tentative distance did not improve last round contributes exactly
+    // the relaxations it already contributed — only the IMPROVED
+    // frontier re-joins the edge list, broadcast while it fits (its
+    // exact count is the loop condition; checkpointed tables carry no
+    // stats, so the planner can't choose this itself). Same dist_k per
+    // round by the standard min-idempotence induction; an empty
+    // frontier makes the remaining rounds no-ops, which is also the
+    // exact-rounds contract of the fixed-iteration original.
+    var frontier = dist
+    var frontierN = frontier.count()
+    for (_ <- 1 to rounds if frontierN > 0) {
+      val f = if (frontierN <= 2000000L) broadcast(frontier) else frontier
       val relaxed = e2
-        .join(dist.withColumnRenamed("id", "d_id"), col("u") === col("d_id"))
-        .select(col("v").as("id"), (col("d") + col("w")).as("d"))
-      dist = dist.union(relaxed)
-        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .join(f.withColumnRenamed("id", "d_id"), col("u") === col("d_id"))
+        .groupBy(col("v").as("id"))
+        .agg(min(col("d") + col("w")).as("nd"))
+      val inf = Long.MaxValue
+      val merged = dist.join(relaxed, Seq("id"), "full")
+        .select(col("id"),
+          least(coalesce(col("d"), lit(inf)), coalesce(col("nd"), lit(inf)))
+            .as("ndist"),
+          (coalesce(col("nd"), lit(inf)) < coalesce(col("d"), lit(inf)))
+            .as("chg"))
         .localCheckpoint(true)
+      dist = merged.select(col("id"), col("ndist").as("d"))
+      frontier = merged.where(col("chg"))
+        .select(col("id"), col("ndist").as("d"))
+      frontierN = frontier.count()
     }
     dist
   }
@@ -1152,25 +1203,38 @@ object GraphAlgos {
   def sccColoring(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
+    // broadcast hints only pay when the edge list they keep un-shuffled
+    // is big; on a small graph the per-round broadcast-build job is pure
+    // overhead (measured +1.2 s on the 24k-edge scc gate). One count on
+    // the checkpointed table.
+    val eN = e.count()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
       .localCheckpoint(true)
     def minLabel(rev: Boolean): DataFrame = {
       val (from, to) = if (rev) ("dst", "src") else ("src", "dst")
       var lbl = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
-      var prevSum = Long.MaxValue
-      var converged = false
-      for (_ <- 1 to rounds if !converged) {
+      // delta iteration + conditional frontier broadcast — the dagLevels
+      // pattern (min-merge is idempotent, so only CHANGED labels need to
+      // re-propagate; identical per-round labels by induction, and the
+      // empty frontier is the fixpoint the old sum check detected)
+      var frontier = lbl
+      var frontierN = frontier.count()
+      for (_ <- 1 to rounds if frontierN > 0) {
+        val f = if (frontierN <= 2000000L && eN >= 200000L)
+          broadcast(frontier) else frontier
         val prop = e
-          .join(lbl.select(col("id").as(from), col("lbl").as("in_lbl")), from)
+          .join(f.select(col("id").as(from), col("lbl").as("in_lbl")), from)
           .groupBy(col(to).as("id")).agg(min(col("in_lbl")).as("p"))
-        lbl = lbl.join(prop, Seq("id"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("p"),
-            col("lbl"))).as("lbl"))
+        val merged = lbl.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("p"), col("lbl"))).as("nl"),
+            (coalesce(col("p"), col("lbl")) < col("lbl")).as("chg"))
           .localCheckpoint(true)
-        val s = lbl.agg(sum(col("lbl"))).head.getLong(0)
-        converged = s == prevSum
-        prevSum = s
+        lbl = merged.select(col("id"), col("nl").as("lbl"))
+        frontier = merged.where(col("chg"))
+          .select(col("id"), col("nl").as("lbl"))
+        frontierN = frontier.count()
       }
       lbl
     }

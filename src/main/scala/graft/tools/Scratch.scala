@@ -7,26 +7,26 @@ import org.apache.spark.sql.functions._
   * ArrowBench for the recorded Arrow-egress benchmark. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val rels = graft.SparkEntry.graph(spark, dir).rels
-      .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY"))
-      .localCheckpoint(true)
-    def time[A](name: String)(f: => A): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
-    val pred = Some(col("origin").between(2000000000L, 2999999999L) &&
-      col("origin") % 50 === 0)
-    time("ktruss_gate") {
-      println("[probe] rows=" +
-        graft.SparkEntry.queries("ktruss")(spark, dir).count())
-    }
+    spark.sparkContext.setLogLevel("ERROR")
+    // does a hash-repartitioned + localCheckpointed table keep its
+    // partitioning through a subsequent equi-join (one Exchange on the
+    // other side only)?
+    val e = spark.range(3000000)
+      .select(col("id").as("src"), (col("id") * 7 % 100).as("dst"))
+      .repartition(8, col("src")).localCheckpoint(true)
+    val lvl = spark.range(3000000).select(col("id").as("src"), lit(0L).as("lvl"))
+    val j = e.join(lvl, "src")
+    j.write.format("noop").mode("overwrite").save()
+    val plan = j.queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(plan).length
+    println(s"[probe] exchanges_in_plan=$n")
+    plan.linesIterator.filter(l => l.contains("Exchange") ||
+      l.contains("Scan ExistingRDD")).foreach(l => println("[probe] " + l.trim.take(120)))
     spark.stop()
   }
 }
