@@ -466,9 +466,18 @@ object KHop {
     val nb = e.select(col("src").as("origin"), col("dst").as("n"))
       .union(e.select(col("dst").as("origin"), col("src").as("n")))
       .distinct()
-    val bySrc = nb.join(e, nb("n") === e("src"))
+    // r11 opt: explicit-N repartition of the neighbor side by the join
+    // key — AQE sizes partitions by input bytes, so this small-input,
+    // high-fan-out incidence join coalesced to ONE task that produced
+    // the whole ~|N|·deg output serially (measured: a single 4 s task
+    // writing 74 MB of shuffle ahead of ChunkedCollect). A user
+    // repartition with explicit N is exempt from coalescing and the
+    // join reuses it; at scale it is only a parallelism floor.
+    val dp = rels.sparkSession.sparkContext.defaultParallelism
+    val nbSpread = nb.repartition(dp, col("n"))
+    val bySrc = nbSpread.join(e, col("n") === e("src"))
       .select(col("origin"), col("src"), col("dst"))
-    val byDst = nb.join(e, nb("n") === e("dst"))
+    val byDst = nbSpread.join(e, col("n") === e("dst"))
       .select(col("origin"), col("src"), col("dst"))
     // distinct: an edge can qualify via both endpoints; the reference's
     // NodeHistory bitset dedup (KHop.java:151-154) is this set semantics.
