@@ -196,12 +196,24 @@ object GraphAlgos {
     var prev = und.count()
     var converged = false
     for (_ <- 1 to rounds if !converged) {
+      // r11 opt: the survivor set is ≤ the (shrinking) node count while
+      // the edge list is the big side, but both derive from checkpointed
+      // tables with no stats, so the planner shuffled the edge list for
+      // both endpoint filters. Materialize surv once (checkpoint — it is
+      // consumed twice) and broadcast it while small: the edge list then
+      // streams through BOTH endpoint filters in one scan.
       val surv = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("u"))
+        .localCheckpoint(true)
+      val survN = surv.count()
+      def hinted(df: DataFrame): DataFrame =
+        if (survN <= 2000000L) broadcast(df) else df
       und = und
-        .join(surv.withColumnRenamed("u", "su"), col("u") === col("su"))
+        .join(hinted(surv.withColumnRenamed("u", "su")),
+          col("u") === col("su"))
         .drop("su")
-        .join(surv.withColumnRenamed("u", "sv"), col("v") === col("sv"))
+        .join(hinted(surv.withColumnRenamed("u", "sv")),
+          col("v") === col("sv"))
         .drop("sv")
         .localCheckpoint(true)
       val n = und.count()
