@@ -418,13 +418,18 @@ object KHop {
     val hot = nbo.groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .where(col("deg") > hotThreshold)
       .select(col("node"))
-    // classify edges by hot endpoints — two broadcast joins, zero shuffle
+    // classify edges by hot endpoints — two broadcast joins, zero shuffle.
+    // MARK ONCE, THEN FILTER (r11 opt — the kHopSkewBuild lesson applied
+    // here too): flagged has THREE consumers (eCold once, eHot via both
+    // incidence joins), so unpersisted it re-ran the classification scan
+    // per consumer (profiler: a run of repeated 32-task stages re-reading
+    // the cached edge table).
     val hotMark = broadcast(hot.withColumn("_hot", lit(true)))
-    val flagged = e
+    val flagged = maybePersist(e
       .join(hotMark.select(col("node").as("src"), col("_hot").as("hs")),
         Seq("src"), "left")
       .join(hotMark.select(col("node").as("dst"), col("_hot").as("hd")),
-        Seq("dst"), "left")
+        Seq("dst"), "left"))
     val eCold = flagged.where(col("hs").isNull && col("hd").isNull)
       .select(col("src"), col("dst"))
     val eHot = flagged.where(col("hs").isNotNull || col("hd").isNotNull)
@@ -434,8 +439,11 @@ object KHop {
     // qualifying origins yet its edge may still qualify via the OTHER
     // endpoint (an inner join would drop it).
     val emptyArr = array().cast("array<bigint>")
-    val nbArrCold = nbo.join(broadcast(hot), Seq("node"), "left_anti")
-      .groupBy(col("node")).agg(collect_set(col("origin")).as("nb"))
+    // persisted (bracket-released): the src- and dst-side joins below
+    // would otherwise run this collect_set shuffle twice
+    val nbArrCold = maybePersist(
+      nbo.join(broadcast(hot), Seq("node"), "left_anti")
+        .groupBy(col("node")).agg(collect_set(col("origin")).as("nb")))
     val coldPart = eCold
       .join(nbArrCold.select(col("node").as("src"), col("nb").as("nb_s")),
         Seq("src"), "left")
