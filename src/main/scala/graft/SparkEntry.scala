@@ -301,6 +301,25 @@ object SparkEntry {
         f = (src, dst) => (src % 100003L) * 100003L + (dst % 100003L)) {
       _.localCheckpoint(true)
     }),
+    // r12 (VERDICT r11 #8): the khop_3_dense gate rides the stats
+    // pushdown, so without this gate no bench-scale path would exercise
+    // the MATERIALIZING k≥3 skew build (kHopSkewBuild) — a regression
+    // there would only be felt by the toy-scale KHopSpec equivalence
+    // property. Same dense subgraph, same k/threshold, origin set thinned
+    // to % 200 = 7 (5 qualifying suppliers at sf0.1, 1 at sf0.01/sf0.001)
+    // so the per-origin ~|E| incidence output stays proportionate.
+    "khop_3_dense_mat" -> ((s, dir) => graft.operators.KHop.withKHopEdgesSkew(
+        graph(s, dir).rels
+          .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
+        k = 3, hotThreshold = 256,
+        originPred = Some(col("origin").between(2000000000L, 2999999999L) &&
+          col("origin") % 200 === 7)) {
+      _.groupBy(col("origin"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
+            .as("checksum"))
+        .localCheckpoint(true)
+    }),
     // P6: write-path null/NaN property skip (NodeInputIterator.java:97,
     // 135-142 skips null cells and non-finite floats). NaN/null injected
     // deterministically, filtered, aggregated to prove the skip.
@@ -1068,6 +1087,30 @@ object SparkEntry {
          |SELECT origin, count(*) AS n_edges,
          |       CAST(sum((src % 100003) * 100003 + (dst % 100003))
          |         AS BIGINT) AS checksum
+         |FROM k GROUP BY origin""".stripMargin,
+    "khop_3_dense_mat" ->
+      s"""WITH $RelsCte,
+         |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels
+         |      WHERE type IN ('CONTAINS', 'SUPPLIED_BY')),
+         |u AS (SELECT src AS a, dst AS b FROM e
+         |      UNION SELECT dst, src FROM e),
+         |r1 AS (SELECT a AS origin, b AS node FROM u
+         |       WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 200 = 7),
+         |reach AS (
+         |  SELECT DISTINCT a AS origin, a AS node FROM u
+         |  WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 200 = 7
+         |  UNION SELECT origin, node FROM r1
+         |  UNION SELECT DISTINCT r1.origin, u.b
+         |        FROM r1 JOIN u ON u.a = r1.node),
+         |k AS (SELECT DISTINCT origin, src, dst FROM (
+         |        SELECT reach.origin, e.src, e.dst
+         |        FROM reach JOIN e ON e.src = reach.node
+         |        UNION ALL
+         |        SELECT reach.origin, e.src, e.dst
+         |        FROM reach JOIN e ON e.dst = reach.node) AS x)
+         |SELECT origin, count(*) AS n_edges,
+         |       CAST(sum((src % 100003) * 100003 + (dst % 100003)) AS BIGINT)
+         |         AS checksum
          |FROM k GROUP BY origin""".stripMargin,
     "khop_3_dense" ->
       s"""WITH $RelsCte,

@@ -661,16 +661,22 @@ object Dedup {
       while (changed > 0) {
         val prop = lbl.join(edges, col("node") === col("src"))
           .select(col("dst").as("node"), col("lbl"))
-        val next = lbl.unionByName(prop)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        // r12 opt (guide §1.2 fewer driver-sequenced jobs): the node's
+        // PREVIOUS label rides through the min-aggregate (every node has
+        // exactly one lbl row — max(old) ignores the prop rows' nulls),
+        // so change detection becomes one narrow scan of the checkpointed
+        // result instead of the old per-round next⋈lbl join job. Labels
+        // per round are identical; `changed` counts the same rows.
+        val next = lbl.select(col("node"), col("lbl"), col("lbl").as("old"))
+          .unionByName(prop.withColumn("old", lit(null).cast("long")))
+          .groupBy(col("node"))
+          .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
           .localCheckpoint(true) // truncate lineage: round k must not
                                  // re-execute rounds 1..k-1
-        changed = next.as("n")
-          .join(lbl.as("o"), col("n.node") === col("o.node"))
-          .where(col("n.lbl") =!= col("o.lbl")).count()
+        changed = next.where(col("lbl") =!= col("old")).count()
         lbl.unpersist() // release the superseded round's checkpoint now,
                         // not at driver GC — O(rounds) copies otherwise
-        lbl = next
+        lbl = next.select(col("node"), col("lbl"))
       }
       lbl.select(col("node").as("doc_id"), col("lbl").as("rep"))
     } finally edges.unpersist()
@@ -715,14 +721,22 @@ object Dedup {
         .unionByName(mins.select(col("u"), col("m").as("v"))))
     }
     var edges = orient(e0).localCheckpoint(true)
-    var converged = false
+    // r12 opt (driver-sequenced job count — this loop runs PER MICRO-BATCH
+    // inside stream_cc's foreachBatch): carry the previous round's count
+    // instead of re-running edges.count() every round (one job per round
+    // saved), and skip the contraction loop entirely for an empty delta
+    // graph (the fixpoint of an empty set is itself — the old code spent
+    // a full round discovering that). Same rounds, same fixpoint test.
+    var prevN = edges.count()
+    var converged = prevN == 0L
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val n = next.count()
       // fixpoint test on the oriented edge SET
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      converged = n == prevN && next.except(edges).isEmpty
       edges.unpersist() // free the superseded round eagerly
       edges = next
+      prevN = n
     }
     // at the fixpoint every component is a star rooted at its minimum:
     // members point at the root, plus the root itself. Nodes appearing

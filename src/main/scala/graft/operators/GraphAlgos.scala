@@ -32,6 +32,40 @@ import graft.functions.VectorFunctions.round6
   */
 object GraphAlgos {
 
+  /** Broadcast-crossover constants for the iterative loops (hoisted r12,
+    * ADVICE r11: the raw numbers were duplicated across six loops with
+    * the sizing assumption implicit). The loops' per-round state tables
+    * come from localCheckpoints, which carry NO statistics — the planner
+    * cannot make the broadcast call itself, so the loops hint explicitly
+    * using their driver-known exact row counts.
+    *
+    *  - [[BroadcastFrontierRowCap]]: a frontier/rank/survivor row is two
+    *    int64s (+ row overhead) ≈ 16 B, so 2M rows ≈ 32 MB broadcast —
+    *    safe on any executor profile (well under the 8 GB/512M-row hard
+    *    cap, small against a 1 GB heap). Widening the row schema or
+    *    shrinking executors proportionally shrinks the cap: it exists to
+    *    bound build memory, not to tune the crossover.
+    *  - [[PerRoundBroadcastMinEdges]] / [[PageRankBroadcastMinEdges]]:
+    *    the hint only PAYS when the edge list it keeps un-shuffled is
+    *    big — each round spends one broadcast-BUILD job, measured at
+    *    sf0.1 (single host) to cost more than the small shuffle below
+    *    ~200k edge rows (sccColoring; +1.2 s without the gate) resp.
+    *    ~5M rows (pageRank's per-iteration rank broadcast; 600k-edge
+    *    graph measured 0.2 s faster WITHOUT the hint). Direction of
+    *    error is conservative: below the gate the loop falls back to the
+    *    ordinary shuffle join, which is never catastrophically wrong,
+    *    so single-host crossovers are safe defaults at any scale. */
+  private[graft] val BroadcastFrontierRowCap = 2000000L
+  private[graft] val PerRoundBroadcastMinEdges = 200000L
+  private[graft] val PageRankBroadcastMinEdges = 5000000L
+
+  /** Broadcast-hint a loop-state side whose exact row count the driver
+    * already knows (see the constants above for the sizing rationale). */
+  private[graft] def hintIfSmall(df: DataFrame, rows: Long,
+                                 cap: Long = BroadcastFrontierRowCap)
+      : DataFrame =
+    if (rows <= cap) broadcast(df) else df
+
   private def undirected(edges: DataFrame, a: String, b: String): DataFrame =
     edges.select(col(a).as("u"), col(b).as("v"))
       .union(edges.select(col(b).as("u"), col(a).as("v")))
@@ -97,18 +131,19 @@ object GraphAlgos {
     val nodesN = nodes.count()
     val eN = eOd.count()
     def hinted(df: DataFrame): DataFrame =
-      if (nodesN <= 2000000L && eN >= 5000000L) broadcast(df) else df
+      if (eN >= PageRankBroadcastMinEdges) hintIfSmall(df, nodesN) else df
     for (_ <- 1 to iters) {
       val contribs = eOd
         .join(hinted(ranks.withColumnRenamed("id", "r_id")),
           col("src") === col("r_id"))
         .select(col("dst"), expr("rank div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-      ranks = nodes
+      val ranks0 = nodes
         .join(hinted(contribs), col("id") === col("dst"), "left")
         .select(col("id"),
           (baseCol + expr("85 * coalesce(csum, 0L) div 100")).as("rank"))
-        .localCheckpoint(true)
+      graft.tools.LoopPlan.dump("pagerank_loop_body", ranks0)
+      ranks = ranks0.localCheckpoint(true)
     }
     ranks
   }
@@ -135,18 +170,19 @@ object GraphAlgos {
     val nodesN = nodes.count()
     val eN = eW.count()
     def hinted(df: DataFrame): DataFrame =
-      if (nodesN <= 2000000L && eN >= 5000000L) broadcast(df) else df
+      if (eN >= PageRankBroadcastMinEdges) hintIfSmall(df, nodesN) else df
     for (_ <- 1 to iters) {
       val contribs = eW
         .join(hinted(ranks.withColumnRenamed("id", "r_id")),
           col("src") === col("r_id"))
         .select(col("dst"), expr("(rank * w) div wsum").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-      ranks = nodes
+      val ranks0 = nodes
         .join(hinted(contribs), col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(base) + expr("85 * coalesce(csum, 0L) div 100")).as("rank"))
-        .localCheckpoint(true)
+      graft.tools.LoopPlan.dump("pagerank_weighted_loop_body", ranks0)
+      ranks = ranks0.localCheckpoint(true)
     }
     ranks
   }
@@ -206,16 +242,16 @@ object GraphAlgos {
         .where(col("deg") >= k).select(col("u"))
         .localCheckpoint(true)
       val survN = surv.count()
-      def hinted(df: DataFrame): DataFrame =
-        if (survN <= 2000000L) broadcast(df) else df
-      und = und
+      def hinted(df: DataFrame): DataFrame = hintIfSmall(df, survN)
+      val und0 = und
         .join(hinted(surv.withColumnRenamed("u", "su")),
           col("u") === col("su"))
         .drop("su")
         .join(hinted(surv.withColumnRenamed("u", "sv")),
           col("v") === col("sv"))
         .drop("sv")
-        .localCheckpoint(true)
+      graft.tools.LoopPlan.dump("kcore_loop_body", und0)
+      und = und0.localCheckpoint(true)
       val n = und.count()
       converged = n == prev
       prev = n
@@ -372,8 +408,7 @@ object GraphAlgos {
     // lets the edge list stream map-side.
     var frontierN = 1L
     var visitedN = 1L
-    def hinted(df: DataFrame, n: Long): DataFrame =
-      if (n <= 2000000L) broadcast(df) else df
+    def hinted(df: DataFrame, n: Long): DataFrame = hintIfSmall(df, n)
     for (k <- 1 to maxHops if frontierN > 0) {
       val next = und
         .join(hinted(frontier.withColumnRenamed("id", "f_id"), frontierN),
@@ -1142,18 +1177,21 @@ object GraphAlgos {
       // tables carry no size statistics, so the planner can't make this
       // call itself). 2M rows × 16 B ≈ 32 MB broadcast, safe at any
       // executor size; above that the ordinary shuffle join is right.
-      val f = if (frontierN <= 2000000L) broadcast(frontier) else frontier
+      val f = hintIfSmall(frontier, frontierN)
       val contrib = e
         .join(f.select(col("id").as("src"), col("lvl").as("sl")),
           "src")
         .groupBy(col("dst").as("id"))
         .agg((max(col("sl")) + 1L).as("cand"))
-      val merged = lvl.join(contrib, Seq("id"), "left")
+      val merged0 = lvl.join(contrib, Seq("id"), "left")
         .select(col("id"),
           greatest(col("lvl"), coalesce(col("cand"), col("lvl")))
             .as("nl"),
           (coalesce(col("cand"), col("lvl")) > col("lvl")).as("chg"))
-        .localCheckpoint(true)
+      // loop-BODY plan evidence (r12): the checkpoint hides this join from
+      // any whole-query explain; no-op unless the LoopPlan dir is set
+      graft.tools.LoopPlan.dump("dag_levels_loop_body", merged0)
+      val merged = merged0.localCheckpoint(true)
       lvl = merged.select(col("id"), col("nl").as("lvl"))
       frontier = merged.where(col("chg"))
         .select(col("id"), col("nl").as("lvl"))
@@ -1188,19 +1226,20 @@ object GraphAlgos {
     var frontier = dist
     var frontierN = frontier.count()
     for (_ <- 1 to rounds if frontierN > 0) {
-      val f = if (frontierN <= 2000000L) broadcast(frontier) else frontier
+      val f = hintIfSmall(frontier, frontierN)
       val relaxed = e2
         .join(f.withColumnRenamed("id", "d_id"), col("u") === col("d_id"))
         .groupBy(col("v").as("id"))
         .agg(min(col("d") + col("w")).as("nd"))
       val inf = Long.MaxValue
-      val merged = dist.join(relaxed, Seq("id"), "full")
+      val merged0 = dist.join(relaxed, Seq("id"), "full")
         .select(col("id"),
           least(coalesce(col("d"), lit(inf)), coalesce(col("nd"), lit(inf)))
             .as("ndist"),
           (coalesce(col("nd"), lit(inf)) < coalesce(col("d"), lit(inf)))
             .as("chg"))
-        .localCheckpoint(true)
+      graft.tools.LoopPlan.dump("sssp_loop_body", merged0)
+      val merged = merged0.localCheckpoint(true)
       dist = merged.select(col("id"), col("ndist").as("d"))
       frontier = merged.where(col("chg"))
         .select(col("id"), col("ndist").as("d"))
@@ -1253,16 +1292,17 @@ object GraphAlgos {
       var frontier = lbl
       var frontierN = frontier.count()
       for (_ <- 1 to rounds if frontierN > 0) {
-        val f = if (frontierN <= 2000000L && eN >= 200000L)
-          broadcast(frontier) else frontier
+        val f = if (eN >= PerRoundBroadcastMinEdges)
+          hintIfSmall(frontier, frontierN) else frontier
         val prop = e
           .join(f.select(col("id").as(from), col("lbl").as("in_lbl")), from)
           .groupBy(col(to).as("id")).agg(min(col("in_lbl")).as("p"))
-        val merged = lbl.join(prop, Seq("id"), "left")
+        val merged0 = lbl.join(prop, Seq("id"), "left")
           .select(col("id"),
             least(col("lbl"), coalesce(col("p"), col("lbl"))).as("nl"),
             (coalesce(col("p"), col("lbl")) < col("lbl")).as("chg"))
-          .localCheckpoint(true)
+        graft.tools.LoopPlan.dump("scc_coloring_loop_body", merged0)
+        val merged = merged0.localCheckpoint(true)
         lbl = merged.select(col("id"), col("nl").as("lbl"))
         frontier = merged.where(col("chg"))
           .select(col("id"), col("nl").as("lbl"))

@@ -104,9 +104,8 @@ object KHop {
   def withKHopEdgesSkew[A](rels: DataFrame, k: Int, hotThreshold: Long,
                            originPred: Option[Column] = None)
                           (f: DataFrame => A): A = {
-    val (df, cached) = kHopSkewBuild(rels, k, hotThreshold, originPred,
-      persist = true)
-    try f(df) finally cached.foreach(_.unpersist(blocking = false))
+    val core = new SkewCore(rels, k, hotThreshold, originPred, persist = true)
+    try f(kHopSkewPlan(core)) finally core.release()
   }
 
   /** Aggregate-pushdown twin of [[kHopEdgesSkew]] (optimization round 11,
@@ -153,9 +152,8 @@ object KHop {
                            originPred: Option[Column],
                            f: (Column, Column) => Column)
                           (fn: DataFrame => A): A = {
-    val (df, cached) = kHopStatsBuild(rels, k, hotThreshold, originPred, f,
-      persist = true)
-    try fn(df) finally cached.foreach(_.unpersist(blocking = false))
+    val core = new SkewCore(rels, k, hotThreshold, originPred, persist = true)
+    try fn(kHopStatsPlan(core, f)) finally core.release()
   }
 
   private[graft] def kHopStatsBuild(rels: DataFrame, k: Int,
@@ -165,6 +163,21 @@ object KHop {
                                     persist: Boolean)
       : (DataFrame, Seq[DataFrame]) = {
     val core = new SkewCore(rels, k, hotThreshold, originPred, persist)
+    (kHopStatsPlan(core, f), core.cached)
+  }
+
+  /** Broadcast cap for the per-node origin-array table in the stats
+    * build, in ESTIMATED bytes (rows·24 B of node/row overhead + total
+    * array elements·8 B). 64 MB: comfortably inside any executor profile
+    * while covering the dense gates (sf0.1: ~9 MB). The size is measured
+    * with one aggregate over the already-persisted table — the exact
+    * statistic the planner lacks because the reach side comes out of
+    * checkpoints. Above the cap every consumer falls back to the shuffle
+    * join, which is the prior (scale-safe) behavior. */
+  private[graft] val OsBroadcastMaxBytes = 64L << 20
+
+  private def kHopStatsPlan(core: SkewCore,
+                            f: (Column, Column) => Column): DataFrame = {
     val (reach, e) = (core.reach, core.e)
     val fe = f(col("src"), col("dst"))
     // per-node origin arrays: bounded by the qualifying-origin count, so
@@ -173,8 +186,19 @@ object KHop {
     // consumers below (two term joins + both endpoints of the A∩B join)
     // would otherwise re-run the collect_set shuffle four times
     // (measured: 4 × 48-task stages, ~60 s of the query's CPU).
-    val os = core.maybePersist(
+    val os0 = core.maybePersist(
       reach.groupBy(col("node")).agg(collect_set(col("origin")).as("os")))
+    // r12 opt (guide §3.1): when the origin-array table is small, hint it
+    // broadcast — its four consumers then join map-side and the persisted
+    // edge table streams with NO exchange (before: each term join
+    // shuffled e by node). Size measured exactly (one aggregate over the
+    // cached table, which also warms it for every consumer).
+    val os = if (core.persistOn) {
+      val row = os0.agg(count(lit(1)), sum(size(col("os")))).head()
+      val bytes = row.getLong(0) * 24L +
+        (if (row.isNullAt(1)) 0L else row.getLong(1)) * 8L
+      if (bytes <= OsBroadcastMaxBytes) broadcast(os0) else os0
+    } else os0
     // per-node incident-edge aggregates (1 row per node and side)
     val srcAgg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("c"), sum(fe).as("fs"))
@@ -192,10 +216,9 @@ object KHop {
       .select(explode(array_intersect(col("os_s"), col("os_d")))
           .as("origin"),
         lit(-1L).as("c"), (-fe).as("fs"))
-    val stats = term(srcAgg).union(term(dstAgg)).union(both)
+    term(srcAgg).union(term(dstAgg)).union(both)
       .groupBy(col("origin"))
       .agg(sum(col("c")).as("n_edges"), sum(col("fs")).as("checksum"))
-    (stats, core.cached)
   }
 
   /** Shared skew-aware scaffolding for the k-hop builds: deduped edge set,
@@ -213,11 +236,36 @@ object KHop {
     private val cachedBuf =
       scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cached: List[DataFrame] = cachedBuf.toList
+    def persistOn: Boolean = persist
     def maybePersist(df: DataFrame): DataFrame =
       if (persist) {
         cachedBuf += df
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else df
+    // r12 (ADVICE r11): the reach loop's per-round localCheckpoints were
+    // registered nowhere, so the brackets could not release them — in a
+    // long-lived 298-query session they lingered until driver GC. Each
+    // round's checkpoint RDD is tracked here and [[release]] frees the
+    // blocks alongside the persisted tables. The checkpoint itself is
+    // gated on `persist`: persist=false callers (tests, plan probes) now
+    // build a pure lazy plan again — no eager jobs at construction, and
+    // the captured logical plan shows the full loop body.
+    private val ckptRdds =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    private def roundCheckpoint(df: DataFrame): DataFrame =
+      if (!persist) df
+      else {
+        val c = df.localCheckpoint(true)
+        c.queryExecution.logical match {
+          case l: org.apache.spark.sql.execution.LogicalRDD => ckptRdds += l.rdd
+          case _ => ()
+        }
+        c
+      }
+    def release(): Unit = {
+      cachedBuf.foreach(_.unpersist(blocking = false))
+      ckptRdds.foreach(_.unpersist(blocking = false))
+    }
     // multi-edges collapse here instead of in the final distinct: every
     // downstream join shrinks and the output set is unchanged
     val e: DataFrame = maybePersist(
@@ -264,19 +312,30 @@ object KHop {
         // persist is dropped along with its cache-lookup cost. Eagerness
         // costs nothing extra: the rounds are a sequential frontier
         // anyway (each distinct consumes the previous one fully).
-        val rc = r.localCheckpoint(true)
+        // (r12: gated on persist and release-tracked — see roundCheckpoint.)
+        val rc = roundCheckpoint(r)
+        // r12 opt (VERDICT r11 #3, guide §3.1): the materialized round's
+        // exact row count is one cheap job over the checkpoint blocks —
+        // while the whole round fits the frontier cap, broadcast the COLD
+        // reach side too, so the (large, persisted) cold adjacency streams
+        // map-side instead of both sides shuffling every round. Same cap
+        // and rationale as the delta loops (GraphAlgos broadcast gates).
+        val rcN = if (persist) rc.count() else Long.MaxValue
         val rM = mark(rc, "node", "_hot_n")
         val reachCold = rM.where(col("_hot_n").isNull).drop("_hot_n")
         val reachHot = rM.where(col("_hot_n").isNotNull).drop("_hot_n")
-        // cold×cold shuffle join: every key's fan-out ≤ hotThreshold.
+        // cold×cold join: every key's fan-out ≤ hotThreshold; the reach
+        // side is broadcast while it fits (else ordinary shuffle join).
         // hot: hub adjacency STREAMS against the broadcast hot reach rows.
-        val expanded = reachCold
-          .join(adjCold, col("node") === col("a"))
+        val expanded = adjCold
+          .join(GraphAlgos.hintIfSmall(reachCold, rcN),
+            col("node") === col("a"))
           .select(col("origin"), col("b").as("node"))
           .union(adjHot.join(broadcast(reachHot), col("a") === col("node"))
             .select(col("origin"), col("b").as("node")))
         // dedup on (origin, node): the composite key dilutes hub skew
         r = rc.union(expanded).distinct()
+        graft.tools.LoopPlan.dump(s"khop_reach_round$step", r)
       }
       r
     }
@@ -286,6 +345,10 @@ object KHop {
                                    originPred: Option[Column], persist: Boolean)
       : (DataFrame, Seq[DataFrame]) = {
     val core = new SkewCore(rels, k, hotThreshold, originPred, persist)
+    (kHopSkewPlan(core), core.cached)
+  }
+
+  private def kHopSkewPlan(core: SkewCore): DataFrame = {
     val reachM = core.maybePersist(core.mark(core.reach, "node", "_hot_n"))
     val reachCold = reachM.where(col("_hot_n").isNull).drop("_hot_n")
     val reachHot = reachM.where(col("_hot_n").isNotNull).drop("_hot_n")
@@ -301,8 +364,7 @@ object KHop {
     }
     // an edge can qualify via both endpoints — the final distinct is the
     // semantics' own dedup (NodeHistory bitsets, KHop.java:151-154)
-    (incidence("src", "_hot_s").union(incidence("dst", "_hot_d")).distinct(),
-      core.cached)
+    incidence("src", "_hot_s").union(incidence("dst", "_hot_d")).distinct()
   }
 
   /** CSR-style 2-hop: same result set as [[twoHopEdges]], different plan.

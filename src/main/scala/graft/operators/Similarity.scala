@@ -673,11 +673,21 @@ object Similarity {
   def semanticDedup(embeddings: DataFrame, maxSqDist: Long,
                     iters: Int = 1, initMod: Int = 97): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r12 opt (guide §5 re-evaluation): cent is consumed by TWO broadcast
+    // builds (assignment + the dc join) and withD by THREE plans (both
+    // pair sides + the final join) — un-materialized, each consumer re-ran
+    // the whole k-means train / assignment pipeline (measured: the gate
+    // was ~20 driver-sequenced jobs of which half were repeats). Both
+    // tables are tiny (k centroids / n assigned rows); one eager
+    // localCheckpoint each runs the pipeline once and truncates the plan
+    // the later jobs must re-analyze. Same rows, same semantics.
     val cent = kmeansQuantized(embeddings, iters, initMod)
+      .localCheckpoint(true)
     val assigned = assignQuantized(quantized(embeddings), cent)
     val withD = assigned.join(broadcast(cent), "cid")
       .select(col("vec_id"), col("qv"), col("cid"),
         qdist(col("qv"), col("qc")).as("dc"))
+      .localCheckpoint(true)
     val pairs = withD.as("a").join(withD.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))

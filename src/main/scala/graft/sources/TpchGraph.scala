@@ -48,8 +48,15 @@ object TpchGraph {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val key = path + "|nanos=" + spark.conf
-      .get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    // r12 (ADVICE r11): fold the file's mtime+size into the key so a
+    // parquet regenerated in-place within one JVM (testdata rebuild, SF
+    // switch reusing a dir) can never silently read through a stale
+    // schema — the memo entry just misses and re-infers. One local stat
+    // call; directories (multi-file tables) stat the dir, whose mtime
+    // changes on any file add/replace.
+    val f = new java.io.File(path)
+    val key = path + "|" + f.lastModified + "|" + f.length + "|nanos=" +
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     val schema = schemaCache.computeIfAbsent(key,
       _ => spark.read.parquet(path).schema)
     val base = normalizeTimestamps(spark.read.schema(schema).parquet(path))
