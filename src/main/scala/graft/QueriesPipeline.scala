@@ -305,6 +305,10 @@ object QueriesPipeline {
     // length-curriculum order with source interleave
     "pipeline_training_order" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
+      // r12 opt: `cleaned` feeds the perceptron scorer AND the kept-join
+      // — un-materialized, the chunk-strip pipeline re-ran per consumer
+      // (profiler: the same 1.2 MB exchange computed 3×). One eager
+      // checkpoint runs it once; rows identical.
       val cleaned = Dedup.chunkFrequencyStrip(docs, "doc_id", "text",
           size = 8, minDf = 2)
         .where(col("kept_chunks") > 0)
@@ -312,6 +316,7 @@ object QueriesPipeline {
           "doc_id")
         .select(col("doc_id"), col("lang"), col("source"),
           col("clean_text").as("text"))
+        .localCheckpoint(true)
       val scored = CorpusTools.perceptronScore(cleaned, "doc_id", "text",
         positive = col("lang") === "en", d = 64, iters = 3)
       val kept = cleaned.join(

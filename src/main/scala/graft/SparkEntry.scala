@@ -305,15 +305,22 @@ object SparkEntry {
     // pushdown, so without this gate no bench-scale path would exercise
     // the MATERIALIZING k≥3 skew build (kHopSkewBuild) — a regression
     // there would only be felt by the toy-scale KHopSpec equivalence
-    // property. Same dense subgraph, same k/threshold, origin set thinned
-    // to % 200 = 7 (5 qualifying suppliers at sf0.1, 1 at sf0.01/sf0.001)
-    // so the per-origin ~|E| incidence output stays proportionate.
-    "khop_3_dense_mat" -> ((s, dir) => graft.operators.KHop.withKHopEdgesSkew(
+    // property. This gate runs it on the FROM_NATION+IN_REGION graph
+    // with hotThreshold=2: nations/regions (fan-in ≥5 at every SF)
+    // classify HOT while customers/suppliers stay cold, so every branch
+    // of the machinery executes — hot/cold classification, the skewed
+    // reach rounds (broadcast hot side + cold join), both incidence
+    // joins, the global distinct — at every SF, for ~1/4 the price the
+    // same coverage cost on the CONTAINS/SUPPLIED_BY subgraph (measured
+    // 8.4 s there vs ~2 s here: the dense variant's extra seconds were
+    // shared cache builds, not extra code coverage). Origins = suppliers
+    // thinned % 100 = 7 (10 at sf0.1, 1 at sf0.01/sf0.001).
+    "khop_3_skew_mat" -> ((s, dir) => graft.operators.KHop.withKHopEdgesSkew(
         graph(s, dir).rels
-          .where(col("TYPE").isin("CONTAINS", "SUPPLIED_BY")),
-        k = 3, hotThreshold = 256,
+          .where(col("TYPE").isin("FROM_NATION", "IN_REGION")),
+        k = 3, hotThreshold = 2,
         originPred = Some(col("origin").between(2000000000L, 2999999999L) &&
-          col("origin") % 200 === 7)) {
+          col("origin") % 100 === 7)) {
       _.groupBy(col("origin"))
         .agg(count(lit(1)).as("n_edges"),
           sum((col("src") % 100003L) * 100003L + (col("dst") % 100003L))
@@ -1088,17 +1095,17 @@ object SparkEntry {
          |       CAST(sum((src % 100003) * 100003 + (dst % 100003))
          |         AS BIGINT) AS checksum
          |FROM k GROUP BY origin""".stripMargin,
-    "khop_3_dense_mat" ->
+    "khop_3_skew_mat" ->
       s"""WITH $RelsCte,
          |e AS (SELECT DISTINCT start_id AS src, end_id AS dst FROM rels
-         |      WHERE type IN ('CONTAINS', 'SUPPLIED_BY')),
+         |      WHERE type IN ('FROM_NATION', 'IN_REGION')),
          |u AS (SELECT src AS a, dst AS b FROM e
          |      UNION SELECT dst, src FROM e),
          |r1 AS (SELECT a AS origin, b AS node FROM u
-         |       WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 200 = 7),
+         |       WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 100 = 7),
          |reach AS (
          |  SELECT DISTINCT a AS origin, a AS node FROM u
-         |  WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 200 = 7
+         |  WHERE a BETWEEN 2000000000 AND 2999999999 AND a % 100 = 7
          |  UNION SELECT origin, node FROM r1
          |  UNION SELECT DISTINCT r1.origin, u.b
          |        FROM r1 JOIN u ON u.a = r1.node),

@@ -216,9 +216,13 @@ object KHop {
       .select(explode(array_intersect(col("os_s"), col("os_d")))
           .as("origin"),
         lit(-1L).as("c"), (-fe).as("fs"))
-    term(srcAgg).union(term(dstAgg)).union(both)
+    val stats = term(srcAgg).union(term(dstAgg)).union(both)
       .groupBy(col("origin"))
       .agg(sum(col("c")).as("n_edges"), sum(col("fs")).as("checksum"))
+    // plan evidence under the REAL bracket config (persist=true, os
+    // broadcast decided from measured size) — no-op unless LoopPlan is on
+    graft.tools.LoopPlan.dump("khop_stats_plan", stats)
+    stats
   }
 
   /** Shared skew-aware scaffolding for the k-hop builds: deduped edge set,
@@ -364,7 +368,10 @@ object KHop {
     }
     // an edge can qualify via both endpoints — the final distinct is the
     // semantics' own dedup (NodeHistory bitsets, KHop.java:151-154)
-    incidence("src", "_hot_s").union(incidence("dst", "_hot_d")).distinct()
+    val out =
+      incidence("src", "_hot_s").union(incidence("dst", "_hot_d")).distinct()
+    graft.tools.LoopPlan.dump("khop_edges_skew_plan", out)
+    out
   }
 
   /** CSR-style 2-hop: same result set as [[twoHopEdges]], different plan.
