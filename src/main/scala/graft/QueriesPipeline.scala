@@ -531,11 +531,16 @@ object QueriesPipeline {
     // justifies (or indicts) an LSH config before a 100 TB dedup run
     "lsh_recall" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
+      // r12 opt: truth (3 consumers) and cand (4 consumers via verified)
+      // re-ran their whole pair pipelines per aggregate below — one
+      // eager checkpoint each (guide §5); rows identical
       val truth = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3,
           threshold = 0.3, maxDf = 50)
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
       val cand = Dedup.minhashLshPortable(docs, "doc_id", "text", k = 3,
-        numHashes = 16, bands = 4, threshold = 0.0)
+          numHashes = 16, bands = 4, threshold = 0.0)
+        .localCheckpoint(true)
       val verified = cand.where(col("est_jaccard") >= 0.3)
         .select(col("doc_a"), col("doc_b"))
       def one(df: DataFrame, as: String) =

@@ -233,11 +233,16 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, id: String, text: String, k: Int,
                    threshold: Double,
                    maxDf: Long = Long.MaxValue): DataFrame = {
+    // r12 opt (guide §5 re-evaluation): the shingle stream has 3-4
+    // consumers below (doc counts, the DF histogram, both posting-list
+    // sides) — un-materialized, each re-ran tokenize+shingle+hash over
+    // the corpus. One eager checkpoint runs it once.
     val sh = shingleTable(docs, id, text, k)
       // join/shuffle on a 64-bit shingle hash, not the string: ~5× less
       // shuffle data; 27k distinct shingles → collision odds ~1e-11, and a
       // collision only perturbs one pair count by 1.
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // DF cap: a stop-shingle shared by a million documents would make the
     // inverted-index join quadratic in that shingle's posting list. Hot
@@ -251,7 +256,15 @@ object Dedup {
         .where(col("df") > maxDf).select(col("s"))
       sh.join(broadcast(hot), Seq("s"), "left_anti")
     }
-    val pairs = pruned.as("a").join(pruned.as("b"),
+    // explicit-N repartition by the posting key (r12, guide §2.5 — the
+    // GraphAlgos.spreadBy rationale): AQE sizes partitions by INPUT
+    // bytes, so this small-input exploding self-join coalesced to ONE
+    // task that produced the whole candidate set serially (measured: a
+    // single 1.4 s task behind cluster_safe_split). The join reuses the
+    // exchange; at scale it is only a parallelism floor.
+    val dp = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = pruned.repartition(dp, col("s"))
+    val pairs = spread.as("a").join(spread.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -281,15 +294,20 @@ object Dedup {
   def containment(docs: DataFrame, id: String, text: String, k: Int,
                   threshold: Double,
                   maxDf: Long = Long.MaxValue): DataFrame = {
+    // r12 opt: same shingle-stream checkpoint + exploding-self-join
+    // spread as [[ngramJaccard]] (see the comments there)
     val sh = shingleTable(docs, id, text, k)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pruned = if (maxDf == Long.MaxValue) sh else {
       val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .where(col("df") > maxDf).select(col("s"))
       sh.join(broadcast(hot), Seq("s"), "left_anti")
     }
-    val pairs = pruned.as("a").join(pruned.as("b"),
+    val dp = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = pruned.repartition(dp, col("s"))
+    val pairs = spread.as("a").join(spread.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -413,9 +431,17 @@ object Dedup {
                          k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // r12 opt: sig has three consumers (band fold + both verify joins) —
+    // checkpoint so the tokenize+minhash aggregate runs once, and spread
+    // the exploding band self-join by its key (guide §2.5; same fix as
+    // simhashPortable/ngramJaccard). Batch-only path — the streaming
+    // twin (bandKeyTable) stays a pure narrow projection.
     val sig = portableSignature(docs, id, text, k, numHashes)
+      .localCheckpoint(true)
     val buckets = portableBandKeys(sig, numHashes, bands)
-    val cand = buckets.as("a").join(buckets.as("b"),
+    val dp = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = buckets.repartition(dp, col("band"), col("key"))
+    val cand = spread.as("a").join(spread.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -557,16 +583,25 @@ object Dedup {
         .as(s"v$i")
     }
     val votes = w.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    // r12 opt: sig has three consumers (the band explode + both verify
+    // joins) — un-materialized, each re-ran the tokenize+vote aggregate
+    // (measured: the same 0.8 MB signature exchange computed 3×, each a
+    // serial single task). Checkpoint once; and spread the band self-join
+    // by its key (guide §2.5 — AQE coalesced the small input to ONE task
+    // that produced the whole candidate set serially, 1.7 s of the
+    // query's 3.3 s).
     val sig = votes.select(col("doc_id") +: (0 until 4).map { bnd =>
       (0 until 16).map(t =>
         when(col(s"v${bnd * 16 + t}") > 0, lit(1L << t)).otherwise(lit(0L)))
         .reduce(_ + _).as(s"k$bnd")
-    }: _*)
+    }: _*).localCheckpoint(true)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until 4).map(bnd =>
         struct(lit(bnd).as("band"), col(s"k$bnd").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val dp = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = bands.repartition(dp, col("band"), col("key"))
+    val cand = spread.as("a").join(spread.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -859,7 +894,12 @@ object Dedup {
         struct(lit(b).as("band"), key.as("key"))
       }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = buckets.as("a").join(buckets.as("b"),
+    // r12 opt: spread the exploding band self-join by its key (guide
+    // §2.5 — AQE coalesced the small input to one serial task; same fix
+    // as minhashLshPortable/simhashPortable)
+    val dp = embeddings.sparkSession.sparkContext.defaultParallelism
+    val spreadB = buckets.repartition(dp, col("band"), col("key"))
+    val cand = spreadB.as("a").join(spreadB.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
